@@ -1,0 +1,41 @@
+"""Numeric helpers: exact aggregation + u128 token math.
+
+The reference's money rule (SURVEY.md §1.3): u128 yoctoNEAR amounts stay
+STRING in silver, DECIMAL(38,0) for arithmetic, DOUBLE only at the published
+edge (BQ Writer Stream.py:47-48). We extend the same rule to the analytics
+queries: SUM over DOUBLE is order-dependent in IEEE float, so a distributed
+sum is non-deterministic run-to-run; summing an exact DECIMAL and casting the
+*result* to DOUBLE is both deterministic and oracle-stable at any
+parallelism. At 100 TB (billions of addends) this is the difference between
+a reproducible pipeline and one that drifts per run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def dsum(c: Column | str, scale: int = 6, precision: int = 28) -> Column:
+    """Order-independent sum: cast addends to DECIMAL, sum exactly, emit
+    DOUBLE. ``scale=6`` covers the testdata's 2-dp money and 4-dp products."""
+    return F.sum(_col(c).cast(f"decimal({precision},{scale})")).cast("double")
+
+
+def davg(c: Column | str, scale: int = 6, precision: int = 28) -> Column:
+    """Deterministic mean: exact decimal sum, one double division."""
+    dec = _col(c).cast(f"decimal({precision},{scale})")
+    return (F.sum(dec).cast("double") / F.count(dec)).cast("double")
+
+
+def yocto_to_near(c: Column | str, dp: int = 2) -> Column:
+    """u128 yoctoNEAR decimal-string -> NEAR double (display edge only).
+
+    Mirrors ``round(amount / pow(10, 24), 2)`` in
+    Epochs and validators Silver Pipeline.py:401-403.
+    """
+    return F.round(_col(c).cast("decimal(38,0)") / F.lit(10.0) ** 24, dp)

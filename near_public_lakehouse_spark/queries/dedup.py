@@ -1,0 +1,267 @@
+"""Deduplication operators over `documents`: exact (hash-groupBy),
+n-gram Jaccard within blocking keys, MinHash+LSH banding, SimHash.
+
+Cross-engine determinism trick: token -> 32-bit integer via the first 8 hex
+chars of md5, which both Spark (`conv(substr(md5(t),1,8),16,10)`) and
+DuckDB (`('0x'||substr(md5(t),1,8))::BIGINT`) compute identically — so even
+the MinHash/LSH pipeline is fully oracle-checked, not just rows-counted.
+
+Scale design: every variant is a map (per-doc signature, array HOFs, no
+Python) followed by ONE shuffle on a compact key (fingerprint / band key /
+block key). Pairwise comparison only ever happens inside buckets — the
+all-pairs O(n^2) join never appears at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from near_public_lakehouse_spark.queries.registry import query
+from near_public_lakehouse_spark.queries.text import TOKENS_SQL
+from near_public_lakehouse_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# shared hashing vocabulary (identical on both engines)
+
+# DuckDB: distinct tokens of lower(text)
+DTOKS_SQL = "list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> ''))"
+# DuckDB: token -> 32-bit int
+TOKHASH_SQL = "list_transform({toks}, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)"
+
+# MinHash family h_i(x) = (a_i * x + b_i) mod p  (p prime > 2^32; a_i small
+# so a_i*x stays far below 2^63). 12 hashes -> 4 bands of 3 rows.
+MINHASH_P = 4_294_967_311
+MINHASH_A = (3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41)
+MINHASH_B = (1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 233)
+BAND_SIZE = 3
+N_BANDS = len(MINHASH_A) // BAND_SIZE
+
+
+def _dtoks_col():
+    return F.array_distinct(
+        F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    )
+
+
+def _tokhash_col(toks):
+    return F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
+    )
+
+
+@query(
+    "exact_dup_groups",
+    tags=("dedup",),
+    oracle="""
+SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+FROM (SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents)
+GROUP BY fingerprint
+HAVING count(*) > 1
+ORDER BY fingerprint
+""",
+)
+def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on a 128-bit content fingerprint. The
+    canonical keeper is min(doc_id). One shuffle on the hash — at 100 TB
+    this is the cheapest possible dedup and always runs first."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("fingerprint")
+    )
+
+
+@query(
+    "ngram_jaccard_pairs",
+    tags=("dedup", "J7"),
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source, n_chars // 64 AS len_bucket, {DTOKS_SQL} AS toks
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+FROM d a
+JOIN d b
+  ON a.source = b.source AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+ORDER BY doc_a, doc_b
+""",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: token-set Jaccard >= 0.8 within blocking keys
+    (source, length-bucket). Blocking bounds the candidate set so the join
+    is equi-key + residual — never all-pairs. Union size is computed as
+    |A|+|B|-|A∩B| to sidestep engine-specific union-dedup semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        (F.col("n_chars") / 64).cast("int").alias("len_bucket"),
+        _dtoks_col().alias("toks"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_sql(i: int) -> str:
+    hashes = TOKHASH_SQL.format(toks=DTOKS_SQL)
+    return (
+        f"list_min(list_transform({hashes}, "
+        f"h -> ({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}))"
+    )
+
+
+def _band_keys_sql() -> str:
+    bands = []
+    for band in range(N_BANDS):
+        parts = [
+            f"CAST({_minhash_sql(band * BAND_SIZE + k)} AS VARCHAR)" for k in range(BAND_SIZE)
+        ]
+        bands.append(f"'{band}:' || " + " || '_' || ".join(parts))
+    return "[" + ", ".join(bands) + "]"
+
+
+@query(
+    "minhash_lsh_candidates",
+    tags=("dedup", "lsh"),
+    oracle=f"""
+WITH sigs AS (
+  SELECT doc_id, unnest({_band_keys_sql()}) AS band_key FROM documents
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sigs a
+JOIN sigs b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+""",
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding: 12 min-hashes over the distinct-token set,
+    banded 4x3; docs sharing any band key become candidate pairs.
+
+    Scale notes: signatures are computed per-row with array HOFs (no
+    explode of the token dimension), then ONE shuffle on band_key whose
+    buckets are tiny by construction. This is the 100 TB near-dup path —
+    candidate generation is linear, verification (ngram_jaccard on
+    candidates) touches only bucket-mates.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = _tokhash_col(_dtoks_col())
+    def _minhash(i: int):
+        # NB: the lambda must be unary — a second (defaulted) parameter
+        # would make Spark pass the array index into it.
+        def apply(h):
+            return (F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)
+
+        return F.array_min(F.transform(hashes, apply))
+
+    band_cols = []
+    for band in range(N_BANDS):
+        parts = []
+        for k in range(BAND_SIZE):
+            parts.append(_minhash(band * BAND_SIZE + k).cast("string"))
+        key = F.concat_ws("_", *parts)
+        band_cols.append(F.concat(F.lit(f"{band}:"), key))
+    sigs = docs.select("doc_id", F.explode(F.array(*band_cols)).alias("band_key"))
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SIMHASH_BITS = 32
+
+
+@query(
+    "simhash_fingerprints",
+    tags=("dedup", "simhash"),
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, unnest({TOKHASH_SQL.format(toks=DTOKS_SQL)}) AS h
+  FROM documents
+),
+bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h // CAST(pow(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, (SELECT unnest(range({SIMHASH_BITS})) AS b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(coalesce(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) END), 0) AS BIGINT)
+         AS simhash
+FROM bits
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (32-bit) per document: majority vote of token-hash bits.
+
+    The oracle unrolls to rows (doc x bit) because DuckDB's list_reduce
+    can't carry an array accumulator; the Spark implementation keeps the
+    whole computation inside array HOFs — per-row, shuffle-free, which is
+    the shape that survives 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = _tokhash_col(_dtoks_col())
+    zero = F.array_repeat(F.lit(0).cast("bigint"), SIMHASH_BITS)
+    # 2^b via double pow: exact for b < 53 and, since hashes are < 2^32,
+    # the division by a power of two is also exact in IEEE double.
+    pow2 = lambda b: F.pow(F.lit(2.0), b).cast("bigint")  # noqa: E731
+    bit_votes = F.aggregate(
+        hashes,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+                lambda b: F.when(
+                    (h.cast("bigint") / pow2(b)).cast("bigint") % 2 == 1,
+                    F.lit(1).cast("bigint"),
+                ).otherwise(F.lit(-1).cast("bigint")),
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    fingerprint = F.aggregate(
+        F.zip_with(
+            bit_votes,
+            F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+            lambda s, b: F.when(s > 0, pow2(b)).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    return docs.select("doc_id", fingerprint.alias("simhash")).orderBy("doc_id")

@@ -1,0 +1,263 @@
+"""Event-stream queries: the flagship daily-active-users rollup (the
+README example query shape), hourly buckets, JSON prop extraction,
+event-index packing (U1), the as-of/interval join (J2) and the
+double-entry ledger emit (G4).
+
+``events.ts`` is a nanosecond epoch BIGINT (parquet TIMESTAMP(NANOS) read
+via nanosAsLong) — the same convention as the reference's
+``block_timestamp`` (Silver Lake Mainnet.sql:19-22). All bucketing uses
+integer arithmetic on it (functions/time.py): timezone-free, and an
+integer floor-div is cheaper at scale than timestamp conversion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from near_public_lakehouse_spark.functions.json import j
+from near_public_lakehouse_spark.functions.numeric import dsum
+from near_public_lakehouse_spark.functions.time import (
+    NS_PER_HOUR,
+    ns_to_date,
+    ns_to_epoch_hour,
+    ns_to_micros,
+)
+from near_public_lakehouse_spark.queries.registry import query
+from near_public_lakehouse_spark.sources.tables import load_table
+
+
+@query(
+    "daily_active_users",
+    bench=True,
+    tags=("A6", "P1", "flagship"),
+    oracle="""
+SELECT CAST(ts AS DATE) AS event_date,
+       count(DISTINCT user_id) AS active_users,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY CAST(ts AS DATE)
+ORDER BY event_date
+""",
+)
+def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: daily unique actors — the published dataset's canonical
+    example (README.md:48-61, daily unique signers of a contract) mapped to
+    the events table.
+
+    Scale notes: COUNT(DISTINCT) expands to a two-stage partial-distinct
+    aggregate; the date key is derived by integer division so partition
+    pruning on a date-partitioned layout still applies.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(ns_to_date("ts").alias("event_date"))
+        .agg(
+            F.countDistinct("user_id").alias("active_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .orderBy("event_date")
+    )
+
+
+@query(
+    "hourly_event_stats",
+    tags=("A2", "A4"),
+    oracle="""
+SELECT event_type,
+       CAST(floor(epoch(ts) / 3600) AS BIGINT) AS epoch_hour,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
+       CAST(max(value) AS DOUBLE) AS max_value
+FROM events
+GROUP BY event_type, epoch_hour
+ORDER BY event_type, epoch_hour
+""",
+)
+def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window aggregate in batch form (the streaming twin
+    lives in streaming/; same grouping keys)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", ns_to_epoch_hour("ts").alias("epoch_hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value").alias("total_value"),
+            F.max("value").cast("double").alias("max_value"),
+        )
+        .orderBy("event_type", "epoch_hour")
+    )
+
+
+@query(
+    "props_json_extract",
+    tags=("§2.10-json",),
+    oracle="""
+SELECT event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type, k_bucket
+ORDER BY event_type, k_bucket
+""",
+)
+def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction on a string payload — the OSS translation of
+    Databricks `col:path` (Silver Lake Mainnet.sql:450-455) via
+    `get_json_object` (functions/json.j)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            (j("props", "k").cast("bigint") % 10).alias("k_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .orderBy("event_type", "k_bucket")
+    )
+
+
+@query(
+    "event_index_pack",
+    tags=("U1",),
+    oracle="""
+SELECT event_id,
+       CAST(CAST(CAST(epoch_us(ts) AS DECIMAL(25,0)) * 1000000
+            + (user_id % 100) * 10000
+            + (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1)
+            AS DECIMAL(38,0)) AS VARCHAR) AS event_index
+FROM events
+ORDER BY event_id
+""",
+)
+def event_index_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 `calculate_event_index`: packs (timestamp, shard, seq) into one
+    global ordering key (FT and NFT events.py:17-25). The reference's
+    `ts*1e16` overflows BIGINT — exactly as flagged in SURVEY §7, the packing
+    is done in DECIMAL(38,0) and emitted as STRING."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    packed = (
+        ns_to_micros("ts").cast("decimal(25,0)") * F.lit(1_000_000)
+        + (F.col("user_id") % 100) * F.lit(10_000)
+        + (F.row_number().over(w) - 1)
+    )
+    return ev.select(
+        "event_id",
+        packed.cast("decimal(38,0)").cast("string").alias("event_index"),
+    ).orderBy("event_id")
+
+
+@query(
+    "asof_click_view",
+    tags=("J2",),
+    oracle="""
+SELECT click_id, user_id, view_id, gap_us
+FROM (
+  SELECT c.event_id AS click_id, c.user_id AS user_id, v.event_id AS view_id,
+         epoch_us(c.ts) - epoch_us(v.ts) AS gap_us,
+         row_number() OVER (PARTITION BY c.event_id
+                            ORDER BY v.ts DESC, v.event_id DESC) AS rn
+  FROM events c
+  JOIN events v
+    ON c.user_id = v.user_id
+   AND v.event_type = 'view'
+   AND v.ts <= c.ts
+   AND v.ts >= c.ts - INTERVAL 1 HOUR
+  WHERE c.event_type = 'click'
+)
+WHERE rn = 1
+ORDER BY click_id
+""",
+)
+def asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest preceding `view` within 1 h of each `click` —
+    the reference's time-interval stream join + SEQUENCE BY nearest-match
+    approximation (SCD tables.sql:105-111: `eo.ts BETWEEN ara.ts AND
+    ara.ts + INTERVAL 1 DAY`), done batch-side.
+
+    Scale notes: equi-key (user_id) carries the join through a hash
+    shuffle; the time bound is a residual predicate, then arg-max per click
+    picks the nearest. In streaming this becomes `withWatermark` on both
+    sides + the same interval condition (streaming/jobs.py).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    joined = clicks.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("v_ts") <= F.col("c_ts"))
+        & (F.col("v_ts") >= F.col("c_ts") - F.lit(NS_PER_HOUR)),
+    )
+    w = Window.partitionBy("click_id").orderBy(F.desc("v_ts"), F.desc("view_id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "click_id",
+            "user_id",
+            "view_id",
+            (ns_to_micros("c_ts") - ns_to_micros("v_ts")).alias("gap_us"),
+        )
+        .orderBy("click_id")
+    )
+
+
+@query(
+    "double_entry_ledger",
+    tags=("G4", "G6"),
+    oracle="""
+SELECT event_id, account, direction, amount
+FROM (
+  SELECT event_id, 'user_' || CAST(user_id AS VARCHAR) AS account,
+         'debit' AS direction, -value AS amount
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT event_id, 'pool_' || CAST(event_id % 5 AS VARCHAR) AS account,
+         'credit' AS direction, value AS amount
+  FROM events WHERE event_type = 'purchase'
+)
+WHERE amount <> 0
+ORDER BY event_id, direction
+""",
+)
+def double_entry_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 `inline(filter(array(struct...)))`: conditional multi-row emit —
+    the FT double-entry mint/burn/transfer legs (FT and NFT
+    events.py:64-68). One pass over the fact table, 0-2 rows out per row in,
+    no union-of-scans."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    legs = F.array(
+        F.struct(
+            F.concat(F.lit("user_"), F.col("user_id").cast("string")).alias("account"),
+            F.lit("debit").alias("direction"),
+            (-F.col("value")).alias("amount"),
+        ),
+        F.struct(
+            F.concat(F.lit("pool_"), (F.col("event_id") % 5).cast("string")).alias("account"),
+            F.lit("credit").alias("direction"),
+            F.col("value").alias("amount"),
+        ),
+    )
+    kept = F.filter(legs, lambda s: s.amount != 0)
+    return (
+        ev.select("event_id", F.inline(kept))
+        .select("event_id", "account", "direction", "amount")
+        .orderBy("event_id", "direction")
+    )

@@ -1,0 +1,210 @@
+"""Text-analysis queries over the `documents` table — the LLM-data-pipeline
+surface (BASELINE.json north star): tokenization, quality scoring,
+language-ID heuristic, fingerprinting. All computed with JVM-side built-ins
+and higher-order functions — zero Python UDFs on the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from near_public_lakehouse_spark.queries.registry import query
+from near_public_lakehouse_spark.sources.tables import load_table
+
+# One tokenizer, used by every text query on both engines.
+TOKENS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"  # DuckDB
+
+
+def tokens_col():  # Spark
+    return F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+
+
+STOPWORDS = ("the", "a", "of", "an", "to", "and", "in")
+STOP_SQL = "(" + ", ".join(f"'{s}'" for s in STOPWORDS) + ")"
+
+
+@query(
+    "token_counts",
+    tags=("text", "G1"),
+    oracle=f"""
+SELECT doc_id,
+       len({TOKENS_SQL}) AS n_tokens,
+       len(list_distinct({TOKENS_SQL})) AS n_distinct_tokens,
+       n_chars
+FROM documents
+ORDER BY doc_id
+""",
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting per document — no explode, no shuffle:
+    array HOFs keep it a narrow map over the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        "n_chars",
+    ).orderBy("doc_id")
+
+
+@query(
+    "word_frequencies",
+    tags=("text", "G1", "G2"),
+    oracle=f"""
+SELECT word, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+FROM (SELECT doc_id, unnest({TOKENS_SQL}) AS word FROM documents)
+GROUP BY word
+ORDER BY n_occurrences DESC, word
+LIMIT 50
+""",
+)
+def word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word frequencies: explode (G1) + grouped count — the
+    `posexplode`-then-aggregate shape used all over the silver layer
+    (Silver Lake Mainnet.sql:88,135,196,...)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(tokens_col()).alias("word"))
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("word"))
+        .limit(50)
+    )
+
+
+@query(
+    "quality_scores",
+    tags=("text",),
+    oracle=f"""
+SELECT doc_id,
+       n_tokens,
+       distinct_ratio,
+       stopword_ratio,
+       least(1.0, n_tokens / 64.0) * 0.4 + distinct_ratio * 0.4
+         + (1.0 - stopword_ratio) * 0.2 AS quality_score
+FROM (
+  SELECT doc_id,
+         len({TOKENS_SQL}) AS n_tokens,
+         len(list_distinct({TOKENS_SQL})) / len({TOKENS_SQL}) AS distinct_ratio,
+         len(list_filter({TOKENS_SQL}, x -> x IN {STOP_SQL}))
+           / len({TOKENS_SQL}) AS stopword_ratio
+  FROM documents
+)
+ORDER BY doc_id
+""",
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring from length / lexical-diversity / stopword
+    ratios — the heuristic-prefilter stage of an LLM data pipeline. Pure
+    column arithmetic; identical IEEE expression tree on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n = F.size(toks).cast("double")
+    distinct_ratio = F.size(F.array_distinct(toks)) / n
+    stop_ratio = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) / n
+    return (
+        docs.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            distinct_ratio.alias("distinct_ratio"),
+            stop_ratio.alias("stopword_ratio"),
+            (
+                F.least(F.lit(1.0), F.size(toks) / F.lit(64.0)) * 0.4
+                + distinct_ratio * 0.4
+                + (F.lit(1.0) - stop_ratio) * 0.2
+            ).alias("quality_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Marker words per language for the n-gram/stopword language-ID heuristic.
+LANG_MARKERS = {
+    "en": ("the", "a", "and"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "los", "y"),
+    "de": ("der", "die", "und"),
+    "zh": ("de", "shi", "le"),
+}
+
+
+def _marker_sql(lang: str) -> str:
+    inlist = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return f"len(list_filter({TOKENS_SQL}, x -> x IN ({inlist})))"
+
+
+@query(
+    "language_id",
+    tags=("text",),
+    oracle=f"""
+SELECT doc_id, lang AS labeled_lang,
+       CASE
+         WHEN {_marker_sql("en")} >= greatest({_marker_sql("fr")}, {_marker_sql("es")},
+              {_marker_sql("de")}, {_marker_sql("zh")}) AND {_marker_sql("en")} > 0 THEN 'en'
+         WHEN {_marker_sql("fr")} >= greatest({_marker_sql("es")}, {_marker_sql("de")},
+              {_marker_sql("zh")}) AND {_marker_sql("fr")} > 0 THEN 'fr'
+         WHEN {_marker_sql("es")} >= greatest({_marker_sql("de")}, {_marker_sql("zh")})
+              AND {_marker_sql("es")} > 0 THEN 'es'
+         WHEN {_marker_sql("de")} >= {_marker_sql("zh")} AND {_marker_sql("de")} > 0 THEN 'de'
+         WHEN {_marker_sql("zh")} > 0 THEN 'zh'
+         ELSE 'und'
+       END AS predicted_lang
+FROM documents
+ORDER BY doc_id
+""",
+)
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language identification (deterministic priority
+    CASE ladder — the action-kind dispatch shape of Silver Lake
+    Mainnet.sql:213-242). A real deployment swaps the marker table for
+    char-n-gram profiles; the operator shape (per-row array HOF scoring,
+    no shuffle) is the point."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+
+    def score(lang: str):
+        return F.size(F.filter(toks, lambda x: x.isin(*LANG_MARKERS[lang])))
+
+    en, fr, es, de, zh = (score(lang) for lang in ("en", "fr", "es", "de", "zh"))
+    pred = (
+        F.when((en >= F.greatest(fr, es, de, zh)) & (en > 0), "en")
+        .when((fr >= F.greatest(es, de, zh)) & (fr > 0), "fr")
+        .when((es >= F.greatest(de, zh)) & (es > 0), "es")
+        .when((de >= zh) & (de > 0), "de")
+        .when(zh > 0, "zh")
+        .otherwise("und")
+    )
+    return docs.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), pred.alias("predicted_lang")
+    ).orderBy("doc_id")
+
+
+@query(
+    "doc_fingerprints",
+    tags=("text", "dedup"),
+    oracle="""
+SELECT doc_id, md5(lower(trim(text))) AS fingerprint,
+       md5(array_to_string(list_filter(string_split(lower(trim(text)), ' '),
+                                       x -> x <> ''), ' ')) AS shingle_fingerprint
+FROM documents
+ORDER BY doc_id
+""",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting: raw-text hash + whitespace-normalized hash
+    (the canonicalize-then-hash step every exact-dedup pipeline starts
+    with). md5 is the cross-engine-stable choice; xxhash64 is the faster
+    Spark-only alternative for production."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    norm_tokens = F.filter(F.split(norm, " "), lambda x: x != "")
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.md5(F.array_join(norm_tokens, " ")).alias("shingle_fingerprint"),
+    ).orderBy("doc_id")

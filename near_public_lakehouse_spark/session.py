@@ -1,0 +1,84 @@
+"""SparkSession factory and runtime configuration.
+
+Scale design (the part that must survive a 1000-executor / 100 TB cluster):
+
+- AQE is always on: runtime partition coalescing, skew-join splitting and
+  dynamic join-strategy demotion replace hand-tuned shuffle counts.
+- ``spark.sql.shuffle.partitions`` defaults to 2x local cores; on a real
+  cluster this is overridden (AQE coalesces down, it never splits up, so
+  start high).
+- Session timezone is pinned to UTC: the reference keeps nanosecond epoch
+  longs + derived UTC timestamps/dates (Silver Lake Mainnet.sql:19-22), and
+  date partition keys must not depend on the submitting machine's zone.
+- ``spark.sql.legacy.parquet.nanosAsLong=true``: the driver testdata stores
+  ``events.ts`` as parquet TIMESTAMP(NANOS). Reading nanos as a plain BIGINT
+  mirrors the reference's convention (block_timestamp is ns-since-epoch) and
+  is deterministic in every timezone.
+
+Everything here is runtime-settable (SQLConf), so `configure_runtime` also
+works on a session we did not build (the correctness driver owns its own).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe to (re)apply on a live session.
+RUNTIME_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for the few pandas-UDF operators (similarity, multimodal).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # ANSI off: the reference SQL relies on permissive casts/try semantics.
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def configure_runtime(spark: SparkSession) -> SparkSession:
+    """Apply deterministic runtime confs to an existing session."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # e.g. conf locked down — engine still works, queries that need
+            # the conf (ns parquet reads) will surface a clear error.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "near-public-lakehouse-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a local SparkSession tuned for the engine.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS then 32 (the driver's bench
+    shape). On a real cluster the same code runs unchanged — only
+    master/shuffle sizing differ.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or 32
+    shuffle = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", 2 * int(cpus)))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Local shuffle is memory-backed; compress only over the wire.
+        .config("spark.shuffle.compress", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return configure_runtime(spark)
