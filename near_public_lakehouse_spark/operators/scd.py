@@ -1,0 +1,110 @@
+"""SCD Type-1 keyed upsert: the OSS replacement for Databricks DLT
+``APPLY CHANGES INTO ... KEYS (...) SEQUENCE BY ... STORED AS SCD TYPE 1``
+(reference A8 — SCD tables.sql:14-39,53-77,90-116,129-149).
+
+Semantics reproduced:
+- KEYS / SEQUENCE BY: within each micro-batch the row with the highest
+  sequence value wins (arg-max via row_number, reference T7); a stored row
+  is only replaced by a source row with sequence >= stored sequence, so
+  out-of-order batches converge to the same state.
+- IGNORE NULL UPDATES: per-column ``coalesce(new, old)`` on update
+  (SURVEY §7 hard-parts list).
+
+Streaming: `apply_changes_stream` wraps the batch core in foreachBatch —
+the exact pattern SURVEY §4 prescribes for the DLT replacement.
+
+Scale design: state lives in the target table, partitioned however the
+caller chose; each batch shuffles only on the key columns. Hot keys are
+fine (arg-max is a 1-row-per-key reduction, AQE splits skewed partitions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from near_public_lakehouse_spark.operators.merge import read_table, table_exists
+
+SEQ_COL = "__scd_seq__"
+
+
+def latest_by(df: DataFrame, keys: list[str], sequence_by: str) -> DataFrame:
+    """Arg-max dedup: latest row per key by the sequence column (ties broken
+    deterministically by all remaining columns)."""
+    tiebreak = [c for c in df.columns if c not in keys and c != sequence_by]
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(sequence_by), *[F.desc(c) for c in tiebreak]
+    )
+    return df.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") == 1).drop(
+        "__rn__"
+    )
+
+
+def apply_changes(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    sequence_by: str,
+    ignore_null_updates: bool = False,
+) -> None:
+    """Batch core: upsert `updates` into the SCD1 table at `target_path`."""
+    src = latest_by(updates, keys, sequence_by)
+    if not table_exists(target_path):
+        src.write.mode("overwrite").parquet(target_path)
+        return
+
+    tgt = read_table(spark, target_path)
+    j = tgt.alias("t").join(
+        src.alias("s"),
+        [F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}")) for k in keys],
+        "full_outer",
+    )
+    s_seq, t_seq = F.col(f"s.{sequence_by}"), F.col(f"t.{sequence_by}")
+    # A source row applies if the key is new, or its sequence is >= stored.
+    src_wins = F.col(f"t.{keys[0]}").isNull() | (
+        F.col(f"s.{keys[0]}").isNotNull() & (s_seq >= t_seq)
+    )
+    out = []
+    for c in src.columns:
+        s, t = F.col(f"s.{c}"), F.col(f"t.{c}")
+        if c in keys:
+            out.append(F.coalesce(s, t).alias(c))
+        elif ignore_null_updates:
+            out.append(F.when(src_wins, F.coalesce(s, t)).otherwise(t).alias(c))
+        else:
+            out.append(F.when(src_wins, s).otherwise(t).alias(c))
+    merged = j.select(*out)
+
+    from near_public_lakehouse_spark.operators.merge import _rewrite
+
+    _rewrite(spark, merged, target_path, None)
+
+
+def apply_changes_stream(
+    stream: DataFrame,
+    target_path: str,
+    keys: list[str],
+    sequence_by: str,
+    checkpoint: str,
+    ignore_null_updates: bool = False,
+):
+    """Streaming APPLY CHANGES: foreachBatch(apply_changes) with
+    availableNow semantics left to the caller's trigger choice."""
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        apply_changes(
+            batch_df.sparkSession,
+            target_path,
+            batch_df,
+            keys,
+            sequence_by,
+            ignore_null_updates=ignore_null_updates,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,234 @@
+"""EVENT_JSON pipelines: FT / NFT / multi-token event extraction and the
+NEAR Social parse chain.
+
+Folds the reference's three EVENT_JSON consumers into one operator (SURVEY
+§2.13 L3): the SQL FT/NFT tables (FT and NFT events.py:42-68,120-141), the
+SCD event-log source (SCD tables.sql:129-149) and the Rust defuse indexer
+(event_handler.rs:45-88) all share: trim -> prefix test -> JSON parse ->
+standard filter -> FAILURE exclusion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from near_public_lakehouse_spark.functions.json import j
+from near_public_lakehouse_spark.plans.schemas import EVENT_JSON_DDL
+
+_BLOCK_CTX = ["block_date", "block_timestamp", "block_timestamp_utc", "block_height", "block_hash"]
+
+EVENT_PREFIX = "EVENT_JSON:"
+
+
+def event_logs(outcome_logs: DataFrame) -> DataFrame:
+    """Parsed EVENT_JSON rows: prefix test + substring + from_json; malformed
+    payloads yield a NULL struct and are dropped, never failing the pipeline
+    (defensive parsing — SURVEY §5); FAILURE outcomes excluded
+    (SCD tables.sql:137)."""
+    logs = outcome_logs.filter(
+        F.trim(F.col("log")).startswith(EVENT_PREFIX) & (F.col("status") != "FAILURE")
+    )
+    parsed = logs.withColumn(
+        "event", F.from_json(F.substring(F.trim(F.col("log")), len(EVENT_PREFIX) + 1, 1_000_000), EVENT_JSON_DDL)
+    )
+    return parsed.filter(
+        F.col("event").isNotNull() & F.col("event.standard").isNotNull()
+    ).select(
+        *_BLOCK_CTX,
+        "receipt_id",
+        "executor_account_id",
+        "index_in_execution_outcome_logs",
+        F.col("event.standard").alias("standard"),
+        F.col("event.version").alias("version"),
+        F.col("event.event").alias("event"),
+        F.col("event.data").alias("data"),
+    )
+
+
+def _event_index(shard_like: F.Column, type_index: int, rn: F.Column) -> F.Column:
+    """U1 event-index packing in DECIMAL(38,0) (FT and NFT
+    events.py:17-25; BIGINT would overflow — SURVEY §7)."""
+    return (
+        F.col("block_timestamp").cast("decimal(38,0)") * F.lit(10_000_000_000)
+        + shard_like.cast("decimal(38,0)") * F.lit(100_000_000)
+        + F.lit(type_index) * F.lit(1_000_000)
+        + rn
+    ).cast("decimal(38,0)").cast("string")
+
+
+def silver_execution_outcome_ft_event_logs(parsed_events: DataFrame) -> DataFrame:
+    """nep141 double-entry legs: mint -> +amount, burn -> -amount,
+    transfer -> (-old, +new) via inline(filter(array(...))) — the fused
+    UNION ALL of FT and NFT events.py:57-68 (G4/G6). Amounts are
+    DECIMAL(38,0), negation included (the u128 rule)."""
+    ft = parsed_events.filter(F.col("standard") == "nep141").select(
+        *_BLOCK_CTX,
+        "receipt_id",
+        "executor_account_id",
+        "event",
+        F.posexplode("data").alias("index_in_data", "d"),
+    )
+    amount = F.col("d.amount").cast("decimal(38,0)")
+    legs = F.array(
+        F.struct(
+            F.col("d.owner_id").alias("affected_account_id"),
+            F.lit(None).cast("string").alias("involved_account_id"),
+            amount.alias("delta_amount"),
+            (F.col("event") == "ft_mint").alias("keep"),
+        ),
+        F.struct(
+            F.col("d.owner_id").alias("affected_account_id"),
+            F.lit(None).cast("string").alias("involved_account_id"),
+            (-amount).alias("delta_amount"),
+            (F.col("event") == "ft_burn").alias("keep"),
+        ),
+        F.struct(
+            F.col("d.old_owner_id").alias("affected_account_id"),
+            F.col("d.new_owner_id").alias("involved_account_id"),
+            (-amount).alias("delta_amount"),
+            (F.col("event") == "ft_transfer").alias("keep"),
+        ),
+        F.struct(
+            F.col("d.new_owner_id").alias("affected_account_id"),
+            F.col("d.old_owner_id").alias("involved_account_id"),
+            amount.alias("delta_amount"),
+            (F.col("event") == "ft_transfer").alias("keep"),
+        ),
+    )
+    exploded = ft.select(
+        *_BLOCK_CTX,
+        "receipt_id",
+        F.col("executor_account_id").alias("contract_account_id"),
+        "event",
+        "index_in_data",
+        F.inline(F.filter(legs, lambda s: s.keep)),
+    ).drop("keep")
+    w = Window.partitionBy("block_hash").orderBy(
+        "receipt_id", "index_in_data", "affected_account_id"
+    )
+    rn = F.row_number().over(w) - 1
+    return exploded.select(
+        *_BLOCK_CTX,
+        _event_index(F.lit(0), 1, rn).alias("event_index"),
+        "receipt_id",
+        "contract_account_id",
+        F.col("event").alias("cause"),
+        "affected_account_id",
+        "involved_account_id",
+        F.col("delta_amount").cast("string").alias("delta_amount"),
+    )
+
+
+def silver_execution_outcome_nft_event_logs(parsed_events: DataFrame) -> DataFrame:
+    """nep171 token rows: explode token_ids per event datum — FT and NFT
+    events.py:112-141."""
+    nft = parsed_events.filter(F.col("standard") == "nep171").select(
+        *_BLOCK_CTX,
+        "receipt_id",
+        F.col("executor_account_id").alias("contract_account_id"),
+        "event",
+        F.posexplode("data").alias("index_in_data", "d"),
+    )
+    tokens = nft.select(
+        *_BLOCK_CTX,
+        "receipt_id",
+        "contract_account_id",
+        "event",
+        "index_in_data",
+        F.coalesce(F.col("d.new_owner_id"), F.col("d.owner_id")).alias("affected_account_id"),
+        F.col("d.old_owner_id").alias("involved_account_id"),
+        F.explode("d.token_ids").alias("token_id"),
+    )
+    w = Window.partitionBy("block_hash").orderBy("receipt_id", "index_in_data", "token_id")
+    rn = F.row_number().over(w) - 1
+    return tokens.select(
+        *_BLOCK_CTX,
+        _event_index(F.lit(0), 2, rn).alias("event_index"),
+        "receipt_id",
+        "contract_account_id",
+        F.col("event").alias("cause"),
+        "token_id",
+        "affected_account_id",
+        "involved_account_id",
+    )
+
+
+def silver_nep245_events(parsed_events: DataFrame) -> DataFrame:
+    """Multi-token events: zip token_ids x amounts then explode — the
+    ClickHouse `arrayJoin(arrayZip(...))` MV re-expressed with
+    arrays_zip + explode (SURVEY §2.13 L4 / G7)."""
+    mt = parsed_events.filter(F.col("standard") == "nep245").select(
+        *_BLOCK_CTX,
+        "receipt_id",
+        F.col("executor_account_id").alias("contract_account_id"),
+        "event",
+        F.posexplode("data").alias("index_in_data", "d"),
+    )
+    zipped = mt.select(
+        *_BLOCK_CTX,
+        "receipt_id",
+        "contract_account_id",
+        "event",
+        "index_in_data",
+        F.col("d.old_owner_id").alias("old_owner_id"),
+        F.col("d.new_owner_id").alias("new_owner_id"),
+        F.explode(F.arrays_zip("d.token_ids", "d.amounts")).alias("ta"),
+    )
+    return zipped.select(
+        *_BLOCK_CTX,
+        "receipt_id",
+        "contract_account_id",
+        "event",
+        "index_in_data",
+        "old_owner_id",
+        "new_owner_id",
+        F.col("ta.token_ids").alias("token_id"),
+        F.col("ta.amounts").cast("decimal(38,0)").cast("string").alias("amount"),
+    )
+
+
+def silver_near_social_txs(ara: DataFrame) -> DataFrame:
+    """NEAR Social set() calls: args decoded — NEAR Social.sql:14-33."""
+    s = ara.filter(
+        (F.col("receiver_account_id") == "social.near") & (F.col("method_name") == "set")
+    )
+    args_b64 = F.get_json_object("args", "$.FunctionCall.args")
+    return s.select(
+        *_BLOCK_CTX,
+        "receipt_id",
+        "predecessor_account_id",
+        "signer_account_id",
+        F.unbase64(args_b64).cast("string").alias("args_decoded"),
+    )
+
+
+def silver_near_social_txs_parsed(social_txs: DataFrame) -> DataFrame:
+    """Dynamic-key explode of the socialDB `data` object.
+
+    The reference uses `explode(json_object_keys(json:data))` + a computed
+    JSON path `concat('$[\"',k,'\"]')` (NEAR Social.sql:63-71,78) — but OSS
+    `get_json_object` cannot address bracketed/dotted keys ('alice.near').
+    The Spark-first equivalent is stronger: parse the open-keyed object as
+    MAP<STRING,STRING> (SURVEY §1.3's recommended mapping for open-keyed
+    JSON) and explode the map — one parse, key and value in one pass."""
+    keyed = social_txs.select(
+        *_BLOCK_CTX,
+        "receipt_id",
+        "signer_account_id",
+        F.explode(F.from_json(j(F.col("args_decoded"), "data"), "map<string,string>")).alias(
+            "account_id", "account_obj"
+        ),
+    )
+    account_obj = F.col("account_obj")
+    return keyed.select(
+        *_BLOCK_CTX,
+        "receipt_id",
+        "signer_account_id",
+        "account_id",
+        F.get_json_object(account_obj, "$.post.main").alias("post"),
+        F.get_json_object(account_obj, "$.profile").alias("profile"),
+        F.get_json_object(account_obj, "$.graph").alias("graph"),
+        F.get_json_object(account_obj, "$.index").alias("index"),
+        account_obj.alias("content"),
+    )

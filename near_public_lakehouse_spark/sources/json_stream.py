@@ -1,0 +1,57 @@
+"""Bronze ingest: glob-filtered JSON file source, batch or streaming.
+
+OSS replacement for Databricks Autoloader (reference S1 — Mainnet
+Loader.py:20-42): `cloudFiles` becomes the built-in file stream source with
+an explicit schema (schemas.py) and a checkpoint instead of
+`schemaLocation`; `pathGlobFilter` replaces the `*block.json` /
+`*shard*.json` glob options.
+
+Scale notes: the file source lists incrementally and tracks seen files in
+the checkpoint (reference relies on `cloudFiles.useIncrementalListing` —
+SURVEY §4); `maxFilesPerTrigger` bounds micro-batch size the way Autoloader
+does. One source definition serves both the S3-tail Rust services (S6) and
+the loader notebooks — it's all the same file wave.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from near_public_lakehouse_spark.plans.schemas import BLOCK_SCHEMA, SHARD_SCHEMA
+from near_public_lakehouse_spark.session import configure_runtime
+
+
+def _reader(spark: SparkSession, streaming: bool, max_files: int | None):
+    configure_runtime(spark)
+    if streaming:
+        r = spark.readStream
+        if max_files:
+            r = r.option("maxFilesPerTrigger", max_files)
+        return r
+    return spark.read
+
+
+def read_blocks(
+    spark: SparkSession, path: str, streaming: bool = False, max_files: int | None = None
+) -> DataFrame:
+    """`*block.json` files -> bronze blocks (one row per block)."""
+    return (
+        _reader(spark, streaming, max_files)
+        .format("json")
+        .schema(BLOCK_SCHEMA)
+        .option("pathGlobFilter", "*block.json")
+        .load(path)
+    )
+
+
+def read_shards(
+    spark: SparkSession, path: str, streaming: bool = False, max_files: int | None = None
+) -> DataFrame:
+    """`*shard*.json` files -> bronze chunks/shards (one row per shard)."""
+    return (
+        _reader(spark, streaming, max_files)
+        .format("json")
+        .schema(SHARD_SCHEMA)
+        .option("pathGlobFilter", "*shard*.json")
+        .load(path)
+    )

@@ -1,0 +1,212 @@
+"""End-to-end tests of the NEAR-shaped medallion pipeline on the
+deterministic fixtures (FIXTURES.md F1-F7): batch DAG, SCD1 convergence,
+and incremental (availableNow + checkpoint) parity with batch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from near_public_lakehouse_spark.plans.pipeline import run_batch, run_incremental
+from near_public_lakehouse_spark.sources.fixtures import generate_fixtures
+
+N_BLOCKS = 60
+N_SHARDS = 2
+
+
+@pytest.fixture(scope="module")
+def raw_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("near_raw")
+    counts = generate_fixtures(str(d), n_blocks=N_BLOCKS, n_shards=N_SHARDS)
+    assert counts["blocks"] == N_BLOCKS
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def pipe(spark, raw_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("near_out")
+    return run_batch(spark, raw_dir, str(out))
+
+
+def test_silver_blocks(pipe):
+    b = pipe.read("silver_blocks")
+    assert b.count() == N_BLOCKS
+    assert b.select("block_date").distinct().count() >= 2  # daily partitions
+    row = b.orderBy("block_height").first()
+    assert row.total_supply.isdigit() and len(row.total_supply) >= 33  # u128 string
+    assert row.block_timestamp > 10**18  # ns
+
+
+def test_silver_chunks_inner_join_drops_orphan(pipe):
+    c = pipe.read("silver_chunks")
+    # one orphan shard (h=37,s=1) fails the J1 join
+    assert c.count() == N_BLOCKS * N_SHARDS - 1
+    assert c.filter(F.col("block_hash").isNull()).count() == 0
+
+
+def test_silver_transactions(pipe):
+    t = pipe.read("silver_transactions")
+    # 2 txs per shard incl. the orphan-dropped shard
+    assert t.count() == (N_BLOCKS * N_SHARDS - 1) * 2
+    statuses = {r.status for r in t.select("status").distinct().collect()}
+    assert {"SUCCESS_RECEIPT_ID", "SUCCESS_VALUE", "FAILURE"} <= statuses
+    assert t.filter(F.col("converted_into_receipt_id").isNull()).count() == 0
+
+
+def test_transaction_actions_cover_all_kinds(pipe):
+    a = pipe.read("silver_transaction_actions")
+    kinds = {r.action_kind for r in a.select("action_kind").distinct().collect()}
+    assert {
+        "CREATE_ACCOUNT",
+        "DEPLOY_CONTRACT",
+        "TRANSFER",
+        "STAKE",
+        "ADD_KEY",
+        "DELETE_KEY",
+        "DELETE_ACCOUNT",
+        "DELEGATE",
+        "FUNCTION_CALL",
+    } <= kinds
+    assert a.filter(F.col("is_delegate_action")).count() > 0
+
+
+def test_function_call_args_decode(pipe):
+    fc = pipe.read("silver_transaction_actions_function_calls")
+    methods = {r.method_name for r in fc.select("method_name").distinct().collect()}
+    assert {"ft_transfer", "deposit_and_stake", "set"} <= methods
+    amounts = {
+        json.loads(r.args_decoded).get("amount")
+        for r in fc.filter(F.col("method_name") == "ft_transfer").collect()
+    }
+    assert "100" in amounts
+
+
+def test_receipts_and_kinds(pipe):
+    r = pipe.read("silver_receipts")
+    kinds = {x.receipt_kind for x in r.select("receipt_kind").distinct().collect()}
+    assert kinds == {"ACTION", "DATA"}
+    ar = pipe.read("silver_action_receipts")
+    assert ar.filter(F.col("signer_account_id").isNull()).count() == 0
+    dr = pipe.read("silver_data_receipts")
+    assert dr.count() > 0
+    # null and non-null Data payloads both present (F4)
+    assert dr.filter(F.col("data_is_null")).count() > 0
+    assert dr.filter(~F.col("data_is_null")).count() > 0
+
+
+def test_execution_outcome_lineage(pipe):
+    eor = pipe.read("silver_execution_outcome_receipts")
+    assert eor.filter(F.col("produced_receipt_id").startswith("CHILD")).count() > 0
+
+    origin = pipe.read("silver_receipt_originated_from_transaction")
+    txs = pipe.read("silver_transactions")
+    # every converted receipt maps back to its transaction
+    direct = origin.join(
+        txs.select(
+            F.col("converted_into_receipt_id").alias("receipt_id"),
+            F.col("transaction_hash").alias("expected_tx"),
+        ),
+        "receipt_id",
+    )
+    assert direct.filter(
+        F.col("originated_from_transaction_hash") != F.col("expected_tx")
+    ).count() == 0
+    # child receipts (depth 2) inherit the same origin
+    assert origin.filter(F.col("receipt_id").startswith("CHILD")).count() > 0
+
+
+def test_ft_event_legs(pipe):
+    ft = pipe.read("silver_execution_outcome_ft_event_logs")
+    transfers = ft.filter(F.col("cause") == "ft_transfer")
+    # each ft_transfer produces a -leg and a +leg
+    legs = transfers.groupBy("receipt_id").count()
+    assert legs.filter(F.col("count") != 2).count() == 0
+    neg = transfers.filter(F.col("delta_amount").startswith("-"))
+    assert neg.count() == transfers.count() / 2
+    # FAILURE-status ft_mint events are excluded (SCD tables.sql:137)
+    assert ft.filter(F.col("cause") == "ft_mint").count() == 0
+    # event_index packs into decimal strings longer than any BIGINT
+    assert len(ft.first().event_index) >= 20
+
+
+def test_nft_and_nep245_events(pipe):
+    nft = pipe.read("silver_execution_outcome_nft_event_logs")
+    tokens = {r.token_id for r in nft.select("token_id").distinct().collect()}
+    assert tokens == {"t1", "t2"}
+    mt = pipe.read("silver_nep245_events")
+    row = mt.first()
+    assert row.token_id == "nep141:usdc" and row.amount == "7"
+
+
+def test_near_social_parsing(pipe):
+    parsed = pipe.read("silver_near_social_txs_parsed")
+    assert parsed.count() > 0
+    row = parsed.filter(F.col("profile").isNotNull()).first()
+    assert json.loads(row.profile)["name"].startswith("user ")
+    assert row.account_id == row.signer_account_id
+
+
+def test_validators_receipt_actions(pipe):
+    v = pipe.read("silver_validators_receipt_actions")
+    assert v.count() > 0
+    assert v.filter(~F.col("receiver_account_id").endswith(".poolv1.near")).count() == 0
+
+
+def test_account_changes(pipe):
+    ac = pipe.read("silver_account_changes")
+    assert ac.count() > 0
+    # only account_update rows kept (P6)
+    assert ac.filter(F.col("nonstaked_balance").isNull()).count() == 0
+
+
+def test_scd1_accounts_match_batch_argmax(pipe, spark):
+    """SCD1 state must equal the batch arg-max over the full change feed."""
+    from near_public_lakehouse_spark.operators.scd import latest_by
+    from near_public_lakehouse_spark.plans.scd_tables import accounts_changes
+
+    ara = pipe.read("silver_action_receipt_actions")
+    expected = latest_by(accounts_changes(ara), ["account_id"], "block_timestamp")
+    actual = pipe.read("silver_accounts")
+    exp = {(r.account_id, r.is_active) for r in expected.collect()}
+    act = {(r.account_id, r.is_active) for r in actual.collect()}
+    assert exp == act
+    # the CREATE->TRANSFER->DELETE arc converges to inactive
+    temp = actual.filter(F.col("account_id") == "temp.near").collect()
+    assert len(temp) == 1 and temp[0].is_active is False
+
+
+def test_scd1_access_keys(pipe):
+    ak = pipe.read("silver_access_keys")
+    perms = {r.permission_kind for r in ak.select("permission_kind").distinct().collect()}
+    assert "FULL_ACCESS" in perms and "FUNCTION_CALL" in perms
+    fc = ak.filter(F.col("permission_kind") == "FUNCTION_CALL").first()
+    assert fc.allowed_receiver_id == "ft.near"
+
+
+def test_incremental_matches_batch(spark, raw_dir, pipe, tmp_path_factory):
+    """Half the files, run; rest of the files, run again — the incremental
+    (checkpointed availableNow) result must equal the batch result."""
+    inc_raw = tmp_path_factory.mktemp("near_raw_inc")
+    out = tmp_path_factory.mktemp("near_out_inc")
+    ckpt = tmp_path_factory.mktemp("near_ckpt")
+    files = sorted(os.listdir(raw_dir))
+    half = len(files) // 2
+    for f in files[:half]:
+        shutil.copy(os.path.join(raw_dir, f), inc_raw)
+    run_incremental(spark, str(inc_raw), str(out), str(ckpt))
+    for f in files[half:]:
+        shutil.copy(os.path.join(raw_dir, f), inc_raw)
+    p2 = run_incremental(spark, str(inc_raw), str(out), str(ckpt))
+
+    for table in ["silver_blocks", "silver_transactions", "silver_receipts"]:
+        assert p2.read(table).count() == pipe.read(table).count(), table
+
+    # SCD1 converged identically
+    b = {(r.account_id, r.is_active) for r in pipe.read("silver_accounts").collect()}
+    i = {(r.account_id, r.is_active) for r in p2.read("silver_accounts").collect()}
+    assert b == i
