@@ -1,0 +1,189 @@
+"""Multimodal columns: image/audio/video as opaque BINARY columns with
+typed metadata, processed via Arrow-batched `mapInPandas`.
+
+This is the 100 TB training-data-pipeline surface (BASELINE.json north
+star). Design contract:
+
+- A multimodal table row = (id, modality, media BINARY, meta STRUCT).
+  Payloads are opaque to Spark; all pruning happens on metadata columns so
+  a metadata-only query NEVER deserializes payload bytes (columnar parquet
+  reads skip the binary column entirely — verify ReadSchema in .explain).
+- Transform stages are `mapInPandas` generators: Arrow moves the binary
+  batches zero-copy, pandas sees bytes objects, and output batch size is
+  decoupled from input (frame sampling can fan out, filtering can fan in).
+- The codec layer (`decode_image` etc.) is STUBBED: the real
+  Pillow/ffmpeg/soundfile calls are not in this container, so decoders
+  parse only self-describing headers (deterministic, dependency-free) and
+  raise NotImplementedError for real codecs. The Spark-side plumbing —
+  schema, batching, partitioning, UDF signatures — is real and tested.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("modality", StringType()),  # 'image' | 'audio' | 'video'
+        StructField("media", BinaryType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+# --- stub codec layer ------------------------------------------------------
+
+FAKE_MAGIC = b"FAKEIMG1"  # 8-byte magic || u32 width || u32 height || pixels
+
+
+def encode_fake_image(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic fake image payload (tests / fixtures)."""
+    body = bytes((x * 31 + seed) % 256 for x in range(min(width * height, 256)))
+    return FAKE_MAGIC + struct.pack("<II", width, height) + body
+
+
+def decode_image(payload: bytes) -> dict:
+    """Header-only decode. Real formats raise NotImplementedError — swap in
+    Pillow here in a full deployment; the call sites don't change."""
+    if payload[:8] == FAKE_MAGIC:
+        w, h = struct.unpack("<II", payload[8:16])
+        return {"format": "fake", "width": w, "height": h}
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" or payload[:2] == b"\xff\xd8":
+        raise NotImplementedError(
+            "real image codecs (PNG/JPEG) need Pillow, which is not in this container"
+        )
+    raise ValueError("unknown image payload")
+
+
+# --- mapInPandas stages ----------------------------------------------------
+
+
+def extract_media_metadata(df: DataFrame) -> DataFrame:
+    """Populate (format,width,height,n_bytes) from payload headers.
+
+    Scale notes: mapInPandas streams Arrow batches; nothing is collected,
+    output partitioning follows input (no shuffle). Malformed payloads
+    yield NULL metadata instead of failing the batch.
+    """
+    schema = df.schema
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            fmts, ws, hs, nb = [], [], [], []
+            for payload in pdf["media"]:
+                try:
+                    meta = decode_image(bytes(payload))
+                    fmts.append(meta["format"])
+                    ws.append(meta["width"])
+                    hs.append(meta["height"])
+                except (ValueError, NotImplementedError):
+                    fmts.append(None)
+                    ws.append(None)
+                    hs.append(None)
+                nb.append(len(payload))
+            pdf = pdf.assign(format=fmts, width=ws, height=hs, n_bytes=nb)
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("thumb", BinaryType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, max_side: int = 64) -> DataFrame:
+    """Thumbnail stage: header-preserving fake resize (aspect-ratio math is
+    real; pixel resampling is where Pillow would slot in)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                try:
+                    meta = decode_image(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    continue
+                w, h = meta["width"], meta["height"]
+                scale = max_side / max(w, h, 1)
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                out.append((mid, nw, nh, encode_fake_image(nw, nh)))
+            yield pd.DataFrame(out, columns=["media_id", "width", "height", "thumb"])
+
+    return df.mapInPandas(run, RESIZE_SCHEMA)
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("feature_norm", LongType()),
+        StructField("n_pixels", LongType()),
+    ]
+)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Feature-extraction stage shape: payload -> fixed-width vector. The
+    stub emits a deterministic byte-sum 'embedding norm'; a real deployment
+    yields the model's vector column here (same mapInPandas contract)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                b = bytes(payload)
+                try:
+                    meta = decode_image(b)
+                except (ValueError, NotImplementedError):
+                    continue
+                out.append((mid, sum(b[16:]), meta["width"] * meta["height"]))
+            yield pd.DataFrame(out, columns=["media_id", "feature_norm", "n_pixels"])
+
+    return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def make_media_table(spark, n: int = 64) -> DataFrame:
+    """Deterministic fixture media table."""
+    rows = [
+        (
+            i,
+            "image",
+            encode_fake_image(32 + (i % 8) * 16, 32 + (i % 5) * 16, seed=i),
+            None,
+            None,
+            None,
+            None,
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def metadata_only_projection(df: DataFrame) -> DataFrame:
+    """The query every consumer should start from: metadata pruning without
+    touching payload bytes (check ReadSchema excludes `media`)."""
+    return df.select("media_id", "modality", "format", "width", "height", "n_bytes")

@@ -1,0 +1,74 @@
+"""Multimodal column plumbing: metadata extraction, resize, feature
+stages via mapInPandas; payload-pruning check on the parquet scan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from near_public_lakehouse_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return mm.make_media_table(spark, n=48)
+
+
+def test_metadata_extraction(spark, media):
+    out = mm.extract_media_metadata(media)
+    rows = out.collect()
+    assert len(rows) == 48
+    assert all(r.format == "fake" for r in rows)
+    assert all(r.n_bytes == len(r.media) for r in rows)
+    widths = {r.width for r in rows}
+    assert widths == {32, 48, 64, 80, 96, 112, 128, 144}
+
+
+def test_resize_respects_aspect_ratio(spark, media):
+    thumbs = mm.resize_images(mm.extract_media_metadata(media), max_side=64).collect()
+    assert len(thumbs) == 48
+    for t in thumbs:
+        assert max(t.width, t.height) <= 64
+        decoded = mm.decode_image(bytes(t.thumb))
+        assert (decoded["width"], decoded["height"]) == (t.width, t.height)
+
+
+def test_feature_extraction_deterministic(spark, media):
+    f1 = {r.media_id: r.feature_norm for r in mm.extract_features(media).collect()}
+    f2 = {r.media_id: r.feature_norm for r in mm.extract_features(media).collect()}
+    assert f1 == f2 and len(f1) == 48
+    assert all(r >= 0 for r in f1.values())
+
+
+def test_malformed_payload_does_not_fail_batch(spark):
+    import pandas as pd
+
+    bad = spark.createDataFrame(
+        [(1, "image", b"garbage-not-an-image", None, None, None, None)], mm.MEDIA_SCHEMA
+    )
+    out = mm.extract_media_metadata(bad).collect()
+    assert len(out) == 1 and out[0].format is None
+
+
+def test_real_codec_is_explicitly_stubbed():
+    png_header = b"\x89PNG\r\n\x1a\n" + b"0" * 16
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(png_header)
+
+
+def test_metadata_query_prunes_payload_column(spark, media, tmp_path):
+    """Payload pruning at the scan: a metadata-only projection over the
+    parquet table must not read the `media` column (ReadSchema check —
+    the 100 TB contract for multimodal tables)."""
+    path = str(tmp_path / "media_tbl")
+    mm.extract_media_metadata(media).write.parquet(path)
+    q = mm.metadata_only_projection(spark.read.parquet(path))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    schema_line = _read_schema(plan)
+    assert schema_line and "media:binary" not in schema_line, plan
+
+def _read_schema(plan: str) -> str:
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            return line
+    return ""

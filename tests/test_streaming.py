@@ -1,0 +1,119 @@
+"""Streaming semantics tests (SURVEY §2.11): watermarked windowed aggs with
+late-data drop, the J2 interval stream-stream join, stream dedup, RocksDB
+state store, all under availableNow with one-file-per-microbatch so the
+watermark actually advances between batches."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from near_public_lakehouse_spark.streaming import jobs
+
+NS_H = 3_600 * 10**9
+BASE = 1_700_000_000_000_000_000  # fixed ns epoch
+
+
+def _write_batch(spark, path, rows, file_no):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, f"b{file_no}"))
+
+
+@pytest.fixture(scope="module")
+def staged_events(spark, tmp_path_factory):
+    """Three files = three micro-batches:
+    b0: hours 0-2; b1: hour 1 stragglers (inside watermark) + hours 8-9
+    (advances watermark to ~hour 7); b2: one very-late hour-0 row (beyond
+    watermark -> must drop from aggregates) + hour 10."""
+    root = str(tmp_path_factory.mktemp("stream_events"))
+    b0 = [
+        (0, BASE + 0 * NS_H + 60 * 10**9, 1, "view", 1.0),
+        (1, BASE + 0 * NS_H + 90 * 10**9, 1, "click", 1.0),
+        (2, BASE + 1 * NS_H, 2, "view", 1.0),
+        (3, BASE + 2 * NS_H, 1, "purchase", 5.0),
+    ]
+    b1 = [
+        (4, BASE + 1 * NS_H + 10 * 10**9, 2, "click", 1.0),  # straggler, kept
+        (5, BASE + 8 * NS_H, 1, "view", 1.0),
+        (6, BASE + 9 * NS_H, 2, "purchase", 3.0),
+    ]
+    b2 = [
+        (7, BASE + 0 * NS_H + 120 * 10**9, 3, "purchase", 9.0),  # beyond watermark
+        (8, BASE + 10 * NS_H, 3, "view", 2.0),
+    ]
+    for i, rows in enumerate([b0, b1, b2]):
+        _write_batch(spark, root, rows, i)
+    return root
+
+
+def _events_stream(spark, staged_events):
+    # glob the per-batch subdirs; 1 file per trigger -> 3 micro-batches
+    return jobs.read_events_stream(
+        spark, os.path.join(staged_events, "b*"), max_files_per_trigger=1
+    )
+
+
+def test_hourly_agg_drops_late_beyond_watermark(spark, staged_events, tmp_path):
+    ev = _events_stream(spark, staged_events)
+    agg = jobs.hourly_event_counts(ev, watermark="2 hours")
+    jobs.run_to_memory(agg, "hourly_test", str(tmp_path / "ck"), output_mode="append")
+    rows = spark.sql("SELECT * FROM hourly_test").collect()
+    by_key = {(str(r.window_start), r.event_type): r.n_events for r in rows}
+    # the straggler click in hour 1 (inside watermark) is counted
+    assert sum(n for (w, t), n in by_key.items() if t == "click") == 2
+    # the very-late hour-0 purchase (event 7) is dropped: purchases = events 3,6
+    assert sum(n for (w, t), n in by_key.items() if t == "purchase") == 2
+
+
+def test_hourly_agg_batch_mode_keeps_everything(spark, staged_events):
+    """Same definition run batch (no watermark effect): late row included —
+    documents the watermark as the only difference."""
+    df = spark.read.parquet(os.path.join(staged_events, "b*")).withColumn(
+        "event_time",
+        F.timestamp_micros(
+            F.floor(F.col("ts").cast("decimal(38,0)") / F.lit(1000)).cast("bigint")
+        ),
+    )
+    agg = jobs.hourly_event_counts(df)  # batch frames ignore watermarks
+    total = agg.agg(F.sum("n_events")).collect()[0][0]
+    assert total == 9  # all rows counted, including the very-late one
+
+
+def test_interval_stream_stream_join(spark, staged_events, tmp_path):
+    jobs.enable_rocksdb_state_store(spark)
+    try:
+        ev = _events_stream(spark, staged_events)
+        joined = jobs.clicks_with_recent_views(ev, watermark="2 hours")
+        jobs.run_to_memory(joined, "asof_test", str(tmp_path / "ck2"), output_mode="append")
+        rows = {(r.click_id, r.view_id) for r in spark.sql("SELECT * FROM asof_test").collect()}
+        # click 1 (user1, h0+90s) matches view 0 (user1, h0+60s) within 1h;
+        # click 4 (user2, h1+10s) matches view 2 (user2, h1).
+        assert rows == {(1, 0), (4, 2)}
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path_factory, tmp_path):
+    root = str(tmp_path_factory.mktemp("dedup_events"))
+    # same event_id delivered twice across micro-batches
+    _write_batch(
+        spark,
+        root,
+        [(1, BASE, 1, "view", 1.0), (2, BASE + 10**9, 1, "click", 1.0)],
+        0,
+    )
+    _write_batch(
+        spark,
+        root,
+        [(1, BASE, 1, "view", 1.0), (3, BASE + 2 * 10**9, 2, "view", 1.0)],
+        1,
+    )
+    ev = jobs.read_events_stream(spark, os.path.join(root, "b*"), max_files_per_trigger=1)
+    deduped = jobs.deduped_events(ev, watermark="1 hour")
+    jobs.run_to_memory(deduped, "dedup_test", str(tmp_path / "ck3"), output_mode="append")
+    ids = [r.event_id for r in spark.sql("SELECT event_id FROM dedup_test").collect()]
+    assert sorted(ids) == [1, 2, 3]  # the redelivered id=1 collapsed
