@@ -188,6 +188,55 @@ def silver_nep245_events(parsed_events: DataFrame) -> DataFrame:
     )
 
 
+DIP4_DATA_DDL = (
+    "array<struct<account_id: string, diff: map<string,double>, "
+    "intent_hash: string, referral: string>>"
+)
+
+
+def silver_dip4_token_diff(outcome_logs: DataFrame) -> DataFrame:
+    """dip4 token_diff flattening (L4): the diff map becomes ± legs — one
+    row per (account, token) with a signed amount. OSS mapping of the
+    ClickHouse `JSONExtractKeysAndValues` MV (rust-near-defuse-indexer
+    README `mv_silver_dip4_token_diff`): `from_json(... MAP<STRING,DOUBLE>)`
+    + map explode with sign split."""
+    logs = outcome_logs.filter(
+        F.trim(F.col("log")).startswith(EVENT_PREFIX) & (F.col("status") != "FAILURE")
+    )
+    payload = F.substring(F.trim(F.col("log")), len(EVENT_PREFIX) + 1, 1_000_000)
+    parsed = logs.withColumn(
+        "std", F.get_json_object(payload, "$.standard")
+    ).withColumn("data", F.from_json(F.get_json_object(payload, "$.data"), DIP4_DATA_DDL))
+    d = (
+        parsed.filter(F.col("std") == "dip4")
+        .select(
+            *_BLOCK_CTX,
+            "receipt_id",
+            F.posexplode("data").alias("index_in_data", "d"),
+        )
+        .select(
+            *_BLOCK_CTX,
+            "receipt_id",
+            "index_in_data",
+            F.col("d.account_id").alias("account_id"),
+            F.col("d.intent_hash").alias("intent_hash"),
+            F.col("d.referral").alias("referral"),
+            F.explode("d.diff").alias("token_id", "delta"),
+        )
+    )
+    return d.select(
+        *_BLOCK_CTX,
+        "receipt_id",
+        "index_in_data",
+        "account_id",
+        "intent_hash",
+        "referral",
+        "token_id",
+        F.col("delta").cast("decimal(38,0)").cast("string").alias("delta_amount"),
+        (F.col("delta") < 0).alias("is_outgoing"),
+    )
+
+
 def silver_near_social_txs(ara: DataFrame) -> DataFrame:
     """NEAR Social set() calls: args decoded — NEAR Social.sql:14-33."""
     s = ara.filter(

@@ -121,6 +121,10 @@ def build_pipeline(spark: SparkSession, out_dir: str) -> Pipeline:
     def _nep245(spark, i):
         return ev.silver_nep245_events(i["parsed_event_logs"])
 
+    @t("silver_dip4_token_diff", ["silver_execution_outcome_logs"])
+    def _dip4(spark, i):
+        return ev.silver_dip4_token_diff(i["silver_execution_outcome_logs"])
+
     @t("silver_near_social_txs", ["silver_action_receipt_actions"])
     def _social(spark, i):
         return ev.silver_near_social_txs(i["silver_action_receipt_actions"])

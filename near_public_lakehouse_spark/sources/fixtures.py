@@ -185,6 +185,7 @@ def _scenario(height: int, shard: int):
                     [
                         {
                             "account_id": signer,
+                            "diff": {"nep141:usdc": -7, "nep141:wnear": 3},
                             "intent_hash": f"H{height}",
                             "referral": "r.near",
                         }

@@ -143,6 +143,16 @@ def test_nft_and_nep245_events(pipe):
     assert row.token_id == "nep141:usdc" and row.amount == "7"
 
 
+def test_dip4_token_diff_legs(pipe):
+    d = pipe.read("silver_dip4_token_diff")
+    rows = d.collect()
+    assert len(rows) > 0
+    by_token = {(r.token_id, r.delta_amount, r.is_outgoing) for r in rows}
+    assert ("nep141:usdc", "-7", True) in by_token
+    assert ("nep141:wnear", "3", False) in by_token
+    assert all(r.intent_hash.startswith("H") for r in rows)
+
+
 def test_near_social_parsing(pipe):
     parsed = pipe.read("silver_near_social_txs_parsed")
     assert parsed.count() > 0
