@@ -265,3 +265,61 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, x: a + x,
     )
     return docs.select("doc_id", fingerprint.alias("simhash")).orderBy("doc_id")
+
+
+# Embedding-cosine near-dup: pairs above this similarity are duplicates.
+COSINE_DUP_THRESHOLD = 0.35
+
+
+@query(
+    "embedding_near_dup",
+    tags=("dedup", "embedding"),
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+),
+prods AS (SELECT id_a, id_b, unnest(ea) AS av, unnest(eb) AS bv FROM pairs),
+dots AS (
+  SELECT id_a, id_b,
+         sum(CAST(CAST(av AS DOUBLE) * CAST(bv AS DOUBLE) AS DECIMAL(30,15))) AS dot,
+         sum(CAST(CAST(av AS DOUBLE) * CAST(av AS DOUBLE) AS DECIMAL(30,15))) AS an2,
+         sum(CAST(CAST(bv AS DOUBLE) * CAST(bv AS DOUBLE) AS DECIMAL(30,15))) AS bn2
+  FROM prods GROUP BY id_a, id_b
+)
+SELECT id_a, id_b,
+       CAST(dot AS DOUBLE) / (sqrt(CAST(an2 AS DOUBLE)) * sqrt(CAST(bn2 AS DOUBLE)))
+         AS cosine
+FROM dots
+WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(an2 AS DOUBLE)) * sqrt(CAST(bn2 AS DOUBLE)))
+      >= {COSINE_DUP_THRESHOLD}
+ORDER BY id_a, id_b
+""",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: pairs with cosine >= threshold, candidate
+    generation blocked on the cluster key (`label`) so the all-pairs join
+    never materializes — same blocking discipline as ngram_jaccard_pairs.
+
+    Scale notes: self-join is equi on the block key (co-partitioned, AQE
+    handles skewed blocks); per-pair work is one HOF fold over the vectors.
+    At 100 TB the block key comes from a coarse quantizer (see ivf_topk's
+    centroid assignment) rather than a given label, but the plan shape —
+    block equi-join then narrow map — is identical.
+    """
+    from near_public_lakehouse_spark.queries.similarity import _dot_dec_col
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "label")
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "label")
+    pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
+    dot = _dot_dec_col(F.col("ea"), F.col("eb"))
+    an = _dot_dec_col(F.col("ea"), F.col("ea"))
+    bn = _dot_dec_col(F.col("eb"), F.col("eb"))
+    cosine = dot.cast("double") / (F.sqrt(an.cast("double")) * F.sqrt(bn.cast("double")))
+    return (
+        pairs.select("id_a", "id_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .orderBy("id_a", "id_b")
+    )

@@ -133,6 +133,124 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ivf_topk",
+    tags=("similarity", "ann", "ivf"),
+    oracle=f"""
+WITH exp AS (
+  SELECT label, unnest(embedding) AS val, unnest(range(len(embedding))) AS pos
+  FROM embeddings
+),
+cent AS (
+  SELECT label, pos,
+         CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(25,10))) AS DOUBLE) / count(*) AS cv
+  FROM exp GROUP BY label, pos
+),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+qexp AS (SELECT qid, CAST(unnest(qe) AS DOUBLE) AS qv, unnest(range(len(qe))) AS pos FROM q),
+qdist AS (
+  SELECT qid, label, sum(CAST((qv - cv) * (qv - cv) AS DECIMAL(30,15))) AS d2
+  FROM qexp JOIN cent USING (pos) GROUP BY qid, label
+),
+cell AS (
+  SELECT qid, label FROM (
+    SELECT qid, label, row_number() OVER (PARTITION BY qid ORDER BY d2, label) AS rn
+    FROM qdist
+  ) WHERE rn = 1
+),
+cands AS (
+  SELECT c.qid, e.vec_id AS cid, q.qe, e.embedding AS ce
+  FROM cell c
+  JOIN embeddings e ON e.label = c.label
+  JOIN q ON q.qid = c.qid
+  WHERE e.vec_id <> c.qid
+),
+prods AS (SELECT qid, cid, unnest(qe) AS qv, unnest(ce) AS cv FROM cands),
+dots AS (
+  SELECT qid, cid,
+         sum(CAST(CAST(qv AS DOUBLE) * CAST(cv AS DOUBLE) AS DECIMAL(30,15))) AS dot,
+         sum(CAST(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE) AS DECIMAL(30,15))) AS qnorm2,
+         sum(CAST(CAST(cv AS DOUBLE) * CAST(cv AS DOUBLE) AS DECIMAL(30,15))) AS cnorm2
+  FROM prods GROUP BY qid, cid
+),
+scored AS (
+  SELECT qid, cid,
+         CAST(dot AS DOUBLE) / (sqrt(CAST(qnorm2 AS DOUBLE)) * sqrt(CAST(cnorm2 AS DOUBLE)))
+           AS cosine,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY CAST(dot AS DOUBLE)
+                    / (sqrt(CAST(qnorm2 AS DOUBLE)) * sqrt(CAST(cnorm2 AS DOUBLE))) DESC,
+                    cid) AS rnk
+  FROM dots
+)
+SELECT qid, cid, cosine, rnk FROM scored WHERE rnk <= {TOP_K} ORDER BY qid, rnk
+""",
+)
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: per-label centroids are the coarse quantizer (inverted
+    file cells); each query probes its nearest cell (L2 to centroid) and
+    exact-cosine reranks only inside that cell.
+
+    Scale notes: the centroid table is tiny (n_cells rows) and broadcast;
+    candidate scan is a co-partitioned equi join on the cell key, touching
+    ~1/n_cells of the corpus per query — the IVF contract. Everything is
+    built-in HOFs (zip_with/aggregate); no Python in the hot path. At 100 TB
+    the cell key doubles as the table's partition key so a probe is
+    partition-pruned I/O, not a full scan.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Coarse quantizer: elementwise mean per label, re-assembled to an array.
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.col("val").cast("double").cast("decimal(25,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("cv")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
+            ).alias("centroid")
+        )
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    # Probe: nearest cell by L2^2 (decimal-rounded per-element -> order-free).
+    sq = F.zip_with(
+        F.col("qe"),
+        F.col("centroid"),
+        lambda x, y: ((x.cast("double") - y) * (x.cast("double") - y)).cast(_DOT_DEC),
+    )
+    d2 = F.aggregate(sq, F.lit(0).cast(_ACC_DEC), lambda a, p: (a + p.cast(_ACC_DEC)).cast(_ACC_DEC))
+    wq = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("label"))
+    cell = (
+        q.crossJoin(F.broadcast(cent))
+        .select("qid", "qe", "label", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select("qid", "qe", "label")
+    )
+    # Rerank inside the cell only.
+    cands = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), "label")
+    joined = cands.join(F.broadcast(cell), "label").filter(F.col("cid") != F.col("qid"))
+    dot = _dot_dec_col(F.col("qe"), F.col("ce"))
+    qn = _dot_dec_col(F.col("qe"), F.col("qe"))
+    cn = _dot_dec_col(F.col("ce"), F.col("ce"))
+    cosine = dot.cast("double") / (F.sqrt(qn.cast("double")) * F.sqrt(cn.cast("double")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        joined.select("qid", "cid", cosine.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .orderBy("qid", "rnk")
+    )
+
+
 # Deterministic "random" hyperplanes for LSH: signs derived from md5 of
 # (plane, dim) — reproducible everywhere, no RNG state.
 N_PLANES = 8
