@@ -128,6 +128,121 @@ def deduped_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def session_event_stats(
+    events: DataFrame, gap: str = "4 hours", watermark: str = "1 day"
+) -> DataFrame:
+    """Session-window aggregation (beyond the reference's surface, SURVEY
+    §2.11 'absent'): per-user sessions close after `gap` of inactivity.
+    Append mode emits a session only once the watermark passes its end —
+    the state-bounded semantics `session_window` exists for.
+
+    Scale notes: session state is per (user, open-session) and merged by
+    the native SessionWindowStateManager — no Python in the loop; the same
+    expression works in batch (the test's oracle twin).
+    """
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.session_window("event_time", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, last_seen timestamp, "
+    "n_events bigint, total_value double"
+)
+SESSION_STATE_SCHEMA = "start_us bigint, last_us bigint, n bigint, total double"
+
+
+def user_sessions_stateful(
+    events: DataFrame, gap_minutes: int = 240, watermark: str = "1 day"
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    sessionizer with event-time timeout. Emits one row per CLOSED session
+    (closed = no event for `gap_minutes`, enforced by the state timeout
+    firing once the watermark passes last_seen + gap).
+
+    This is the `applyInPandasWithState` pattern the engine offers for
+    stateful logic Spark's built-ins can't express (running ledgers,
+    custom conversion funnels); sessions double as the demo because
+    `session_event_stats` is its built-in twin to validate against.
+
+    Scale notes: state is one tiny tuple per live (user) key, Arrow-batched
+    per group; timeout eviction keeps state bounded by the watermark.
+    """
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "last_seen": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+            return
+        start_us = last_us = None
+        n, total = 0, 0.0
+        if state.exists:
+            start_us, last_us, n, total = state.get
+        closed = []
+        rows = pd.concat(list(pdfs)).sort_values("event_time")
+        for t, v in zip(rows["event_time"], rows["value"]):
+            t_us = int(t.value // 1000)  # pandas ns -> us
+            if start_us is None:
+                start_us, last_us, n, total = t_us, t_us, 0, 0.0
+            elif t_us - last_us > gap_us:
+                closed.append((start_us, last_us, n, total))
+                start_us, last_us, n, total = t_us, t_us, 0, 0.0
+            n += 1
+            total += 0.0 if v is None or v != v else float(v)  # None/NaN-safe
+            last_us = max(last_us, t_us)
+        state.update((start_us, last_us, n, total))
+        state.setTimeoutTimestamp((last_us // 1000) + gap_minutes * 60 * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _, _ in closed],
+                    "last_seen": [pd.Timestamp(e, unit="us") for _, e, _, _ in closed],
+                    "n_events": [c for _, _, c, _ in closed],
+                    "total_value": [tv for _, _, _, tv in closed],
+                }
+            )
+
+    return (
+        events.select("user_id", "event_time", "value")
+        .withWatermark("event_time", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_to_memory(
     df: DataFrame, name: str, checkpoint: str, output_mode: str = "append"
 ) -> None:

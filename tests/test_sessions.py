@@ -1,0 +1,99 @@
+"""Session operators: native session_window aggregation and the
+applyInPandasWithState custom sessionizer, validated against each other and
+against hand-computed sessions on a multi-batch staged stream.
+
+Layout (gap 4h, watermark 1 day; final watermark lands at ~h26):
+- user 1: session A = events at h0, h0.5, h1 (closed mid-batch by the h20
+  event in b1 — exercises the in-batch split path); session B = h20
+  (closed by event-time timeout — exercises the timeout path).
+- user 2: session at h2, then h21 (same two paths).
+- user 3: single event at h50 — pushes the watermark; its own session
+  stays OPEN and must NOT be emitted by either operator.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from near_public_lakehouse_spark.streaming import jobs
+
+NS_H = 3_600 * 10**9
+BASE = 1_700_000_000_000_000_000
+
+
+def _write(spark, path, rows, file_no):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, f"b{file_no}"))
+
+
+@pytest.fixture(scope="module")
+def staged(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("session_events"))
+    b0 = [
+        (0, BASE + 0 * NS_H, 1, "view", 1.0),
+        (1, BASE + NS_H // 2, 1, "click", 2.0),
+        (2, BASE + 1 * NS_H, 1, "view", 3.0),
+        (3, BASE + 2 * NS_H, 2, "view", 10.0),
+    ]
+    b1 = [
+        (4, BASE + 20 * NS_H, 1, "purchase", 7.0),
+        (5, BASE + 21 * NS_H, 2, "click", 20.0),
+    ]
+    b2 = [(6, BASE + 50 * NS_H, 3, "view", 99.0)]
+    for i, rows in enumerate([b0, b1, b2]):
+        _write(spark, root, rows, i)
+    return root
+
+
+# (user_id, session_start_hour, n_events, total_value) of every CLOSED session
+EXPECTED_CLOSED = {
+    (1, 0.0, 3, 6.0),
+    (1, 20.0, 1, 7.0),
+    (2, 2.0, 1, 10.0),
+    (2, 21.0, 1, 20.0),
+}
+
+
+def _start_hour(ts) -> float:
+    return round((ts.timestamp() - BASE / 1e9) / 3600, 3)
+
+
+def test_stateful_sessionizer_emits_closed_sessions(spark, staged, tmp_path):
+    ev = jobs.read_events_stream(spark, os.path.join(staged, "b*"), max_files_per_trigger=1)
+    sess = jobs.user_sessions_stateful(ev, gap_minutes=240, watermark="1 day")
+    jobs.run_to_memory(sess, "sessions_state", str(tmp_path / "ck1"))
+    rows = spark.sql("SELECT * FROM sessions_state").collect()
+    got = {(r.user_id, _start_hour(r.session_start), r.n_events, r.total_value) for r in rows}
+    assert got == EXPECTED_CLOSED
+
+
+def test_session_window_agg_matches_stateful(spark, staged, tmp_path):
+    ev = jobs.read_events_stream(spark, os.path.join(staged, "b*"), max_files_per_trigger=1)
+    agg = jobs.session_event_stats(ev, gap="4 hours", watermark="1 day")
+    jobs.run_to_memory(agg, "sessions_native", str(tmp_path / "ck2"))
+    rows = spark.sql("SELECT * FROM sessions_native").collect()
+    got = {(r.user_id, _start_hour(r.session_start), r.n_events, r.total_value) for r in rows}
+    assert got == EXPECTED_CLOSED
+    # session_window's end = last event + gap
+    for r in rows:
+        assert (r.session_end.timestamp() - r.session_start.timestamp()) >= 4 * 3600
+
+
+def test_session_window_batch_twin_includes_open_sessions(spark, staged):
+    """Batch mode has no watermark: ALL sessions appear, including user 3's
+    open one — documents append-mode emission as the only difference."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(staged, "b*")).withColumn(
+        "event_time",
+        F.timestamp_micros(
+            F.floor(F.col("ts").cast("decimal(38,0)") / F.lit(1000)).cast("bigint")
+        ),
+    )
+    rows = jobs.session_event_stats(df).collect()
+    got = {(r.user_id, _start_hour(r.session_start), r.n_events, r.total_value) for r in rows}
+    assert got == EXPECTED_CLOSED | {(3, 50.0, 1, 99.0)}
