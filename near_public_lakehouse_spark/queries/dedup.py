@@ -165,29 +165,43 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded 4x3; docs sharing any band key become candidate pairs.
 
     Scale notes: signatures are computed per-row with array HOFs (no
-    explode of the token dimension), then ONE shuffle on band_key whose
-    buckets are tiny by construction. This is the 100 TB near-dup path —
-    candidate generation is linear, verification (ngram_jaccard on
-    candidates) touches only bucket-mates.
+    explode of the token dimension), then ONE shuffle on band_key. Runtime
+    is output-bound: a corpus with large near-dup families emits O(sum of
+    family^2) candidate pairs regardless of engine (this synthetic corpus
+    emits ~8M pairs at sf0.1 — ~1.5M pairs/s here). At 100 TB, bound the
+    output by raising BAND_SIZE (higher Jaccard threshold) or by pairing
+    only exact-dedup representatives; both knobs keep this plan shape.
     """
     docs = load_table(spark, sf_dir, "documents")
-    hashes = _tokhash_col(_dtoks_col())
-    def _minhash(i: int):
-        # NB: the lambda must be unary — a second (defaulted) parameter
-        # would make Spark pass the array index into it.
-        def apply(h):
-            return (F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)
-
-        return F.array_min(F.transform(hashes, apply))
-
+    # Hash every token ONCE per row: a plain projection would be inlined
+    # back into all 12 min-hash expressions by Catalyst's project collapse,
+    # so the token-hash array is let-bound as a higher-order-function lambda
+    # variable instead (the transform-over-singleton idiom). NB: all lambdas
+    # are unary on purpose — a second (defaulted) parameter would make Spark
+    # pass the array index into it.
+    params = F.array(
+        *[
+            F.struct(F.lit(MINHASH_A[i]).alias("a"), F.lit(MINHASH_B[i]).alias("b"))
+            for i in range(len(MINHASH_A))
+        ]
+    )
+    sig_expr = F.transform(
+        F.array(_tokhash_col(_dtoks_col())),
+        lambda th: F.transform(
+            params,
+            lambda p: F.array_min(
+                F.transform(th, lambda h: (p["a"] * h + p["b"]) % F.lit(MINHASH_P))
+            ),
+        ),
+    )[0]
+    hashed = docs.select("doc_id", sig_expr.alias("sig"))
     band_cols = []
     for band in range(N_BANDS):
-        parts = []
-        for k in range(BAND_SIZE):
-            parts.append(_minhash(band * BAND_SIZE + k).cast("string"))
-        key = F.concat_ws("_", *parts)
-        band_cols.append(F.concat(F.lit(f"{band}:"), key))
-    sigs = docs.select("doc_id", F.explode(F.array(*band_cols)).alias("band_key"))
+        parts = [
+            F.col("sig")[band * BAND_SIZE + k].cast("string") for k in range(BAND_SIZE)
+        ]
+        band_cols.append(F.concat(F.lit(f"{band}:"), F.concat_ws("_", *parts)))
+    sigs = hashed.select("doc_id", F.explode(F.array(*band_cols)).alias("band_key"))
     a = sigs.alias("a")
     b = sigs.alias("b")
     return (
@@ -311,15 +325,43 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from near_public_lakehouse_spark.queries.similarity import _dot_dec_col
 
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "label")
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "label")
+    # Norms are per-vector, not per-pair: compute once before the self-join
+    # (identical decimal values, 3x less fold work inside the O(pairs) part).
+    withnorm = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(_dot_dec_col(F.col("embedding"), F.col("embedding")).cast("double")).alias(
+            "norm"
+        ),
+    )
+    a = withnorm.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
+        F.col("norm").alias("na"), "label",
+    )
+    b = withnorm.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"),
+        F.col("norm").alias("nb"), "label",
+    )
     pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
+    # Two-phase: a plain-double dot prefilters (cheap), the exact decimal
+    # fold reruns only on survivors. The 1e-9 margin dwarfs the ~1e-13
+    # double-summation error, so no true pair can be lost — the final
+    # filter on the exact cosine keeps semantics bit-identical.
+    fastdot = F.aggregate(
+        F.zip_with(
+            F.col("ea"), F.col("eb"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, p: acc + p,
+    )
+    candidates = pairs.filter(
+        fastdot / (F.col("na") * F.col("nb")) >= COSINE_DUP_THRESHOLD - 1e-9
+    )
     dot = _dot_dec_col(F.col("ea"), F.col("eb"))
-    an = _dot_dec_col(F.col("ea"), F.col("ea"))
-    bn = _dot_dec_col(F.col("eb"), F.col("eb"))
-    cosine = dot.cast("double") / (F.sqrt(an.cast("double")) * F.sqrt(bn.cast("double")))
+    cosine = dot.cast("double") / (F.col("na") * F.col("nb"))
     return (
-        pairs.select("id_a", "id_b", cosine.alias("cosine"))
+        candidates.select("id_a", "id_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
         .orderBy("id_a", "id_b")
     )

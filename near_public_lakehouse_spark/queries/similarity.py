@@ -81,15 +81,17 @@ def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the brute-force scan is the fallback; ann_lsh_topk is the indexed path.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    # Norms are per-vector: fold them once before the join, not per pair.
+    norm = F.sqrt(_dot_dec_col(F.col("embedding"), F.col("embedding")).cast("double"))
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), norm.alias("qnorm")
     )
-    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    c = emb.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), norm.alias("cnorm")
+    )
     joined = c.crossJoin(F.broadcast(q)).filter(F.col("cid") != F.col("qid"))
     dot = _dot_dec_col(F.col("qe"), F.col("ce"))
-    qn = _dot_dec_col(F.col("qe"), F.col("qe"))
-    cn = _dot_dec_col(F.col("ce"), F.col("ce"))
-    cosine = dot.cast("double") / (F.sqrt(qn.cast("double")) * F.sqrt(cn.cast("double")))
+    cosine = dot.cast("double") / (F.col("qnorm") * F.col("cnorm"))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
     return (
         joined.select("qid", "cid", cosine.alias("cosine"))
@@ -217,8 +219,9 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid")
         )
     )
+    norm = F.sqrt(_dot_dec_col(F.col("embedding"), F.col("embedding")).cast("double"))
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), norm.alias("qnorm")
     )
     # Probe: nearest cell by L2^2 (decimal-rounded per-element -> order-free).
     sq = F.zip_with(
@@ -230,18 +233,19 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     wq = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("label"))
     cell = (
         q.crossJoin(F.broadcast(cent))
-        .select("qid", "qe", "label", d2.alias("d2"))
+        .select("qid", "qe", "qnorm", "label", d2.alias("d2"))
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") == 1)
-        .select("qid", "qe", "label")
+        .select("qid", "qe", "qnorm", "label")
     )
-    # Rerank inside the cell only.
-    cands = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), "label")
+    # Rerank inside the cell only; candidate norms folded once per vector.
+    cands = emb.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
+        norm.alias("cnorm"), "label",
+    )
     joined = cands.join(F.broadcast(cell), "label").filter(F.col("cid") != F.col("qid"))
     dot = _dot_dec_col(F.col("qe"), F.col("ce"))
-    qn = _dot_dec_col(F.col("qe"), F.col("qe"))
-    cn = _dot_dec_col(F.col("ce"), F.col("ce"))
-    cosine = dot.cast("double") / (F.sqrt(qn.cast("double")) * F.sqrt(cn.cast("double")))
+    cosine = dot.cast("double") / (F.col("qnorm") * F.col("cnorm"))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
     return (
         joined.select("qid", "cid", cosine.alias("cosine"))
@@ -302,17 +306,20 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, x: a + x,
         )
 
+    norm = F.sqrt(_dot_dec_col(F.col("embedding"), F.col("embedding")).cast("double"))
     coded = emb.select(
-        "vec_id", "embedding", bucket(F.col("embedding")).alias("bucket")
+        "vec_id", "embedding", norm.alias("norm"), bucket(F.col("embedding")).alias("bucket")
     )
     q = coded.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
+        F.col("norm").alias("qnorm"),
         F.col("bucket").alias("qbucket"),
     )
     cands = coded.select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").alias("ce"),
+        F.col("norm").alias("cnorm"),
         F.col("bucket").alias("cbucket"),
     )
     joined = cands.join(
@@ -320,9 +327,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cbucket") == F.col("qbucket")) & (F.col("cid") != F.col("qid")),
     )
     dot = _dot_dec_col(F.col("qe"), F.col("ce"))
-    qn = _dot_dec_col(F.col("qe"), F.col("qe"))
-    cn = _dot_dec_col(F.col("ce"), F.col("ce"))
-    cosine = dot.cast("double") / (F.sqrt(qn.cast("double")) * F.sqrt(cn.cast("double")))
+    cosine = dot.cast("double") / (F.col("qnorm") * F.col("cnorm"))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
     return (
         joined.select("qid", "cid", cosine.alias("cosine"))
