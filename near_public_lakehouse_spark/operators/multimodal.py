@@ -166,6 +166,56 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, FEATURE_SCHEMA)
 
 
+FAKE_VIDEO_MAGIC = b"FAKEVID1"  # 8-byte magic || u32 n_frames || u32 frame_len || frames
+
+
+def encode_fake_video(n_frames: int, frame_len: int = 16, seed: int = 0) -> bytes:
+    """Deterministic fake video payload: fixed-length frames back to back."""
+    frames = b"".join(
+        bytes((f * 17 + x * 7 + seed) % 256 for x in range(frame_len))
+        for f in range(n_frames)
+    )
+    return FAKE_VIDEO_MAGIC + struct.pack("<II", n_frames, frame_len) + frames
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, stride: int = 4) -> DataFrame:
+    """Frame-sampling stage: one OUTPUT row per kept frame (every
+    `stride`-th) — the fan-out case mapInPandas exists for: output batch
+    size is decoupled from input rows. Real ffmpeg demuxing slots into the
+    container parse; the sampling/fan-out plumbing is what's tested.
+
+    Scale notes: fan-out happens executor-side within the input partition —
+    no shuffle, no driver involvement; downstream repartition only if frame
+    work needs rebalancing.
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                b = bytes(payload)
+                if b[:8] != FAKE_VIDEO_MAGIC:
+                    continue  # not a video (or a real codec -> ffmpeg slot)
+                n_frames, frame_len = struct.unpack("<II", b[8:16])
+                for f in range(0, n_frames, stride):
+                    start = 16 + f * frame_len
+                    out.append((mid, f, b[start : start + frame_len]))
+            yield pd.DataFrame(out, columns=["media_id", "frame_index", "frame"])
+
+    return df.mapInPandas(run, FRAME_SCHEMA)
+
+
 def make_media_table(spark, n: int = 64) -> DataFrame:
     """Deterministic fixture media table."""
     rows = [
@@ -178,6 +228,15 @@ def make_media_table(spark, n: int = 64) -> DataFrame:
             None,
             None,
         )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def make_video_table(spark, n: int = 16) -> DataFrame:
+    """Deterministic fixture video table (frame counts vary per row)."""
+    rows = [
+        (i, "video", encode_fake_video(8 + (i % 3) * 4, seed=i), None, None, None, None)
         for i in range(n)
     ]
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

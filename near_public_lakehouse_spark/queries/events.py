@@ -261,3 +261,25 @@ def double_entry_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "account", "direction", "amount")
         .orderBy("event_id", "direction")
     )
+
+
+@query("daily_active_users_approx", tags=("sketch", "beyond-reference"), oracle=None)
+def daily_active_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ daily actives: the sketch twin of daily_active_users.
+
+    At 100 TB an exact COUNT(DISTINCT) shuffles every distinct key;
+    approx_count_distinct shuffles fixed-size HLL sketches instead (one per
+    partition per group) — constant memory, one narrow shuffle, mergeable
+    across days for rollups. rsd=0.01 keeps error ~1%; no oracle because
+    sketch estimates aren't bit-reproducible across engines (the test pins
+    the error bound against the exact twin instead).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(ns_to_date("ts").alias("event_date"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_active_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_date")
+    )

@@ -328,3 +328,37 @@ def conditional_min_heights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@query(
+    "order_status_rollup",
+    tags=("rollup", "beyond-reference"),
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus, o_orderpriority
+""",
+)
+def order_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (status, priority) -> (status) -> grand
+    total, with grouping_id disambiguating real NULLs from rolled-up
+    levels. Beyond the reference's surface (SURVEY notes grouping sets
+    absent) but table stakes for an analytics engine. Partial aggregation
+    applies per grouping set; one shuffle."""
+    from near_public_lakehouse_spark.functions.numeric import dsum
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price")
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )

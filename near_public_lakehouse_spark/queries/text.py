@@ -208,3 +208,49 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("fingerprint"),
         F.md5(F.array_join(norm_tokens, " ")).alias("shingle_fingerprint"),
     ).orderBy("doc_id")
+
+
+@query(
+    "tfidf_weights",
+    tags=("text", "tfidf"),
+    oracle=f"""
+WITH toks AS (SELECT doc_id, unnest({TOKENS_SQL}) AS word FROM documents),
+tf AS (SELECT doc_id, word, count(*) AS tf_count FROM toks GROUP BY doc_id, word),
+df AS (SELECT word, count(DISTINCT doc_id) AS df FROM toks GROUP BY word),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, word, tf_count, df,
+       CAST(tf_count AS DOUBLE) * n_docs / df AS tfidf_rational
+FROM tf JOIN df USING (word), n
+ORDER BY doc_id, word
+""",
+)
+def tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term weighting, rational-idf variant (tf * N/df): log-free on
+    purpose — +,*,/ are IEEE-exact so both engines produce bit-identical
+    doubles, where ln() could differ by a ulp between libm and the JVM.
+    Per-document ranking of terms is preserved (N/df is monotone in 1/df).
+
+    Scale notes: two shuffles (tf on (doc,word), df on word) + a broadcast
+    of the word->df side if small, else a co-partitioned join on word; the
+    corpus size N is a 1-row broadcast (J8 pattern), never a driver round
+    trip inside the plan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("word"))
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf_count"))
+    df = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            "tf_count",
+            "df",
+            (F.col("tf_count").cast("double") * F.col("n_docs") / F.col("df")).alias(
+                "tfidf_rational"
+            ),
+        )
+        .orderBy("doc_id", "word")
+    )

@@ -72,3 +72,26 @@ def _read_schema(plan: str) -> str:
         if "ReadSchema" in line:
             return line
     return ""
+
+
+def test_frame_sampling_fan_out(spark):
+    """Every stride-th frame, one output row each; mixed-modality input
+    skips non-video payloads instead of failing."""
+    vids = mm.make_video_table(spark, n=9)  # frame counts 8, 12, 16
+    frames = mm.sample_frames(vids, stride=4).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append(r)
+    # n_frames = 8 + (i%3)*4 -> kept = ceil(n/4): 2, 3, 4
+    expect = {i: (8 + (i % 3) * 4 + 3) // 4 for i in range(9)}
+    assert {k: len(v) for k, v in by_media.items()} == expect
+    for rows in by_media.values():
+        assert [r.frame_index for r in sorted(rows, key=lambda r: r.frame_index)] == [
+            i * 4 for i in range(len(rows))
+        ]
+        # frame payloads are the exact container slices
+        assert all(len(bytes(r.frame)) == 16 for r in rows)
+    # images pass through a video sampler as zero rows, not errors
+    mixed = mm.make_media_table(spark, n=4).union(mm.make_video_table(spark, n=2))
+    out = mm.sample_frames(mixed, stride=4)
+    assert set(r.media_id for r in out.collect()) == {0, 1}

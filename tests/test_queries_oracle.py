@@ -37,3 +37,20 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_approx_distinct_within_error_bound(spark):
+    """The HLL sketch twin must track the exact count within ~3x rsd."""
+    from near_public_lakehouse_spark.queries.events import (
+        daily_active_users,
+        daily_active_users_approx,
+    )
+
+    exact = {r.event_date: r.active_users for r in daily_active_users(spark, SF_DIR).collect()}
+    approx = {
+        r.event_date: r.approx_active_users
+        for r in daily_active_users_approx(spark, SF_DIR).collect()
+    }
+    assert set(exact) == set(approx)
+    for d, n in exact.items():
+        assert abs(approx[d] - n) <= max(2, 0.03 * n), (d, n, approx[d])
