@@ -65,12 +65,19 @@ def get_spark(
     """
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or 32
     shuffle = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", 2 * int(cpus)))
+    import tempfile
+
+    warehouse = os.environ.get(
+        "SPARK_WAREHOUSE_DIR", os.path.join(tempfile.gettempdir(), "spark-warehouse")
+    )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
+        # Catalog tables (bucketed layouts) land outside the repo tree.
+        .config("spark.sql.warehouse.dir", warehouse)
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # Local shuffle is memory-backed; compress only over the wire.
         .config("spark.shuffle.compress", "true")
