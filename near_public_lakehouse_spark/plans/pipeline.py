@@ -125,6 +125,17 @@ def build_pipeline(spark: SparkSession, out_dir: str) -> Pipeline:
     def _dip4(spark, i):
         return ev.silver_dip4_token_diff(i["silver_execution_outcome_logs"])
 
+    @t(
+        "silver_deployed_contracts",
+        ["silver_action_receipt_actions", "silver_execution_outcomes"],
+    )
+    def _deployed(spark, i):
+        from near_public_lakehouse_spark.plans import balances as bl
+
+        return bl.silver_deployed_contracts(
+            i["silver_action_receipt_actions"], i["silver_execution_outcomes"]
+        )
+
     @t("silver_near_social_txs", ["silver_action_receipt_actions"])
     def _social(spark, i):
         return ev.silver_near_social_txs(i["silver_action_receipt_actions"])

@@ -115,3 +115,40 @@ def daily_unique_signers_of_contract(
         .agg(F.countDistinct("signer_account_id").alias("n_unique_signers"))
         .orderBy("block_date")
     )
+
+
+def published_blocks(silver_blocks: DataFrame) -> DataFrame:
+    """K2 publication projection for `blocks`: the ONLY place u128 money
+    becomes DOUBLE — the reference deliberately lossy-casts total_supply /
+    gas_price at the BQ edge for consumer ergonomics (BQ Writer
+    Stream.py:38-50) while silver keeps exact strings. Everything upstream
+    of this function must stay exact."""
+    return silver_blocks.select(
+        "block_date",
+        "block_height",
+        "block_timestamp",
+        "block_timestamp_utc",
+        "block_hash",
+        "prev_block_hash",
+        F.col("total_supply").cast("double").alias("total_supply"),
+        F.col("gas_price").cast("double").alias("gas_price"),
+        "author_account_id",
+    )
+
+
+def ft_events_contracts_by_account(ft_events: DataFrame) -> DataFrame:
+    """M4 materialized view `ft_events_contracts_by_account` (BQ Writer
+    Views :452-459): DISTINCT (account, contract) — refreshed here as a
+    scheduled batch rebuild (the OSS stand-in for BQ's 60-min auto
+    refresh)."""
+    return ft_events.select("affected_account_id", "contract_account_id").distinct()
+
+
+def nft_events_contracts_by_account(nft_events: DataFrame) -> DataFrame:
+    """M4 materialized view `nft_events_contracts_by_account` (:505-512):
+    DISTINCT (old_owner, new_owner, contract) over NFT transfer legs."""
+    return nft_events.select(
+        F.col("affected_account_id").alias("old_owner_account_id"),
+        F.col("involved_account_id").alias("new_owner_account_id"),
+        "contract_account_id",
+    ).distinct()

@@ -82,3 +82,37 @@ def test_daily_unique_signers_matches_duckdb(silver, spark):
     ).fetchall()
     assert got == {(str(d), n) for d, n in expected}
     assert len(got) >= 2  # spans multiple daily partitions
+
+
+def test_published_blocks_lossy_cast_only_at_edge(silver):
+    from near_public_lakehouse_spark.plans.views import published_blocks
+
+    sb = silver.read("silver_blocks")
+    # silver keeps u128 as exact strings...
+    assert dict(sb.dtypes)["total_supply"] == "string"
+    pub = published_blocks(sb)
+    # ...the published edge is DOUBLE, same row count, sane values
+    assert dict(pub.dtypes)["total_supply"] == "double"
+    assert pub.count() == sb.count()
+    assert pub.filter(F.col("total_supply") <= 0).count() == 0
+
+
+def test_event_contract_materialized_views(silver):
+    from near_public_lakehouse_spark.plans.views import (
+        ft_events_contracts_by_account,
+        nft_events_contracts_by_account,
+    )
+
+    ft = silver.read("silver_execution_outcome_ft_event_logs")
+    mv = ft_events_contracts_by_account(ft)
+    assert mv.count() == mv.distinct().count() > 0
+    assert set(mv.columns) == {"affected_account_id", "contract_account_id"}
+
+    nft = silver.read("silver_execution_outcome_nft_event_logs")
+    nmv = nft_events_contracts_by_account(nft)
+    assert set(nmv.columns) == {
+        "old_owner_account_id",
+        "new_owner_account_id",
+        "contract_account_id",
+    }
+    assert nmv.count() == nmv.distinct().count() > 0
