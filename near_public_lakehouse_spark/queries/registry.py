@@ -52,6 +52,7 @@ def all_queries() -> dict[str, Query]:
         events,
         scalar,
         similarity,
+        subqueries,
         text,
         windows,
     )
