@@ -100,6 +100,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, length-bucket). Blocking bounds the candidate set so the join
     is equi-key + residual — never all-pairs. Union size is computed as
     |A|+|B|-|A∩B| to sidestep engine-specific union-dedup semantics."""
+    return _jaccard_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered (doc_a < doc_b, jaccard) near-dup pairs — the edge set
+    shared by ngram_jaccard_pairs and dedup_clusters."""
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id",
@@ -125,7 +131,6 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             jac.alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.8)
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -365,3 +370,79 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
         .orderBy("id_a", "id_b")
     )
+
+
+_JACCARD_PAIRS_SQL = f"""
+d AS (
+  SELECT doc_id, source, n_chars // 64 AS len_bucket, {DTOKS_SQL} AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM d a
+  JOIN d b
+    ON a.source = b.source AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+)"""
+
+
+@query(
+    "dedup_clusters",
+    tags=("dedup", "cc"),
+    oracle=f"""
+WITH RECURSIVE {_JACCARD_PAIRS_SQL},
+sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(id, lab) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.id
+)
+SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph: every doc in a
+    duplicate family gets the family's min doc_id as cluster_id (the keeper
+    each family dedups to). Edges are the Jaccard >= 0.8 pairs.
+
+    Implementation is iterative min-label propagation: labels start as the
+    node id; each round every node takes the min label among itself and its
+    neighbors; converged when no label changes. The driver-side loop is
+    bounded control flow (one scalar count per round, diameter-many rounds
+    — near-dup families are dense, so single digits in practice) and each
+    round is one equi join + one groupBy, both shuffling on the node id.
+    `localCheckpoint` truncates lineage so the plan doesn't grow per round.
+    At 100 TB scale swap plain propagation for the large-star/small-star
+    variant (same building blocks, O(log n) rounds guaranteed); the oracle
+    is a recursive-CTE transitive closure, viable only at oracle scale.
+    """
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sym = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    sym = sym.localCheckpoint()
+    labels = sym.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("lab")
+    )
+    labels = labels.localCheckpoint()
+    for _ in range(50):
+        prop = sym.join(labels, sym.src == labels.id).select(
+            F.col("dst").alias("id"), F.col("lab")
+        )
+        new_labels = (
+            labels.union(prop).groupBy("id").agg(F.min("lab").alias("lab"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("lab").alias("cluster_id")
+    ).orderBy("doc_id")

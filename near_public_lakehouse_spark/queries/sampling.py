@@ -1,0 +1,158 @@
+"""Training-data pipeline ops over `documents`: deterministic sampling,
+context-window chunking, and token-budget sequence packing.
+
+All three are pure JVM-side column expressions (no Python on the hot path)
+and all three are fully oracle-checked: the sampling hash is the same
+md5-prefix trick the dedup module uses, chunk extraction is 1-based substr
+on both engines, and packing is exact integer prefix sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from near_public_lakehouse_spark.queries.registry import query
+from near_public_lakehouse_spark.queries.text import TOKENS_SQL, tokens_col
+from near_public_lakehouse_spark.sources.tables import load_table
+
+# Per-language sampling rates (percent): downsample the over-represented
+# language, keep the rest at a higher rate — the standard corpus-balancing
+# move before training.
+EN_RATE, OTHER_RATE = 10, 30
+
+
+def _bucket_col(key):
+    """Deterministic 0..99 bucket from a key column — identical on DuckDB."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("bigint") % 100
+
+
+BUCKET_SQL = "('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 8))::BIGINT % 100"
+
+
+@query(
+    "stratified_sample",
+    tags=("sampling",),
+    oracle=f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {BUCKET_SQL.format(key="doc_id")} <
+      CASE WHEN lang = 'en' THEN {EN_RATE} ELSE {OTHER_RATE} END
+ORDER BY doc_id
+""",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: each doc hashes to a 0..99 bucket
+    (md5 of its id) and is kept iff the bucket is under its stratum's rate.
+
+    Scale notes: a pure narrow filter — no shuffle, no RNG state, and the
+    same rows are kept on any cluster size or retry (unlike `df.sample`,
+    whose seed is per-partition-index and changes with repartitioning).
+    Rates are tuned per stratum; membership is also stable under rate
+    increases (bucket < 10 rows are a subset of bucket < 30 rows), which
+    makes grow-the-sample reruns incremental.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", EN_RATE).otherwise(OTHER_RATE)
+    return (
+        docs.filter(_bucket_col(F.col("doc_id")) < rate)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+CHUNK_STRIDE = 192
+CHUNK_LEN = 256  # 64-char overlap between consecutive chunks
+
+
+@query(
+    "doc_chunks",
+    tags=("sampling", "G1"),
+    oracle=f"""
+SELECT doc_id, g AS chunk_id,
+       length(substr(text, g * {CHUNK_STRIDE} + 1, {CHUNK_LEN})) AS chunk_len,
+       md5(substr(text, g * {CHUNK_STRIDE} + 1, {CHUNK_LEN})) AS chunk_md5
+FROM (SELECT doc_id, text,
+             unnest(range(0, (n_chars - 1) // {CHUNK_STRIDE} + 1)) AS g
+      FROM documents)
+ORDER BY doc_id, chunk_id
+""",
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: overlapping fixed-width character windows
+    (stride 192, width 256) per document — the split step before tokenizing
+    long documents into model-sized sequences.
+
+    Scale notes: explode(sequence(...)) fans each row out to its chunk
+    count with no shuffle; chunk extraction is a substring on the already-
+    loaded text column. Output carries (len, md5) per chunk rather than the
+    chunk text — the pattern for verifying a chunker without re-writing the
+    corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_chunks_last = F.expr(f"(n_chars - 1) div {CHUNK_STRIDE}")
+    chunk = F.col("text").substr(
+        (F.col("chunk_id") * CHUNK_STRIDE + 1).cast("int"), F.lit(CHUNK_LEN)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks_last)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.length(chunk).alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+PACK_BUDGET = 4096  # tokens per packed training sequence
+
+
+@query(
+    "pack_sequences",
+    tags=("sampling", "W"),
+    oracle=f"""
+SELECT doc_id, source, n_toks,
+       (cum - n_toks) // {PACK_BUDGET} AS bin
+FROM (
+  SELECT doc_id, source, len({TOKENS_SQL}) AS n_toks,
+         sum(len({TOKENS_SQL})) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents
+)
+ORDER BY source, doc_id
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: documents are assigned to training
+    bins by the running token count within their source, bin = floor of the
+    pre-document prefix sum / budget — the streaming-friendly packing rule
+    (each doc's bin depends only on documents before it).
+
+    Scale notes: one window over (source, doc_id) — a single shuffle on
+    source; the running sum uses an explicit ROWS frame (SURVEY §2.6 notes
+    the reference never needs frames; a packing engine does). Exact integer
+    arithmetic end to end.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select("doc_id", "source", F.size(tokens_col()).alias("n_toks"))
+        .select(
+            "doc_id",
+            "source",
+            "n_toks",
+            F.floor((F.sum("n_toks").over(w) - F.col("n_toks")) / PACK_BUDGET).alias("bin"),
+        )
+        .orderBy("source", "doc_id")
+    )
