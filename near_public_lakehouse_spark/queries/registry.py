@@ -50,6 +50,7 @@ def all_queries() -> dict[str, Query]:
         core,
         dedup,
         events,
+        joins_extra,
         sampling,
         scalar,
         similarity,
