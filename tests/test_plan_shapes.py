@@ -87,3 +87,39 @@ def test_unbucketed_same_join_shuffles(spark):
     )
     plan = _plan(orders.join(cust, "o_custkey"))
     assert "Exchange" in plan
+
+
+def test_semi_anti_joins_plan_one_sided(spark):
+    """EXISTS/NOT EXISTS must plan as LeftSemi/LeftAnti (no right payload,
+    no distinct), not inner-join + dedup."""
+    from near_public_lakehouse_spark.queries import all_queries
+
+    semi = _plan(all_queries()["returned_orders_semi"].fn(spark, SF_DIR))
+    assert "LeftSemi" in semi and "Distinct" not in semi
+    anti = _plan(all_queries()["idle_rich_customers"].fn(spark, SF_DIR))
+    assert "LeftAnti" in anti
+
+
+def test_disjunctive_join_derives_pushed_filters(spark):
+    """Q19 shape: the OR-of-conjunctions stays a join residual while the
+    derived per-side predicates reach the scans (brand/size on part,
+    quantity on lineitem)."""
+    from near_public_lakehouse_spark.queries import all_queries
+
+    plan = _formatted(all_queries()["disjunctive_predicate_revenue"].fn(spark, SF_DIR))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("p_brand" in l for l in pushed), pushed
+    assert any("l_quantity" in l for l in pushed), pushed
+
+
+def test_correlated_subquery_reuses_exchange(spark):
+    """Q17 shape: the per-part aggregate and the join back to lineitem hash
+    on the same key — the plan must not contain more than the two scans'
+    worth of shuffle for lineitem (no third exchange from a key change)."""
+    from near_public_lakehouse_spark.queries import all_queries
+
+    plan = _plan(all_queries()["small_quantity_revenue"].fn(spark, SF_DIR))
+    # both lineitem branches exchange on hashpartitioning(l_partkey-ish key)
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    keys = {l.split("hashpartitioning(")[1].split("#")[0] for l in exchanges}
+    assert keys <= {"l_partkey", "pk"}, exchanges
