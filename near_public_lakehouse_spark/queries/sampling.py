@@ -156,3 +156,97 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "doc_id")
     )
+
+
+QUALITY_CUT = 0.66
+_Q_SQL = (
+    f"least(1.0, len({TOKENS_SQL}) / 64.0) * 0.4"
+    f" + len(list_distinct({TOKENS_SQL})) / len({TOKENS_SQL}) * 0.4"
+    " + (1.0 - len(list_filter("
+    f"{TOKENS_SQL}, x -> x IN ('the', 'a', 'of', 'an', 'to', 'and', 'in')"
+    f")) / len({TOKENS_SQL})) * 0.2"
+)
+
+
+@query(
+    "corpus_prep",
+    tags=("sampling", "dedup", "text"),
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, lang, source,
+         len({TOKENS_SQL}) AS n_toks,
+         md5(lower(trim(text))) AS fingerprint
+  FROM documents
+  WHERE {_Q_SQL} >= {QUALITY_CUT}
+),
+keepers AS (
+  SELECT doc_id, lang, source, n_toks
+  FROM (SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS keeper FROM q)
+  WHERE doc_id = keeper
+),
+sampled AS (
+  SELECT * FROM keepers
+  WHERE {BUCKET_SQL.format(key="doc_id")} <
+        CASE WHEN lang = 'en' THEN {EN_RATE} ELSE {OTHER_RATE} END
+)
+SELECT doc_id, lang, source, n_toks,
+       (cum - n_toks) // {PACK_BUDGET} AS bin
+FROM (
+  SELECT *, sum(n_toks) OVER (
+    PARTITION BY source ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM sampled
+)
+ORDER BY doc_id
+""",
+)
+def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship training-data pipeline, end to end in one plan: quality
+    prefilter -> exact-dedup keeper election -> stratified downsampling ->
+    token-budget sequence packing.
+
+    Scale notes: the whole chain is two shuffles — one on the dedup
+    fingerprint (keeper election via window min), one on source for the
+    packing window; quality scoring and sampling are narrow. The stages are
+    ordered so each shuffle sees fewer rows than the one before (filter
+    first, dedup second, sample before packing). That ordering — not the
+    individual operators — is what keeps this viable at 100 TB.
+    """
+    from pyspark.sql import Window as W
+
+    from near_public_lakehouse_spark.queries.text import STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n = F.size(toks).cast("double")
+    quality = (
+        F.least(F.lit(1.0), F.size(toks) / F.lit(64.0)) * 0.4
+        + (F.size(F.array_distinct(toks)) / n) * 0.4
+        + (F.lit(1.0) - F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) / n) * 0.2
+    )
+    q = docs.filter(quality >= QUALITY_CUT).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(toks).alias("n_toks"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
+    )
+    keepers = (
+        q.withColumn("keeper", F.min("doc_id").over(W.partitionBy("fingerprint")))
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .drop("fingerprint", "keeper")
+    )
+    rate = F.when(F.col("lang") == "en", EN_RATE).otherwise(OTHER_RATE)
+    sampled = keepers.filter(_bucket_col(F.col("doc_id")) < rate)
+    packw = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return sampled.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_toks",
+        F.floor((F.sum("n_toks").over(packw) - F.col("n_toks")) / PACK_BUDGET).alias("bin"),
+    ).orderBy("doc_id")
