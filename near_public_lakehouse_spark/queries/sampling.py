@@ -170,6 +170,7 @@ _Q_SQL = (
 
 @query(
     "corpus_prep",
+    bench=True,
     tags=("sampling", "dedup", "text"),
     oracle=f"""
 WITH q AS (

@@ -39,6 +39,7 @@ def _dot_dec_col(a, b):
 
 @query(
     "embedding_topk_cosine",
+    bench=True,
     tags=("similarity", "ann"),
     oracle=f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
