@@ -283,3 +283,145 @@ def daily_active_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_date")
     )
+
+
+@query(
+    "retention_cohorts",
+    tags=("A6", "W1", "beyond-reference"),
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+  FROM events GROUP BY user_id
+)
+SELECT cohort_date,
+       CAST(ts AS DATE) - cohort_date AS day_offset,
+       count(DISTINCT e.user_id) AS active_users
+FROM events e JOIN firsts f ON e.user_id = f.user_id
+GROUP BY cohort_date, day_offset
+ORDER BY cohort_date, day_offset
+""",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen date, activity counted
+    per day-offset from the cohort date.
+
+    Scale notes: first-seen is a groupBy(user_id) min — same key as the
+    join back, so the exchange is reused; the cohort matrix is tiny (days x
+    offsets). The classic mistake at scale — a window min over all events
+    instead of the pre-aggregated join — would sort every event partition;
+    the agg+join form only shuffles distinct users.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min(ns_to_date("ts")).alias("cohort_date"))
+    return (
+        ev.join(firsts, "user_id")
+        .groupBy(
+            "cohort_date",
+            F.datediff(ns_to_date("ts"), F.col("cohort_date")).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_date", "day_offset")
+    )
+
+
+@query(
+    "funnel_counts",
+    tags=("A3", "beyond-reference"),
+    oracle="""
+WITH m AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       count(CASE WHEN t_signup IS NOT NULL THEN 1 END) AS did_signup,
+       count(CASE WHEN t_view > t_signup THEN 1 END) AS signup_then_view,
+       count(CASE WHEN t_click > t_view AND t_view > t_signup THEN 1 END)
+         AS then_click,
+       count(CASE WHEN t_purchase > t_click AND t_click > t_view
+                   AND t_view > t_signup THEN 1 END) AS then_purchase
+FROM m
+""",
+)
+def funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: signup -> view -> click -> purchase, each stage
+    requiring its first occurrence to come after the previous stage's
+    (conditional-min pivot, the A3 shape, then ordered comparisons).
+
+    Scale notes: one groupBy(user_id) with conditional mins — a single
+    shuffle of (user, 4 timestamps); NULL propagation in the comparisons
+    drops users missing a stage, identically on both engines. The ns
+    BIGINT vs TIMESTAMP representations agree because only ordering is
+    used, never arithmetic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    m = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    c = F.count
+    return m.agg(
+        c(F.lit(1)).alias("n_users"),
+        c(F.when(F.col("t_signup").isNotNull(), 1)).alias("did_signup"),
+        c(F.when(F.col("t_view") > F.col("t_signup"), 1)).alias("signup_then_view"),
+        c(
+            F.when(
+                (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_view") > F.col("t_signup")),
+                1,
+            )
+        ).alias("then_click"),
+        c(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_view") > F.col("t_signup")),
+                1,
+            )
+        ).alias("then_purchase"),
+    )
+
+
+@query(
+    "event_transitions",
+    tags=("W3", "beyond-reference"),
+    oracle="""
+SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+FROM (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+ORDER BY prev_type, next_type
+""",
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix via lag() — the W3 offset
+    window (Epochs pipeline :345-361) applied to behavioral analytics.
+
+    Scale notes: one window shuffle on user_id; the tie-break on
+    (ts, event_id) makes the sequence — and therefore the counts —
+    deterministic on both engines even when a user has same-timestamp
+    events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select("event_type", F.lag("event_type").over(w).alias("prev_type"))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type"), F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("prev_type", "next_type")
+    )
