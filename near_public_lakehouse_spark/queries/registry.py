@@ -54,6 +54,7 @@ def all_queries() -> dict[str, Query]:
         sampling,
         scalar,
         similarity,
+        stats,
         subqueries,
         text,
         windows,

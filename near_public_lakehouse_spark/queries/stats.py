@@ -1,0 +1,195 @@
+"""Statistical and reshaping operators: moment statistics from exact sums,
+PIVOT/UNPIVOT, exact percentiles.
+
+Moment statistics (variance, stddev, correlation) are NOT computed with the
+engines' streaming aggregators — those are order-dependent in float and
+diverge between engines. Instead both sides compute the same DECIMAL sums
+(x, y, x^2, y^2, xy) and apply the identical closed-form double expression
+at the end: deterministic under any parallelism, and exactly what a
+100 TB aggregation needs anyway (one pass, five exact sums).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from near_public_lakehouse_spark.queries.registry import query
+from near_public_lakehouse_spark.sources.tables import load_table
+
+_D = "decimal(38,6)"
+
+
+def _dsum2(a: str, b: str):
+    return F.sum((F.col(a).cast(_D) * F.col(b).cast(_D)).cast(_D))
+
+
+_DSUM2_SQL = "sum(CAST(CAST({a} AS DECIMAL(38,6)) * CAST({b} AS DECIMAL(38,6)) AS DECIMAL(38,6)))"
+
+
+@query(
+    "price_dispersion_stats",
+    tags=("stats", "A4"),
+    oracle=f"""
+WITH s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sq,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sp,
+         CAST({_DSUM2_SQL.format(a="l_quantity", b="l_quantity")} AS DOUBLE) AS sqq,
+         CAST({_DSUM2_SQL.format(a="l_extendedprice", b="l_extendedprice")} AS DOUBLE) AS spp,
+         CAST({_DSUM2_SQL.format(a="l_quantity", b="l_extendedprice")} AS DOUBLE) AS sqp
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       n,
+       sq / n AS mean_qty,
+       (sqq - sq * sq / n) / (n - 1) AS var_qty,
+       sqrt((spp - sp * sp / n) / (n - 1)) AS stddev_price,
+       (sqp - sq * sp / n)
+         / (sqrt(sqq - sq * sq / n) * sqrt(spp - sp * sp / n)) AS corr_qty_price
+FROM s
+ORDER BY l_returnflag
+""",
+)
+def price_dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance / stddev / correlation per return flag, from five exact
+    DECIMAL sums + one closed-form double expression (see module doc).
+
+    Scale notes: one shuffle, five decimal partial aggregates — the same
+    cost profile as any sum; no second pass, no order-dependent float
+    accumulation, no mean-subtraction numerical blowup at row counts where
+    it matters (the sums carry 38 digits).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast(_D)).cast("double").alias("sq"),
+        F.sum(F.col("l_extendedprice").cast(_D)).cast("double").alias("sp"),
+        _dsum2("l_quantity", "l_quantity").cast("double").alias("sqq"),
+        _dsum2("l_extendedprice", "l_extendedprice").cast("double").alias("spp"),
+        _dsum2("l_quantity", "l_extendedprice").cast("double").alias("sqp"),
+    )
+    n = F.col("n")
+    return (
+        s.select(
+            "l_returnflag",
+            "n",
+            (F.col("sq") / n).alias("mean_qty"),
+            ((F.col("sqq") - F.col("sq") * F.col("sq") / n) / (n - 1)).alias("var_qty"),
+            F.sqrt((F.col("spp") - F.col("sp") * F.col("sp") / n) / (n - 1)).alias(
+                "stddev_price"
+            ),
+            (
+                (F.col("sqp") - F.col("sq") * F.col("sp") / n)
+                / (
+                    F.sqrt(F.col("sqq") - F.col("sq") * F.col("sq") / n)
+                    * F.sqrt(F.col("spp") - F.col("sp") * F.col("sp") / n)
+                )
+            ).alias("corr_qty_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "daily_event_pivot",
+    tags=("stats", "pivot"),
+    oracle=f"""
+SELECT CAST(ts AS DATE) AS event_date,
+       {", ".join(f"count(CASE WHEN event_type = '{t}' THEN 1 END) AS n_{t}" for t in EVENT_TYPES)}
+FROM events
+GROUP BY CAST(ts AS DATE)
+ORDER BY event_date
+""",
+)
+def daily_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: events-per-type as columns, one row per day, via
+    groupBy().pivot() with an explicit value list.
+
+    Scale notes: the explicit value list matters twice — it makes the
+    output schema static (no pre-pass to discover values, which at 100 TB
+    is a full extra scan) and it keeps the pivot a single partial-agg
+    shuffle, same as any GROUP BY.
+    """
+    from near_public_lakehouse_spark.functions.time import ns_to_date
+
+    ev = load_table(spark, sf_dir, "events")
+    pivoted = (
+        ev.groupBy(ns_to_date("ts").alias("event_date"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+    )
+    renamed = pivoted.select(
+        "event_date",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES],
+    )
+    return renamed.orderBy("event_date")
+
+
+@query(
+    "part_metrics_unpivot",
+    tags=("stats", "unpivot"),
+    oracle="""
+SELECT p_partkey, metric, value
+FROM (
+  SELECT p_partkey, 'retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS value FROM part
+  UNION ALL
+  SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+)
+ORDER BY p_partkey, metric
+""",
+)
+def part_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long melt) of part metrics via `DataFrame.unpivot`
+    — the inverse reshaping operator, one narrow generate per row, no
+    shuffle."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.col("p_retailprice").cast("double").alias("retailprice"),
+            F.col("p_size").cast("double").alias("size"),
+        )
+        .unpivot("p_partkey", ["retailprice", "size"], "metric", "value")
+        .orderBy("p_partkey", "metric")
+    )
+
+
+PCTS = (0.25, 0.5, 0.75, 0.99)
+
+
+@query(
+    "quantity_percentiles",
+    tags=("stats", "percentile"),
+    oracle=f"""
+SELECT l_returnflag,
+       {", ".join(f"quantile_cont(l_quantity, {p}) AS p{int(p * 100)}" for p in PCTS)}
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (Spark `percentile`
+    == DuckDB `quantile_cont`: both index the sorted values at (n-1)*p and
+    interpolate — order statistics, so no float-order sensitivity).
+
+    Scale notes: exact percentiles need the per-group sorted values; at
+    100 TB swap in `approx_percentile` (t-digest, one pass, mergeable) and
+    accept the documented error — the query shape is unchanged.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            *[
+                F.expr(f"percentile(l_quantity, {p})").alias(f"p{int(p * 100)}")
+                for p in PCTS
+            ]
+        )
+        .orderBy("l_returnflag")
+    )
