@@ -362,3 +362,38 @@ def order_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price")
         .orderBy("gid", "o_orderstatus", "o_orderpriority")
     )
+
+
+@query(
+    "status_segment_cube",
+    tags=("cube", "beyond-reference"),
+    oracle="""
+SELECT o_orderstatus, c_mktsegment,
+       GROUPING(o_orderstatus) * 2 + GROUPING(c_mktsegment) AS gid,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE (o_orderstatus, c_mktsegment)
+ORDER BY gid, o_orderstatus, c_mktsegment
+""",
+)
+def status_segment_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, segment): all four grouping sets in one pass —
+    the cross-dimensional completion of order_status_rollup. grouping_id
+    separates rolled-up levels from real NULLs; one shuffle, partial aggs
+    expand per grouping set map-side."""
+    from near_public_lakehouse_spark.functions.numeric import dsum
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .cube("o_orderstatus", "c_mktsegment")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .select("o_orderstatus", "c_mktsegment", "gid", "n_orders", "total_price")
+        .orderBy("gid", "o_orderstatus", "c_mktsegment")
+    )
