@@ -425,3 +425,42 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_transitions"))
         .orderBy("prev_type", "next_type")
     )
+
+
+@query(
+    "props_variant_stats",
+    tags=("§2.10-json", "variant", "beyond-reference"),
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via the VARIANT type (Spark 4): parse_json
+    once, typed variant_get extraction, then plain aggregation.
+
+    This is the modern engine answer to the reference's keep-JSON-strings-
+    and-reparse-per-field pattern (SURVEY §2.10, the repeated-from_json
+    anti-pattern at Silver Lake Mainnet.sql:269-273): VARIANT parses once
+    into a binary-encoded tree and every later path access is a cheap
+    typed lookup — no re-tokenizing, shredded-friendly at rest.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
