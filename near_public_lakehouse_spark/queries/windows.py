@@ -145,3 +145,52 @@ def scd1_user_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("user_id")
     )
+
+
+@query(
+    "customer_balance_ranks",
+    tags=("W", "rank", "beyond-reference"),
+    oracle="""
+SELECT c_custkey, c_nationkey,
+       CAST(c_acctbal AS DOUBLE) AS acctbal,
+       dense_rank()   OVER w AS drank,
+       ntile(4)       OVER w AS quartile,
+       percent_rank() OVER w AS prank,
+       cume_dist()    OVER w AS cdist,
+       first_value(c_custkey) OVER (
+         PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS richest_custkey
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+ORDER BY c_nationkey, drank, c_custkey
+""",
+)
+def customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-window family (dense_rank, ntile, percent_rank,
+    cume_dist, first_value over an explicit full frame) per nation by
+    balance — completing §2.6 beyond the reference's row_number/lag-only
+    usage.
+
+    Scale notes: one window shuffle+sort on nationkey; the (acctbal,
+    custkey) tie-break makes ntile deterministic (ties would otherwise
+    straddle bucket borders engine-dependently). first_value gets an
+    explicit unbounded frame: the default frame stops at CURRENT ROW,
+    which is correct here but a classic silent-semantics trap when
+    someone swaps in last_value.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        cust.select(
+            "c_custkey",
+            "c_nationkey",
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            F.dense_rank().over(w).alias("drank"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("prank"),
+            F.cume_dist().over(w).alias("cdist"),
+            F.first_value("c_custkey").over(wfull).alias("richest_custkey"),
+        )
+        .orderBy("c_nationkey", "drank", "c_custkey")
+    )
