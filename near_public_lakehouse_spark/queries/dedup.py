@@ -417,6 +417,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB scale swap plain propagation for the large-star/small-star
     variant (same building blocks, O(log n) rounds guaranteed); the oracle
     is a recursive-CTE transitive closure, viable only at oracle scale.
+
+    Why not Spark's own recursive CTE (4.x): it only supports UNION ALL in
+    the recursive step (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), and without
+    distinct-dedup a closure over a cyclic (symmetric) edge set
+    regenerates the same (node, label) rows forever. Iterative
+    propagation with a groupBy-min per round is the terminating
+    equivalent.
     """
     pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     sym = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(

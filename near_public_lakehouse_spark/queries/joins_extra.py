@@ -159,3 +159,66 @@ def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(_revenue()).cast("double").alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+@query(
+    "region_hierarchy_rollup",
+    tags=("recursive", "beyond-reference"),
+    oracle="""
+WITH RECURSIVE edges AS (
+  SELECT 'R' || CAST(r_regionkey AS VARCHAR) AS parent,
+         'N' || CAST(n_nationkey AS VARCHAR) AS child
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  UNION ALL
+  SELECT 'N' || CAST(c_nationkey AS VARCHAR) AS parent,
+         'C' || CAST(c_custkey AS VARCHAR) AS child
+  FROM customer
+),
+descendants AS (
+  SELECT 'R' || CAST(r_regionkey AS VARCHAR) AS root,
+         'R' || CAST(r_regionkey AS VARCHAR) AS node
+  FROM region
+  UNION ALL
+  SELECT d.root, e.child FROM descendants d JOIN edges e ON e.parent = d.node
+)
+SELECT root, count(*) AS n_nodes FROM descendants GROUP BY root ORDER BY root
+""",
+)
+def region_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.x) descendant rollup over the acyclic
+    region -> nation -> customer hierarchy: per region, count the whole
+    subtree via iterated self-reference.
+
+    Scale notes: Spark's recursive CTE supports UNION ALL only, which is
+    exactly right for a DAG/tree (each node reached once per path; in a
+    tree, once) — and exactly wrong for cyclic graphs (see
+    dedup_clusters, which uses iterative propagation instead). Depth here
+    is 2, so the recursion materializes three generations and stops.
+    """
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    region.createOrReplaceTempView("v_region")
+    nation.createOrReplaceTempView("v_nation")
+    cust.createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+WITH RECURSIVE edges AS (
+  SELECT 'R' || CAST(r_regionkey AS STRING) AS parent,
+         'N' || CAST(n_nationkey AS STRING) AS child
+  FROM v_nation JOIN v_region ON n_regionkey = r_regionkey
+  UNION ALL
+  SELECT 'N' || CAST(c_nationkey AS STRING) AS parent,
+         'C' || CAST(c_custkey AS STRING) AS child
+  FROM v_customer
+),
+descendants AS (
+  SELECT 'R' || CAST(r_regionkey AS STRING) AS root,
+         'R' || CAST(r_regionkey AS STRING) AS node
+  FROM v_region
+  UNION ALL
+  SELECT d.root, e.child FROM descendants d JOIN edges e ON e.parent = d.node
+)
+SELECT root, count(*) AS n_nodes FROM descendants GROUP BY root ORDER BY root
+"""
+    )
