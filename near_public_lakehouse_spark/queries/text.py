@@ -254,3 +254,161 @@ def tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "word")
     )
+
+
+@query(
+    "doc_repetition_stats",
+    tags=("text", "quality"),
+    oracle=f"""
+WITH bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS bigram
+  FROM (SELECT doc_id, {TOKENS_SQL} AS t FROM documents)
+),
+cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_bigrams,
+       CAST(max(c) AS BIGINT) AS top_bigram_n,
+       count(*) AS n_distinct_bigrams,
+       CAST(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS DOUBLE)
+         AS top_bigram_share,
+       CAST(CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS DOUBLE)
+         AS dup_bigram_share
+FROM cnt GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: most-common
+    bigram share and duplicate-bigram share (word-level — the synthetic
+    docs have no line structure; on real corpora add the same shape over
+    split(text, '\\n') lines).
+
+    Scale notes: bigrams are built with array HOFs in the scan projection
+    (no self-join), then ONE shuffle on (doc_id, bigram) whose result
+    collapses immediately to per-doc scalars — state is bounded by a doc's
+    distinct-bigram count, never the corpus. The repeated-doc-id
+    partitioning also matches doc_id-keyed downstream filters.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(size(filter(split(text, ' '), x -> x != '')) - 1, 0)),"
+        " i -> concat(element_at(filter(split(text, ' '), x -> x != ''), i), ' ',"
+        "             element_at(filter(split(text, ' '), x -> x != ''), i + 1)))"
+    )
+    cnt = (
+        docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.max("c").alias("top_bigram_n"),
+            F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "top_bigram_n",
+            "n_distinct_bigrams",
+            (F.col("top_bigram_n").cast("double") / F.col("n_bigrams").cast("double"))
+            .cast("double")
+            .alias("top_bigram_share"),
+            (
+                (F.col("n_bigrams") - F.col("n_distinct_bigrams")).cast("double")
+                / F.col("n_bigrams").cast("double")
+            )
+            .cast("double")
+            .alias("dup_bigram_share"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+NGRAM_N = 3  # synthetic vocab is tiny; real decontamination uses 8-13
+
+
+@query(
+    "benchmark_decontamination",
+    tags=("text", "dedup", "beyond-reference"),
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS t FROM documents),
+ng AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(t) - {NGRAM_N - 1}),
+                                      i -> array_to_string(t[i:i + {NGRAM_N - 1}], ' ')))
+           AS ngs
+  FROM toks
+),
+bench AS (SELECT DISTINCT unnest(ngs) AS g FROM ng WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT doc_id, count(*) AS n_contaminated
+  FROM (SELECT doc_id, unnest(ngs) AS g FROM ng WHERE doc_id % 97 <> 0) c
+  JOIN bench USING (g)
+  GROUP BY doc_id
+)
+SELECT ng.doc_id,
+       len(ngs) AS n_ngrams,
+       COALESCE(n_contaminated, 0) AS n_contaminated,
+       CAST(CAST(COALESCE(n_contaminated, 0) AS DOUBLE)
+            / CAST(len(ngs) AS DOUBLE) AS DOUBLE) AS contamination_share
+FROM ng LEFT JOIN hits ON ng.doc_id = hits.doc_id
+WHERE ng.doc_id % 97 <> 0
+ORDER BY ng.doc_id
+""",
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per corpus document, the count and share
+    of its distinct token {NGRAM_N}-grams that also appear in the held-out
+    benchmark set (docs with ``doc_id % 97 == 0`` stand in for the eval
+    suite). Training pipelines drop or scrub documents above a share
+    threshold before training.
+
+    Scale notes: the benchmark side is tiny by construction (an eval suite,
+    not a corpus), so its distinct n-gram set broadcasts; the corpus side
+    explodes per-doc DISTINCT n-grams (bounded by doc length) and
+    aggregates back to one row per doc — one broadcast join, one doc_id
+    shuffle, zero corpus self-joins. At 100 TB swap the exact string
+    n-grams for 64-bit hashes (same plan, 8 bytes a row).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    ngs = F.when(
+        F.size(toks) >= NGRAM_N,
+        F.expr(
+            f"array_distinct(transform(sequence(1, size(filter(split(text,' '), x -> x != '')) - {NGRAM_N - 1}),"
+            f" i -> array_join(slice(filter(split(text,' '), x -> x != ''), i, {NGRAM_N}), ' ')))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    with_ngs = docs.select("doc_id", ngs.alias("ngs"))
+    bench = (
+        with_ngs.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("ngs").alias("g"))
+        .distinct()
+    )
+    corpus = with_ngs.filter(F.col("doc_id") % 97 != 0)
+    hits = (
+        corpus.select("doc_id", F.explode("ngs").alias("g"))
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        corpus.select("doc_id", F.size("ngs").alias("n_ngrams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            (
+                F.coalesce("n_contaminated", F.lit(0)).cast("double")
+                / F.col("n_ngrams").cast("double")
+            )
+            .cast("double")
+            .alias("contamination_share"),
+        )
+        .orderBy("doc_id")
+    )
