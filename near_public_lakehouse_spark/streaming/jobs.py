@@ -256,3 +256,101 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def user_sessions_tws(
+    events: DataFrame, gap_minutes: int = 240, watermark: str = "1 day"
+) -> DataFrame:
+    """The sessionizer on Spark 4's `transformWithStateInPandas` — the
+    successor API to `applyInPandasWithState` (typed per-key state
+    handles + first-class timers instead of one state tuple + timeoutConf).
+    Same semantics as `user_sessions_stateful`, so the three session
+    operators (native session_window, applyInPandasWithState, this)
+    validate each other in tests/test_sessions.py.
+
+    Requires the RocksDB state store provider
+    (`enable_rocksdb_state_store`) — transformWithState state lives in
+    RocksDB column families, which is also what makes it the 100 TB
+    choice: state streams to the store incrementally instead of living
+    in executor heap. Its Python worker protocol additionally requires
+    `google.protobuf` (pyspark/sql/streaming/proto); environments without
+    it (this test container) keep `user_sessions_stateful` as the running
+    twin — the test suite skips, it does not fake.
+
+    Scale notes: one ValueState row per live user key; a single
+    event-time timer per key enforces gap-timeout eviction, so state size
+    tracks ACTIVE users within the watermark horizon, not history.
+    """
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+    from pyspark.sql.streaming.stateful_processor import (
+        ExpiredTimerInfo,
+        StatefulProcessor,
+        StatefulProcessorHandle,
+        TimerValues,
+    )
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    gap_ms = gap_minutes * 60 * 1000
+
+    def _session_df(user_id, sessions):
+        return pd.DataFrame(
+            {
+                "user_id": [user_id] * len(sessions),
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _, _ in sessions],
+                "last_seen": [pd.Timestamp(e, unit="us") for _, e, _, _ in sessions],
+                "n_events": [n for _, _, n, _ in sessions],
+                "total_value": [t for _, _, _, t in sessions],
+            }
+        )
+
+    class Sessionizer(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._state = handle.getValueState("session", SESSION_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues: TimerValues):
+            (user_id,) = key
+            start_us = last_us = None
+            n, total = 0, 0.0
+            if self._state.exists():
+                start_us, last_us, n, total = tuple(self._state.get())
+            closed = []
+            batch = pd.concat(list(rows)).sort_values("event_time")
+            for t, v in zip(batch["event_time"], batch["value"]):
+                t_us = int(t.value // 1000)
+                if start_us is None:
+                    start_us, last_us, n, total = t_us, t_us, 0, 0.0
+                elif t_us - last_us > gap_us:
+                    closed.append((start_us, last_us, n, total))
+                    start_us, last_us, n, total = t_us, t_us, 0, 0.0
+                n += 1
+                total += 0.0 if v is None or v != v else float(v)
+                last_us = max(last_us, t_us)
+            self._state.update((start_us, last_us, n, total))
+            for expiry_ms in list(self._handle.listTimers()):
+                self._handle.deleteTimer(expiry_ms)
+            self._handle.registerTimer(last_us // 1000 + gap_ms)
+            if closed:
+                yield _session_df(user_id, closed)
+
+        def handleExpiredTimer(self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo):
+            (user_id,) = key
+            if self._state.exists():
+                start_us, last_us, n, total = tuple(self._state.get())
+                self._state.clear()
+                yield _session_df(user_id, [(start_us, last_us, n, total)])
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "event_time", "value")
+        .withWatermark("event_time", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=Sessionizer(),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )

@@ -97,3 +97,22 @@ def test_session_window_batch_twin_includes_open_sessions(spark, staged):
     rows = jobs.session_event_stats(df).collect()
     got = {(r.user_id, _start_hour(r.session_start), r.n_events, r.total_value) for r in rows}
     assert got == EXPECTED_CLOSED | {(3, 50.0, 1, 99.0)}
+
+
+def test_transform_with_state_sessionizer_matches(spark, staged, tmp_path):
+    """Spark 4 transformWithStateInPandas twin: typed ValueState + explicit
+    event-time timers must close exactly the same sessions as the other
+    two operators (mid-batch split AND timer-eviction paths).
+
+    transformWithState's Python worker protocol speaks protobuf
+    (pyspark/sql/streaming/proto/StateMessage_pb2); this container has no
+    google.protobuf, so the test skips here and runs wherever the real
+    cluster image provides it."""
+    pytest.importorskip("google.protobuf")
+    jobs.enable_rocksdb_state_store(spark)
+    ev = jobs.read_events_stream(spark, os.path.join(staged, "b*"), max_files_per_trigger=1)
+    sess = jobs.user_sessions_tws(ev, gap_minutes=240, watermark="1 day")
+    jobs.run_to_memory(sess, "sessions_tws", str(tmp_path / "ck_tws"))
+    rows = spark.sql("SELECT * FROM sessions_tws").collect()
+    got = {(r.user_id, _start_hour(r.session_start), r.n_events, r.total_value) for r in rows}
+    assert got == EXPECTED_CLOSED
