@@ -378,30 +378,39 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only supplier who shipped late (> 60 days after order) on a
     finished multi-supplier order.
 
-    Scale notes: both correlated subqueries reduce to per-order rollups of
-    the SAME lineitem scan (any other supplier? any other LATE supplier?),
-    so the plan is: one l_orderkey rollup + two joins sharing that
-    shuffle — not two extra lineitem scans. NOT EXISTS on 'another late
+    Scale notes: both correlated subqueries collapse into per-order
+    statistics over the SAME rows (any other supplier? any other LATE
+    supplier?), computed as window aggregates over
+    ``partition by l_orderkey`` — ONE lineitem scan and ONE l_orderkey
+    shuffle, where the literal EXISTS/NOT-EXISTS translation would scan
+    and shuffle the fact table three times. NOT EXISTS on 'another late
     supplier' is equivalent to 'this supplier is the order's only late
-    one', computed as late_supp_cnt == 1 AND this line is late.
+    one': late-supplier set size == 1 and this line is late.
     """
+    from pyspark.sql.window import Window
+
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     supp = load_table(spark, sf_dir, "supplier")
-    with_order = li.join(
-        orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey")
-    ).withColumn(
-        "is_late",
-        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).cast("int"),
+    w = Window.partitionBy("l_orderkey")
+    with_order = (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey")
+        )
+        .withColumn(
+            "is_late",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).cast(
+                "int"
+            ),
+        )
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supp",
+            F.size(F.collect_set(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).over(w)),
+        )
     )
-    per_order = with_order.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("n_late_supp"),
-    )
-    qualifying = (
-        with_order.filter(F.col("is_late") == 1)
-        .join(per_order, F.col("l_orderkey") == F.col("ok"))
-        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    qualifying = with_order.filter(
+        (F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
     )
     return (
         qualifying.join(F.broadcast(supp), qualifying.l_suppkey == supp.s_suppkey)

@@ -123,3 +123,15 @@ def test_correlated_subquery_reuses_exchange(spark):
     exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     keys = {l.split("hashpartitioning(")[1].split("#")[0] for l in exchanges}
     assert keys <= {"l_partkey", "pk"}, exchanges
+
+
+def test_waiting_suppliers_single_fact_scan(spark):
+    """Q21's EXISTS + NOT EXISTS must NOT become three fact scans: the
+    window rewrite reads lineitem once and shuffles it once (both
+    collect_set windows stack on the same l_orderkey exchange)."""
+    from near_public_lakehouse_spark.queries import all_queries
+
+    plan = _plan(all_queries()["waiting_suppliers"].fn(spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("Exchange hashpartitioning(l_orderkey") == 1
+    assert plan.count("Window") == 2  # stacked, no exchange between them
