@@ -118,7 +118,7 @@ PACK_BUDGET = 4096  # tokens per packed training sequence
     tags=("sampling", "W"),
     oracle=f"""
 SELECT doc_id, source, n_toks,
-       (cum - n_toks) // {PACK_BUDGET} AS bin
+       CAST((cum - n_toks) // {PACK_BUDGET} AS BIGINT) AS bin
 FROM (
   SELECT doc_id, source, len({TOKENS_SQL}) AS n_toks,
          sum(len({TOKENS_SQL})) OVER (
@@ -191,7 +191,7 @@ sampled AS (
         CASE WHEN lang = 'en' THEN {EN_RATE} ELSE {OTHER_RATE} END
 )
 SELECT doc_id, lang, source, n_toks,
-       (cum - n_toks) // {PACK_BUDGET} AS bin
+       CAST((cum - n_toks) // {PACK_BUDGET} AS BIGINT) AS bin
 FROM (
   SELECT *, sum(n_toks) OVER (
     PARTITION BY source ORDER BY doc_id

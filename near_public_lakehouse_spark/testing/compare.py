@@ -1,25 +1,43 @@
 """Local conformance harness: run a registered query in PySpark and its
 oracle SQL in DuckDB on the same parquet tables, canonicalize, compare.
 
-This mirrors the driver's t2 gate (row-count + column names + sorted
-value comparison) so oracle drift is caught in `pytest` before a round
-ends, not by the judge.
+This mirrors the driver's t2 gate: row-count + column names + an EXACT,
+dtype-sensitive, stringified-value comparison over rows sorted on their
+canonical form (columns reordered by name first). Round 1 shipped three
+driver hash failures that the old tolerance-based compare could not see
+(DuckDB DECIMAL128 sum stringifies as "174.0" where Spark BIGINT gives
+"174"); the strict canonicalization below reproduces that divergence
+locally so oracle drift is caught in `pytest` before a round ends, not
+by the judge.
+
+Canonical form rules (dtype-sensitive on purpose):
+- int            -> "174"
+- float          -> "174.0"   (repr after round(v, 6) — the round-1
+                    driver evidence pins this down: int-vs-float dtype
+                    divergence fails its hash while last-ulp float noise
+                    from summation order passes, so floats are rounded
+                    but never collapsed to int form)
+- Decimal        -> via float -> "174.0"  (mirrors the driver's pandas
+                    conversion of DuckDB DECIMAL/HUGEINT results)
+- bool           -> "True"/"False" (checked before int)
+- bytes          -> hex
+- datetime       -> tz-stripped "YYYY-MM-DD HH:MM:SS[.ffffff]"
+- arrays/maps    -> recursive canonical join
 """
 
 from __future__ import annotations
 
 import datetime as _dt
 import decimal
-import math
+import hashlib
 import os
-from typing import Any
+from typing import Any, Sequence
 
 import duckdb
 
 from near_public_lakehouse_spark.sources.tables import TABLES
 
-REL_TOL = 1e-9
-ABS_TOL = 1e-9
+_NULL = "␀"  # sorts before printable ASCII; unambiguous vs the string "None"
 
 
 def duckdb_oracle(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -32,44 +50,79 @@ def duckdb_oracle(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _norm(v: Any) -> Any:
+def canon_value(v: Any) -> str:
+    """Exact, dtype-sensitive canonical string for one value."""
+    if v is None:
+        return _NULL
+    if isinstance(v, bool):
+        return "True" if v else "False"
     if isinstance(v, decimal.Decimal):
-        return float(v)
+        # The driver materializes DuckDB DECIMAL/HUGEINT through pandas as
+        # float64 — keep that dtype visible ("174.0", not "174") so oracle
+        # SQL must CAST to the Spark output type to go green.
+        return repr(round(float(v), 6))
+    if isinstance(v, float):
+        return repr(round(v, 6))
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
     if isinstance(v, _dt.datetime):
         return v.replace(tzinfo=None).isoformat(sep=" ")
     if isinstance(v, _dt.date):
         return v.isoformat()
-    if isinstance(v, bytes):
-        return v.hex()
-    if isinstance(v, list):
-        return tuple(_norm(x) for x in v)
-    return v
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_value(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(
+            f"{canon_value(k)}:{canon_value(v[k])}" for k in sorted(v, key=str)
+        ) + "}"
+    if hasattr(v, "tolist"):  # numpy scalar or array from DuckDB
+        return canon_value(v.tolist())
+    if hasattr(v, "asDict"):  # pyspark Row (struct column)
+        d = v.asDict(recursive=True)
+        return "{" + ",".join(f"{k}:{canon_value(d[k])}" for k in sorted(d)) + "}"
+    return str(v)
 
 
-def _sort_key(row: tuple) -> tuple:
-    return tuple((v is None, str(type(v)), str(v)) for v in row)
+def canonical_rows(cols: Sequence[str], rows: Sequence[Sequence[Any]]) -> list[tuple[str, ...]]:
+    """Rows as canonical string tuples, columns reordered by (lowered) name,
+    rows sorted lexicographically — the driver's pre-hash form."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i].lower())
+    out = [tuple(canon_value(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
 
 
-def _values_close(a: Any, b: Any) -> bool:
-    if a is None or b is None:
-        return a is None and b is None
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            return math.isclose(float(a), float(b), rel_tol=REL_TOL, abs_tol=ABS_TOL)
-        except (TypeError, ValueError):
-            return False
-    return a == b
+def result_hash(cols: Sequence[str], rows: Sequence[Sequence[Any]]) -> str:
+    """Stable md5 over the canonical form — comparable across rounds."""
+    h = hashlib.md5()
+    for c in sorted(c.lower() for c in cols):
+        h.update(c.encode())
+        h.update(b"\x00")
+    h.update(b"\x01")
+    for r in canonical_rows(cols, rows):
+        for v in r:
+            h.update(v.encode())
+            h.update(b"\x00")
+        h.update(b"\x01")
+    return h.hexdigest()
 
 
 def compare_with_oracle(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
-    """Returns a list of mismatch descriptions; empty list == match."""
+    """Returns a list of mismatch descriptions; empty list == match.
+
+    Strict by design: any dtype-level divergence between the Spark result
+    and the oracle (int vs float, tz handling, byte formatting) is a
+    failure here exactly as it is in the driver's hash gate.
+    """
     problems: list[str] = []
     spark_cols = list(spark_df.columns)
-    spark_rows = [tuple(_norm(v) for v in row) for row in spark_df.collect()]
+    spark_rows = [tuple(row) for row in spark_df.collect()]
 
     res = con.execute(sql)
     oracle_cols = [d[0] for d in res.description]
-    oracle_rows = [tuple(_norm(v) for v in row) for row in res.fetchall()]
+    oracle_rows = res.fetchall()
 
     if sorted(c.lower() for c in spark_cols) != sorted(c.lower() for c in oracle_cols):
         problems.append(f"column mismatch: spark={spark_cols} oracle={oracle_cols}")
@@ -78,16 +131,16 @@ def compare_with_oracle(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> l
         problems.append(f"row count: spark={len(spark_rows)} oracle={len(oracle_rows)}")
         return problems
 
-    # Reorder oracle columns to spark's order, then compare order-insensitively.
-    idx = [oracle_cols.index(next(o for o in oracle_cols if o.lower() == c.lower())) for c in spark_cols]
-    oracle_rows = [tuple(r[i] for i in idx) for r in oracle_rows]
-    s_sorted = sorted(spark_rows, key=_sort_key)
-    o_sorted = sorted(oracle_rows, key=_sort_key)
-    for rn, (sr, orow) in enumerate(zip(s_sorted, o_sorted)):
+    sorted_cols = sorted(spark_cols, key=str.lower)
+    s_canon = canonical_rows(spark_cols, spark_rows)
+    o_canon = canonical_rows(oracle_cols, oracle_rows)
+    for rn, (sr, orow) in enumerate(zip(s_canon, o_canon)):
+        if sr == orow:
+            continue
         for cn, (sv, ov) in enumerate(zip(sr, orow)):
-            if not _values_close(sv, ov):
+            if sv != ov:
                 problems.append(
-                    f"row {rn} col {spark_cols[cn]}: spark={sv!r} oracle={ov!r}"
+                    f"row {rn} col {sorted_cols[cn]}: spark={sv!r} oracle={ov!r}"
                 )
                 if len(problems) >= 10:
                     return problems
