@@ -52,11 +52,17 @@ def compact_partitions(
     out = df.repartition(target_files_per_partition, F.col(partition_col))
     if zorder_cols:
         out = out.sortWithinPartitions(partition_col, *zorder_cols)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    writer = out.write.mode("overwrite").partitionBy(partition_col)
-    for k, v in bloom_filter_options(*(bloom_cols or [])).items():
-        writer = writer.option(k, v)
-    writer.parquet(table_path)
+    # Crash-safe materialize-then-swap (shared with MERGE): never write
+    # onto the path the plan is reading, never leak session conf.
+    from near_public_lakehouse_spark.operators.merge import _rewrite
+
+    _rewrite(
+        spark,
+        out,
+        table_path,
+        partition_col,
+        writer_options=bloom_filter_options(*(bloom_cols or [])),
+    )
 
 
 def zorder_by(

@@ -66,46 +66,91 @@ def merge_upsert(
         parts = [r[0] for r in source.select(partition_col).distinct().collect()]
         target = target.filter(F.col(partition_col).isin(parts))
 
-    src = source.alias("src")
-    tgt = target.alias("tgt")
+    # Presence is tracked with explicit markers, NOT key nullability: the
+    # join uses eqNullSafe, so a row whose first key column is legitimately
+    # NULL still matches — keys[0].isNotNull() would misclassify it and
+    # silently drop the update.
+    src = source.withColumn("__src__", F.lit(True)).alias("src")
+    tgt = target.withColumn("__tgt__", F.lit(True)).alias("tgt")
     cond = [F.col(f"src.{k}").eqNullSafe(F.col(f"tgt.{k}")) for k in keys]
     joined = tgt.join(src, cond, "full_outer")
+    src_present = F.col("src.__src__").isNotNull()
+    tgt_present = F.col("tgt.__tgt__").isNotNull()
 
     cols = []
     for c in source.columns:
         s, t = F.col(f"src.{c}"), F.col(f"tgt.{c}")
         if c in keys:
-            cols.append(F.coalesce(s, t).alias(c))
+            cols.append(F.when(src_present, s).otherwise(t).alias(c))
         elif not when_matched_update:
-            # insert-only: existing row wins, new keys come from source
-            cols.append(F.coalesce(t, s).alias(c))
+            # insert-only: existing row wins (even its NULL fields), new
+            # keys come from source
+            cols.append(F.when(tgt_present, t).otherwise(s).alias(c))
         elif ignore_null_updates:
             # matched: non-null source fields overwrite; else keep target
             cols.append(F.coalesce(s, t).alias(c))
         else:
-            cols.append(
-                F.when(F.col(f"src.{keys[0]}").isNotNull(), s).otherwise(t).alias(c)
-            )
+            cols.append(F.when(src_present, s).otherwise(t).alias(c))
     merged = joined.select(*cols)
 
     _rewrite(spark, merged, target_path, partition_col)
 
 
 def _rewrite(
-    spark: SparkSession, df: DataFrame, target_path: str, partition_col: str | None
+    spark: SparkSession,
+    df: DataFrame,
+    target_path: str,
+    partition_col: str | None,
+    writer_options: dict[str, str] | None = None,
 ) -> None:
-    """Materialize then swap. With a partition column, dynamic partition
-    overwrite replaces only the partitions present in `df`."""
-    if partition_col:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        df.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
-        return
-    tmp = target_path.rstrip("/") + ".__merge_tmp__"
-    df.write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(target_path + ".__swap__")
+    """Materialize-then-swap, crash-safe for both layouts.
+
+    The merged plan's lineage still reads `target_path` (the full-outer
+    join), so the result is ALWAYS materialized to a sibling tmp dir first
+    — never written onto the path it reads. The swap is then pure
+    filesystem renames with no Spark job in flight:
+
+    - unpartitioned: one directory rename (old parked, then dropped);
+    - partitioned: one rename per touched partition, with the old
+      partition parked OUTSIDE the table root (a parked dir named
+      ``col=value.__old__`` inside the root would be misparsed as a
+      partition value on read). A crash mid-swap leaves every partition
+      either fully-old or fully-new — never half-written — and the tmp
+      dir survives for re-apply.
+
+    This replaces the round-1 dynamic-partition-overwrite path, which
+    wrote directly onto the table while reading it and leaked the session
+    conf `spark.sql.sources.partitionOverwriteMode=dynamic`.
+    """
     import shutil
 
-    shutil.rmtree(target_path, ignore_errors=True)
-    os.rename(target_path + ".__swap__", target_path)
+    base = target_path.rstrip("/")
+    tmp = base + ".__merge_tmp__"
+    parked = base + ".__old__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(parked, ignore_errors=True)
+
+    writer = df.write.mode("overwrite")
+    if partition_col:
+        writer = writer.partitionBy(partition_col)
+    for k, v in (writer_options or {}).items():
+        writer = writer.option(k, v)
+    writer.parquet(tmp)
+
+    if not partition_col:
+        os.rename(target_path, parked)
+        os.rename(tmp, target_path)
+        shutil.rmtree(parked, ignore_errors=True)
+        return
+
+    os.makedirs(parked, exist_ok=True)
+    for name in sorted(os.listdir(tmp)):
+        new_part = os.path.join(tmp, name)
+        if not (os.path.isdir(new_part) and "=" in name):
+            continue
+        live_part = os.path.join(target_path, name)
+        if os.path.isdir(live_part):
+            os.rename(live_part, os.path.join(parked, name))
+        os.rename(new_part, live_part)
+    shutil.rmtree(parked, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)

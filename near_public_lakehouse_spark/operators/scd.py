@@ -54,19 +54,23 @@ def apply_changes(
         src.write.mode("overwrite").parquet(target_path)
         return
 
+    out_cols = list(src.columns)
     tgt = read_table(spark, target_path)
-    j = tgt.alias("t").join(
-        src.alias("s"),
+    # Explicit presence markers, not key nullability: eqNullSafe join keys
+    # mean a legitimately-NULL key column still matches, and keys[0].isNull()
+    # would then bypass the sequence guard (see merge_upsert).
+    j = tgt.withColumn("__tgt__", F.lit(True)).alias("t").join(
+        src.withColumn("__src__", F.lit(True)).alias("s"),
         [F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}")) for k in keys],
         "full_outer",
     )
     s_seq, t_seq = F.col(f"s.{sequence_by}"), F.col(f"t.{sequence_by}")
     # A source row applies if the key is new, or its sequence is >= stored.
-    src_wins = F.col(f"t.{keys[0]}").isNull() | (
-        F.col(f"s.{keys[0]}").isNotNull() & (s_seq >= t_seq)
+    src_wins = F.col("t.__tgt__").isNull() | (
+        F.col("s.__src__").isNotNull() & (s_seq >= t_seq)
     )
     out = []
-    for c in src.columns:
+    for c in out_cols:
         s, t = F.col(f"s.{c}"), F.col(f"t.{c}")
         if c in keys:
             out.append(F.coalesce(s, t).alias(c))

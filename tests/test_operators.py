@@ -118,3 +118,86 @@ def test_merge_partition_scoped(spark, target):
     # partition-dir values read back type-inferred (dates here)
     out = {r.k: (r.v, str(r.d)) for r in spark.read.parquet(target).collect()}
     assert out == {1: ("a", "2024-01-01"), 2: ("B", "2024-01-02")}
+
+
+def test_merge_does_not_leak_partition_overwrite_conf(spark, target):
+    """The round-1 implementation set partitionOverwriteMode=dynamic on the
+    live session and never restored it; the rewrite must leave it alone."""
+    before = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    df1 = spark.createDataFrame([(1, "a", "2024-01-01")], "k int, v string, d string")
+    merge_upsert(spark, target, df1, ["k"], partition_col="d")
+    merge_upsert(spark, target, df1, ["k"], partition_col="d")
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == before
+
+
+def test_merge_null_key_rows_update_correctly(spark, target):
+    """eqNullSafe join keys match legitimately-NULL keys; presence must be
+    tracked by marker, not key nullability, or the update is dropped."""
+    df1 = spark.createDataFrame([(None, "old", 1), (1, "a", 1)], "k int, v string, seq int")
+    merge_upsert(spark, target, df1, ["k"])
+    df2 = spark.createDataFrame([(None, "new", 2)], "k int, v string, seq int")
+    merge_upsert(spark, target, df2, ["k"])
+    out = {r.k: (r.v, r.seq) for r in spark.read.parquet(target).collect()}
+    assert out == {None: ("new", 2), 1: ("a", 1)}
+
+
+def test_scd_null_key_respects_sequence_guard(spark, target):
+    """A NULL-keyed stored row must still reject stale updates (round-1 bug:
+    keys[0].isNull() made src_wins unconditionally true for NULL keys)."""
+    apply_changes(
+        spark,
+        target,
+        spark.createDataFrame([(None, "new", 100)], "k int, v string, seq int"),
+        ["k"],
+        "seq",
+    )
+    apply_changes(
+        spark,
+        target,
+        spark.createDataFrame([(None, "stale", 50)], "k int, v string, seq int"),
+        ["k"],
+        "seq",
+    )
+    assert _rows(spark, target) == {None: ("new", 100)}
+
+
+def test_merge_partitioned_crash_leaves_partitions_intact(spark, target, monkeypatch):
+    """Kill the swap after the first partition rename: every partition must
+    still be fully-old or fully-new (crash-atomic per partition), and
+    re-running the merge must converge to the final state."""
+    import os as _os
+
+    df1 = spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "b", "2024-01-02"), (3, "c", "2024-01-03")],
+        "k int, v string, d string",
+    )
+    merge_upsert(spark, target, df1, ["k"], partition_col="d")
+    df2 = spark.createDataFrame(
+        [(2, "B", "2024-01-02"), (3, "C", "2024-01-03")], "k int, v string, d string"
+    )
+
+    real_rename = _os.rename
+    calls = {"n": 0}
+
+    def exploding_rename(src, dst):
+        # allow parking the old partition + installing the first new one,
+        # then die before the second partition's swap
+        calls["n"] += 1
+        if calls["n"] > 2:
+            raise OSError("injected crash mid-swap")
+        real_rename(src, dst)
+
+    monkeypatch.setattr("near_public_lakehouse_spark.operators.merge.os.rename", exploding_rename)
+    with pytest.raises(OSError, match="injected crash"):
+        merge_upsert(spark, target, df2, ["k"], partition_col="d")
+    monkeypatch.undo()
+
+    # every partition readable and whole: d=01 untouched, d=02 fully new,
+    # d=03 fully old (its swap never started)
+    out = {r.k: (r.v, str(r.d)) for r in spark.read.parquet(target).collect()}
+    assert out == {1: ("a", "2024-01-01"), 2: ("B", "2024-01-02"), 3: ("c", "2024-01-03")}
+
+    # re-apply converges
+    merge_upsert(spark, target, df2, ["k"], partition_col="d")
+    out = {r.k: (r.v, str(r.d)) for r in spark.read.parquet(target).collect()}
+    assert out == {1: ("a", "2024-01-01"), 2: ("B", "2024-01-02"), 3: ("C", "2024-01-03")}
