@@ -102,14 +102,31 @@ class Pipeline:
         return self.spark.read.parquet(self.path(name))
 
     def run_batch(self, sources: dict[str, DataFrame]) -> None:
-        """Full refresh: build every table in topo order, parquet it."""
+        """Full refresh: build every table in topo order, parquet it.
+
+        Stateful (apply-fn) nodes are refreshed into a FRESH path and
+        swapped in: applying straight onto a previously populated target
+        would fold the new change feed into the old state — rows deleted
+        upstream would survive a "full refresh". The swap is a directory
+        rename, so a crash leaves either the old or the new table.
+        """
         built: dict[str, DataFrame] = dict(sources)
         for t in self._topo_order():
             inputs = {d: built[d] for d in t.deps}
             df = t.build(self.spark, inputs)
             self._save_schema(t.name, df)
             if t.apply is not None:
-                t.apply(self.spark, df, self.path(t.name))
+                import shutil
+
+                path = self.path(t.name)
+                tmp, parked = path + ".__refresh__", path + ".__old__"
+                shutil.rmtree(tmp, ignore_errors=True)
+                shutil.rmtree(parked, ignore_errors=True)
+                t.apply(self.spark, df, tmp)
+                if os.path.isdir(path):
+                    os.rename(path, parked)
+                os.rename(tmp, path)
+                shutil.rmtree(parked, ignore_errors=True)
             else:
                 w = df.write.mode("overwrite")
                 if t.partition_by and t.partition_by in df.columns:

@@ -117,3 +117,29 @@ def test_stream_dedup_within_watermark(spark, tmp_path_factory, tmp_path):
     jobs.run_to_memory(deduped, "dedup_test", str(tmp_path / "ck3"), output_mode="append")
     ids = [r.event_id for r in spark.sql("SELECT event_id FROM dedup_test").collect()]
     assert sorted(ids) == [1, 2, 3]  # the redelivered id=1 collapsed
+
+
+def test_run_batch_is_true_full_refresh_for_stateful_nodes(spark, tmp_path):
+    """Re-running run_batch over a populated out_dir must NOT fold the new
+    change feed into old state: rows deleted upstream must disappear."""
+    from near_public_lakehouse_spark.operators.scd import apply_changes
+    from near_public_lakehouse_spark.streaming.runner import Pipeline
+
+    out = str(tmp_path / "out")
+    os.makedirs(out, exist_ok=True)
+    pipe = Pipeline(spark, out)
+
+    @pipe.table("accounts", deps=["changes"], partition_by=None,
+                apply=lambda s, df, p: apply_changes(s, p, df, ["k"], "seq"))
+    def _accounts(s, inputs):
+        return inputs["changes"]
+
+    feed1 = spark.createDataFrame([(1, "a", 10), (2, "b", 10)], "k int, v string, seq int")
+    pipe.run_batch({"changes": feed1})
+    assert {r.k for r in pipe.read("accounts").collect()} == {1, 2}
+
+    # upstream deleted k=2; a FULL refresh must not retain it
+    feed2 = spark.createDataFrame([(1, "a2", 20)], "k int, v string, seq int")
+    pipe.run_batch({"changes": feed2})
+    rows = {r.k: (r.v, r.seq) for r in pipe.read("accounts").collect()}
+    assert rows == {1: ("a2", 20)}
