@@ -171,8 +171,12 @@ def silver_nep245_events(parsed_events: DataFrame) -> DataFrame:
         "contract_account_id",
         "event",
         "index_in_data",
-        F.col("d.old_owner_id").alias("old_owner_id"),
-        F.col("d.new_owner_id").alias("new_owner_id"),
+        # mt_mint/mt_burn carry owner_id; mt_transfer old/new — the MV's
+        # if(event='mt_transfer', ...) pair collapses to coalesce here
+        # because the EVENT_JSON struct leaves the absent variant NULL.
+        F.coalesce(F.col("d.old_owner_id"), F.col("d.owner_id")).alias("old_owner_id"),
+        F.coalesce(F.col("d.new_owner_id"), F.col("d.owner_id")).alias("new_owner_id"),
+        F.col("d.memo").alias("memo"),
         F.explode(F.arrays_zip("d.token_ids", "d.amounts")).alias("ta"),
     )
     return zipped.select(
@@ -183,6 +187,7 @@ def silver_nep245_events(parsed_events: DataFrame) -> DataFrame:
         "index_in_data",
         "old_owner_id",
         "new_owner_id",
+        "memo",
         F.col("ta.token_ids").alias("token_id"),
         F.col("ta.amounts").cast("decimal(38,0)").cast("string").alias("amount"),
     )
@@ -204,11 +209,13 @@ def silver_dip4_token_diff(outcome_logs: DataFrame) -> DataFrame:
         F.trim(F.col("log")).startswith(EVENT_PREFIX) & (F.col("status") != "FAILURE")
     )
     payload = F.substring(F.trim(F.col("log")), len(EVENT_PREFIX) + 1, 1_000_000)
-    parsed = logs.withColumn(
-        "std", F.get_json_object(payload, "$.standard")
-    ).withColumn("data", F.from_json(F.get_json_object(payload, "$.data"), DIP4_DATA_DDL))
+    parsed = (
+        logs.withColumn("std", F.get_json_object(payload, "$.standard"))
+        .withColumn("evt", F.get_json_object(payload, "$.event"))
+        .withColumn("data", F.from_json(F.get_json_object(payload, "$.data"), DIP4_DATA_DDL))
+    )
     d = (
-        parsed.filter(F.col("std") == "dip4")
+        parsed.filter((F.col("std") == "dip4") & (F.col("evt") == "token_diff"))
         .select(
             *_BLOCK_CTX,
             "receipt_id",
@@ -234,6 +241,213 @@ def silver_dip4_token_diff(outcome_logs: DataFrame) -> DataFrame:
         "token_id",
         F.col("delta").cast("decimal(38,0)").cast("string").alias("delta_amount"),
         (F.col("delta") < 0).alias("is_outgoing"),
+    )
+
+
+DIP4_CONTRACTS = ("defuse-alpha.near", "intents.near")
+
+
+def _dip4_events(outcome_logs: DataFrame, events: tuple[str, ...]) -> DataFrame:
+    """Shared dip4 fence: EVENT_JSON prefix + success outcomes + the intents
+    contracts + the requested event types, payload kept as a JSON string.
+    Mirrors the `decoded_events` CTE every defuse MV starts from
+    (rust-near-defuse-indexer/README.md `mv_silver_dip4_*`)."""
+    logs = outcome_logs.filter(
+        F.trim(F.col("log")).startswith(EVENT_PREFIX)
+        & (F.col("status") != "FAILURE")
+        & F.col("executor_account_id").isin(*DIP4_CONTRACTS)
+    )
+    payload = F.substring(F.trim(F.col("log")), len(EVENT_PREFIX) + 1, 1_000_000)
+    return (
+        logs.withColumn("payload", payload)
+        .withColumn("standard", F.get_json_object("payload", "$.standard"))
+        .withColumn("version", F.get_json_object("payload", "$.version"))
+        .withColumn("event", F.get_json_object("payload", "$.event"))
+        .filter((F.col("standard") == "dip4") & F.col("event").isin(*events))
+    )
+
+
+def _dip4_ctx() -> list:
+    return [
+        *_BLOCK_CTX,
+        "receipt_id",
+        F.col("executor_account_id").alias("contract_account_id"),
+        "standard",
+        "version",
+        "event",
+    ]
+
+
+def silver_dip4_public_keys(outcome_logs: DataFrame) -> DataFrame:
+    """dip4 public_key_added / public_key_removed rows. The event data is a
+    single object (the MV reads `data data_row` without arrayJoin), so the
+    fields come straight off `$.data.*` — rust-near-defuse-indexer
+    README.md `mv_silver_dip4_public_keys` (JSON_VALUE + COALESCE '')."""
+    d = _dip4_events(outcome_logs, ("public_key_added", "public_key_removed"))
+    return d.select(
+        *_dip4_ctx(),
+        F.coalesce(F.get_json_object("payload", "$.data.account_id"), F.lit("")).alias(
+            "account_id"
+        ),
+        F.coalesce(F.get_json_object("payload", "$.data.public_key"), F.lit("")).alias(
+            "public_key"
+        ),
+    )
+
+
+def silver_dip4_intents_executed(outcome_logs: DataFrame) -> DataFrame:
+    """dip4 intents_executed: one row per executed intent — the MV's
+    arrayJoin over the data array (README `mv_silver_dip4_intents_executed`)
+    as from_json + posexplode."""
+    d = _dip4_events(outcome_logs, ("intents_executed",)).withColumn(
+        "data",
+        F.from_json(
+            F.get_json_object("payload", "$.data"),
+            "array<struct<account_id: string, intent_hash: string>>",
+        ),
+    )
+    return d.select(
+        *_dip4_ctx(),
+        F.posexplode("data").alias("index_in_data", "d"),
+    ).select(
+        *_BLOCK_CTX,
+        "receipt_id",
+        "contract_account_id",
+        "standard",
+        "version",
+        "event",
+        "index_in_data",
+        F.coalesce(F.col("d.account_id"), F.lit("")).alias("account_id"),
+        F.coalesce(F.col("d.intent_hash"), F.lit("")).alias("intent_hash"),
+    )
+
+
+def silver_dip4_fee_changed(outcome_logs: DataFrame) -> DataFrame:
+    """dip4 fee_changed: single-object data, old/new fee as strings —
+    README `silver_mv_dip4_fee_changed`."""
+    d = _dip4_events(outcome_logs, ("fee_changed",))
+    return d.select(
+        *_dip4_ctx(),
+        F.coalesce(F.get_json_object("payload", "$.data.old_fee"), F.lit("")).alias("old_fee"),
+        F.coalesce(F.get_json_object("payload", "$.data.new_fee"), F.lit("")).alias("new_fee"),
+    )
+
+
+DEFUSE_ASSET_SCHEMA = (
+    "blockchain string, contract_address string, decimals bigint, "
+    "defuse_asset_id string, price double, price_updated_at timestamp, symbol string"
+)
+
+
+def defuse_assets_from_api(spark, fetch: "object") -> DataFrame:
+    """`defuse_assets` price dimension: the MV's daily pull of the token
+    price API (README `mv_defuse_assets` — url(...) + arrayJoin(items)),
+    with the HTTP call injected like every other network seam in this repo
+    (plans/gold.py validators/delegators). `fetch()` returns the decoded
+    JSON document: {"items": [{blockchain, contract_address, ...}]}.
+
+    The driver-side call is bounded (one document, ~thousands of assets) —
+    a dimension build, not a per-row UDF."""
+    items = (fetch() or {}).get("items", [])
+    rows = [
+        (
+            it.get("blockchain"),
+            it.get("contract_address"),
+            int(it["decimals"]) if it.get("decimals") is not None else None,
+            it.get("defuse_asset_id"),
+            float(it["price"]) if it.get("price") is not None else None,
+            it.get("price_updated_at"),
+            it.get("symbol"),
+        )
+        for it in items
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "blockchain string, contract_address string, decimals bigint, "
+        "defuse_asset_id string, price double, price_updated_at string, symbol string",
+    )
+    return df.withColumn("price_updated_at", F.to_timestamp("price_updated_at"))
+
+
+def gold_view_intents_metrics(
+    nep245_events: DataFrame, dip4_token_diff: DataFrame, defuse_assets: DataFrame
+) -> DataFrame:
+    """Daily intents volume metrics by (symbol, referral, blockchain) —
+    README `gold_view_intents_metrics`, re-expressed Spark-first:
+
+    - nep245 legs LEFT JOIN token_diff on the receipt id (referral
+      attribution), LEFT JOIN the price dimension on
+      date(block_timestamp) = date(price_updated_at) AND token =
+      defuse_asset_id (J10 derived-date join);
+    - usd_value = amount / 10^decimals * price;
+    - the conditional sums (transfer_volume / deposits / withdraws /
+      netflow) are one grouped pass with when() — GROUP BY ALL shape.
+
+    Scale notes: the price dimension is tiny (one row per asset x day) —
+    broadcast; the distinct guards double-attribution when one receipt
+    carries several identical diff rows, and runs on the already-filtered
+    legs. One shuffle for the distinct, one for the final groupBy."""
+    e = nep245_events.alias("e")
+    d = dip4_token_diff.select(
+        F.col("receipt_id").alias("d_receipt_id"), "referral"
+    ).alias("d")
+    a = defuse_assets.alias("a")
+    joined = (
+        e.join(d, F.col("e.receipt_id") == F.col("d_receipt_id"), "left")
+        .join(
+            F.broadcast(a),
+            (
+                F.to_date(F.col("e.block_timestamp_utc"))
+                == F.to_date(F.col("a.price_updated_at"))
+            )
+            & (F.col("e.token_id") == F.col("a.defuse_asset_id")),
+            "left",
+        )
+        .filter(
+            ~(
+                (F.length(F.coalesce(F.col("referral"), F.lit(""))) == 0)
+                & (F.length(F.coalesce(F.col("e.memo"), F.lit(""))) == 0)
+            )
+        )
+    )
+    usd_value = (
+        F.col("e.amount").cast("double")
+        / F.pow(F.lit(10.0), F.col("a.decimals").cast("double"))
+        * F.col("a.price")
+    )
+    decoded = joined.select(
+        F.col("e.block_timestamp_utc").alias("block_timestamp_utc"),
+        F.col("e.block_hash").alias("block_hash"),
+        F.col("e.event").alias("event"),
+        F.col("e.memo").alias("memo"),
+        F.col("e.old_owner_id").alias("old_owner_id"),
+        F.col("e.new_owner_id").alias("new_owner_id"),
+        F.col("e.token_id").alias("token_id"),
+        usd_value.alias("usd_value"),
+        F.col("a.symbol").alias("symbol"),
+        F.col("a.blockchain").alias("blockchain"),
+        F.col("referral").alias("referral"),
+    ).distinct()
+    ev = F.col("event")
+    return (
+        decoded.filter((F.col("symbol") != "") & (F.col("blockchain") != ""))
+        .groupBy(
+            F.to_date("block_timestamp_utc").alias("day"),
+            "symbol",
+            F.coalesce("referral", F.lit("Others")).alias("referral"),
+            "blockchain",
+        )
+        .agg(
+            F.sum(F.when(ev == "mt_transfer", F.col("usd_value"))).alias("transfer_volume"),
+            F.sum(F.when(ev == "mt_mint", F.col("usd_value"))).alias("deposits"),
+            (F.sum(F.when(ev == "mt_burn", F.col("usd_value"))) * -1).alias("withdraws"),
+            F.sum(
+                F.when(ev == "mt_mint", F.col("usd_value")).when(
+                    ev == "mt_burn", F.col("usd_value") * -1
+                )
+            ).alias("netflow"),
+        )
+        .orderBy("day", "symbol", "referral", "blockchain")
     )
 
 

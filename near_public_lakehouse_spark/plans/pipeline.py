@@ -125,6 +125,18 @@ def build_pipeline(spark: SparkSession, out_dir: str) -> Pipeline:
     def _dip4(spark, i):
         return ev.silver_dip4_token_diff(i["silver_execution_outcome_logs"])
 
+    @t("silver_dip4_public_keys", ["silver_execution_outcome_logs"])
+    def _dip4_pk(spark, i):
+        return ev.silver_dip4_public_keys(i["silver_execution_outcome_logs"])
+
+    @t("silver_dip4_intents_executed", ["silver_execution_outcome_logs"])
+    def _dip4_intents(spark, i):
+        return ev.silver_dip4_intents_executed(i["silver_execution_outcome_logs"])
+
+    @t("silver_dip4_fee_changed", ["silver_execution_outcome_logs"])
+    def _dip4_fees(spark, i):
+        return ev.silver_dip4_fee_changed(i["silver_execution_outcome_logs"])
+
     @t(
         "silver_deployed_contracts",
         ["silver_action_receipt_actions", "silver_execution_outcomes"],

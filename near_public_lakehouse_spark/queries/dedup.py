@@ -152,6 +152,41 @@ def _band_keys_sql() -> str:
     return "[" + ", ".join(bands) + "]"
 
 
+def _band_key_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_key) rows: 12 min-hashes over the distinct-token set,
+    banded 4x3, per input row (needs `doc_id` and `text` columns).
+
+    Hash every token ONCE per row: a plain projection would be inlined
+    back into all 12 min-hash expressions by Catalyst's project collapse,
+    so the token-hash array is let-bound as a higher-order-function lambda
+    variable instead (the transform-over-singleton idiom). NB: all lambdas
+    are unary on purpose — a second (defaulted) parameter would make Spark
+    pass the array index into it."""
+    params = F.array(
+        *[
+            F.struct(F.lit(MINHASH_A[i]).alias("a"), F.lit(MINHASH_B[i]).alias("b"))
+            for i in range(len(MINHASH_A))
+        ]
+    )
+    sig_expr = F.transform(
+        F.array(_tokhash_col(_dtoks_col())),
+        lambda th: F.transform(
+            params,
+            lambda p: F.array_min(
+                F.transform(th, lambda h: (p["a"] * h + p["b"]) % F.lit(MINHASH_P))
+            ),
+        ),
+    )[0]
+    hashed = docs.select("doc_id", sig_expr.alias("sig"))
+    band_cols = []
+    for band in range(N_BANDS):
+        parts = [
+            F.col("sig")[band * BAND_SIZE + k].cast("string") for k in range(BAND_SIZE)
+        ]
+        band_cols.append(F.concat(F.lit(f"{band}:"), F.concat_ws("_", *parts)))
+    return hashed.select("doc_id", F.explode(F.array(*band_cols)).alias("band_key"))
+
+
 @query(
     "minhash_lsh_candidates",
     tags=("dedup", "lsh"),
@@ -178,35 +213,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     only exact-dedup representatives; both knobs keep this plan shape.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # Hash every token ONCE per row: a plain projection would be inlined
-    # back into all 12 min-hash expressions by Catalyst's project collapse,
-    # so the token-hash array is let-bound as a higher-order-function lambda
-    # variable instead (the transform-over-singleton idiom). NB: all lambdas
-    # are unary on purpose — a second (defaulted) parameter would make Spark
-    # pass the array index into it.
-    params = F.array(
-        *[
-            F.struct(F.lit(MINHASH_A[i]).alias("a"), F.lit(MINHASH_B[i]).alias("b"))
-            for i in range(len(MINHASH_A))
-        ]
-    )
-    sig_expr = F.transform(
-        F.array(_tokhash_col(_dtoks_col())),
-        lambda th: F.transform(
-            params,
-            lambda p: F.array_min(
-                F.transform(th, lambda h: (p["a"] * h + p["b"]) % F.lit(MINHASH_P))
-            ),
-        ),
-    )[0]
-    hashed = docs.select("doc_id", sig_expr.alias("sig"))
-    band_cols = []
-    for band in range(N_BANDS):
-        parts = [
-            F.col("sig")[band * BAND_SIZE + k].cast("string") for k in range(BAND_SIZE)
-        ]
-        band_cols.append(F.concat(F.lit(f"{band}:"), F.concat_ws("_", *parts)))
-    sigs = hashed.select("doc_id", F.explode(F.array(*band_cols)).alias("band_key"))
+    sigs = _band_key_df(docs)
     a = sigs.alias("a")
     b = sigs.alias("b")
     return (
@@ -369,6 +376,101 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         candidates.select("id_a", "id_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
         .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "near_dup_pairs_lsh",
+    tags=("dedup", "lsh", "composite"),
+    oracle=f"""
+WITH f AS (
+  SELECT doc_id, text, md5(lower(trim(text))) AS fingerprint, {DTOKS_SQL} AS toks
+  FROM documents
+),
+reps AS (
+  SELECT doc_id, text, toks FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS keeper FROM f
+  ) WHERE doc_id = keeper
+),
+sigs AS (
+  SELECT doc_id, unnest({_band_keys_sql()}) AS band_key FROM reps
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a JOIN sigs b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+         / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)))
+         AS jaccard
+FROM cand c
+JOIN reps ta ON c.doc_a = ta.doc_id
+JOIN reps tb ON c.doc_b = tb.doc_id
+WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+        / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))) >= 0.8
+ORDER BY doc_a, doc_b
+""",
+)
+def near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-path near-dup composite: exact-dedup representative
+    election -> MinHash-LSH banding over representatives ONLY -> exact
+    token-set Jaccard verification of the LSH candidates.
+
+    This is the chaining the standalone stages document but don't wire:
+    - exact-duplicate families collapse to one representative BEFORE any
+      pair is emitted, so LSH's output is bounded by representative-family
+      sizes, not raw-duplicate family sizes (a corpus with a 1M-copy
+      boilerplate family emits zero pairs for it here, vs ~10^12 from raw
+      banding);
+    - Jaccard verifies LSH candidates instead of generating its own
+      candidates from (source, length-bucket) blocks — the length-block
+      self-join in ngram_jaccard_pairs goes quadratic inside popular
+      blocks at 100 TB, while band keys only collide on near-identical
+      signatures.
+
+    Plan: one shuffle on fingerprint (window min), one on band_key
+    (candidate join), two equi-joins on doc_id to fetch token sets for
+    verification — every stage key-partitioned, no all-pairs anywhere.
+    LSH recall at Jaccard 0.8 with 4 bands x 3 rows is 1-(1-0.8^3)^4
+    ~= 0.94 per pair; raise N_BANDS for higher recall (cost is linear in
+    bands), or keep both this and the blocked variant and union."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "doc_id",
+        "text",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
+        _dtoks_col().alias("toks"),
+    )
+    reps = (
+        f.withColumn("keeper", F.min("doc_id").over(W.partitionBy("fingerprint")))
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "text", "toks")
+    )
+    sigs = _band_key_df(reps)
+    cand = (
+        sigs.alias("a")
+        .join(
+            sigs.alias("b"),
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    toks = reps.select("doc_id", "toks")
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    union = F.size(F.col("toks_a")) + F.size(F.col("toks_b")) - inter
+    jac = inter.cast("double") / union
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+        .orderBy("doc_a", "doc_b")
     )
 
 

@@ -54,7 +54,7 @@ def _fc_action(method: str, args: dict, receiver: str = "ft.near") -> str:
     )
 
 
-def _event_log(standard: str, event: str, data: list) -> str:
+def _event_log(standard: str, event: str, data: list | dict) -> str:
     return "EVENT_JSON:" + json.dumps(
         {"standard": standard, "version": "1.0.0", "event": event, "data": data}
     )
@@ -190,6 +190,23 @@ def _scenario(height: int, shard: int):
                             "referral": "r.near",
                         }
                     ],
+                ),
+                _event_log(
+                    "dip4",
+                    "intents_executed",
+                    [{"account_id": signer, "intent_hash": f"H{height}"}],
+                ),
+                # object-data dip4 events (the defuse MVs read these without
+                # arrayJoin — data is a single JSON object, not an array)
+                _event_log(
+                    "dip4",
+                    "public_key_added",
+                    {"account_id": signer, "public_key": f"ed25519:PK{height}"},
+                ),
+                _event_log(
+                    "dip4",
+                    "fee_changed",
+                    {"old_fee": "100", "new_fee": "150"},
                 ),
             ],
         )

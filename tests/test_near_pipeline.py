@@ -153,6 +153,76 @@ def test_dip4_token_diff_legs(pipe):
     assert all(r.intent_hash.startswith("H") for r in rows)
 
 
+def test_dip4_public_keys_intents_fees(pipe):
+    pk = pipe.read("silver_dip4_public_keys")
+    rows = pk.collect()
+    assert len(rows) > 0
+    assert all(r.event in ("public_key_added", "public_key_removed") for r in rows)
+    assert all(r.public_key.startswith("ed25519:PK") for r in rows)
+    assert all(r.contract_account_id == "intents.near" for r in rows)
+
+    ie = pipe.read("silver_dip4_intents_executed")
+    ie_rows = ie.collect()
+    assert len(ie_rows) > 0
+    assert all(r.intent_hash.startswith("H") for r in ie_rows)
+    assert all(r.account_id != "" for r in ie_rows)
+    # one executed intent per fixture event datum
+    assert ie.groupBy("receipt_id").count().filter(F.col("count") != 1).count() == 0
+
+    fc = pipe.read("silver_dip4_fee_changed")
+    fc_rows = fc.collect()
+    assert len(fc_rows) > 0
+    assert all((r.old_fee, r.new_fee) == ("100", "150") for r in fc_rows)
+
+
+def test_gold_intents_metrics(pipe, spark):
+    """gold_view_intents_metrics: usd conversion via the price dimension,
+    referral attribution via the token_diff join, conditional volume sums
+    (reference gold_view_intents_metrics)."""
+    from near_public_lakehouse_spark.plans.events import (
+        defuse_assets_from_api,
+        gold_view_intents_metrics,
+    )
+
+    mt = pipe.read("silver_nep245_events")
+    diff = pipe.read("silver_dip4_token_diff")
+    # price dimension covering every (token, day) in the fixture window
+    days = [str(r[0]) for r in mt.select(F.to_date("block_timestamp_utc")).distinct().collect()]
+    assets = defuse_assets_from_api(
+        spark,
+        lambda: {
+            "items": [
+                {
+                    "blockchain": "near",
+                    "contract_address": "usdc.near",
+                    "decimals": 0,
+                    "defuse_asset_id": "nep141:usdc",
+                    "price": 2.0,
+                    "price_updated_at": f"{d} 12:00:00",
+                    "symbol": "USDC",
+                }
+                for d in days
+            ]
+        },
+    )
+    g = gold_view_intents_metrics(mt, diff, assets)
+    rows = g.collect()
+    assert len(rows) > 0
+    # every fixture nep245 event is an mt_transfer of 7 usdc at price 2.0
+    assert all(r.symbol == "USDC" and r.referral == "r.near" for r in rows)
+    total = sum(r.transfer_volume for r in rows)
+    # the view's DISTINCT (present in the reference too) collapses legs
+    # identical across shards of one block — count distinct legs, not rows
+    n_legs = (
+        mt.filter(F.col("event") == "mt_transfer")
+        .select("block_timestamp_utc", "block_hash", "old_owner_id", "new_owner_id", "token_id")
+        .distinct()
+        .count()
+    )
+    assert abs(total - 14.0 * n_legs) < 1e-6
+    assert all(r.deposits is None and r.withdraws is None for r in rows)
+
+
 def test_near_social_parsing(pipe):
     parsed = pipe.read("silver_near_social_txs_parsed")
     assert parsed.count() > 0
