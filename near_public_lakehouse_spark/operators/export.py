@@ -45,6 +45,23 @@ def hourly_export_path(base_path: str, fmt: str, table: str, ts: datetime) -> st
     return f"{base_path}/{fmt}/{table}/{ts.strftime('%Y/%m/%d/%H')}"
 
 
+# Formats the export seam supports out of the box. avro is the reference's
+# actual format (NEAR Public Datasets.py:396-409) and is used when the
+# DataSource is present; orc/csv prove the seam is format-generic with the
+# builtin sources this container does ship.
+EXPORT_FORMATS = ("parquet", "orc", "csv", "avro")
+
+_WRITE_OPTIONS: dict[str, dict[str, str]] = {
+    "csv": {"header": "true"},
+}
+
+
+def _is_nested(dt) -> bool:
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return isinstance(dt, (ArrayType, MapType, StructType))
+
+
 def export_hourly(
     df: DataFrame,
     base_path: str,
@@ -57,10 +74,37 @@ def export_hourly(
     Overwrite mode makes the hourly job idempotent (a rerun of the same
     hour replaces, never duplicates — the reference reruns trailing hours
     after late-data MERGEs). `fmt=None` auto-selects avro when present.
+
+    CSV is flat-rows-only: nested columns are rejected up front (silently
+    stringified exports are a trap for the consumer — to_json them first).
     """
     spark = df.sparkSession
     if fmt is None:
         fmt = "avro" if avro_available(spark) else "parquet"
+    if fmt not in EXPORT_FORMATS:
+        raise ValueError(f"unsupported export format {fmt!r}; one of {EXPORT_FORMATS}")
+    if fmt == "csv":
+        nested = [f.name for f in df.schema.fields if _is_nested(f.dataType)]
+        if nested:
+            raise ValueError(
+                f"csv export requires flat columns; nested: {nested} "
+                "(wrap them in to_json(...) first)"
+            )
     path = hourly_export_path(base_path, fmt, table, ts)
-    df.write.format(fmt).mode("overwrite").save(path)
+    writer = df.write.format(fmt).mode("overwrite")
+    for k, v in _WRITE_OPTIONS.get(fmt, {}).items():
+        writer = writer.option(k, v)
+    writer.save(path)
     return path
+
+
+def read_export(spark: SparkSession, path: str, fmt: str, schema=None):
+    """Read an export back. CSV round-trips dtypes only with the writer's
+    schema (pass `df.schema`); other formats are self-describing."""
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+        reader = reader.schema(schema) if schema is not None else reader.option(
+            "inferSchema", "true"
+        )
+    return reader.load(path)

@@ -6,10 +6,13 @@ from datetime import datetime
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from near_public_lakehouse_spark.operators.export import (
     avro_available,
     export_hourly,
     hourly_export_path,
+    read_export,
 )
 
 
@@ -25,6 +28,33 @@ def test_hourly_export_roundtrip(spark, tmp_path):
     back = spark.read.format(fmt).load(path)
     assert back.count() == 100
     assert back.columns == ["id", "bucket", "tag"]
+
+
+@pytest.mark.parametrize("fmt", ["orc", "csv", "parquet"])
+def test_hourly_export_format_roundtrip(spark, tmp_path, fmt):
+    """Each builtin format round-trips rows, columns and dtypes (csv needs
+    the writer's schema on read — self-describing formats don't)."""
+    df = spark.range(50).select(
+        F.col("id"),
+        (F.col("id") * 2).cast("double").alias("val"),
+        F.concat(F.lit("r"), F.col("id")).alias("tag"),
+    )
+    ts = datetime(2026, 8, 13, 16)
+    path = export_hourly(df, str(tmp_path), "metrics", ts, fmt=fmt)
+    assert f"/{fmt}/metrics/2026/08/13/16" in path
+    back = read_export(spark, path, fmt, schema=df.schema)
+    # nullability is reader-dependent; names + types must round-trip
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in df.schema.fields
+    ]
+    assert sorted(r.id for r in back.collect()) == list(range(50))
+    assert back.filter(F.col("val") != F.col("id") * 2.0).count() == 0
+
+
+def test_csv_export_rejects_nested_columns(spark, tmp_path):
+    df = spark.range(3).select(F.col("id"), F.array(F.lit(1), F.lit(2)).alias("xs"))
+    with pytest.raises(ValueError, match="nested"):
+        export_hourly(df, str(tmp_path), "bad", datetime(2026, 8, 13, 17), fmt="csv")
 
 
 def test_hourly_export_idempotent_rerun(spark, tmp_path):

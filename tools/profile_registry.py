@@ -1,0 +1,101 @@
+"""Profile the full query registry: per-query wall time + row count at one
+scale factor, plus the strict-harness result hash at sf0.01 (comparable
+across rounds — see testing/compare.result_hash).
+
+Usage:
+    python tools/profile_registry.py [--sf-dir /root/testdata/sf0.1] \
+        [--hash-sf-dir /root/testdata/sf0.01] [--out PROFILE_r02.md]
+
+Timing counts the full query build + collect (driver-equivalent work);
+each query runs once — this is a profiling sweep, not a steady-state
+benchmark (bench.py is that).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--hash-sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default="PROFILE_r02.md")
+    ap.add_argument("--skip-hashes", action="store_true")
+    args = ap.parse_args()
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+
+    from near_public_lakehouse_spark.queries import all_queries
+    from near_public_lakehouse_spark.testing.compare import result_hash
+
+    queries = all_queries()
+    timings: list[dict] = []
+    for name in sorted(queries):
+        q = queries[name]
+        t0 = time.monotonic()
+        try:
+            df = q.fn(spark, args.sf_dir)
+            rows = df.collect()
+            dt = time.monotonic() - t0
+            rec = {"name": name, "sec": round(dt, 3), "rows": len(rows)}
+        except Exception as exc:  # keep sweeping; a failure is a finding
+            rec = {"name": name, "sec": None, "rows": None, "err": str(exc)[:200]}
+        timings.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    hashes: dict[str, dict] = {}
+    if not args.skip_hashes:
+        for name in sorted(queries):
+            q = queries[name]
+            try:
+                df = q.fn(spark, args.hash_sf_dir)
+                rows = [tuple(r) for r in df.collect()]
+                hashes[name] = {
+                    "rows": len(rows),
+                    "hash": result_hash(df.columns, rows),
+                }
+            except Exception as exc:
+                hashes[name] = {"rows": None, "hash": None, "err": str(exc)[:200]}
+            print(name, hashes[name], flush=True)
+
+    ok = [t for t in timings if t["sec"] is not None]
+    slowest = sorted(ok, key=lambda t: -t["sec"])[:10]
+    with open(args.out, "w") as f:
+        f.write(f"# Registry profile — {len(queries)} queries\n\n")
+        f.write(f"Scale: `{args.sf_dir}` on local[32]; one run per query "
+                f"(build + collect).\n\n")
+        f.write(f"Total: {sum(t['sec'] for t in ok):.1f} s over {len(ok)} queries; "
+                f"{len(timings) - len(ok)} errors.\n\n")
+        f.write("## Top 10 slowest (sf0.1)\n\n| query | sec | rows |\n|---|---|---|\n")
+        for t in slowest:
+            f.write(f"| {t['name']} | {t['sec']} | {t['rows']} |\n")
+        f.write("\n## All timings (sf0.1)\n\n| query | sec | rows |\n|---|---|---|\n")
+        for t in timings:
+            f.write(f"| {t['name']} | {t['sec']} | {t['rows']} |\n")
+        if hashes:
+            f.write("\n## Strict-harness result hashes (sf0.01)\n\n")
+            f.write("Canonical md5 over (sorted columns, canonicalized sorted rows) —\n")
+            f.write("`testing/compare.result_hash`. Diff these across rounds to catch\n")
+            f.write("silent result drift.\n\n| query | rows | hash |\n|---|---|---|\n")
+            for name in sorted(hashes):
+                h = hashes[name]
+                f.write(f"| {name} | {h['rows']} | {h.get('hash')} |\n")
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()
