@@ -46,6 +46,9 @@ def compact_partitions(
     """OPTIMIZE [ZORDER BY]: rewrite (a subset of) partitions with
     `target_files_per_partition` files each, optionally sorted by
     `zorder_cols` and bloom-filtered on `bloom_cols`."""
+    from near_public_lakehouse_spark.operators.merge import _recover
+
+    _recover(table_path)
     df = spark.read.parquet(table_path)
     if partitions is not None:
         df = df.filter(F.col(partition_col).isin(partitions))

@@ -27,6 +27,30 @@ def table_exists(path: str) -> bool:
     )
 
 
+def _recover(target_path: str) -> None:
+    """Re-install data parked by a crashed `_rewrite` swap.
+
+    A crash between parking a live partition (or the unpartitioned target)
+    and installing its replacement leaves that data ONLY in ``.__old__``.
+    Before anything reads the target or cleans up the parked dir, restore
+    every parked partition whose live dir is missing — for the
+    unpartitioned layout, the whole parked dir when the target is absent.
+    After recovery the target is a complete pre-swap (or mixed old/new,
+    both per-partition-consistent) table and the merge recompute is safe.
+    """
+    base = target_path.rstrip("/")
+    parked = base + ".__old__"
+    if not os.path.isdir(parked):
+        return
+    if not os.path.isdir(target_path):
+        os.rename(parked, target_path)
+        return
+    for name in os.listdir(parked):
+        live = os.path.join(target_path, name)
+        if not os.path.exists(live):
+            os.rename(os.path.join(parked, name), live)
+
+
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
@@ -51,6 +75,7 @@ def merge_upsert(
 
     Source must be unique per key (pre-dedup with operators.scd.latest_by).
     """
+    _recover(target_path)
     if not table_exists(target_path):
         writer = source.write.mode("overwrite")
         if partition_col:
@@ -64,7 +89,13 @@ def merge_upsert(
         # bounded driver collect (dates), mirrors the reference's trailing
         # date-window MERGE fences.
         parts = [r[0] for r in source.select(partition_col).distinct().collect()]
-        target = target.filter(F.col(partition_col).isin(parts))
+        # Null-safe fence: isin() never matches NULL, which would exclude
+        # the null partition's target rows from the join and then let the
+        # swap replace __HIVE_DEFAULT_PARTITION__ with source-only rows.
+        fence = F.col(partition_col).isin([p for p in parts if p is not None])
+        if any(p is None for p in parts):
+            fence = fence | F.col(partition_col).isNull()
+        target = target.filter(fence)
 
     # Presence is tracked with explicit markers, NOT key nullability: the
     # join uses eqNullSafe, so a row whose first key column is legitimately
@@ -127,6 +158,9 @@ def _rewrite(
     base = target_path.rstrip("/")
     tmp = base + ".__merge_tmp__"
     parked = base + ".__old__"
+    # If a prior swap crashed between park and install, the parked dir
+    # holds the only copy of some partitions — re-install before cleanup.
+    _recover(target_path)
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(parked, ignore_errors=True)
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from near_public_lakehouse_spark.operators.merge import read_table, table_exists
+from near_public_lakehouse_spark.operators.merge import _recover, read_table, table_exists
 
 SEQ_COL = "__scd_seq__"
 
@@ -50,6 +50,7 @@ def apply_changes(
 ) -> None:
     """Batch core: upsert `updates` into the SCD1 table at `target_path`."""
     src = latest_by(updates, keys, sequence_by)
+    _recover(target_path)
     if not table_exists(target_path):
         src.write.mode("overwrite").parquet(target_path)
         return

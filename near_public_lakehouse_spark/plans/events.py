@@ -205,18 +205,15 @@ def silver_dip4_token_diff(outcome_logs: DataFrame) -> DataFrame:
     ClickHouse `JSONExtractKeysAndValues` MV (rust-near-defuse-indexer
     README `mv_silver_dip4_token_diff`): `from_json(... MAP<STRING,DOUBLE>)`
     + map explode with sign split."""
-    logs = outcome_logs.filter(
-        F.trim(F.col("log")).startswith(EVENT_PREFIX) & (F.col("status") != "FAILURE")
-    )
-    payload = F.substring(F.trim(F.col("log")), len(EVENT_PREFIX) + 1, 1_000_000)
-    parsed = (
-        logs.withColumn("std", F.get_json_object(payload, "$.standard"))
-        .withColumn("evt", F.get_json_object(payload, "$.event"))
-        .withColumn("data", F.from_json(F.get_json_object(payload, "$.data"), DIP4_DATA_DDL))
+    # Same decoded-events fence as the other dip4 tables — including the
+    # contract_id IN ('defuse-alpha.near','intents.near') guard the
+    # ClickHouse MV applies; without it any contract emitting dip4-shaped
+    # token_diff events would feed referral attribution downstream.
+    parsed = _dip4_events(outcome_logs, ("token_diff",)).withColumn(
+        "data", F.from_json(F.get_json_object("payload", "$.data"), DIP4_DATA_DDL)
     )
     d = (
-        parsed.filter((F.col("std") == "dip4") & (F.col("evt") == "token_diff"))
-        .select(
+        parsed.select(
             *_BLOCK_CTX,
             "receipt_id",
             F.posexplode("data").alias("index_in_data", "d"),

@@ -433,21 +433,33 @@ def near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification — every stage key-partitioned, no all-pairs anywhere.
     LSH recall at Jaccard 0.8 with 4 bands x 3 rows is 1-(1-0.8^3)^4
     ~= 0.94 per pair; raise N_BANDS for higher recall (cost is linear in
-    bands), or keep both this and the blocked variant and union."""
+    bands), or keep both this and the blocked variant and union.
+
+    NB: a pair list is still an O(sum family^2) *product* — the scale-safe
+    default deliverable is `near_dup_assignments` (doc -> keeper, O(docs)
+    rows); this query remains the auditable intermediate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _lsh_verified_pairs(_exact_families(docs)).orderBy("doc_a", "doc_b")
+
+
+def _exact_families(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, toks, keeper): exact-duplicate family election — the
+    keeper is min(doc_id) within each content fingerprint."""
     from pyspark.sql import Window as W
 
-    docs = load_table(spark, sf_dir, "documents")
     f = docs.select(
         "doc_id",
         "text",
         F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
         _dtoks_col().alias("toks"),
     )
-    reps = (
-        f.withColumn("keeper", F.min("doc_id").over(W.partitionBy("fingerprint")))
-        .filter(F.col("doc_id") == F.col("keeper"))
-        .select("doc_id", "text", "toks")
-    )
+    return f.withColumn("keeper", F.min("doc_id").over(W.partitionBy("fingerprint")))
+
+
+def _lsh_verified_pairs(fam: DataFrame) -> DataFrame:
+    """Unordered (doc_a < doc_b, jaccard >= 0.8) pairs over exact-dedup
+    representatives: LSH band-key candidates, exact-Jaccard verified."""
+    reps = fam.filter(F.col("doc_id") == F.col("keeper")).select("doc_id", "text", "toks")
     sigs = _band_key_df(reps)
     cand = (
         sigs.alias("a")
@@ -470,44 +482,76 @@ def near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(tb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.8)
-        .orderBy("doc_a", "doc_b")
     )
 
 
-_JACCARD_PAIRS_SQL = f"""
-d AS (
-  SELECT doc_id, source, n_chars // 64 AS len_bucket, {DTOKS_SQL} AS toks
+def _near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite duplicate graph: LSH-verified near-dup pairs between
+    representatives UNION exact-family (keeper -> member) edges. Exact
+    members never enter the pair join — they attach to their keeper with
+    one O(docs) projection, so edge count is O(docs + rep-pairs)."""
+    fam = _exact_families(load_table(spark, sf_dir, "documents"))
+    verified = _lsh_verified_pairs(fam).select("doc_a", "doc_b")
+    exact = fam.filter(F.col("doc_id") != F.col("keeper")).select(
+        F.col("keeper").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+    return verified.unionByName(exact)
+
+
+# The composite duplicate graph in oracle SQL: exact families + LSH-verified
+# representative pairs — the same edge definition _near_dup_edges builds.
+_LSH_EDGES_SQL = f"""
+f AS (
+  SELECT doc_id, text, md5(lower(trim(text))) AS fingerprint, {DTOKS_SQL} AS toks
   FROM documents
 ),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM d a
-  JOIN d b
-    ON a.source = b.source AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-          / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+fam AS (
+  SELECT doc_id, text, toks,
+         min(doc_id) OVER (PARTITION BY fingerprint) AS keeper
+  FROM f
+),
+reps AS (SELECT doc_id, text, toks FROM fam WHERE doc_id = keeper),
+sigs AS (SELECT doc_id, unnest({_band_keys_sql()}) AS band_key FROM reps),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a JOIN sigs b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN reps ta ON c.doc_a = ta.doc_id
+  JOIN reps tb ON c.doc_b = tb.doc_id
+  WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+          / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))) >= 0.8
+  UNION ALL
+  SELECT keeper AS doc_a, doc_id AS doc_b FROM fam WHERE doc_id <> keeper
 )"""
+
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_LSH_EDGES_SQL},
+sym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+        UNION ALL SELECT doc_b, doc_a FROM edges),
+reach(id, lab) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.id
+),
+clusters AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id)"""
 
 
 @query(
     "dedup_clusters",
     tags=("dedup", "cc"),
-    oracle=f"""
-WITH RECURSIVE {_JACCARD_PAIRS_SQL},
-sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-        UNION ALL SELECT doc_b, doc_a FROM pairs),
-reach(id, lab) AS (
-  SELECT src, src FROM sym
-  UNION
-  SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.id
-)
-SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id
-""",
+    oracle=_CLUSTERS_SQL + "\nSELECT doc_id, cluster_id FROM clusters ORDER BY doc_id",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the near-dup pair graph: every doc in a
-    duplicate family gets the family's min doc_id as cluster_id (the keeper
-    each family dedups to). Edges are the Jaccard >= 0.8 pairs.
+    """Connected components over the composite duplicate graph: every doc in
+    a duplicate family gets the family's min doc_id as cluster_id (the
+    keeper each family dedups to). Edges come from `_near_dup_edges` —
+    exact-family keeper->member links plus the LSH-verified representative
+    pairs — NOT from the (source, length-bucket) blocked self-join, whose
+    popular blocks go quadratic at 100 TB before clustering even starts
+    (round-2 verdict item #1).
 
     Implementation is iterative min-label propagation: labels start as the
     node id; each round every node takes the min label among itself and its
@@ -527,9 +571,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation with a groupBy-min per round is the terminating
     equivalent.
     """
-    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    sym = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    edges = _near_dup_edges(spark, sf_dir)
+    return _min_label_cc(edges).select(
+        F.col("id").alias("doc_id"), F.col("lab").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+def _min_label_cc(edges: DataFrame) -> DataFrame:
+    """(id, lab) connected-component labels by iterative min-label
+    propagation over the symmetrized edge set."""
+    sym = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
     sym = sym.localCheckpoint()
     labels = sym.select(F.col("src").alias("id")).distinct().select(
@@ -552,6 +604,46 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(
+    return labels
+
+
+@query(
+    "near_dup_assignments",
+    tags=("dedup", "lsh", "composite"),
+    oracle=_CLUSTERS_SQL
+    + """
+SELECT d.doc_id,
+       coalesce(c.cluster_id, d.doc_id) AS keeper_doc_id,
+       coalesce(c.cluster_id, d.doc_id) = d.doc_id AS is_keeper
+FROM documents d
+LEFT JOIN clusters c ON d.doc_id = c.doc_id
+ORDER BY d.doc_id
+""",
+)
+def near_dup_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE scale-safe dedup product: one row per document with the keeper
+    it deduplicates to (itself when unique). Output is O(docs) — unlike any
+    pair list, which is O(sum family^2) no matter how well the candidate
+    generation is bounded (round-2 verdict item #2: at sf0.1 the composite
+    pair list is 2.9M rows / 52 s of pure materialization; this assignment
+    is ~corpus-sized).
+
+    Composition: exact fingerprint election + LSH-verified representative
+    pairs -> min-label connected components -> left join back onto
+    `documents` so singletons keep themselves. A downstream training
+    pipeline consumes this as `WHERE is_keeper` (keep one per family) or
+    joins it to re-weight repeated content."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    clusters = _min_label_cc(_near_dup_edges(spark, sf_dir)).select(
         F.col("id").alias("doc_id"), F.col("lab").alias("cluster_id")
-    ).orderBy("doc_id")
+    )
+    keeper = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    return (
+        docs.join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            keeper.alias("keeper_doc_id"),
+            (keeper == F.col("doc_id")).alias("is_keeper"),
+        )
+        .orderBy("doc_id")
+    )

@@ -65,6 +65,11 @@ def canon_value(v: Any) -> str:
         return repr(round(v, 6))
     if isinstance(v, int):
         return str(v)
+    if isinstance(v, str):
+        # repr, not str: int 174 canonicalizes as "174", so a bare str
+        # fallthrough would make the string '174' indistinguishable from
+        # it and an int-vs-varchar dtype divergence would pass the gate.
+        return repr(v)
     if isinstance(v, (bytes, bytearray)):
         return bytes(v).hex()
     if isinstance(v, _dt.datetime):

@@ -1,0 +1,36 @@
+"""Unit tests for the conformance harness's canonical form — the local
+mirror of the driver's dtype-sensitive hash gate."""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+
+from near_public_lakehouse_spark.testing.compare import canon_value, result_hash
+
+
+def test_str_and_int_do_not_collide():
+    """round-2 ADVICE (compare.py:85): int 174 and the string '174' must
+    canonicalize differently or an int-vs-varchar dtype divergence between
+    Spark and the oracle silently passes the gate."""
+    assert canon_value(174) != canon_value("174")
+    assert canon_value(1.5) != canon_value("1.5")
+    assert canon_value(True) != canon_value("True")
+
+
+def test_float_int_distinction_kept():
+    assert canon_value(174) == "174"
+    assert canon_value(174.0) == "174.0"
+    assert canon_value(decimal.Decimal("174")) == "174.0"
+
+
+def test_datetime_and_collections():
+    assert canon_value(datetime.datetime(2024, 1, 2, 3, 4, 5)) == "2024-01-02 03:04:05"
+    assert canon_value([1, "1"]) == "[1,'1']"
+    assert canon_value(None) == "␀"
+
+
+def test_result_hash_sensitive_to_dtype():
+    h1 = result_hash(["a"], [(174,)])
+    h2 = result_hash(["a"], [("174",)])
+    assert h1 != h2

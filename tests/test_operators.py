@@ -201,3 +201,88 @@ def test_merge_partitioned_crash_leaves_partitions_intact(spark, target, monkeyp
     merge_upsert(spark, target, df2, ["k"], partition_col="d")
     out = {r.k: (r.v, str(r.d)) for r in spark.read.parquet(target).collect()}
     assert out == {1: ("a", "2024-01-01"), 2: ("B", "2024-01-02"), 3: ("C", "2024-01-03")}
+
+
+def test_merge_crash_between_park_and_install_recovers(spark, target, monkeypatch):
+    """Crash AFTER parking a live partition but BEFORE installing its
+    replacement: the parked dir then holds the only copy of target rows
+    absent from the source. The next merge must restore them before its
+    cleanup, not rmtree the sole copy (round-2 ADVICE, merge.py:153)."""
+    import os as _os
+
+    df1 = spark.createDataFrame(
+        [(2, "b", "2024-01-02"), (20, "keep-me", "2024-01-02")],
+        "k int, v string, d string",
+    )
+    merge_upsert(spark, target, df1, ["k"], partition_col="d")
+    # source updates k=2 only; k=20 exists only in the target
+    df2 = spark.createDataFrame([(2, "B", "2024-01-02")], "k int, v string, d string")
+
+    real_rename = _os.rename
+    calls = {"n": 0}
+
+    def exploding_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] > 1:  # allow the park, die before the install
+            raise OSError("injected crash between park and install")
+        real_rename(src, dst)
+
+    monkeypatch.setattr("near_public_lakehouse_spark.operators.merge.os.rename", exploding_rename)
+    with pytest.raises(OSError, match="injected crash"):
+        merge_upsert(spark, target, df2, ["k"], partition_col="d")
+    monkeypatch.undo()
+
+    # re-apply: k=20 must survive (pre-fix it was permanently deleted)
+    merge_upsert(spark, target, df2, ["k"], partition_col="d")
+    out = {r.k: (r.v, str(r.d)) for r in spark.read.parquet(target).collect()}
+    assert out == {2: ("B", "2024-01-02"), 20: ("keep-me", "2024-01-02")}
+
+
+def test_merge_unpartitioned_crash_mid_swap_recovers(spark, target, monkeypatch):
+    """Unpartitioned layout: crash between parking the target dir and
+    installing the new one leaves table_exists()==False; the next merge
+    must restore the parked copy instead of recreating from source alone."""
+    import os as _os
+
+    df1 = spark.createDataFrame([(1, "a", 1), (2, "b", 1)], "k int, v string, seq int")
+    merge_upsert(spark, target, df1, ["k"])
+    df2 = spark.createDataFrame([(2, "B", 2)], "k int, v string, seq int")
+
+    real_rename = _os.rename
+    calls = {"n": 0}
+
+    def exploding_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] > 1:  # park the target, die before installing tmp
+            raise OSError("injected crash between park and install")
+        real_rename(src, dst)
+
+    monkeypatch.setattr("near_public_lakehouse_spark.operators.merge.os.rename", exploding_rename)
+    with pytest.raises(OSError, match="injected crash"):
+        merge_upsert(spark, target, df2, ["k"])
+    monkeypatch.undo()
+
+    merge_upsert(spark, target, df2, ["k"])
+    assert _rows(spark, target) == {1: ("a", 1), 2: ("B", 2)}
+
+
+def test_merge_null_partition_value_preserved(spark, target):
+    """A NULL partition value in the source must not delete the target's
+    existing null-partition rows: isin() never matches NULL, so the fence
+    needs an explicit isNull() branch (round-2 ADVICE, merge.py:67)."""
+    df1 = spark.createDataFrame(
+        [(1, "a", None), (10, "keep-me", None), (2, "b", "2024-01-02")],
+        "k int, v string, d string",
+    )
+    merge_upsert(spark, target, df1, ["k"], partition_col="d")
+    df2 = spark.createDataFrame([(1, "A", None)], "k int, v string, d string")
+    merge_upsert(spark, target, df2, ["k"], partition_col="d")
+    out = {
+        r.k: (r.v, None if r.d is None else str(r.d))
+        for r in spark.read.parquet(target).collect()
+    }
+    assert out == {
+        1: ("A", None),
+        10: ("keep-me", None),
+        2: ("b", "2024-01-02"),
+    }
