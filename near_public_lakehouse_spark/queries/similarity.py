@@ -82,6 +82,12 @@ def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the brute-force scan is the fallback; ann_lsh_topk is the indexed path.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_topk_frame(emb)
+
+
+def embedding_topk_frame(emb: DataFrame) -> DataFrame:
+    """Core of embedding_topk_cosine over any (vec_id, embedding) frame —
+    the exact baseline the ANN recall sweeps compare against."""
     # Norms are per-vector: fold them once before the join, not per pair.
     norm = F.sqrt(_dot_dec_col(F.col("embedding"), F.col("embedding")).cast("double"))
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
@@ -136,6 +142,12 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Cells probed per query by the registered ivf_topk: >1 recovers neighbors
+# that sit just across a cell boundary (the known single-probe failure
+# mode); tests/test_ann_recall.py sweeps recall@k over nprobe.
+IVF_NPROBE = 2
+
+
 @query(
     "ivf_topk",
     tags=("similarity", "ann", "ivf"),
@@ -159,7 +171,7 @@ cell AS (
   SELECT qid, label FROM (
     SELECT qid, label, row_number() OVER (PARTITION BY qid ORDER BY d2, label) AS rn
     FROM qdist
-  ) WHERE rn = 1
+  ) WHERE rn <= {IVF_NPROBE}
 ),
 cands AS (
   SELECT c.qid, e.vec_id AS cid, q.qe, e.embedding AS ce
@@ -192,17 +204,28 @@ SELECT qid, cid, cosine, rnk FROM scored WHERE rnk <= {TOP_K} ORDER BY qid, rnk
 )
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: per-label centroids are the coarse quantizer (inverted
-    file cells); each query probes its nearest cell (L2 to centroid) and
-    exact-cosine reranks only inside that cell.
+    file cells); each query probes its `IVF_NPROBE` nearest cells (L2 to
+    centroid) and exact-cosine reranks only inside those cells. Single-probe
+    misses neighbors that sit just across a cell boundary — multi-probe is
+    the standard IVF answer, trading a linear candidate-budget increase
+    (nprobe/n_cells of the corpus) for boundary recall; the recall@k sweep
+    lives in tests/test_ann_recall.py.
 
     Scale notes: the centroid table is tiny (n_cells rows) and broadcast;
     candidate scan is a co-partitioned equi join on the cell key, touching
-    ~1/n_cells of the corpus per query — the IVF contract. Everything is
-    built-in HOFs (zip_with/aggregate); no Python in the hot path. At 100 TB
-    the cell key doubles as the table's partition key so a probe is
+    ~nprobe/n_cells of the corpus per query — the IVF contract. Everything
+    is built-in HOFs (zip_with/aggregate); no Python in the hot path. At
+    100 TB the cell key doubles as the table's partition key so a probe is
     partition-pruned I/O, not a full scan.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk_frame(emb, nprobe=IVF_NPROBE)
+
+
+def ivf_topk_frame(emb: DataFrame, nprobe: int = IVF_NPROBE) -> DataFrame:
+    """Core of ivf_topk over any (vec_id, embedding, label) frame with a
+    caller-chosen probe width — split out so the recall sweep can vary
+    nprobe without re-registering queries."""
     # Coarse quantizer: elementwise mean per label, re-assembled to an array.
     cent = (
         emb.select("label", F.posexplode("embedding").alias("pos", "val"))
@@ -224,7 +247,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), norm.alias("qnorm")
     )
-    # Probe: nearest cell by L2^2 (decimal-rounded per-element -> order-free).
+    # Probe: nprobe nearest cells by L2^2 (decimal-rounded -> order-free).
     sq = F.zip_with(
         F.col("qe"),
         F.col("centroid"),
@@ -236,10 +259,12 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.crossJoin(F.broadcast(cent))
         .select("qid", "qe", "qnorm", "label", d2.alias("d2"))
         .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= nprobe)
         .select("qid", "qe", "qnorm", "label")
     )
-    # Rerank inside the cell only; candidate norms folded once per vector.
+    # Rerank inside the probed cells only; cells partition the corpus by
+    # label, so multi-probe candidates are disjoint — no dedup needed.
+    # Candidate norms folded once per vector.
     cands = emb.select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
         norm.alias("cnorm"), "label",

@@ -32,6 +32,15 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Runtime bloom-filter join pruning (InjectRuntimeFilter): a selective
+    # filter on one join side seeds a bloom filter evaluated on the other
+    # side's scan before its shuffle — the OSS analog of the semi-join
+    # reduction the Q21/Q17 shapes want at scale. Default-on in Spark 4.x
+    # but pinned so a default change can't silently drop it. Its 10 GiB
+    # application-side threshold means it engages exactly where it pays
+    # (real-scale fact scans) and stays out of small local runs;
+    # tests/test_plan_shapes.py proves the rule fires once past threshold.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # Arrow for the few pandas-UDF operators (similarity, multimodal).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # ANSI off: the reference SQL relies on permissive casts/try semantics.

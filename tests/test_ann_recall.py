@@ -60,3 +60,54 @@ def test_lsh_probe_sets_bound_candidate_work(spark, planted):
     out = lsh_topk_frame(planted)
     # rnk column exists and respects TOP_K
     assert out.groupBy("qid").count().agg(F.max("count")).collect()[0][0] <= 5
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """IVF's design regime: 10 tight clusters of 30 vectors each around
+    well-separated centroids; the first N_QUERY_VECS vec_ids are extra
+    members of clusters 0..4, so their true top-5 neighbors live in their
+    own cell."""
+    rows = []
+    for lab in range(10):
+        centroid = _vec(7000 + lab)
+        for i in range(30):
+            jitter = _vec(lab * 100 + i)
+            member = [c + 0.05 * j for c, j in zip(centroid, jitter)]
+            rows.append((100 + lab * 30 + i, member, lab))
+    for q in range(N_QUERY_VECS):
+        centroid = _vec(7000 + q)
+        jitter = _vec(6000 + q)
+        rows.append((q, [c + 0.05 * j for c, j in zip(centroid, jitter)], q))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_ivf_multiprobe_recall_sweep(spark, clustered):
+    """Multi-probe IVF recall contract (round-2 verdict item #5):
+    recall@5 vs brute force must be monotone non-decreasing in nprobe,
+    exhaustive (=1.0) at nprobe = n_cells, and >= 0.95 at nprobe=2 in the
+    clustered regime the quantizer is built for.
+
+    Context for the sweep on UNclustered data (sf0.001 uniform synthetic
+    embeddings, labels carry no geometry): recall@5 was measured at
+    nprobe 1/2/4/8/10 -> 0.08/0.16/0.32/0.80/1.00 — exactly the
+    nprobe/n_cells sampling floor, the expected IVF degradation when the
+    coarse quantizer captures no structure. On clustered data the curve
+    saturates immediately, which is what this test pins."""
+    from near_public_lakehouse_spark.queries.similarity import (
+        embedding_topk_frame,
+        ivf_topk_frame,
+    )
+
+    truth = {
+        (r.qid, r.cid) for r in embedding_topk_frame(clustered).collect()
+    }
+    recalls = {}
+    for nprobe in (1, 2, 10):
+        got = {(r.qid, r.cid) for r in ivf_topk_frame(clustered, nprobe=nprobe).collect()}
+        recalls[nprobe] = len(got & truth) / len(truth)
+    assert recalls[1] <= recalls[2] <= recalls[10], recalls
+    assert recalls[10] == 1.0, recalls  # probing every cell == brute force
+    assert recalls[2] >= 0.95, recalls  # stated nprobe target (design regime)

@@ -125,6 +125,74 @@ def test_correlated_subquery_reuses_exchange(spark):
     assert keys <= {"l_partkey", "pk"}, exchanges
 
 
+def test_runtime_bloom_filter_injects_on_fact_scan(spark):
+    """Runtime bloom-filter pruning (Q21/Q17 discipline at scale): a
+    selective dim filter must seed a bloom filter applied to the fact side
+    BEFORE its shuffle. The rule's application-side threshold is 10 GiB —
+    right for a 100 TB cluster, never met at sf0.001 — so the test lowers
+    the thresholds to prove the rule fires on our join shape, then
+    restores them."""
+    lowered = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    prev = {k: spark.conf.get(k) for k in lowered}
+    try:
+        for k, v in lowered.items():
+            spark.conf.set(k, v)
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"  # selective creation side
+        )
+        lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        j = lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        # dim side builds bloom_filter_agg; fact scan gains might_contain
+        assert "bloom_filter_agg" in plan and "might_contain" in plan, plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join validation (events.user_id hot-key shape): one key
+    carrying most of the rows must be split at runtime (`skew=true` on the
+    join node in the final adaptive plan) instead of serializing the whole
+    join behind one straggler task."""
+    lowered = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # keep coalescing from merging everything back into one partition
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    prev = {k: spark.conf.get(k) for k in lowered}
+    try:
+        for k, v in lowered.items():
+            spark.conf.set(k, v)
+        # hot key 0 carries 95% of the fact side — the events.user_id shape
+        fact = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(0)).otherwise(F.col("id")).alias("user_id"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        dim = spark.range(0, 10_000).select(
+            F.col("id").alias("user_id"), (F.col("id") * 2).alias("attr")
+        )
+        j = fact.join(dim, "user_id")
+        # run THIS dataframe's own query execution (count() would build a
+        # separate one and leave this plan un-finalized): skew handling is
+        # a runtime (AQE) re-plan, visible only in the final plan.
+        rows = j.collect()
+        # 190k rows on hot key 0 + the 500 cold keys (<10000, %20==0)
+        assert len(rows) == 190_500
+        final_plan = _plan(j)
+        assert "skew=true" in final_plan, final_plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
 def test_waiting_suppliers_single_fact_scan(spark):
     """Q21's EXISTS + NOT EXISTS must NOT become three fact scans: the
     window rewrite reads lineitem once and shuffles it once (both
