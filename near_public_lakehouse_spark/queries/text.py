@@ -375,6 +375,19 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-grams for 64-bit hashes (same plan, 8 bytes a row).
     """
     docs = load_table(spark, sf_dir, "documents")
+    with_ngs = doc_ngrams(docs)
+    bench = (
+        with_ngs.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("ngs").alias("g"))
+        .distinct()
+    )
+    corpus = with_ngs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, bench).orderBy("doc_id")
+
+
+def doc_ngrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, ngs): per-document distinct token NGRAM_N-grams — shared by
+    the batch query and the streaming twin (streaming/jobs.py)."""
     toks = tokens_col()
     ngs = F.when(
         F.size(toks) >= NGRAM_N,
@@ -383,13 +396,14 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" i -> array_join(slice(filter(split(text,' '), x -> x != ''), i, {NGRAM_N}), ' ')))"
         ),
     ).otherwise(F.array().cast("array<string>"))
-    with_ngs = docs.select("doc_id", ngs.alias("ngs"))
-    bench = (
-        with_ngs.filter(F.col("doc_id") % 97 == 0)
-        .select(F.explode("ngs").alias("g"))
-        .distinct()
-    )
-    corpus = with_ngs.filter(F.col("doc_id") % 97 != 0)
+    return docs.select("doc_id", ngs.alias("ngs"))
+
+
+def decontaminate(corpus: DataFrame, bench: DataFrame) -> DataFrame:
+    """Contamination stats for a (doc_id, ngs) corpus frame against a (g)
+    benchmark n-gram frame: broadcast join + per-doc re-aggregation. Works
+    identically on a batch frame and on a foreachBatch micro-batch (every
+    doc's n-grams live in its own row, so batch locality is exact)."""
     hits = (
         corpus.select("doc_id", F.explode("ngs").alias("g"))
         .join(F.broadcast(bench), "g")
@@ -410,5 +424,4 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("contamination_share"),
         )
-        .orderBy("doc_id")
     )
