@@ -15,6 +15,7 @@ from near_public_lakehouse_spark.operators.scd import apply_changes, latest_by
 from near_public_lakehouse_spark.plans import events as ev
 from near_public_lakehouse_spark.plans import scd_tables as scd_feeds
 from near_public_lakehouse_spark.plans import silver as sv
+from near_public_lakehouse_spark.plans import testnet as tn
 from near_public_lakehouse_spark.sources.json_stream import read_blocks, read_shards
 from near_public_lakehouse_spark.streaming.runner import Pipeline
 
@@ -39,6 +40,10 @@ def build_pipeline(spark: SparkSession, out_dir: str) -> Pipeline:
     @t("silver_chunks", ["raw_shards", "silver_blocks"])
     def _chunks(spark, i):
         return sv.silver_chunks(i["raw_shards"], i["silver_blocks"])
+
+    @t("silver_chunks_testnet", ["raw_shards", "silver_blocks"])
+    def _chunks_testnet(spark, i):
+        return tn.silver_chunks_testnet(i["raw_shards"], i["silver_blocks"])
 
     @t("silver_transactions", ["raw_shards", "silver_blocks"])
     def _txs(spark, i):
