@@ -76,6 +76,16 @@ def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oversized-block guard for the exact blocked self-join: a block with n
+# docs emits n(n-1)/2 comparisons, so one hot (source, len_bucket) key goes
+# quadratic no matter how good the plan. Blocks past this cap are excluded
+# from the exact pair product (the LSH composite `near_dup_pairs_lsh` is
+# the scale path that still covers them). 4096 docs = ~8.4M comparisons
+# per block worst case — bounded work per key; never binds on the test
+# corpora, and the guard itself is one broadcastable count aggregate.
+JACCARD_MAX_BLOCK = 4096
+
+
 @query(
     "ngram_jaccard_pairs",
     tags=("dedup", "J7"),
@@ -83,11 +93,16 @@ def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH d AS (
   SELECT doc_id, source, n_chars // 64 AS len_bucket, {DTOKS_SQL} AS toks
   FROM documents
+),
+ok AS (
+  SELECT source, len_bucket FROM d
+  GROUP BY source, len_bucket HAVING count(*) <= {JACCARD_MAX_BLOCK}
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
          / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
 FROM d a
+JOIN ok ON a.source = ok.source AND a.len_bucket = ok.len_bucket
 JOIN d b
   ON a.source = b.source AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
@@ -98,21 +113,31 @@ ORDER BY doc_a, doc_b
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection: token-set Jaccard >= 0.8 within blocking keys
     (source, length-bucket). Blocking bounds the candidate set so the join
-    is equi-key + residual — never all-pairs. Union size is computed as
-    |A|+|B|-|A∩B| to sidestep engine-specific union-dedup semantics."""
-    return _jaccard_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
-
-
-def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unordered (doc_a < doc_b, jaccard) near-dup pairs — the edge set
-    shared by ngram_jaccard_pairs and dedup_clusters."""
+    is equi-key + residual — never all-pairs — and blocks larger than
+    JACCARD_MAX_BLOCK are excluded outright (deterministically, mirrored in
+    the oracle), so per-key work is bounded at any corpus size. Union size
+    is computed as |A|+|B|-|A∩B| to sidestep engine-specific union-dedup
+    semantics."""
     docs = load_table(spark, sf_dir, "documents")
+    return _jaccard_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+def _jaccard_pairs(docs: DataFrame, max_block: int = JACCARD_MAX_BLOCK) -> DataFrame:
+    """Unordered (doc_a < doc_b, jaccard) near-dup pairs within
+    (source, len_bucket) blocks of at most `max_block` documents."""
     d = docs.select(
         "doc_id",
         "source",
         (F.col("n_chars") / 64).cast("int").alias("len_bucket"),
         _dtoks_col().alias("toks"),
     )
+    ok = (
+        d.groupBy("source", "len_bucket")
+        .agg(F.count(F.lit(1)).alias("__block_n"))
+        .filter(F.col("__block_n") <= max_block)
+        .drop("__block_n")
+    )
+    d = d.join(F.broadcast(ok), ["source", "len_bucket"])
     a = d.alias("a")
     b = d.alias("b")
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
