@@ -359,9 +359,16 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid assignment) rather than a given label, but the plan shape —
     block equi-join then narrow map — is identical.
     """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _cosine_dup_pairs(emb).orderBy("id_a", "id_b")
+
+
+def _cosine_dup_pairs(emb: DataFrame) -> DataFrame:
+    """(id_a < id_b, cosine >= COSINE_DUP_THRESHOLD) pairs within label
+    blocks — the edge core shared by embedding_near_dup and
+    semantic_dedup."""
     from near_public_lakehouse_spark.queries.similarity import _dot_dec_col
 
-    emb = load_table(spark, sf_dir, "embeddings")
     # Norms are per-vector, not per-pair: compute once before the self-join
     # (identical decimal values, 3x less fold work inside the O(pairs) part).
     withnorm = emb.select(
@@ -397,10 +404,76 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dot = _dot_dec_col(F.col("ea"), F.col("eb"))
     cosine = dot.cast("double") / (F.col("na") * F.col("nb"))
+    return candidates.select("id_a", "id_b", cosine.alias("cosine")).filter(
+        F.col("cosine") >= COSINE_DUP_THRESHOLD
+    )
+
+
+# The embedding_near_dup pair CTE, shared with semantic_dedup's oracle.
+_COSINE_PAIRS_SQL = f"""
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+),
+prods AS (SELECT id_a, id_b, unnest(ea) AS av, unnest(eb) AS bv FROM pairs),
+dots AS (
+  SELECT id_a, id_b,
+         sum(CAST(CAST(av AS DOUBLE) * CAST(bv AS DOUBLE) AS DECIMAL(30,15))) AS dot,
+         sum(CAST(CAST(av AS DOUBLE) * CAST(av AS DOUBLE) AS DECIMAL(30,15))) AS an2,
+         sum(CAST(CAST(bv AS DOUBLE) * CAST(bv AS DOUBLE) AS DECIMAL(30,15))) AS bn2
+  FROM prods GROUP BY id_a, id_b
+),
+dup_pairs AS (
+  SELECT id_a, id_b
+  FROM dots
+  WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(an2 AS DOUBLE)) * sqrt(CAST(bn2 AS DOUBLE)))
+        >= {COSINE_DUP_THRESHOLD}
+)
+"""
+
+
+@query(
+    "semantic_dedup",
+    tags=("dedup", "embedding"),
+    oracle=f"""
+WITH {_COSINE_PAIRS_SQL.strip()}
+SELECT e.vec_id, e.label, d.dup_of, d.dup_of IS NULL AS keep
+FROM embeddings e
+LEFT JOIN (SELECT id_b, min(id_a) AS dup_of FROM dup_pairs GROUP BY id_b) d
+  ON e.vec_id = d.id_b
+ORDER BY e.vec_id
+""",
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup-style semantic deduplication: a vector is dropped iff some
+    LOWER-id vector in its cluster block is cosine-similar above the
+    threshold (greedy scan-order dedup — the deterministic version of
+    "keep one representative per semantic duplicate group"). Emits one row
+    per vector (keep flag + the elected duplicate-of id), so the product is
+    O(vectors), not a pair list.
+
+    Scale notes: same blocked self-join core as embedding_near_dup (equi
+    on the cluster key, double prefilter, exact decimal refine), then one
+    groupBy(id_b) min-aggregation — pair volume never leaves the executors.
+    At 100 TB the label key comes from a learned coarse quantizer
+    (ivf_topk's centroids) and this exact plan is the SemDedup paper's
+    per-cluster pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dups = (
+        _cosine_dup_pairs(emb)
+        .groupBy("id_b")
+        .agg(F.min("id_a").alias("dup_of"))
+    )
     return (
-        candidates.select("id_a", "id_b", cosine.alias("cosine"))
-        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
-        .orderBy("id_a", "id_b")
+        emb.join(dups, emb.vec_id == dups.id_b, "left")
+        .select(
+            "vec_id",
+            "label",
+            "dup_of",
+            F.col("dup_of").isNull().alias("keep"),
+        )
+        .orderBy("vec_id")
     )
 
 

@@ -251,3 +251,78 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_toks",
         F.floor((F.sum("n_toks").over(packw) - F.col("n_toks")) / PACK_BUDGET).alias("bin"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# corpus mixture rebalancing
+
+# Target language mixture (percent of the post-rebalance corpus). The
+# standard domain/language reweighting move before training: upsample
+# under-represented strata toward a declared target mixture.
+MIX_TARGET_PCT = {"en": 40, "fr": 15, "es": 15, "de": 15, "zh": 15}
+
+_PCT_SQL = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in MIX_TARGET_PCT.items()
+) + " ELSE 0 END"
+
+
+@query(
+    "mixture_upsample",
+    tags=("sampling", "A1"),
+    oracle=f"""
+WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+t AS (SELECT count(*) AS n_total FROM documents),
+w AS (
+  SELECT lang, n_lang, n_total, CAST({_PCT_SQL} AS BIGINT) AS pct
+  FROM c, t
+)
+SELECT d.doc_id, d.lang,
+       (pct * n_total) // (100 * n_lang)
+         + CASE WHEN {BUCKET_SQL.format(key="d.doc_id")}
+                     < ((pct * n_total) % (100 * n_lang)) * 100 // (100 * n_lang)
+                THEN 1 ELSE 0 END AS n_copies
+FROM documents d JOIN w USING (lang)
+ORDER BY d.doc_id
+""",
+)
+def mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture rebalancing: each document gets an integer
+    copy count so that every language's expected post-rebalance share
+    matches MIX_TARGET_PCT. The exact factor target_share/actual_share is
+    realized in pure integer arithmetic — floor(factor) copies for every
+    doc plus one extra for the md5-bucket fraction of docs that covers the
+    remainder — so results are identical on any engine, cluster size, or
+    retry (no RNG, no floats). A factor below 1 downsamples: the bucket
+    fraction alone decides which docs of an over-represented stratum
+    survive (n_copies = 0 drops the doc), mirroring how rates work in
+    stratified_sample.
+
+    Scale notes: stratum counts are a tiny groupBy broadcast back onto the
+    corpus (one narrow join, no corpus shuffle); the copy expansion
+    downstream is posexplode(sequence(1, n_copies)) at write time. At
+    100 TB the counts come from table stats rather than a scan, but the
+    per-doc plan is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    n_total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    pct = None
+    for k, v in MIX_TARGET_PCT.items():
+        pct = F.when(F.col("lang") == k, v) if pct is None else pct.when(F.col("lang") == k, v)
+    w = (
+        n_lang.crossJoin(F.broadcast(n_total))
+        .withColumn("pct", pct.otherwise(0).cast("bigint"))
+    )
+    base = F.expr("(pct * n_total) DIV (100 * n_lang)")
+    extra_threshold = F.expr("((pct * n_total) % (100 * n_lang)) * 100 DIV (100 * n_lang)")
+    return (
+        docs.join(F.broadcast(w), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                base
+                + F.when(_bucket_col(F.col("doc_id")) < extra_threshold, 1).otherwise(0)
+            ).alias("n_copies"),
+        )
+        .orderBy("doc_id")
+    )

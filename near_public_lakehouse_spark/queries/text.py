@@ -425,3 +425,121 @@ def decontaminate(corpus: DataFrame, bench: DataFrame) -> DataFrame:
             .alias("contamination_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+
+# Conservative, engine-portable patterns (same RE2/Java-regex subset).
+EMAIL_PAT = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+PHONE_PAT = r"\+1-555-[0-9]{4}"
+
+
+@query(
+    "pii_redaction",
+    tags=("text", "pii"),
+    oracle=f"""
+WITH dirty AS (
+  SELECT doc_id,
+         'contact user' || doc_id || '@example.com or +1-555-'
+           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' || text AS d
+  FROM documents
+),
+red AS (
+  SELECT doc_id, d,
+         regexp_replace(regexp_replace(d, '{EMAIL_PAT}', '<EMAIL>', 'g'),
+                        '{PHONE_PAT}', '<PHONE>', 'g') AS clean
+  FROM dirty
+)
+SELECT doc_id,
+       len(regexp_extract_all(d, '{EMAIL_PAT}')) AS n_emails,
+       len(regexp_extract_all(d, '{PHONE_PAT}')) AS n_phones,
+       len(regexp_extract_all(clean, '{EMAIL_PAT}'))
+         + len(regexp_extract_all(clean, '{PHONE_PAT}')) AS residual_pii,
+       md5(clean) AS clean_md5
+FROM red
+ORDER BY doc_id
+""",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub stage: count and redact email/phone patterns per document.
+    The corpus is synthetic word-salad, so a deterministic dirty prefix
+    (seeded from doc_id) is concatenated first — both engines build the
+    identical input, so the oracle exercises the regex engines on REAL
+    matches rather than vacuously passing on clean text.
+
+    Scale notes: narrow per-row map, no shuffle, regexp runs JVM-side
+    inside codegen. At 100 TB this is the shape of every scrub pass:
+    scan -> regexp_replace chain -> write, embarrassingly parallel."""
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" "),
+        F.col("text"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(dirty, EMAIL_PAT, "<EMAIL>"), PHONE_PAT, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(dirty, F.lit(EMAIL_PAT)).alias("n_emails"),
+        F.regexp_count(dirty, F.lit(PHONE_PAT)).alias("n_phones"),
+        (
+            F.regexp_count(clean, F.lit(EMAIL_PAT)) + F.regexp_count(clean, F.lit(PHONE_PAT))
+        ).alias("residual_pii"),
+        F.md5(clean).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# corpus token-length histogram
+
+# Closed integer bucket edges — CASE ladder, no float log2 at the edges.
+HIST_EDGES = (16, 32, 64, 128, 256, 512)
+
+
+def _bucket_case_sql() -> str:
+    clauses = " ".join(
+        f"WHEN n_tokens < {e} THEN {e}" for e in HIST_EDGES
+    )
+    return f"CASE {clauses} ELSE {HIST_EDGES[-1] * 2} END"
+
+
+@query(
+    "token_length_histogram",
+    tags=("text", "A1"),
+    oracle=f"""
+WITH t AS (SELECT source, len({TOKENS_SQL}) AS n_tokens, n_chars FROM documents)
+SELECT source, {_bucket_case_sql()} AS bucket_lt,
+       count(*) AS n_docs,
+       sum(n_tokens) AS total_tokens,
+       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+FROM t
+GROUP BY source, bucket_lt
+ORDER BY source, bucket_lt
+""",
+)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length histogram with fixed power-of-two bucket
+    edges — the corpus-stats dashboard feeding mixture and packing
+    decisions. Integer CASE ladder (no float log at bucket edges), one
+    partial-aggregated shuffle on (source, bucket)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(tokens_col())
+    bucket = None
+    for e in HIST_EDGES:
+        bucket = F.when(n < e, e) if bucket is None else bucket.when(n < e, e)
+    bucket = bucket.otherwise(HIST_EDGES[-1] * 2)
+    return (
+        docs.select("source", n.alias("n_tokens"), "n_chars", bucket.alias("bucket_lt"))
+        .groupBy("source", "bucket_lt")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        )
+        .orderBy("source", "bucket_lt")
+    )
