@@ -111,3 +111,30 @@ def test_ivf_multiprobe_recall_sweep(spark, clustered):
     assert recalls[1] <= recalls[2] <= recalls[10], recalls
     assert recalls[10] == 1.0, recalls  # probing every cell == brute force
     assert recalls[2] >= 0.95, recalls  # stated nprobe target (design regime)
+
+
+def test_pq_recall_on_clustered(spark, clustered):
+    """PQ + ADC + exact rerank recall contract vs brute force: the
+    candidate budget (PQ_RERANK per query) plus exact rerank must recover
+    nearly all of the true top-5 in the clustered design regime."""
+    from near_public_lakehouse_spark.queries.similarity import (
+        embedding_topk_frame,
+        pq_topk_frame,
+    )
+
+    truth = {(r.qid, r.cid) for r in embedding_topk_frame(clustered).collect()}
+    got = {(r.qid, r.cid) for r in pq_topk_frame(clustered).collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, recall
+
+
+def test_pq_finds_planted_near_duplicates(spark, planted):
+    """A planted twin at cosine ~0.999 survives quantization: it must be
+    each query's rank-1 hit after the exact rerank."""
+    from near_public_lakehouse_spark.queries.similarity import pq_topk_frame
+
+    best = {r.qid: (r.cid, r.cosine) for r in pq_topk_frame(planted).collect() if r.rnk == 1}
+    assert set(best) == set(range(N_QUERY_VECS))
+    for q, (cid, cos) in best.items():
+        assert cid == 1000 + q, best
+        assert cos > 0.99
