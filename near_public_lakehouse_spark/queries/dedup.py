@@ -745,3 +745,113 @@ def near_dup_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs existing corpus
+
+INC_JACCARD_THRESHOLD = 0.8
+
+
+@query(
+    "incremental_dedup",
+    tags=("dedup", "lsh", "incremental"),
+    oracle=f"""
+WITH inc AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+cor AS (SELECT * FROM documents WHERE doc_id % 10 != 0),
+exact AS (
+  SELECT i.doc_id, min(c.doc_id) AS m
+  FROM inc i JOIN cor c ON md5(lower(trim(i.text))) = md5(lower(trim(c.text)))
+  GROUP BY i.doc_id
+),
+isig AS (SELECT doc_id, unnest({{bands}}) AS band_key FROM inc),
+csig AS (SELECT doc_id, unnest({{bands}}) AS band_key FROM cor),
+cand AS (
+  SELECT DISTINCT i.doc_id AS di, c.doc_id AS dc
+  FROM isig i JOIN csig c USING (band_key)
+),
+itoks AS (SELECT doc_id, {{dtoks}} AS toks FROM inc),
+ctoks AS (SELECT doc_id, {{dtoks}} AS toks FROM cor),
+ver AS (
+  SELECT di AS doc_id, min(dc) AS m
+  FROM cand
+  JOIN itoks ON itoks.doc_id = cand.di
+  JOIN ctoks ON ctoks.doc_id = cand.dc
+  WHERE CAST(len(list_intersect(itoks.toks, ctoks.toks)) AS DOUBLE)
+          / (len(itoks.toks) + len(ctoks.toks)
+             - len(list_intersect(itoks.toks, ctoks.toks)))
+        >= {INC_JACCARD_THRESHOLD}
+  GROUP BY di
+)
+SELECT i.doc_id,
+       CASE WHEN e.m IS NOT NULL THEN 'exact_dup'
+            WHEN v.m IS NOT NULL THEN 'near_dup'
+            ELSE 'new' END AS verdict,
+       coalesce(e.m, v.m) AS matched_doc_id
+FROM inc i
+LEFT JOIN exact e USING (doc_id)
+LEFT JOIN ver v USING (doc_id)
+ORDER BY i.doc_id
+""".replace("{bands}", _band_keys_sql()).replace("{dtoks}", DTOKS_SQL),
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup: a new document batch is checked against
+    the EXISTING corpus only (never against itself — intra-batch dedup is
+    exact_dup_groups/near_dup_assignments' job on the merged result).
+    Verdict per incoming doc: exact content match, LSH-verified near-dup,
+    or new; matched_doc_id is the smallest matching corpus doc. The split
+    here (doc_id % 10 as the incoming batch) is the fixture; the frames
+    function takes any two tables.
+
+    Scale notes: this is the steady-state shape of corpus curation — the
+    incoming batch is small relative to the corpus, so every stage is
+    bounded by the batch: the exact check is an equi-join on the content
+    hash (batch side broadcastable), candidate generation joins batch
+    band keys against the corpus band-key index (equi on band_key — at
+    100 TB that index is a materialized, bucketed table maintained
+    incrementally, so only matching buckets are read), and Jaccard
+    verification touches only candidate pairs. Output is O(batch)."""
+    docs = load_table(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return incremental_dedup_frames(incoming, corpus).orderBy("doc_id")
+
+
+def incremental_dedup_frames(incoming: DataFrame, corpus: DataFrame) -> DataFrame:
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    inc_fp = incoming.select("doc_id", fp.alias("fingerprint"))
+    cor_fp = corpus.select(F.col("doc_id").alias("cdoc"), fp.alias("fingerprint"))
+    exact = (
+        inc_fp.join(cor_fp, "fingerprint")
+        .groupBy("doc_id")
+        .agg(F.min("cdoc").alias("exact_match"))
+    )
+    inc_bk = _band_key_df(incoming)
+    cor_bk = _band_key_df(corpus).select(
+        F.col("doc_id").alias("cdoc"), "band_key"
+    )
+    cand = inc_bk.join(cor_bk, "band_key").select("doc_id", "cdoc").distinct()
+    inc_toks = incoming.select("doc_id", _dtoks_col().alias("itoks"))
+    cor_toks = corpus.select(F.col("doc_id").alias("cdoc"), _dtoks_col().alias("ctoks"))
+    inter = F.size(F.array_intersect(F.col("itoks"), F.col("ctoks")))
+    union = F.size(F.col("itoks")) + F.size(F.col("ctoks")) - inter
+    near = (
+        cand.join(inc_toks, "doc_id")
+        .join(cor_toks, "cdoc")
+        .filter(inter.cast("double") / union >= INC_JACCARD_THRESHOLD)
+        .groupBy("doc_id")
+        .agg(F.min("cdoc").alias("near_match"))
+    )
+    return (
+        incoming.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_match").isNotNull(), "exact_dup")
+            .when(F.col("near_match").isNotNull(), "near_dup")
+            .otherwise("new")
+            .alias("verdict"),
+            F.coalesce("exact_match", "near_match").alias("matched_doc_id"),
+        )
+    )
