@@ -400,3 +400,44 @@ def streaming_decontamination(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_incremental_dedup(
+    spark: SparkSession,
+    docs_path: str,
+    corpus: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming corpus curation: incoming documents arrive as a file
+    stream and each micro-batch is deduplicated against the STATIC
+    existing corpus with the same `incremental_dedup_frames` core the
+    batch query uses (exact content hash -> LSH band-key candidates ->
+    exact Jaccard verdicts). Stateless like streaming_decontamination:
+    every verdict depends only on the incoming row and the fixed corpus
+    side, so no state store or watermark is involved and checkpoint
+    resume appends only unseen documents.
+
+    At 100 TB the corpus side is the maintained band-key index table
+    (bucketed on band_key); accepted `new` docs from each batch would be
+    appended to it downstream — that append is the ONLY stateful step in
+    the curation loop, and it lives in the table, not the stream."""
+    from near_public_lakehouse_spark.queries.dedup import incremental_dedup_frames
+
+    schema = spark.read.parquet(docs_path).schema
+    r = spark.readStream
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = r.schema(schema).parquet(_stream_path(docs_path))
+    incoming = stream.filter(F.col("doc_id") % 10 == 0)
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_dedup_frames(batch_df, corpus).write.mode("append").parquet(out_path)
+
+    return (
+        incoming.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -64,3 +64,27 @@ def test_streaming_decontamination_resumes_without_duplicates(spark, tmp_path):
     q2 = streaming_decontamination(spark, docs_path, bench, out, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
+    """The availableNow streaming run of incremental dedup must produce
+    exactly the batch query's verdicts on the same incoming set."""
+    from near_public_lakehouse_spark.queries import all_queries
+    from near_public_lakehouse_spark.streaming.jobs import streaming_incremental_dedup
+
+    docs_path = f"{SF_DIR}/documents.parquet"
+    expected = {
+        (r.doc_id, r.verdict, r.matched_doc_id)
+        for r in all_queries()["incremental_dedup"].fn(spark, SF_DIR).collect()
+    }
+    corpus = spark.read.parquet(docs_path).filter(F.col("doc_id") % 10 != 0)
+    out = str(tmp_path / "verdicts")
+    q = streaming_incremental_dedup(
+        spark, docs_path, corpus, out, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.verdict, r.matched_doc_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == expected
