@@ -543,3 +543,133 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bucket_lt")
     )
+
+
+@query(
+    "benchmark_decontamination_hashed",
+    tags=("text", "dedup", "beyond-reference"),
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS t FROM documents),
+ng AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             list_transform(generate_series(1, len(t) - {NGRAM_N - 1}),
+                            i -> array_to_string(t[i:i + {NGRAM_N - 1}], ' ')),
+             g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS ngs
+  FROM toks
+),
+bench AS (SELECT DISTINCT unnest(ngs) AS g FROM ng WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT doc_id, count(*) AS n_contaminated
+  FROM (SELECT doc_id, unnest(ngs) AS g FROM ng WHERE doc_id % 97 <> 0) c
+  JOIN bench USING (g)
+  GROUP BY doc_id
+)
+SELECT ng.doc_id,
+       len(ngs) AS n_ngrams,
+       COALESCE(n_contaminated, 0) AS n_contaminated,
+       CAST(CAST(COALESCE(n_contaminated, 0) AS DOUBLE)
+            / CAST(len(ngs) AS DOUBLE) AS DOUBLE) AS contamination_share
+FROM ng LEFT JOIN hits ON ng.doc_id = hits.doc_id
+WHERE ng.doc_id % 97 <> 0
+ORDER BY ng.doc_id
+""",
+)
+def benchmark_decontamination_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """benchmark_decontamination's documented 100 TB knob made real: each
+    n-gram is hashed to a 60-bit integer (15 hex chars of md5 — inside
+    BIGINT range on both engines) right after generation, so the exploded
+    join rows and the broadcast benchmark set carry 8 bytes instead of an
+    n-token string. Same plan shape; hash collisions are deterministic and
+    identical on both engines, so the oracle stays exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_ngs = doc_ngrams(docs)
+    hash_ngs = F.array_distinct(
+        F.transform(
+            F.col("ngs"),
+            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint"),
+        )
+    )
+    hashed = with_ngs.select("doc_id", hash_ngs.alias("ngs"))
+    bench = (
+        hashed.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("ngs").alias("g"))
+        .distinct()
+    )
+    corpus = hashed.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, bench).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# quality filter with reasons
+
+# (rule name, fires-when) — thresholds tuned so both verdicts occur on the
+# synthetic corpus; the rule list, not the constants, is the operator.
+QF_MIN_TOKENS = 24
+QF_MIN_DISTINCT_RATIO = 0.55
+QF_MAX_STOPWORD_RATIO = 0.12
+QF_MAX_AVG_WORD_LEN = 5.8
+
+
+@query(
+    "quality_filter",
+    tags=("text", "quality"),
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         len({TOKENS_SQL}) AS n_tokens,
+         len(list_distinct({TOKENS_SQL})) AS n_distinct,
+         len(list_filter({TOKENS_SQL}, x -> x IN {STOP_SQL})) AS n_stop,
+         n_chars
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_tokens,
+         list_filter([
+           CASE WHEN n_tokens < {QF_MIN_TOKENS} THEN 'too_short' END,
+           CASE WHEN CAST(n_distinct AS DOUBLE) / n_tokens < {QF_MIN_DISTINCT_RATIO}
+                THEN 'low_diversity' END,
+           CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens > {QF_MAX_STOPWORD_RATIO}
+                THEN 'stopword_heavy' END,
+           CASE WHEN CAST(n_chars AS DOUBLE) / n_tokens > {QF_MAX_AVG_WORD_LEN}
+                THEN 'long_words' END
+         ], x -> x IS NOT NULL) AS reasons
+  FROM m
+)
+SELECT doc_id, n_tokens, reasons, len(reasons) = 0 AS passes
+FROM r
+ORDER BY doc_id
+""",
+)
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style heuristic quality gate with an audit trail: every
+    document gets the LIST of rules it failed (empty list = passes), so
+    downstream can both filter and report per-rule drop rates — the form
+    real curation pipelines need (a bare boolean can't explain a 40% drop
+    at 100 TB). Rule evaluation is one narrow projection; the reasons
+    array is built with array_compact over CASE results, order fixed by
+    the rule list on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    reasons = F.array_compact(
+        F.array(
+            F.when(n < QF_MIN_TOKENS, "too_short"),
+            F.when(n_distinct.cast("double") / n < QF_MIN_DISTINCT_RATIO, "low_diversity"),
+            F.when(n_stop.cast("double") / n > QF_MAX_STOPWORD_RATIO, "stopword_heavy"),
+            F.when(
+                F.col("n_chars").cast("double") / n > QF_MAX_AVG_WORD_LEN, "long_words"
+            ),
+        )
+    )
+    return (
+        docs.select(
+            "doc_id",
+            n.alias("n_tokens"),
+            reasons.alias("reasons"),
+            (F.size(reasons) == 0).alias("passes"),
+        )
+        .orderBy("doc_id")
+    )
