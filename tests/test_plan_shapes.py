@@ -203,3 +203,44 @@ def test_waiting_suppliers_single_fact_scan(spark):
     assert plan.count("lineitem.parquet") == 1
     assert plan.count("Exchange hashpartitioning(l_orderkey") == 1
     assert plan.count("Window") == 2  # stacked, no exchange between them
+
+
+def test_quality_filter_is_shuffle_free(spark):
+    """The quality gate must stay a narrow per-row map: no Exchange in the
+    plan (the final orderBy is allowed its sort, nothing more)."""
+    from near_public_lakehouse_spark.queries import all_queries
+
+    plan = _plan(all_queries()["quality_filter"].fn(spark, SF_DIR))
+    # one rangepartitioning exchange for the cosmetic ORDER BY, none before
+    body = plan.split("Sort")[-1]
+    assert "Exchange hashpartitioning" not in body, plan
+
+
+def test_mixture_upsample_broadcasts_stratum_counts(spark):
+    """Stratum stats must come back to the corpus as a broadcast join —
+    the corpus itself never shuffles for the copy-count assignment."""
+    from near_public_lakehouse_spark.queries import all_queries
+
+    plan = _plan(all_queries()["mixture_upsample"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_incremental_dedup_joins_are_keyed(spark):
+    """Candidate generation must be equi-joins (fingerprint / band_key) —
+    no nested-loop or cartesian product anywhere in the verdict plan."""
+    from near_public_lakehouse_spark.queries import all_queries
+
+    plan = _plan(all_queries()["incremental_dedup"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jaccard_guard_is_broadcast_semijoin(spark):
+    """The oversized-block guard must not add a corpus shuffle: the block
+    counts join back as a broadcast."""
+    from near_public_lakehouse_spark.queries import all_queries
+
+    plan = _plan(all_queries()["ngram_jaccard_pairs"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
