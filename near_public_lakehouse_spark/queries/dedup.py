@@ -286,6 +286,11 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole computation inside array HOFs — per-row, shuffle-free, which is
     the shape that survives 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
+    return simhash_frame(docs).orderBy("doc_id")
+
+
+def simhash_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) over any frame with a `text` column."""
     hashes = _tokhash_col(_dtoks_col())
     zero = F.array_repeat(F.lit(0).cast("bigint"), SIMHASH_BITS)
     # 2^b via double pow: exact for b < 53 and, since hashes are < 2^32,
@@ -315,7 +320,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda a, x: a + x,
     )
-    return docs.select("doc_id", fingerprint.alias("simhash")).orderBy("doc_id")
+    return docs.select("doc_id", fingerprint.alias("simhash"))
 
 
 # Embedding-cosine near-dup: pairs above this similarity are duplicates.

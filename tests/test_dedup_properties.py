@@ -1,0 +1,73 @@
+"""Property-based invariants for the dedup signature machinery: MinHash
+band keys must depend only on the distinct-token SET (order/multiplicity
+invariant), exact duplicates must verify at jaccard 1.0, and SimHash must
+be a stable 32-bit function of the token multiset."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+words = st.text(alphabet="abcdefgh", min_size=1, max_size=6)
+token_lists = st.lists(words, min_size=1, max_size=12)
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id bigint, text string, source string, n_chars int",
+    )
+
+
+@given(toks=token_lists, seed=st.integers(0, 2**31))
+@settings(**_SETTINGS)
+def test_band_keys_depend_only_on_token_set(spark, toks, seed):
+    from near_public_lakehouse_spark.queries.dedup import _band_key_df
+
+    import random
+
+    rng = random.Random(seed)
+    shuffled = toks[:]
+    rng.shuffle(shuffled)
+    # duplicate a few tokens: multiplicity must not matter either
+    dup = shuffled + [rng.choice(toks) for _ in range(3)]
+    df = _docs(spark, [" ".join(toks), " ".join(dup)])
+    keys = {}
+    for r in _band_key_df(df).collect():
+        keys.setdefault(r.doc_id, set()).add(r.band_key)
+    assert keys[0] == keys[1]
+
+
+@given(toks=token_lists)
+@settings(**_SETTINGS)
+def test_exact_duplicates_verify_at_jaccard_one(spark, toks):
+    from near_public_lakehouse_spark.queries.dedup import _jaccard_pairs
+
+    text = " ".join(toks)
+    df = _docs(spark, [text, text])
+    pairs = _jaccard_pairs(df).collect()
+    assert len(pairs) == 1
+    assert pairs[0].jaccard == 1.0
+
+
+@given(toks=token_lists, seed=st.integers(0, 2**31))
+@settings(**_SETTINGS)
+def test_simhash_is_order_invariant_32bit(spark, toks, seed):
+    from near_public_lakehouse_spark.queries.dedup import SIMHASH_BITS
+    import near_public_lakehouse_spark.queries.dedup as dd
+
+    import random
+
+    rng = random.Random(seed)
+    shuffled = toks[:]
+    rng.shuffle(shuffled)
+    df = _docs(spark, [" ".join(toks), " ".join(shuffled)])
+    rows = {r.doc_id: r.simhash for r in dd.simhash_frame(df).collect()}
+    assert rows[0] == rows[1]
+    assert 0 <= rows[0] < 2**SIMHASH_BITS
