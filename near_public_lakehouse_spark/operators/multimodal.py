@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -246,3 +247,100 @@ def metadata_only_projection(df: DataFrame) -> DataFrame:
     """The query every consumer should start from: metadata pruning without
     touching payload bytes (check ReadSchema excludes `media`)."""
     return df.select("media_id", "modality", "format", "width", "height", "n_bytes")
+
+
+# --- real (dependency-free) analysis stages --------------------------------
+
+# Magic-byte signatures: format routing needs no codec, so unlike the
+# decode layer this stage is fully real — it is how a 100 TB ingest fans
+# payloads out to per-format decode pools.
+_MAGIC_SIGNATURES = (
+    ("png", b"\x89PNG\r\n\x1a\n"),
+    ("jpeg", b"\xff\xd8\xff"),
+    ("gif", b"GIF8"),
+    ("riff", b"RIFF"),  # wav/avi container; refine via bytes 8-12
+    ("mp4", None),  # ftyp at offset 4, handled below
+    ("fake_image", FAKE_MAGIC),
+    ("fake_video", FAKE_VIDEO_MAGIC),
+)
+
+SNIFF_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("detected_format", StringType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def sniff_format(payload: bytes) -> str:
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return "mp4"
+    if payload[:4] == b"RIFF" and len(payload) >= 12:
+        kind = payload[8:12]
+        if kind == b"WAVE":
+            return "wav"
+        if kind == b"AVI ":
+            return "avi"
+        return "riff"
+    for name, magic in _MAGIC_SIGNATURES:
+        if magic and payload[: len(magic)] == magic:
+            return name
+    return "unknown"
+
+
+def detect_formats(df: DataFrame) -> DataFrame:
+    """Magic-byte format sniffing per payload — the routing stage before
+    any decode. Pure bytes inspection (first 16 bytes), so it is REAL in
+    this container, not a stub."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = pdf["media"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "detected_format": [sniff_format(bytes(p)) for p in payloads],
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return df.select("media_id", "media").mapInPandas(run, SNIFF_SCHEMA)
+
+
+ENTROPY_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("byte_entropy", DoubleType()),
+    ]
+)
+
+
+def byte_entropy_features(df: DataFrame) -> DataFrame:
+    """Shannon entropy (bits/byte) of each payload — a real, codec-free
+    quality/filter signal: ~0 for constant padding, ~8 for
+    compressed/encrypted blobs, mid-range for structured media. Vectorized
+    numpy bincount over Arrow batches; the standard cheap screen before
+    spending decode cycles at 100 TB."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, sizes, ents = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                counts = np.bincount(b, minlength=256)
+                p = counts[counts > 0] / len(b)
+                ents.append(float(-(p * np.log2(p)).sum()) if len(b) else 0.0)
+                ids.append(mid)
+                sizes.append(len(b))
+            yield pd.DataFrame(
+                {"media_id": ids, "n_bytes": sizes, "byte_entropy": ents}
+            )
+
+    return df.select("media_id", "media").mapInPandas(run, ENTROPY_SCHEMA)

@@ -95,3 +95,34 @@ def test_frame_sampling_fan_out(spark):
     mixed = mm.make_media_table(spark, n=4).union(mm.make_video_table(spark, n=2))
     out = mm.sample_frames(mixed, stride=4)
     assert set(r.media_id for r in out.collect()) == {0, 1}
+
+
+def test_format_sniffing_routes_by_magic_bytes(spark):
+    import near_public_lakehouse_spark.operators.multimodal as mm
+
+    rows = [
+        (1, "image", b"\x89PNG\r\n\x1a\n" + b"\x00" * 24, None, None, None, None),
+        (2, "image", b"\xff\xd8\xff\xe0" + b"\x00" * 24, None, None, None, None),
+        (3, "audio", b"RIFF" + b"\x00\x00\x00\x00" + b"WAVE" + b"\x00" * 16, None, None, None, None),
+        (4, "video", b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 16, None, None, None, None),
+        (5, "image", mm.encode_fake_image(8, 8), None, None, None, None),
+        (6, "image", b"garbage-bytes-here", None, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r.media_id: r.detected_format for r in mm.detect_formats(df).collect()}
+    assert got == {1: "png", 2: "jpeg", 3: "wav", 4: "mp4", 5: "fake_image", 6: "unknown"}
+
+
+def test_byte_entropy_separates_padding_from_noise(spark):
+    import near_public_lakehouse_spark.operators.multimodal as mm
+
+    constant = bytes(256)  # all-zero padding: entropy 0
+    uniform = bytes(range(256)) * 4  # every byte value equally often: entropy 8
+    rows = [
+        (1, "image", constant, None, None, None, None),
+        (2, "image", uniform, None, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r.media_id: r.byte_entropy for r in mm.byte_entropy_features(df).collect()}
+    assert got[1] == 0.0
+    assert abs(got[2] - 8.0) < 1e-9
