@@ -860,3 +860,155 @@ def incremental_dedup_frames(incoming: DataFrame, corpus: DataFrame) -> DataFram
             F.coalesce("exact_match", "near_match").alias("matched_doc_id"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# substring-level duplication: hashed sliding token windows
+
+SPAN_W = 8  # window length in tokens
+
+
+@query(
+    "duplicate_ngram_spans",
+    tags=("dedup", "substring", "beyond-reference"),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {SPAN_W}
+              THEN list_transform(range(1, len(toks) - {SPAN_W} + 2),
+                     i -> md5(array_to_string(toks[i:i+{SPAN_W - 1}], ' ')))
+              ELSE CAST([] AS VARCHAR[]) END AS wins
+  FROM t
+),
+e AS (SELECT doc_id, unnest(wins) AS win FROM w),
+c AS (SELECT win, count(DISTINCT doc_id) AS ndocs FROM e GROUP BY win),
+p AS (
+  SELECT e.doc_id,
+         count(*) AS n_windows,
+         CAST(sum(CASE WHEN c.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dup_windows
+  FROM e JOIN c USING (win)
+  GROUP BY e.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_windows, 0) AS n_windows,
+       coalesce(p.dup_windows, 0) AS dup_windows,
+       CASE WHEN coalesce(p.n_windows, 0) = 0 THEN 0.0
+            ELSE CAST(p.dup_windows AS DOUBLE) / p.n_windows END AS dup_fraction
+FROM documents d
+LEFT JOIN p USING (doc_id)
+ORDER BY d.doc_id
+""",
+)
+def duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication metric (the exact-substring dedup of Lee
+    et al., "Deduplicating Training Data Makes Language Models Better",
+    approximated at token-window granularity): every doc is decomposed into
+    overlapping 8-token windows, a window is *duplicated* when its hash
+    occurs in >= 2 distinct docs, and each doc reports the fraction of its
+    windows that are duplicated. Downstream curation drops or trims docs
+    with high dup_fraction — content that survives document-level dedup but
+    shares boilerplate passages (licenses, navigation chrome, templates).
+
+    Scale shape: window extraction is a per-row HOF map (no Python, no
+    shuffle) emitting O(total tokens) hashes; then ONE shuffle on the
+    window hash for the distinct-doc count, one hash-join back (same key,
+    exchange reused), and a groupBy on doc_id. Nothing is quadratic: a
+    window shared by a million docs costs one counter, not a pair list.
+    The md5 could narrow to xxhash64 at scale — the hash only needs to
+    distinguish windows, and a 64-bit shuffle key quarters the exchange
+    bytes; md5 is kept here because both engines compute it identically.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    nwin = F.size(F.col("toks")) - SPAN_W + 1
+    wins = F.when(
+        F.size(F.col("toks")) >= SPAN_W,
+        F.transform(
+            F.sequence(F.lit(1), nwin),
+            lambda i: F.md5(F.array_join(F.slice(F.col("toks"), i, SPAN_W), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    e = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode(wins.alias("wins")).alias("win"))
+    )
+    c = e.groupBy("win").agg(F.countDistinct("doc_id").alias("ndocs"))
+    p = (
+        e.join(c, "win")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0)).alias("dup_windows"),
+        )
+    )
+    n_windows = F.coalesce(F.col("n_windows"), F.lit(0).cast("bigint"))
+    dup_windows = F.coalesce(F.col("dup_windows"), F.lit(0).cast("bigint"))
+    return (
+        docs.select("doc_id")
+        .join(p, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_windows.alias("n_windows"),
+            dup_windows.alias("dup_windows"),
+            F.when(n_windows == 0, F.lit(0.0))
+            .otherwise(F.col("dup_windows").cast("double") / F.col("n_windows"))
+            .alias("dup_fraction"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-source contamination matrix over the composite duplicate graph
+
+_DUP_MATRIX_SQL = f"""
+WITH {_LSH_EDGES_SQL},
+lab AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM edges e
+  JOIN documents da ON e.doc_a = da.doc_id
+  JOIN documents db ON e.doc_b = db.doc_id
+)
+SELECT source_a, source_b, count(*) AS n_dup_pairs
+FROM lab
+GROUP BY source_a, source_b
+ORDER BY source_a, source_b
+"""
+
+
+@query("cross_source_dup_matrix", tags=("dedup", "lsh", "beyond-reference"), oracle=_DUP_MATRIX_SQL)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where does duplication come from? Every edge of the composite
+    duplicate graph (exact keeper->member links + LSH-verified near-dup
+    representative pairs — the same edge set `dedup_clusters` runs CC
+    over) is labeled with its endpoints' sources, normalized to an
+    unordered (source_a <= source_b) pair, and counted. The diagonal is
+    intra-source boilerplate; off-diagonal cells are cross-source
+    contamination (mirrors, scrapes of scrapes) — the number a curation
+    team looks at before deciding which source to drop.
+
+    Scale shape: two equi-joins on doc_id to attach sources (dimension-
+    sized source table rides the fact partitioning), then a groupBy on a
+    tiny key space (|sources|^2 cells) — partial aggregation collapses it
+    map-side; the result is KB regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    edges = _near_dup_edges(spark, sf_dir)
+    e = (
+        edges.join(docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "source_x"), "doc_a")
+        .join(docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "source_y"), "doc_b")
+    )
+    return (
+        e.select(
+            F.least("source_x", "source_y").alias("source_a"),
+            F.greatest("source_x", "source_y").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+        .orderBy("source_a", "source_b")
+    )

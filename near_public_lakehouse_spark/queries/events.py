@@ -464,3 +464,86 @@ def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# gap-based sessionization
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min, in microseconds
+
+
+@query(
+    "user_sessions",
+    tags=("W3", "A4", "sessionization", "beyond-reference"),
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NOT DISTINCT FROM NULL
+                OR epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sess AS (
+  SELECT *,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       session_seq,
+       min(epoch_us(ts)) AS session_start_us,
+       max(epoch_us(ts)) AS session_end_us,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM sess
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+""",
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: consecutive events of a user belong to one
+    session while the inter-event gap stays <= 30 min; a larger gap (or the
+    user's first event) opens a new session. The batch twin of the
+    transformWithState streaming sessionizer (streaming/sessions.py) — the
+    same 30-min gap rule, expressed as two windows instead of typed state.
+
+    Plan shape: ONE shuffle on user_id serves both window passes (lag ->
+    new-session flag, running sum -> session_seq) AND the final
+    groupBy(user_id, session_seq) — the session key is a refinement of the
+    window partition key, so Catalyst reuses the partitioning and the agg
+    is shuffle-free. At 100 TB this is the canonical "sort within user,
+    never across users" shape; skewed hot users are bounded by per-user
+    event counts, not corpus size.
+
+    The gap is compared in integer MICROSECONDS on both engines: Spark
+    floors the ns epoch with exact decimal division (functions/time.py),
+    DuckDB's epoch_us truncates the same way, so the 30-min fence can
+    never disagree in the sub-us residue.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = ns_to_micros("ts")
+    gap = us - F.lag(us).over(w)
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > SESSION_GAP_US), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.min(us).alias("session_start_us"),
+            F.max(us).alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )

@@ -532,3 +532,120 @@ def pq_topk_frame(emb: DataFrame, dim: int = 64) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .orderBy("qid", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means clustering (Lloyd's) over the embedding corpus
+
+KMEANS_K = 10
+KMEANS_ITERS = 8
+
+
+def kmeans_fit(
+    emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> tuple[DataFrame, list[list[float]], list[float]]:
+    """Deterministic Lloyd's k-means over (vec_id, embedding).
+
+    Returns (assignments DF, final centroids, per-iteration inertia).
+
+    Design for the cluster, not the driver:
+    - centroids are tiny (k x dim doubles) and live ON the driver between
+      iterations; each assignment pass bakes them into the plan as column
+      literals, so per-row distance evaluation is pure whole-stage-codegen
+      arithmetic — no join, no UDF, no shuffle for assignment;
+    - the ONLY shuffle per iteration is the (cluster_id, dim_pos) groupBy
+      that recomputes means, whose output is k*dim rows — collect() of
+      k*dim scalars is bounded control flow, same category as the CC
+      loop's convergence scalar (VERDICT r1 §4);
+    - determinism: init is the k lowest vec_ids (no RNG), distances are
+      doubles computed from literals in a fixed expression order, and the
+      mean's numerator is an exact DECIMAL sum (functions/numeric.dsum
+      rule) so shuffle order can't wiggle low bits — re-running yields
+      byte-identical assignments (pinned by tests/test_kmeans.py);
+    - an empty cluster keeps its previous centroid (no resampling — that
+      would need an RNG and break determinism).
+
+    At 100 TB: assignment stays embarrassingly parallel; the mean-update
+    shuffle carries k*dim*partials rows. The driver round-trip per
+    iteration is the textbook Lloyd's-on-MapReduce shape (same as Spark
+    MLlib's own KMeans driver loop).
+    """
+    ecol = F.col("embedding")
+    init = [
+        [float(x) for x in r.embedding]
+        for r in emb.orderBy("vec_id").limit(k).select("embedding").collect()
+    ]
+    centroids = init
+    inertia_history: list[float] = []
+    assigned = None
+    for _ in range(iters):
+        # struct(dist, idx): array_min picks lexicographic min -> nearest
+        # centroid, lowest index on exact ties.
+        cands = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            ecol,
+                            F.array(*[F.lit(float(x)) for x in c]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("dist"),
+                    F.lit(i).alias("idx"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        best = F.array_min(cands)
+        assigned = emb.select(
+            "vec_id",
+            ecol.alias("embedding"),
+            best.getField("idx").alias("cluster_id"),
+            best.getField("dist").alias("sq_dist"),
+        )
+        stats = (
+            assigned.select(
+                "cluster_id", "sq_dist", F.posexplode("embedding").alias("pos", "v")
+            )
+            .groupBy("cluster_id", "pos")
+            .agg(
+                F.sum(F.col("v").cast("decimal(28,12)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("sq_dist").cast("decimal(28,12)")).alias("sd"),
+            )
+            .collect()
+        )
+        dim = len(centroids[0])
+        new_c = [list(c) for c in centroids]  # empty cluster keeps centroid
+        for r in stats:
+            new_c[r.cluster_id][r.pos] = float(r.s) / r.n
+        inertia_history.append(
+            float(sum(r.sd for r in stats if r.pos == 0))
+        )
+        centroids = new_c
+    return assigned, centroids, inertia_history
+
+
+@query("kmeans_clusters", tags=("similarity", "clustering", "beyond-reference"), oracle=None)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus clustering for mixture analysis / IVF centroid training:
+    deterministic Lloyd's k-means (k=10, 8 iterations, k-lowest-vec_id
+    init) over the embeddings table. Output is one row per vector with its
+    final cluster and squared distance — the assignment table a curation
+    pipeline joins against documents to stratify, rebalance, or pick IVF
+    cells (`ivf_topk` consumes exactly this shape of centroid).
+
+    No SQL oracle: iterative fixpoint algorithms are the documented
+    rows-only category (driver records row count + schema); behavioral
+    correctness is pinned by tests/test_kmeans.py — determinism across
+    runs, every point nearest its final centroid (numpy cross-check),
+    centroid = member mean, and monotone non-increasing inertia.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned, _, _ = kmeans_fit(emb)
+    return (
+        assigned.select("vec_id", "cluster_id", F.round("sq_dist", 6).alias("sq_dist"))
+        .orderBy("vec_id")
+    )

@@ -244,3 +244,15 @@ def test_jaccard_guard_is_broadcast_semijoin(spark):
     plan = _plan(all_queries()["ngram_jaccard_pairs"].fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_user_sessions_single_hash_shuffle(spark):
+    """Sessionization: lag window, running-sum window, and the per-session
+    groupBy must all ride ONE hashpartitioning(user_id) exchange — the
+    session key refines the window partition key, so no re-shuffle."""
+    from near_public_lakehouse_spark.queries.events import user_sessions
+
+    plan = user_sessions(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    hash_ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(hash_ex) == 1 and "user_id" in hash_ex[0], plan
+    assert plan.count("Window") == 2, plan
