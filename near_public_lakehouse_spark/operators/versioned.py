@@ -41,6 +41,12 @@ Semantics:
   feed, exactly like Delta's OPTIMIZE; commits that rewrite existing rows
   (``upsert``/``overwrite``) either raise or are skipped wholesale under
   ``skip_change_commits=True`` — never half-read.
+- **Streaming tail**: ``tail_into``/``tail_until_drained`` consume the
+  change feed into another versioned table with the consumed source
+  version recorded INSIDE the output commit (Delta's txnAppId/txnVersion
+  idempotent-writer contract) — exactly-once incremental propagation with
+  no external checkpoint store, the availableNow streaming-table pattern
+  of `NEAR Public Datasets.py`.
 """
 
 from __future__ import annotations
@@ -127,21 +133,33 @@ def _commit(
     base_version: int | None,
     schema_json: str,
     data_change: bool = True,
+    txn: dict[str, int] | None = None,
 ) -> int:
     version = 0 if base_version is None else base_version + 1
-    _publish(
-        table_dir,
-        version,
-        {
-            "version": version,
-            "operation": operation,
-            "timestamp": time.time(),
-            "files": files,
-            "schema": schema_json,
-            "data_change": data_change,
-        },
-    )
+    manifest = {
+        "version": version,
+        "operation": operation,
+        "timestamp": time.time(),
+        "files": files,
+        "schema": schema_json,
+        "data_change": data_change,
+    }
+    if txn:
+        manifest["txn"] = txn
+    _publish(table_dir, version, manifest)
     return version
+
+
+def last_committed_txn(table_dir: str, app_id: str) -> int | None:
+    """Highest transaction watermark any manifest recorded for `app_id` —
+    the Delta `txnAppId`/`txnVersion` idempotent-writer lookup. Scans the
+    log newest-first; at real scale a reader caches this per process (the
+    log is append-only, so a cached answer only ever goes stale upward)."""
+    for v in reversed(_versions(table_dir)):
+        t = _read_manifest(table_dir, v).get("txn", {})
+        if app_id in t:
+            return t[app_id]
+    return None
 
 
 def commit_overwrite(df: DataFrame, table_dir: str, _retries: int = 10) -> int:
@@ -225,36 +243,16 @@ def commit_compact(
     raise CommitConflict(f"compact of {table_dir} lost {_retries} races")
 
 
-def read_changes(
-    spark: SparkSession,
+def _changes_plan(
     table_dir: str,
-    since_version: int | None = None,
-    end_version: int | None = None,
-    skip_change_commits: bool = False,
-) -> DataFrame:
-    """Rows ADDED by commits in ``(since_version, end_version]`` with a
-    ``_commit_version`` column — the incremental-consumption seam the
-    reference builds on streaming Delta reads (`NEAR Public Datasets.py`
-    `.option("skipChangeCommits", "true")`).
-
-    Per commit, the additions are its manifest's files minus its
-    predecessor's — file paths are immutable, so this is set difference on
-    the driver, no data diffing. Three commit classes:
-
-    - additive (``append``, or any commit removing no predecessor files):
-      its new files are read;
-    - reorganization (``data_change: false``, e.g. `commit_compact`):
-      silently invisible, same as Delta OPTIMIZE under a streaming reader;
-    - change commits (an ``upsert``/``overwrite`` that dropped predecessor
-      files): ValueError by default — silently re-reading rewritten rows
-      would double-count — or skipped WHOLESALE with
-      ``skip_change_commits=True``, mirroring the Delta option's semantics.
-
-    ``since_version=None`` starts before version 0 (full-history read).
-    Scale: cost is O(files added in the window); consumers checkpoint
-    `latest_version()` and poll — at 100 TB this is the same trailing-
-    window pattern as the reference's availableNow restarts.
-    """
+    since_version: int | None,
+    end_version: int | None,
+    skip_change_commits: bool,
+) -> tuple[list[tuple[int, list[str]]], str | None]:
+    """Driver-side change-feed planning: which files each commit in
+    ``(since_version, end_version]`` ADDED, plus the newest schema seen.
+    Pure log reads — no Spark job — so `tail_into` can detect an empty
+    window for free."""
     versions = _versions(table_dir)
     if end_version is not None:
         versions = [v for v in versions if v <= end_version]
@@ -288,6 +286,42 @@ def read_changes(
             )
         if added:
             added_by_version.append((v, added))
+    return added_by_version, latest_schema
+
+
+def read_changes(
+    spark: SparkSession,
+    table_dir: str,
+    since_version: int | None = None,
+    end_version: int | None = None,
+    skip_change_commits: bool = False,
+) -> DataFrame:
+    """Rows ADDED by commits in ``(since_version, end_version]`` with a
+    ``_commit_version`` column — the incremental-consumption seam the
+    reference builds on streaming Delta reads (`NEAR Public Datasets.py`
+    `.option("skipChangeCommits", "true")`).
+
+    Per commit, the additions are its manifest's files minus its
+    predecessor's — file paths are immutable, so this is set difference on
+    the driver, no data diffing. Three commit classes:
+
+    - additive (``append``, or any commit removing no predecessor files):
+      its new files are read;
+    - reorganization (``data_change: false``, e.g. `commit_compact`):
+      silently invisible, same as Delta OPTIMIZE under a streaming reader;
+    - change commits (an ``upsert``/``overwrite`` that dropped predecessor
+      files): ValueError by default — silently re-reading rewritten rows
+      would double-count — or skipped WHOLESALE with
+      ``skip_change_commits=True``, mirroring the Delta option's semantics.
+
+    ``since_version=None`` starts before version 0 (full-history read).
+    Scale: cost is O(files added in the window); consumers checkpoint
+    `latest_version()` and poll — at 100 TB this is the same trailing-
+    window pattern as the reference's availableNow restarts.
+    """
+    added_by_version, latest_schema = _changes_plan(
+        table_dir, since_version, end_version, skip_change_commits
+    )
 
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, StructType
@@ -348,6 +382,126 @@ def vacuum(table_dir: str, retain_last: int = 1) -> list[str]:
         removed.extend(rel)
         shutil.rmtree(cdir)
     return removed
+
+
+def tail_into(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    transform=None,
+    app_id: str | None = None,
+    skip_change_commits: bool = False,
+    max_versions_per_batch: int | None = None,
+    _retries: int = 10,
+) -> dict:
+    """One micro-batch of the versioned-table STREAMING consumer: drain the
+    source change feed past this consumer's watermark, apply `transform`,
+    and append the result to the target in ONE atomic commit that also
+    records the consumed source version (``txn: {app_id: source_version}``).
+
+    This is the streaming seam the reference builds from Delta
+    (`NEAR Public Datasets.py` `spark.readStream.option("skipChangeCommits",
+    "true").table(...)` + `.trigger(availableNow=True)`), re-expressed over
+    the manifest log with Delta's own *idempotent writer* contract
+    (txnAppId/txnVersion): the offset travels inside the output commit, so
+    there is no separate checkpoint store to get out of sync.
+
+    Exactly-once by construction:
+    - crash AFTER data write, BEFORE publish → orphan data dir (invisible,
+      vacuumable), watermark unmoved → the batch re-runs in full;
+    - crash AFTER publish → rows and watermark landed atomically together
+      → the batch never re-runs.
+    `transform` must be deterministic for replayed batches to be identical
+    (same requirement Structured Streaming puts on foreachBatch sinks).
+
+    A lost optimistic race re-reads the watermark — if the racer was
+    another instance of the SAME consumer, the window re-derives as empty
+    and this call no-ops instead of double-appending.
+
+    Returns ``{"source_version", "target_version", "n_files"}`` for the
+    batch (all None/0 when there was nothing to do). `max_versions_per_batch`
+    bounds one batch's window like `maxFilesPerTrigger`.
+    """
+    app = app_id or f"tail:{os.path.abspath(source_dir)}"
+    src_latest = latest_version(source_dir)
+    if src_latest is None:
+        return {"source_version": None, "target_version": latest_version(target_dir), "n_files": 0}
+    for _ in range(_retries):
+        base = latest_version(target_dir)
+        since = last_committed_txn(target_dir, app)
+        end = src_latest
+        if max_versions_per_batch is not None:
+            floor = -1 if since is None else since
+            end = min(src_latest, floor + max_versions_per_batch)
+        if since is not None and end <= since:
+            return {"source_version": since, "target_version": base, "n_files": 0}
+        plan, _schema = _changes_plan(source_dir, since, end, skip_change_commits)
+        prior = _read_manifest(target_dir, base)["files"] if base is not None else []
+        if not plan:
+            # Nothing added in the window (compaction / skipped change
+            # commits): advance the watermark with a data-less commit — the
+            # file set is unchanged, so downstream feeds see nothing.
+            prior_schema = (
+                _read_manifest(target_dir, base)["schema"] if base is not None else _schema or "{}"
+            )
+            try:
+                return {
+                    "source_version": end,
+                    "target_version": _commit(
+                        target_dir, "tail", prior, base, prior_schema,
+                        data_change=False, txn={app: end},
+                    ),
+                    "n_files": 0,
+                }
+            except CommitConflict:
+                continue
+        batch = read_changes(
+            spark, source_dir, since_version=since, end_version=end,
+            skip_change_commits=skip_change_commits,
+        )
+        out = transform(batch) if transform is not None else batch
+        new_files = _write_data(out, target_dir)
+        try:
+            return {
+                "source_version": end,
+                "target_version": _commit(
+                    target_dir, "tail", prior + new_files, base,
+                    out.schema.json(), txn={app: end},
+                ),
+                "n_files": len(new_files),
+            }
+        except CommitConflict:
+            continue  # racer moved the target; re-derive watermark + window
+    raise CommitConflict(f"tail into {target_dir} lost {_retries} races")
+
+
+def tail_until_drained(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    transform=None,
+    app_id: str | None = None,
+    skip_change_commits: bool = False,
+    max_versions_per_batch: int | None = None,
+) -> list[dict]:
+    """`trigger(availableNow=True)` analog: run `tail_into` micro-batches
+    until the consumer watermark reaches the source tip; returns one result
+    dict per batch that did work. With `max_versions_per_batch` this
+    replays the source commit history in bounded bites — the knob that
+    keeps executor memory flat when a tail restarts after a long gap."""
+    results: list[dict] = []
+    while True:
+        src_latest = latest_version(source_dir)
+        r = tail_into(
+            spark, source_dir, target_dir, transform=transform, app_id=app_id,
+            skip_change_commits=skip_change_commits,
+            max_versions_per_batch=max_versions_per_batch,
+        )
+        if r["source_version"] is None:
+            return results
+        results.append(r)
+        if src_latest is not None and r["source_version"] >= src_latest:
+            return results
 
 
 def versioned_upsert(

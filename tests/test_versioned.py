@@ -204,6 +204,126 @@ def test_compact_is_invisible_to_change_feed(spark, tmp_path):
     assert _rows(V.read_version(spark, t)) == [(1, "a"), (2, "b"), (3, "c")]
 
 
+def test_tail_into_propagates_appends_exactly_once(spark, tmp_path):
+    """The streaming tail: each drain appends exactly the new source rows;
+    re-draining with nothing new is a no-op (idempotent-writer contract)."""
+    s, t = str(tmp_path / "s"), str(tmp_path / "t")
+    V.commit_overwrite(_df(spark, [(1, "a")]), s)
+    r1 = V.tail_into(spark, s, t)
+    assert r1["source_version"] == 0 and r1["n_files"] > 0
+    assert sorted(r.k for r in V.read_version(spark, t).collect()) == [1]
+    # Provenance column rides along by default.
+    assert "_commit_version" in V.read_version(spark, t).columns
+    V.commit_append(_df(spark, [(2, "b")]), s)
+    V.commit_append(_df(spark, [(3, "c")]), s)
+    r2 = V.tail_into(spark, s, t)
+    assert r2["source_version"] == 2
+    assert sorted(r.k for r in V.read_version(spark, t).collect()) == [1, 2, 3]
+    # Nothing new: watermark already at tip, no commit, no rows.
+    r3 = V.tail_into(spark, s, t)
+    assert r3["n_files"] == 0
+    assert V.latest_version(t) == r2["target_version"]
+    assert sorted(r.k for r in V.read_version(spark, t).collect()) == [1, 2, 3]
+
+
+def test_tail_into_transform_and_bounded_batches(spark, tmp_path):
+    """max_versions_per_batch bounds each micro-batch's window;
+    tail_until_drained replays history in bites; the transform applies
+    per batch."""
+    s, t = str(tmp_path / "s"), str(tmp_path / "t")
+    for i in range(5):
+        V.commit_append(_df(spark, [(i, "x"), (i + 100, "drop")]), s)
+
+    def keep_small(df):
+        return df.filter("k < 100").select("k", "v", "_commit_version")
+
+    results = V.tail_until_drained(
+        spark, s, t, transform=keep_small, max_versions_per_batch=2
+    )
+    assert [r["source_version"] for r in results] == [1, 3, 4]
+    got = sorted((r.k, r._commit_version) for r in V.read_version(spark, t).collect())
+    assert got == [(0, 0), (1, 1), (2, 2), (3, 3), (4, 4)]
+
+
+def test_tail_into_crash_before_publish_replays_cleanly(spark, tmp_path):
+    """Crash between data write and commit publish: the orphaned batch is
+    invisible, the watermark is unmoved, and the retry produces exactly the
+    rows the crashed attempt would have — no loss, no duplication."""
+    s, t = str(tmp_path / "s"), str(tmp_path / "t")
+    V.commit_overwrite(_df(spark, [(1, "a")]), s)
+    V.tail_into(spark, s, t)
+    V.commit_append(_df(spark, [(2, "b")]), s)
+
+    real_publish = V._publish
+    def crashing_publish(*a, **kw):
+        raise RuntimeError("crash before manifest publish")
+    V._publish = crashing_publish
+    try:
+        with pytest.raises(RuntimeError, match="crash"):
+            V.tail_into(spark, s, t)
+    finally:
+        V._publish = real_publish
+
+    # Orphan invisible; watermark unmoved.
+    assert sorted(r.k for r in V.read_version(spark, t).collect()) == [1]
+    r = V.tail_into(spark, s, t)
+    assert r["source_version"] == 1
+    assert sorted(r.k for r in V.read_version(spark, t).collect()) == [1, 2]
+    # The crashed attempt's data dir is reclaimable.
+    assert V.vacuum(t, retain_last=2)
+
+
+def test_tail_into_source_compaction_advances_watermark_invisibly(spark, tmp_path):
+    """A source compact produces no rows downstream, but the tail still
+    advances its watermark (data-less commit) so the window never re-scans;
+    the offset commit is itself invisible to the target's own change feed."""
+    s, t = str(tmp_path / "s"), str(tmp_path / "t")
+    V.commit_append(_df(spark, [(1, "a")]).repartition(3), s)
+    V.tail_into(spark, s, t)
+    t_v = V.latest_version(t)
+    V.commit_compact(spark, s, target_files=1)
+    r = V.tail_into(spark, s, t)
+    assert r["source_version"] == 1 and r["n_files"] == 0
+    assert sorted(r.k for r in V.read_version(spark, t).collect()) == [1]
+    # Downstream consumers of the TARGET see nothing from the offset bump.
+    assert V.read_changes(spark, t, since_version=t_v).count() == 0
+    # Next real append flows normally.
+    V.commit_append(_df(spark, [(2, "b")]), s)
+    assert V.tail_into(spark, s, t)["n_files"] > 0
+    assert sorted(r.k for r in V.read_version(spark, t).collect()) == [1, 2]
+
+
+def test_tail_into_skip_change_commits(spark, tmp_path):
+    """An upstream rewrite fails the tail by default (double-count hazard)
+    and is skipped wholesale under skip_change_commits=True — the Delta
+    streaming option's exact semantics."""
+    s, t = str(tmp_path / "s"), str(tmp_path / "t")
+    V.commit_overwrite(_df(spark, [(1, "a")]), s)
+    V.tail_into(spark, s, t)
+    V.versioned_upsert(spark, s, _df(spark, [(1, "A"), (2, "b")]), ["k"])
+    V.commit_append(_df(spark, [(3, "c")]), s)
+    with pytest.raises(ValueError, match="rewrote existing rows"):
+        V.tail_into(spark, s, t)
+    r = V.tail_into(spark, s, t, skip_change_commits=True)
+    assert r["source_version"] == 2
+    assert sorted(r.k for r in V.read_version(spark, t).collect()) == [1, 3]
+
+
+def test_tail_two_sources_independent_watermarks(spark, tmp_path):
+    """Two consumers with distinct app_ids into one target keep independent
+    watermarks in the same manifest log."""
+    s1, s2, t = str(tmp_path / "s1"), str(tmp_path / "s2"), str(tmp_path / "t")
+    V.commit_overwrite(_df(spark, [(1, "a")]), s1)
+    V.commit_overwrite(_df(spark, [(10, "x")]), s2)
+    V.tail_into(spark, s1, t, app_id="from-s1")
+    V.tail_into(spark, s2, t, app_id="from-s2")
+    V.commit_append(_df(spark, [(2, "b")]), s1)
+    V.tail_into(spark, s1, t, app_id="from-s1")
+    assert sorted(r.k for r in V.read_version(spark, t).collect()) == [1, 2, 10]
+    assert V.last_committed_txn(t, "from-s1") == 1
+    assert V.last_committed_txn(t, "from-s2") == 0
+
+
 def test_versioned_upsert_rederives_after_conflict(spark, tmp_path):
     """If a racing commit lands between snapshot read and publish, the
     upsert must retry against the NEW snapshot — the winner's row has to
