@@ -108,6 +108,82 @@ def _write_data(df: DataFrame, table_dir: str) -> list[str]:
     ]
 
 
+def _file_stats(table_dir: str, files: list[str]) -> dict[str, dict]:
+    """Per-file row count + column min/max, read from the parquet FOOTERS
+    the writers already produced — no data scan, no Spark job (the Delta
+    data-skipping stats, gathered the way an object-store writer would:
+    from metadata it has in hand at commit time). Only JSON-safe scalar
+    stats are kept; a column without usable stats simply never prunes."""
+    import pyarrow.parquet as pq
+
+    def scalar(v):
+        if isinstance(v, (bool, int, float, str)):
+            return v
+        return None
+
+    out: dict[str, dict] = {}
+    for rel in files:
+        try:
+            md = pq.ParquetFile(os.path.join(table_dir, rel)).metadata
+        except Exception:
+            continue
+        acc: dict[str, list] = {}  # name -> [lo, hi]; valid in EVERY row group
+        bad: set[str] = set()
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if "." in name:  # nested: no file-level pruning
+                    bad.add(name)
+                    continue
+                st = col.statistics
+                lo = scalar(st.min) if st is not None and st.has_min_max else None
+                hi = scalar(st.max) if st is not None and st.has_min_max else None
+                if lo is None or hi is None:
+                    bad.add(name)
+                elif name in acc:
+                    acc[name][0] = min(acc[name][0], lo)
+                    acc[name][1] = max(acc[name][1], hi)
+                else:
+                    acc[name] = [lo, hi]
+        for name in bad:
+            acc.pop(name, None)
+        out[rel] = {
+            "rows": md.num_rows,
+            "min": {k: v[0] for k, v in acc.items()},
+            "max": {k: v[1] for k, v in acc.items()},
+        }
+    return out
+
+
+def _file_matches(stats: dict | None, predicate: list[tuple]) -> bool:
+    """Can this file contain a row satisfying ALL (col, op, value) conjuncts?
+    Missing stats for a referenced column => must read the file (pruning is
+    an optimization, never a correctness filter)."""
+    if stats is None:
+        return True
+    for col, op, val in predicate:
+        lo = stats.get("min", {}).get(col)
+        hi = stats.get("max", {}).get(col)
+        if lo is None or hi is None:
+            continue
+        try:
+            if op == "=" and not (lo <= val <= hi):
+                return False
+            if op == "<" and not (lo < val):
+                return False
+            if op == "<=" and not (lo <= val):
+                return False
+            if op == ">" and not (hi > val):
+                return False
+            if op == ">=" and not (hi >= val):
+                return False
+        except TypeError:
+            continue  # incomparable types: read the file
+    return True
+
+
 def _publish(table_dir: str, version: int, manifest: dict) -> None:
     """Atomically install the manifest for `version`, or raise
     CommitConflict if that version already exists (optimistic lock)."""
@@ -136,6 +212,13 @@ def _commit(
     txn: dict[str, int] | None = None,
 ) -> int:
     version = 0 if base_version is None else base_version + 1
+    # Data-skipping stats: reuse the predecessor's entries for carried-over
+    # files, read parquet footers only for files new to this commit.
+    prior_stats: dict[str, dict] = {}
+    if base_version is not None:
+        prior_stats = _read_manifest(table_dir, base_version).get("stats", {})
+    stats = {f: prior_stats[f] for f in files if f in prior_stats}
+    stats.update(_file_stats(table_dir, [f for f in files if f not in stats]))
     manifest = {
         "version": version,
         "operation": operation,
@@ -143,6 +226,7 @@ def _commit(
         "files": files,
         "schema": schema_json,
         "data_change": data_change,
+        "stats": stats,
     }
     if txn:
         manifest["txn"] = txn
@@ -193,26 +277,69 @@ def commit_append(df: DataFrame, table_dir: str, _retries: int = 10) -> int:
     raise CommitConflict(f"append to {table_dir} lost {_retries} races")
 
 
-def read_version(
-    spark: SparkSession, table_dir: str, version: int | None = None
-) -> DataFrame:
-    """Read the table as of `version` (default: latest). Raises if the
-    version never existed or its files were vacuumed away."""
+def files_for_version(
+    table_dir: str,
+    version: int | None = None,
+    predicate: list[tuple] | None = None,
+) -> list[str]:
+    """The data files a read of `version` must scan, after data-skipping
+    against the manifest's footer stats. `predicate` is a conjunction of
+    (column, op, value) with op in =, <, <=, >, >= — a file is kept unless
+    its stats PROVE no row can match (missing stats never prune)."""
     v = latest_version(table_dir) if version is None else version
     if v is None or not os.path.exists(_manifest_path(table_dir, v)):
         raise FileNotFoundError(f"{table_dir} has no version {version!r}")
     m = _read_manifest(table_dir, v)
     files = m["files"]
-    missing = [f for f in files if not os.path.exists(os.path.join(table_dir, f))]
+    if predicate:
+        stats = m.get("stats", {})
+        files = [f for f in files if _file_matches(stats.get(f), predicate)]
+    return files
+
+
+def read_version(
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    predicate: list[tuple] | None = None,
+) -> DataFrame:
+    """Read the table as of `version` (default: latest). Raises if the
+    version never existed or its files were vacuumed away.
+
+    `predicate` — conjunctive (column, op, value) filters — is applied
+    EXACTLY (rows are filtered in Spark), but first prunes whole files via
+    the manifest's footer min/max stats, the Delta data-skipping contract:
+    at 100 TB a selective predicate reads the handful of files whose range
+    overlaps instead of the full snapshot, before Spark even plans."""
+    v = latest_version(table_dir) if version is None else version
+    if v is None or not os.path.exists(_manifest_path(table_dir, v)):
+        raise FileNotFoundError(f"{table_dir} has no version {version!r}")
+    m = _read_manifest(table_dir, v)
+    missing = [f for f in m["files"] if not os.path.exists(os.path.join(table_dir, f))]
     if missing:
         raise FileNotFoundError(
             f"version {v} of {table_dir} was vacuumed (missing {missing[:3]}...)"
         )
-    if not files:
-        from pyspark.sql.types import StructType
+    files = files_for_version(table_dir, v, predicate)
+    from pyspark.sql.types import StructType
 
-        return spark.createDataFrame([], schema=StructType.fromJson(json.loads(m["schema"])))
-    return spark.read.parquet(*(os.path.join(table_dir, f) for f in files))
+    if not files:
+        df = spark.createDataFrame([], schema=StructType.fromJson(json.loads(m["schema"])))
+    else:
+        df = spark.read.parquet(*(os.path.join(table_dir, f) for f in files))
+    if predicate:
+        from pyspark.sql import functions as F
+
+        ops = {
+            "=": lambda c, x: c == x,
+            "<": lambda c, x: c < x,
+            "<=": lambda c, x: c <= x,
+            ">": lambda c, x: c > x,
+            ">=": lambda c, x: c >= x,
+        }
+        for col, op, val in predicate:
+            df = df.filter(ops[op](F.col(col), F.lit(val)))
+    return df
 
 
 def commit_compact(
@@ -502,6 +629,44 @@ def tail_until_drained(
         results.append(r)
         if src_latest is not None and r["source_version"] >= src_latest:
             return results
+
+
+def idempotent_batch_sink(table_dir: str, app_id: str, transform=None):
+    """foreachBatch sink into a versioned table with Delta's idempotent-
+    write contract: the Structured Streaming `batch_id` is committed as
+    this writer's txn version, so a batch REPLAYED after a checkpoint
+    recovery (the documented foreachBatch at-least-once hazard) is detected
+    and skipped instead of double-appended. Use as
+
+        df.writeStream.foreachBatch(versioned.idempotent_batch_sink(dir, qid))
+
+    Returns True when the batch committed, False when it was a recognized
+    replay. Structured Streaming runs one instance of a query at a time, so
+    the txn check races only with a crashed predecessor's leftover commit —
+    which the optimistic-conflict loop re-checks."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> bool:
+        last = last_committed_txn(table_dir, app_id)
+        if last is not None and batch_id <= last:
+            return False
+        out = transform(batch_df) if transform is not None else batch_df
+        files = _write_data(out, table_dir)
+        for _ in range(10):
+            if (cur := last_committed_txn(table_dir, app_id)) is not None and batch_id <= cur:
+                return False  # lost a race to a replay of ourselves
+            base = latest_version(table_dir)
+            prior = _read_manifest(table_dir, base)["files"] if base is not None else []
+            try:
+                _commit(
+                    table_dir, "streaming-append", prior + files, base,
+                    out.schema.json(), txn={app_id: batch_id},
+                )
+                return True
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"streaming append to {table_dir} lost 10 races")
+
+    return write_batch
 
 
 def versioned_upsert(

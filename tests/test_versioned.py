@@ -324,6 +324,108 @@ def test_tail_two_sources_independent_watermarks(spark, tmp_path):
     assert V.last_committed_txn(t, "from-s2") == 0
 
 
+def test_manifest_carries_footer_stats(spark, tmp_path):
+    """Every commit records per-file rows + column min/max read from the
+    parquet footers; appends reuse the predecessor's entries."""
+    t = str(tmp_path / "t")
+    V.commit_overwrite(_df(spark, [(1, "a"), (5, "e")]).coalesce(1), t)
+    V.commit_append(_df(spark, [(9, "z")]).coalesce(1), t)
+    m = V._read_manifest(t, 1)
+    assert set(m["stats"]) == set(m["files"])
+    ranges = sorted((s["min"]["k"], s["max"]["k"]) for s in m["stats"].values())
+    assert ranges == [(1, 5), (9, 9)]
+    assert sum(s["rows"] for s in m["stats"].values()) == 3
+
+
+def test_read_version_data_skipping_prunes_files(spark, tmp_path):
+    """A selective predicate scans only the files whose stats range
+    overlaps — and still returns exactly the matching rows."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "t")
+    df = (
+        spark.range(0, 400)
+        .select(F.col("id").cast("int").alias("k"), F.lit("v").alias("v"))
+        .repartitionByRange(4, "k")
+    )
+    V.commit_overwrite(df, t)
+    all_files = V.files_for_version(t)
+    assert len(all_files) == 4
+    pred = [("k", ">=", 390)]
+    assert len(V.files_for_version(t, predicate=pred)) == 1
+    got = sorted(r.k for r in V.read_version(spark, t, predicate=pred).collect())
+    assert got == list(range(390, 400))
+    # Equality + range ops prune too, and rows are filtered exactly.
+    assert len(V.files_for_version(t, predicate=[("k", "=", 50)])) == 1
+    assert [r.k for r in V.read_version(spark, t, predicate=[("k", "=", 50)]).collect()] == [50]
+    assert V.read_version(spark, t, predicate=[("k", "<", 0)]).count() == 0
+    # Conjunction: both bounds applied.
+    two = V.read_version(spark, t, predicate=[("k", ">=", 99), ("k", "<=", 100)])
+    assert sorted(r.k for r in two.collect()) == [99, 100]
+
+
+def test_data_skipping_never_prunes_without_stats(spark, tmp_path):
+    """A predicate over a column with no usable stats (or a stats-less
+    manifest from an older writer) must read everything — pruning is an
+    optimization, not a correctness filter."""
+    t = str(tmp_path / "t")
+    V.commit_overwrite(_df(spark, [(1, "a"), (2, "b")]), t)
+    m = V._read_manifest(t, 0)
+    del m["stats"]
+    import json as J, os as O
+    O.unlink(V._manifest_path(t, 0))
+    with open(V._manifest_path(t, 0), "w") as f:
+        J.dump(m, f)
+    assert len(V.files_for_version(t, predicate=[("k", "=", 2)])) == len(m["files"])
+    assert [r.k for r in V.read_version(spark, t, predicate=[("k", "=", 2)]).collect()] == [2]
+
+
+def test_idempotent_batch_sink_skips_replayed_batches(spark, tmp_path):
+    """The foreachBatch contract: a batch redelivered after checkpoint
+    recovery (same batch_id) must not double-append."""
+    t = str(tmp_path / "t")
+    sink = V.idempotent_batch_sink(t, "q1")
+    assert sink(_df(spark, [(1, "a")]), 0) is True
+    assert sink(_df(spark, [(2, "b")]), 1) is True
+    # Replay of batch 1 (and a stale batch 0) after a simulated recovery.
+    assert sink(_df(spark, [(2, "b")]), 1) is False
+    assert sink(_df(spark, [(1, "a")]), 0) is False
+    assert _rows(V.read_version(spark, t)) == [(1, "a"), (2, "b")]
+    assert sink(_df(spark, [(3, "c")]), 2) is True
+    assert _rows(V.read_version(spark, t)) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_idempotent_batch_sink_in_real_stream(spark, tmp_path):
+    """End-to-end: an availableNow file stream lands in a versioned table
+    through the sink; a restart with the same checkpoint appends only the
+    new input, and the versioned log shows one commit per batch."""
+    import os
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    t = str(tmp_path / "t")
+    _df(spark, [(1, "a")]).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("k int, v string").parquet(src)
+    sink = V.idempotent_batch_sink(t, "stream-q")
+
+    def run():
+        q = (
+            stream.writeStream.foreachBatch(lambda d, b: sink(d, b))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    assert _rows(V.read_version(spark, t)) == [(1, "a")]
+    _df(spark, [(2, "b")]).coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert _rows(V.read_version(spark, t)) == [(1, "a"), (2, "b")]
+    ops = [e["operation"] for e in V.history(t)]
+    assert ops == ["streaming-append", "streaming-append"]
+
+
 def test_versioned_upsert_rederives_after_conflict(spark, tmp_path):
     """If a racing commit lands between snapshot read and publish, the
     upsert must retry against the NEW snapshot — the winner's row has to
