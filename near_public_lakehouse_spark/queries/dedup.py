@@ -122,21 +122,33 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs(docs).orderBy("doc_a", "doc_b")
 
 
-def _jaccard_pairs(docs: DataFrame, max_block: int = JACCARD_MAX_BLOCK) -> DataFrame:
+def _jaccard_pairs(
+    docs: DataFrame, max_block: int = JACCARD_MAX_BLOCK, observation=None
+) -> DataFrame:
     """Unordered (doc_a < doc_b, jaccard) near-dup pairs within
-    (source, len_bucket) blocks of at most `max_block` documents."""
+    (source, len_bucket) blocks of at most `max_block` documents.
+
+    Pass a ``pyspark.sql.Observation`` to make the `max_block` truncation
+    visible: after any action on the result, ``observation.get`` reports
+    ``dropped_blocks`` / ``dropped_docs`` (blocks excluded by the guard and
+    the documents inside them). Collected in the same pass as the block
+    census — no second scan.
+    """
     d = docs.select(
         "doc_id",
         "source",
         (F.col("n_chars") / 64).cast("int").alias("len_bucket"),
         _dtoks_col().alias("toks"),
     )
-    ok = (
-        d.groupBy("source", "len_bucket")
-        .agg(F.count(F.lit(1)).alias("__block_n"))
-        .filter(F.col("__block_n") <= max_block)
-        .drop("__block_n")
-    )
+    blocks = d.groupBy("source", "len_bucket").agg(F.count(F.lit(1)).alias("__block_n"))
+    if observation is not None:
+        over = F.col("__block_n") > max_block
+        blocks = blocks.observe(
+            observation,
+            F.sum(over.cast("long")).alias("dropped_blocks"),
+            F.sum(F.when(over, F.col("__block_n")).otherwise(0)).alias("dropped_docs"),
+        )
+    ok = blocks.filter(F.col("__block_n") <= max_block).drop("__block_n")
     d = d.join(F.broadcast(ok), ["source", "len_bucket"])
     a = d.alias("a")
     b = d.alias("b")
@@ -559,10 +571,30 @@ def _exact_families(docs: DataFrame) -> DataFrame:
     return f.withColumn("keeper", F.min("doc_id").over(W.partitionBy("fingerprint")))
 
 
+# Below this many representatives the verification token sets are map-side
+# (broadcast) instead of shuffled: candidate pairs then never move the wide
+# token arrays over the network, only (doc_a, doc_b) ids. ~100k reps with
+# ~1 KB token payload is ~100 MB — the usual executor broadcast comfort
+# zone. Above it, the join falls back to the shuffled equi-join, which is
+# the right plan when the rep table itself is cluster-scale.
+VERIFY_BROADCAST_MAX_REPS = 100_000
+
+
 def _lsh_verified_pairs(fam: DataFrame) -> DataFrame:
     """Unordered (doc_a < doc_b, jaccard >= 0.8) pairs over exact-dedup
-    representatives: LSH band-key candidates, exact-Jaccard verified."""
-    reps = fam.filter(F.col("doc_id") == F.col("keeper")).select("doc_id", "text", "toks")
+    representatives: LSH band-key candidates, exact-Jaccard verified.
+
+    The rep projection (tokenization + fingerprint window) is materialized
+    once with ``localCheckpoint`` — it feeds three consumers (band
+    signatures and both verification sides), and recomputing the md5 +
+    split + distinct chain per consumer triples the dominant map cost."""
+    reps = (
+        fam.filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "text", "toks")
+        .localCheckpoint()
+    )
+    n_reps = reps.count()  # free: localCheckpoint already materialized it
+    bcast = n_reps <= VERIFY_BROADCAST_MAX_REPS
     sigs = _band_key_df(reps)
     cand = (
         sigs.alias("a")
@@ -577,6 +609,8 @@ def _lsh_verified_pairs(fam: DataFrame) -> DataFrame:
     toks = reps.select("doc_id", "toks")
     ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    if bcast:
+        ta, tb = F.broadcast(ta), F.broadcast(tb)
     inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
     union = F.size(F.col("toks_a")) + F.size(F.col("toks_b")) - inter
     jac = inter.cast("double") / union
@@ -682,7 +716,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _min_label_cc(edges: DataFrame) -> DataFrame:
     """(id, lab) connected-component labels by iterative min-label
-    propagation over the symmetrized edge set."""
+    propagation over the symmetrized edge set.
+
+    Convergence detection is free: labels are monotone non-increasing (the
+    old label is always in the groupBy-min union), so the label sum
+    strictly decreases until the fixpoint. An ``Observation`` folds the sum
+    into the same pass that materializes each round — no separate
+    old-vs-new join + count job per round (which doubled the loop's job
+    count and, at cluster scale, its shuffles)."""
+    from pyspark.sql import Observation
+
     sym = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
         edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
@@ -691,28 +734,31 @@ def _min_label_cc(edges: DataFrame) -> DataFrame:
         "id", F.col("id").alias("lab")
     )
     labels = labels.localCheckpoint()
-    for _ in range(50):
+    prev_sum: int | None = None
+    for i in range(50):
         prop = sym.join(labels, sym.src == labels.id).select(
             F.col("dst").alias("id"), F.col("lab")
         )
+        obs = Observation(f"cc_round_{i}")
         new_labels = (
-            labels.union(prop).groupBy("id").agg(F.min("lab").alias("lab"))
-        ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.lab") != F.col("o.lab"))
-            .count()
+            labels.union(prop)
+            .groupBy("id")
+            .agg(F.min("lab").alias("lab"))
+            .observe(obs, F.sum("lab").alias("lab_sum"))
+            .localCheckpoint()
         )
+        lab_sum = obs.get["lab_sum"]
         labels = new_labels
-        if changed == 0:
+        if prev_sum is not None and lab_sum == prev_sum:
             break
+        prev_sum = lab_sum
     return labels
 
 
 @query(
     "near_dup_assignments",
     tags=("dedup", "lsh", "composite"),
+    bench=True,
     oracle=_CLUSTERS_SQL
     + """
 SELECT d.doc_id,
@@ -982,8 +1028,8 @@ ORDER BY source_a, source_b
 """
 
 
-@query("cross_source_dup_matrix", tags=("dedup", "lsh", "beyond-reference"), oracle=_DUP_MATRIX_SQL)
-def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("source_contamination_matrix", tags=("dedup", "lsh", "beyond-reference"), oracle=_DUP_MATRIX_SQL)
+def source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Where does duplication come from? Every edge of the composite
     duplicate graph (exact keeper->member links + LSH-verified near-dup
     representative pairs — the same edge set `dedup_clusters` runs CC

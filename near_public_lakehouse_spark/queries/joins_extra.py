@@ -24,7 +24,7 @@ def _revenue():
 
 
 @query(
-    "customer_order_histogram",
+    "orders_per_customer_histogram",
     tags=("J6", "A5"),
     oracle="""
 SELECT n_orders, count(*) AS n_customers
@@ -37,7 +37,7 @@ GROUP BY n_orders
 ORDER BY n_customers DESC, n_orders DESC
 """,
 )
-def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def orders_per_customer_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: distribution of orders-per-customer, zero-order
     customers included via LEFT JOIN + count(non-null).
 
@@ -102,7 +102,7 @@ def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
-    "bilateral_trade_volume",
+    "trade_volume_bilateral",
     tags=("J5", "A4"),
     oracle=f"""
 SELECT supp_nation, cust_nation, l_year,
@@ -124,7 +124,7 @@ GROUP BY supp_nation, cust_nation, l_year
 ORDER BY supp_nation, cust_nation, l_year
 """,
 )
-def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+def trade_volume_bilateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: trade volume between a symmetric pair of nations,
     split by direction and ship year.
 

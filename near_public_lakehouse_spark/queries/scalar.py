@@ -53,7 +53,7 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "binary_functions",
+    "scalar_binary_functions",
     tags=("§2.10-binary",),
     oracle="""
 SELECT doc_id,
@@ -67,7 +67,7 @@ ORDER BY doc_id
 LIMIT 100
 """,
 )
-def binary_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def scalar_binary_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary surface: md5/sha256/base64/unbase64/hex — contract-code
     hashing and args decoding (Silver Lake Mainnet.sql:227,273,652)."""
     d = load_table(spark, sf_dir, "documents")
@@ -88,7 +88,7 @@ def binary_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "date_functions",
+    "scalar_date_functions",
     tags=("§2.10-date",),
     oracle="""
 SELECT year(o_orderdate) AS order_year,
@@ -101,7 +101,7 @@ GROUP BY order_year, order_month, month_start
 ORDER BY order_year, order_month
 """,
 )
-def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date surface: year/month/date_trunc — the reference's date math
     (§2.10: date_trunc at NEAR Public Datasets.py:81, ::date everywhere)."""
     o = load_table(spark, sf_dir, "orders")
@@ -297,7 +297,7 @@ def json_object_keys_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "conditional_min_heights",
+    "scalar_conditional_min_heights",
     tags=("A3",),
     oracle="""
 SELECT o_custkey,
@@ -311,7 +311,7 @@ GROUP BY o_custkey
 ORDER BY o_custkey
 """,
 )
-def conditional_min_heights(spark: SparkSession, sf_dir: str) -> DataFrame:
+def scalar_conditional_min_heights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 pivot-style conditional MIN (the create/delete-height extraction,
     Aggregated Circulating Supply Pipeline.py:110-113)."""
     o = load_table(spark, sf_dir, "orders")

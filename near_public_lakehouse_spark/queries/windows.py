@@ -148,7 +148,7 @@ def scd1_user_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "customer_balance_ranks",
+    "ranked_customer_balances",
     tags=("W", "rank", "beyond-reference"),
     oracle="""
 SELECT c_custkey, c_nationkey,
@@ -165,7 +165,7 @@ WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
 ORDER BY c_nationkey, drank, c_custkey
 """,
 )
-def customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ranked_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full ranking-window family (dense_rank, ntile, percent_rank,
     cume_dist, first_value over an explicit full frame) per nation by
     balance — completing §2.6 beyond the reference's row_number/lag-only
