@@ -2,11 +2,14 @@
 tables, `<base>/<format>/<table>/<YYYY/MM/DD/HH>/` — the OSS mapping of the
 reference's hourly Avro exports to GCS (NEAR Public Datasets.py:396-409).
 
-The Avro DataSource (`spark-avro`) is an external Spark module; this
-container's pyspark distribution does not bundle it, so the writer probes
-for it at runtime and falls back to parquet with identical layout. The
-export contract (path scheme, overwrite-by-hour idempotence, schema
-round-trip) is format-independent and is what the tests pin down.
+The Avro DataSource (`spark-avro`) is an external Spark module this
+container's pyspark does not bundle; the writer probes for it at runtime.
+When it is absent, avro exports go through the repo's own Avro OCF
+implementation (`sources/avro_ocf.py` — pure-Python encoder over
+mapInArrow, verified byte-compatible with the JVM org.apache.avro reader
+in tests/test_avro_ocf.py), so `fmt="avro"` produces REAL avro bytes
+either way. The export contract (path scheme, overwrite-by-hour
+idempotence, schema round-trip) is format-independent.
 """
 
 from __future__ import annotations
@@ -80,7 +83,7 @@ def export_hourly(
     """
     spark = df.sparkSession
     if fmt is None:
-        fmt = "avro" if avro_available(spark) else "parquet"
+        fmt = "avro"
     if fmt not in EXPORT_FORMATS:
         raise ValueError(f"unsupported export format {fmt!r}; one of {EXPORT_FORMATS}")
     if fmt == "csv":
@@ -91,6 +94,11 @@ def export_hourly(
                 "(wrap them in to_json(...) first)"
             )
     path = hourly_export_path(base_path, fmt, table, ts)
+    if fmt == "avro" and not avro_available(spark):
+        from near_public_lakehouse_spark.sources.avro_ocf import write_avro
+
+        write_avro(df, path)
+        return path
     writer = df.write.format(fmt).mode("overwrite")
     for k, v in _WRITE_OPTIONS.get(fmt, {}).items():
         writer = writer.option(k, v)
@@ -101,6 +109,10 @@ def export_hourly(
 def read_export(spark: SparkSession, path: str, fmt: str, schema=None):
     """Read an export back. CSV round-trips dtypes only with the writer's
     schema (pass `df.schema`); other formats are self-describing."""
+    if fmt == "avro" and not avro_available(spark):
+        from near_public_lakehouse_spark.sources.avro_ocf import read_avro
+
+        return read_avro(spark, path)
     reader = spark.read.format(fmt)
     if fmt == "csv":
         reader = reader.option("header", "true")

@@ -1,0 +1,156 @@
+"""Avro OCF writer/reader (sources/avro_ocf.py) — real avro bytes.
+
+The strongest check here is cross-implementation: files written by our
+pure-Python encoder are read back with the JVM's official org.apache.avro
+classes (bundled in Spark's classpath), and a file written by the official
+library is read by our decoder. That pins the byte format itself, not just
+a self-consistent round-trip.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from near_public_lakehouse_spark.sources.avro_ocf import (
+    avro_schema_of,
+    decode_ocf,
+    read_avro,
+    spark_schema_of,
+    write_avro,
+)
+
+
+@pytest.fixture()
+def sample_df(spark):
+    rows = [
+        (1, "alpha", 1.5, True, datetime.date(2024, 1, 1),
+         datetime.datetime(2024, 1, 1, 12, 30, 0, 123456), Decimal("12.34"),
+         [1, 2, 3], b"\x00\xff"),
+        (2, "βeta", -2.25, False, datetime.date(1969, 12, 31),
+         datetime.datetime(1969, 12, 31, 23, 59, 59), Decimal("-0.07"),
+         [], None),
+        (3, None, 0.0, None, None, None, None, [42], b""),
+    ]
+    schema = (
+        "id long, name string, score double, flag boolean, d date, "
+        "ts timestamp, amount decimal(10,2), xs array<long>, raw binary"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_python_roundtrip(spark, sample_df, tmp_path):
+    path = str(tmp_path / "export")
+    meta = write_avro(sample_df, path)
+    assert sum(m[1] for m in meta) == 3
+    assert all(os.path.getsize(p) > 0 for p, _, _ in meta)
+
+    back = read_avro(spark, path)
+    assert back.schema == sample_df.schema
+    orig = sorted(sample_df.collect(), key=lambda r: r.id)
+    got = sorted(back.collect(), key=lambda r: r.id)
+    assert got == orig
+
+
+def test_rerun_is_byte_identical(spark, sample_df, tmp_path):
+    """Deterministic sync markers -> overwrite-by-hour reruns are
+    byte-identical (idempotent export contract)."""
+    path = str(tmp_path / "export")
+    one = sample_df.coalesce(1)
+    meta1 = write_avro(one, path)
+    bytes1 = open(meta1[0][0], "rb").read()
+    meta2 = write_avro(one, path)
+    bytes2 = open(meta2[0][0], "rb").read()
+    assert bytes1 == bytes2
+
+
+def test_jvm_reads_our_files(spark, sample_df, tmp_path):
+    """The official org.apache.avro reader accepts our bytes."""
+    path = str(tmp_path / "export")
+    meta = write_avro(sample_df.coalesce(1), path)
+    fpath = meta[0][0]
+
+    jvm = spark._jvm
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(fpath), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    # schema the JVM parsed from OUR header
+    parsed = json.loads(reader.getSchema().toString())
+    assert parsed["type"] == "record"
+    assert [f["name"] for f in parsed["fields"]] == sample_df.columns
+
+    recs = []
+    while reader.hasNext():
+        recs.append(reader.next())
+    reader.close()
+    assert len(recs) == 3
+    by_id = {rec.get("id"): rec for rec in recs}
+    assert by_id[1].get("name").toString() == "alpha"
+    assert by_id[2].get("name").toString() == "βeta"
+    assert by_id[3].get("name") is None
+    assert by_id[1].get("score") == 1.5
+    assert list(by_id[1].get("xs")) == [1, 2, 3]
+
+
+def test_our_decoder_reads_jvm_files(spark, tmp_path):
+    """A file written by the official library decodes with our decoder."""
+    jvm = spark._jvm
+    schema_json = json.dumps(
+        {
+            "type": "record",
+            "name": "row",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "name", "type": ["null", "string"]},
+            ],
+        }
+    )
+    schema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    fpath = str(tmp_path / "jvm.avro")
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    )
+    writer.create(schema, jvm.java.io.File(fpath))
+    for i, name in ((1, "x"), (2, None), (3, "zzz")):
+        rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+        rec.put("id", i)
+        rec.put("name", name)
+        writer.append(rec)
+    writer.close()
+
+    sschema, rows = decode_ocf(open(fpath, "rb").read())
+    assert [f.name for f in sschema.fields] == ["id", "name"]
+    assert rows == [
+        {"id": 1, "name": "x"},
+        {"id": 2, "name": None},
+        {"id": 3, "name": "zzz"},
+    ]
+
+
+def test_schema_mapping_roundtrip(spark, sample_df):
+    avro = avro_schema_of(sample_df.schema)
+    assert spark_schema_of(avro) == sample_df.schema
+
+
+def test_lineitem_slice_export(spark, tmp_path):
+    """Real-table check: a lineitem projection round-trips through avro."""
+    from near_public_lakehouse_spark.sources.tables import load_table
+
+    li = (
+        load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_shipdate", "l_returnflag")
+        .limit(500)
+    )
+    path = str(tmp_path / "li")
+    meta = write_avro(li, path)
+    assert sum(m[1] for m in meta) == 500
+    back = read_avro(spark, path)
+    assert back.count() == 500
+    a = {tuple(r) for r in li.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b

@@ -17,20 +17,22 @@ from near_public_lakehouse_spark.operators.export import (
 
 
 def test_hourly_export_roundtrip(spark, tmp_path):
+    """Default export format is avro — the reference's actual format
+    (NEAR Public Datasets.py:396-409) — through spark-avro when present,
+    else through the repo's own OCF implementation."""
     df = spark.range(100).select(
         F.col("id"), (F.col("id") % 7).alias("bucket"), F.lit("x").alias("tag")
     )
     ts = datetime(2026, 8, 13, 14)
     path = export_hourly(df, str(tmp_path), "accounts", ts)
-    fmt = "avro" if avro_available(spark) else "parquet"
-    assert path == hourly_export_path(str(tmp_path), fmt, "accounts", ts)
+    assert path == hourly_export_path(str(tmp_path), "avro", "accounts", ts)
     assert "/accounts/2026/08/13/14" in path
-    back = spark.read.format(fmt).load(path)
+    back = read_export(spark, path, "avro")
     assert back.count() == 100
     assert back.columns == ["id", "bucket", "tag"]
 
 
-@pytest.mark.parametrize("fmt", ["orc", "csv", "parquet"])
+@pytest.mark.parametrize("fmt", ["orc", "csv", "parquet", "avro"])
 def test_hourly_export_format_roundtrip(spark, tmp_path, fmt):
     """Each builtin format round-trips rows, columns and dtypes (csv needs
     the writer's schema on read — self-describing formats don't)."""
@@ -63,6 +65,5 @@ def test_hourly_export_idempotent_rerun(spark, tmp_path):
     df2 = spark.range(7).select(F.col("id"))
     export_hourly(df1, str(tmp_path), "logs", ts)
     path = export_hourly(df2, str(tmp_path), "logs", ts)
-    fmt = "avro" if avro_available(spark) else "parquet"
     # Rerun of the same hour replaces, never appends.
-    assert spark.read.format(fmt).load(path).count() == 7
+    assert read_export(spark, path, "avro").count() == 7
