@@ -49,6 +49,7 @@ def all_queries() -> dict[str, Query]:
     from near_public_lakehouse_spark.queries import (  # noqa: F401
         classic,
         core,
+        corpus_stats,
         dedup,
         events,
         joins_extra,
