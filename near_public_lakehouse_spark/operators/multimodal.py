@@ -11,11 +11,14 @@ star). Design contract:
 - Transform stages are `mapInPandas` generators: Arrow moves the binary
   batches zero-copy, pandas sees bytes objects, and output batch size is
   decoupled from input (frame sampling can fan out, filtering can fan in).
-- The codec layer (`decode_image` etc.) is STUBBED: the real
-  Pillow/ffmpeg/soundfile calls are not in this container, so decoders
-  parse only self-describing headers (deterministic, dependency-free) and
-  raise NotImplementedError for real codecs. The Spark-side plumbing —
-  schema, batching, partitioning, UDF signatures — is real and tested.
+- The COMPRESSED-codec layer (PNG/JPEG/MP4) is stubbed: Pillow/ffmpeg are
+  not in this container, so those payloads raise NotImplementedError at a
+  documented seam. UNCOMPRESSED formats are decoded for real from the
+  public specs — WAV/PCM (decode_wav -> audio_features) and 24-bit BMP
+  (decode_bmp -> image_stats, resize_bmp_images) — so the full
+  decode -> feature -> transform -> re-encode pipeline runs on actual
+  media bytes end-to-end. Format sniffing and byte entropy are codec-free
+  and real for everything.
 """
 
 from __future__ import annotations
@@ -258,6 +261,7 @@ _MAGIC_SIGNATURES = (
     ("png", b"\x89PNG\r\n\x1a\n"),
     ("jpeg", b"\xff\xd8\xff"),
     ("gif", b"GIF8"),
+    ("bmp", b"BM"),
     ("riff", b"RIFF"),  # wav/avi container; refine via bytes 8-12
     ("mp4", None),  # ftyp at offset 4, handled below
     ("fake_image", FAKE_MAGIC),
@@ -344,3 +348,241 @@ def byte_entropy_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("media_id", "media").mapInPandas(run, ENTROPY_SCHEMA)
+
+
+# --- real codecs: WAV (PCM) and BMP (24-bit) -------------------------------
+# These two formats are fully decodable from the public spec with
+# struct + numpy — no Pillow/ffmpeg — so the decode layer is REAL for
+# them: real samples, real pixels, real features, real thumbnails. The
+# compressed-codec seam (PNG/JPEG/MP4) stays a documented
+# NotImplementedError above; these paths prove the full pipeline shape
+# (decode -> feature -> resize) end-to-end on actual media bytes.
+
+
+def encode_wav(samples, sample_rate: int = 16_000, n_channels: int = 1) -> bytes:
+    """PCM16 WAV encoder (RIFF/WAVE/fmt /data). `samples` is an int16
+    numpy array, interleaved when n_channels > 1."""
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    byte_rate = sample_rate * n_channels * 2
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, n_channels, sample_rate, byte_rate,
+        n_channels * 2, 16,
+    )
+    data = struct.pack("<4sI", b"data", len(pcm)) + pcm
+    riff_len = 4 + len(fmt) + len(data)
+    return struct.pack("<4sI4s", b"RIFF", riff_len, b"WAVE") + fmt + data
+
+
+def decode_wav(payload: bytes) -> dict:
+    """PCM WAV decode (8/16-bit, any channel count): chunk walk over the
+    RIFF container. Returns sample_rate / n_channels / bits / a float64
+    numpy array in [-1, 1] (channel-interleaved)."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack("<4sI", payload[pos : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(f"non-PCM WAV (format {audio_format})")
+    if bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM")
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "bits": bits,
+        "samples": x,
+    }
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("duration_s", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", DoubleType()),
+        StructField("zero_crossing_rate", DoubleType()),
+    ]
+)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """REAL audio feature extraction over WAV payloads: duration, RMS,
+    peak, zero-crossing rate — the standard cheap screens (silence /
+    clipping / tone-vs-speech) a 100 TB audio ingest runs before any
+    model. Vectorized numpy per payload inside Arrow batches; non-WAV and
+    non-PCM payloads are skipped (routed by detect_formats upstream)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                try:
+                    w = decode_wav(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    continue
+                x = w["samples"]
+                n_frames = len(x) // max(w["n_channels"], 1)
+                mono = x.reshape(-1, w["n_channels"]).mean(axis=1) if len(x) else x
+                zc = (
+                    float(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                    / max(len(mono) - 1, 1)
+                )
+                out.append(
+                    (
+                        mid,
+                        w["sample_rate"],
+                        w["n_channels"],
+                        n_frames / w["sample_rate"],
+                        float(np.sqrt((x * x).mean())) if len(x) else 0.0,
+                        float(np.abs(x).max()) if len(x) else 0.0,
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "sample_rate", "n_channels", "duration_s",
+                    "rms", "peak", "zero_crossing_rate",
+                ],
+            )
+
+    return df.select("media_id", "media").mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
+def encode_bmp(pixels) -> bytes:
+    """24-bit uncompressed BMP encoder. `pixels` is an (H, W, 3) uint8
+    RGB numpy array; rows are stored bottom-up, BGR, padded to 4 bytes —
+    the classic BITMAPINFOHEADER layout."""
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    rows = bytearray()
+    pad = b"\x00" * (stride - w * 3)
+    bgr = arr[:, :, ::-1]
+    for y in range(h - 1, -1, -1):
+        rows += bgr[y].tobytes() + pad
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(rows), 0, 0, 14 + 40)
+    return header + info + bytes(rows)
+
+
+def decode_bmp(payload: bytes):
+    """24-bit uncompressed BMP decode -> (H, W, 3) uint8 RGB array."""
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack("<I", payload[10:14])[0]
+    hdr_size, w, h = struct.unpack("<Iii", payload[14:26])
+    bits, compression = struct.unpack("<HI", payload[28:34])
+    if bits != 24 or compression != 0:
+        raise NotImplementedError(f"{bits}-bit/compression={compression} BMP")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    raw = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_offset)
+    rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    rgb = rows[:, :, ::-1]
+    return rgb[::-1] if bottom_up else rgb
+
+
+IMAGE_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_luma", DoubleType()),
+        StructField("contrast", DoubleType()),
+        StructField("saturation", DoubleType()),
+    ]
+)
+
+
+def image_stats(df: DataFrame) -> DataFrame:
+    """REAL pixel statistics over BMP payloads: mean luminance (Rec. 601),
+    RMS contrast, mean saturation proxy (max-min channel spread) — the
+    brightness/flat-image/grayscale screens an image-corpus ingest applies
+    before expensive captioning or embedding."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                try:
+                    px = decode_bmp(bytes(payload)).astype(np.float64)
+                except (ValueError, NotImplementedError):
+                    continue
+                luma = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+                sat = px.max(axis=2) - px.min(axis=2)
+                out.append(
+                    (
+                        mid,
+                        px.shape[1],
+                        px.shape[0],
+                        float(luma.mean()),
+                        float(luma.std()),
+                        float(sat.mean()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "width", "height", "mean_luma", "contrast", "saturation"],
+            )
+
+    return df.select("media_id", "media").mapInPandas(run, IMAGE_STATS_SCHEMA)
+
+
+def resize_bmp_images(df: DataFrame, max_side: int = 64) -> DataFrame:
+    """REAL thumbnailing for BMP payloads: nearest-neighbor resampling via
+    numpy index grids, re-encoded as BMP. Same contract as resize_images
+    (which covers the fixture/fake format); this is the pixels-for-real
+    path proving the decode->transform->re-encode loop works distributed."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                try:
+                    px = decode_bmp(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    continue
+                h, w = px.shape[:2]
+                scale = max_side / max(w, h, 1)
+                nw, nh = max(1, round(w * scale)), max(1, round(h * scale))
+                ys = (np.arange(nh) * (h / nh)).astype(int)
+                xs = (np.arange(nw) * (w / nw)).astype(int)
+                thumb = px[ys][:, xs]
+                out.append((mid, nw, nh, encode_bmp(thumb)))
+            yield pd.DataFrame(out, columns=["media_id", "width", "height", "thumb"])
+
+    return df.mapInPandas(run, RESIZE_SCHEMA)

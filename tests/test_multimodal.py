@@ -126,3 +126,82 @@ def test_byte_entropy_separates_padding_from_noise(spark):
     got = {r.media_id: r.byte_entropy for r in mm.byte_entropy_features(df).collect()}
     assert got[1] == 0.0
     assert abs(got[2] - 8.0) < 1e-9
+
+
+# --- real codecs: WAV/PCM and 24-bit BMP (round 4) -------------------------
+
+
+def _sine_wav(freq=440.0, rate=16_000, seconds=0.5, amp=0.5):
+    import numpy as np
+
+    from near_public_lakehouse_spark.operators.multimodal import encode_wav
+
+    t = np.arange(int(rate * seconds)) / rate
+    samples = (amp * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+    return encode_wav(samples, sample_rate=rate)
+
+
+def test_wav_roundtrip_and_features(spark):
+    import numpy as np
+
+    from near_public_lakehouse_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_features,
+        decode_wav,
+        detect_formats,
+    )
+
+    payload = _sine_wav()
+    w = decode_wav(payload)
+    assert w["sample_rate"] == 16_000 and w["n_channels"] == 1 and w["bits"] == 16
+    # RMS of a 0.5-amplitude sine is amp/sqrt(2)
+    assert abs(np.sqrt((w["samples"] ** 2).mean()) - 0.5 / np.sqrt(2)) < 1e-3
+
+    rows = [(1, "audio", payload, None, None, None, None),
+            (2, "audio", b"not a wav", None, None, None, None)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    assert {r.detected_format for r in detect_formats(df).collect()} == {"wav", "unknown"}
+
+    feats = {r.media_id: r for r in audio_features(df).collect()}
+    assert list(feats) == [1]  # non-wav row skipped, not failed
+    f = feats[1]
+    assert abs(f.duration_s - 0.5) < 1e-9
+    assert abs(f.rms - 0.5 / 2**0.5) < 1e-3
+    assert abs(f.peak - 0.5) < 1e-3
+    # 440 Hz sine crosses zero ~2*440 times/s -> rate-normalized ~0.055
+    assert abs(f.zero_crossing_rate - 2 * 440 / 16_000) < 5e-3
+
+
+def test_bmp_roundtrip_stats_and_resize(spark):
+    import numpy as np
+
+    from near_public_lakehouse_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_bmp,
+        encode_bmp,
+        image_stats,
+        resize_bmp_images,
+    )
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(48, 100, 3), dtype=np.uint8)  # non-x4 width pad path
+    payload = encode_bmp(px)
+    assert np.array_equal(decode_bmp(payload), px)
+
+    solid = np.full((128, 64, 3), (200, 100, 50), dtype=np.uint8)
+    rows = [(1, "image", payload, None, None, None, None),
+            (2, "image", encode_bmp(solid), None, None, None, None)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    stats = {r.media_id: r for r in image_stats(df).collect()}
+    assert (stats[1].width, stats[1].height) == (100, 48)
+    expected_luma = 0.299 * 200 + 0.587 * 100 + 0.114 * 50
+    assert abs(stats[2].mean_luma - expected_luma) < 1e-9
+    assert stats[2].contrast < 1e-9  # solid color: zero RMS contrast
+    assert abs(stats[2].saturation - 150.0) < 1e-9
+
+    thumbs = {r.media_id: r for r in resize_bmp_images(df, max_side=32).collect()}
+    assert (thumbs[2].width, thumbs[2].height) == (16, 32)
+    tpx = decode_bmp(bytes(thumbs[2].thumb))
+    assert tpx.shape == (32, 16, 3)
+    assert np.all(tpx == np.array((200, 100, 50), dtype=np.uint8))  # solid stays solid
