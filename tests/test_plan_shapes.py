@@ -256,3 +256,36 @@ def test_user_sessions_single_hash_shuffle(spark):
     hash_ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert len(hash_ex) == 1 and "user_id" in hash_ex[0], plan
     assert plan.count("Window") == 2, plan
+
+
+def test_range_search_cosine_broadcasts_queries(spark):
+    """The radius query must broadcast the tiny query side and keep the
+    candidate scan shuffle-free (no SortMergeJoin, no window sort)."""
+    from near_public_lakehouse_spark.queries import all_queries
+
+    plan = _plan(all_queries()["range_search_cosine"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan  # range query needs no per-query top-k sort
+
+
+def test_vocab_stats_partial_aggregation(spark):
+    """Token counting must partial-aggregate map-side before the
+    (source, token) shuffle — at 100 TB the combine is the difference
+    between shuffling token occurrences and shuffling distinct counts."""
+    from near_public_lakehouse_spark.queries import all_queries
+
+    plan = _plan(all_queries()["vocab_stats"].fn(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 4  # partial+final at both levels
+
+
+def test_conversion_lag_single_user_shuffle(spark):
+    """purchase_conversion_lag: one shuffle keyed on user_id (the
+    conditional-min agg), one tiny one on the day bucket — nothing else."""
+    from near_public_lakehouse_spark.queries import all_queries
+
+    df = all_queries()["purchase_conversion_lag"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    # two aggregation exchanges + the final orderBy range exchange
+    assert plan.count("Exchange") <= 3
