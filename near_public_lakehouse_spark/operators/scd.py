@@ -113,3 +113,99 @@ def apply_changes_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- SCD Type 2 ------------------------------------------------------------
+
+START_COL = "__scd_start__"
+END_COL = "__scd_end__"
+CURRENT_COL = "__scd_current__"
+
+
+def scd2_history(changes: DataFrame, keys: list[str], sequence_by: str) -> DataFrame:
+    """Pure transform: a change stream -> SCD2 history rows.
+
+    Collapses same-sequence duplicates (latest_by tiebreak), drops no-op
+    changes (all tracked columns equal to the previous version's), then
+    derives validity: ``__scd_start__`` = the row's sequence,
+    ``__scd_end__`` = next version's sequence (NULL while current),
+    ``__scd_current__`` = end is NULL. Gaps-and-islands over one window
+    partition per key — a single shuffle on the keys.
+    """
+    tracked = [c for c in changes.columns if c not in keys and c != sequence_by]
+    # Collapse duplicates of the SAME (key, sequence) — unlike SCD1, every
+    # distinct sequence value is history and must survive.
+    src = latest_by(changes, [*keys, sequence_by], sequence_by)
+    w = Window.partitionBy(*keys).orderBy(F.asc(sequence_by))
+    same_as_prev = F.lit(True)
+    for c in tracked:
+        same_as_prev = same_as_prev & F.lag(c).over(w).eqNullSafe(F.col(c))
+    # first row per key has lag NULL on every column; eqNullSafe against a
+    # non-null value is False there unless the value itself is NULL — guard
+    # with an explicit is-first marker instead.
+    is_first = F.lag(sequence_by).over(w).isNull()
+    changed = src.withColumn("__keep__", is_first | ~same_as_prev).filter(
+        F.col("__keep__")
+    ).drop("__keep__")
+    w2 = Window.partitionBy(*keys).orderBy(F.asc(sequence_by))
+    return (
+        changed.withColumn(START_COL, F.col(sequence_by))
+        .withColumn(END_COL, F.lead(sequence_by).over(w2))
+        .withColumn(CURRENT_COL, F.col(END_COL).isNull())
+    )
+
+
+def apply_changes_scd2(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    sequence_by: str,
+) -> None:
+    """SCD2 APPLY CHANGES batch core: the DLT ``STORED AS SCD TYPE 2``
+    analog. History is rebuilt from (stored rows union new changes) per
+    key, which makes the operator idempotent and out-of-order-convergent
+    by construction — re-applying any batch, in any order, yields the
+    same table (the SCD1 convergence discipline, round-2 crash tests).
+    Crash-atomicity rides the same park-and-swap `_rewrite` as SCD1/MERGE.
+
+    At 100 TB: the union+window only ever shuffles on the key columns,
+    and `_rewrite` can be pointed at a key-partitioned layout; rebuilding
+    only touched partitions is the standard refinement (merge.py's
+    partition fencing) and orthogonal to the semantics pinned here.
+    """
+    data_cols = [c for c in updates.columns]
+    _recover(target_path)
+    if table_exists(target_path):
+        stored = read_table(spark, target_path).select(*data_cols)
+        hist = scd2_history(stored.unionByName(updates), keys, sequence_by)
+
+        from near_public_lakehouse_spark.operators.merge import _rewrite
+
+        _rewrite(spark, hist, target_path, None)
+    else:
+        scd2_history(updates, keys, sequence_by).write.mode("overwrite").parquet(
+            target_path
+        )
+
+
+def scd2_stream(
+    stream: DataFrame,
+    target_path: str,
+    keys: list[str],
+    sequence_by: str,
+    checkpoint: str,
+):
+    """Streaming SCD2: foreachBatch(apply_changes_scd2)."""
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        apply_changes_scd2(
+            batch_df.sparkSession, target_path, batch_df, keys, sequence_by
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -194,3 +194,53 @@ def ranked_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "drank", "c_custkey")
     )
+
+
+@query(
+    "scd2_user_history",
+    tags=("A8", "W2", "beyond-reference"),
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+isl AS (
+  SELECT user_id, event_type, us, event_id FROM e
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type, us AS valid_from_us,
+       lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us,
+       lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL AS is_current
+FROM isl ORDER BY user_id, valid_from_us
+""",
+)
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 batch twin: each user's event_type change history with
+    validity ranges — the gaps-and-islands shape `operators/scd.py
+    scd2_history` maintains incrementally (``STORED AS SCD TYPE 2`` in DLT
+    terms). Two windows over the SAME (user_id, ts) sort order, so
+    Catalyst plans ONE shuffle + one sort for both; no joins."""
+    from near_public_lakehouse_spark.functions.time import ns_to_micros
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    islands = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select("user_id", "event_type", ns_to_micros("ts").alias("us"), "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return (
+        islands.withColumn("valid_to_us", F.lead("us").over(w2))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("us").alias("valid_from_us"),
+            "valid_to_us",
+            F.col("valid_to_us").isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from_us")
+    )

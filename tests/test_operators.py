@@ -286,3 +286,95 @@ def test_merge_null_partition_value_preserved(spark, target):
         10: ("keep-me", None),
         2: ("b", "2024-01-02"),
     }
+
+
+# --- SCD Type 2 ------------------------------------------------------------
+
+
+def _hist(spark, path):
+    from near_public_lakehouse_spark.operators.scd import CURRENT_COL, END_COL, START_COL
+
+    return sorted(
+        ((r.k, r.v, r[START_COL], r[END_COL], r[CURRENT_COL])
+         for r in spark.read.parquet(path).collect()),
+        key=lambda t: (t[0], t[2]),
+    )
+
+
+def test_scd2_builds_history(spark, target):
+    from near_public_lakehouse_spark.operators.scd import apply_changes_scd2
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (1, "b", 30), (2, "x", 10)],
+        "k int, v string, seq int",
+    )
+    apply_changes_scd2(spark, target, df, ["k"], "seq")
+    # (1,'b',30) is a no-op change (same tracked value) and must NOT open
+    # a new version; (1,'a') closes at seq 20.
+    assert _hist(spark, target) == [
+        (1, "a", 10, 20, False),
+        (1, "b", 20, None, True),
+        (2, "x", 10, None, True),
+    ]
+
+
+def test_scd2_incremental_matches_single_batch(spark, target, tmp_path):
+    from near_public_lakehouse_spark.operators.scd import apply_changes_scd2
+
+    rows = [(1, "a", 10), (1, "b", 20), (1, "c", 30), (2, "x", 15), (2, "x", 25)]
+    # one shot
+    one = str(tmp_path / "one")
+    apply_changes_scd2(
+        spark, one, spark.createDataFrame(rows, "k int, v string, seq int"), ["k"], "seq"
+    )
+    # three incremental batches, out of order
+    for batch in ([rows[2]], [rows[0], rows[4]], [rows[1], rows[3]]):
+        apply_changes_scd2(
+            spark,
+            target,
+            spark.createDataFrame(batch, "k int, v string, seq int"),
+            ["k"],
+            "seq",
+        )
+    assert _hist(spark, target) == _hist(spark, one)
+
+
+def test_scd2_idempotent_reapply(spark, target):
+    from near_public_lakehouse_spark.operators.scd import apply_changes_scd2
+
+    df = spark.createDataFrame([(1, "a", 10), (1, "b", 20)], "k int, v string, seq int")
+    apply_changes_scd2(spark, target, df, ["k"], "seq")
+    before = _hist(spark, target)
+    apply_changes_scd2(spark, target, df, ["k"], "seq")  # same batch again
+    assert _hist(spark, target) == before
+
+
+def test_scd2_null_tracked_values(spark, target):
+    from near_public_lakehouse_spark.operators.scd import apply_changes_scd2
+
+    df = spark.createDataFrame(
+        [(1, None, 10), (1, None, 20), (1, "a", 30)], "k int, v string, seq int"
+    )
+    apply_changes_scd2(spark, target, df, ["k"], "seq")
+    # NULL==NULL is a no-op change (eqNullSafe), NULL->'a' opens a version
+    assert _hist(spark, target) == [
+        (1, None, 10, 30, False),
+        (1, "a", 30, None, True),
+    ]
+
+
+def test_scd2_stream_matches_batch(spark, target, tmp_path):
+    from near_public_lakehouse_spark.operators.scd import scd2_stream
+
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (2, "x", 5)], "k int, v string, seq int"
+    ).write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema("k int, v string, seq int").parquet(src_dir)
+    qh = scd2_stream(stream, target, ["k"], "seq", str(tmp_path / "ckpt"))
+    qh.awaitTermination(60)
+    assert _hist(spark, target) == [
+        (1, "a", 10, 20, False),
+        (1, "b", 20, None, True),
+        (2, "x", 5, None, True),
+    ]
