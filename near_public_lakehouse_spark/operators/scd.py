@@ -155,12 +155,20 @@ def scd2_history(changes: DataFrame, keys: list[str], sequence_by: str) -> DataF
     )
 
 
+BUCKET_COL = "__scd_bucket__"
+
+
+def _bucket_of(keys: list[str], n_buckets: int):
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
+
+
 def apply_changes_scd2(
     spark: SparkSession,
     target_path: str,
     updates: DataFrame,
     keys: list[str],
     sequence_by: str,
+    n_buckets: int | None = None,
 ) -> None:
     """SCD2 APPLY CHANGES batch core: the DLT ``STORED AS SCD TYPE 2``
     analog. History is rebuilt from (stored rows union new changes) per
@@ -169,24 +177,53 @@ def apply_changes_scd2(
     same table (the SCD1 convergence discipline, round-2 crash tests).
     Crash-atomicity rides the same park-and-swap `_rewrite` as SCD1/MERGE.
 
-    At 100 TB: the union+window only ever shuffles on the key columns,
-    and `_rewrite` can be pointed at a key-partitioned layout; rebuilding
-    only touched partitions is the standard refinement (merge.py's
-    partition fencing) and orthogonal to the semantics pinned here.
+    ``n_buckets`` is the 100 TB path: the table is laid out partitioned on
+    a key-hash bucket, a batch reads ONLY the buckets its keys touch
+    (partition pruning on the stored side — a batch touching 0.1% of keys
+    reads ~0.1% of the table), and `_rewrite` swaps only those partitions;
+    untouched partition directories are never opened, rewritten, or
+    renamed. The bucket count is a layout constant: changing it is a table
+    rewrite, exactly like re-bucketing anywhere else.
+
+    The key->bucket map is deterministic (xxhash64), so the touched-bucket
+    list is a bounded (<= n_buckets) driver-side collect — the same
+    control-plane pattern as merge.py's partition fencing.
     """
     data_cols = [c for c in updates.columns]
     _recover(target_path)
-    if table_exists(target_path):
+    if not table_exists(target_path):
+        hist = scd2_history(updates, keys, sequence_by)
+        writer = hist
+        if n_buckets:
+            writer = hist.withColumn(BUCKET_COL, _bucket_of(keys, n_buckets))
+            writer.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(target_path)
+        else:
+            writer.write.mode("overwrite").parquet(target_path)
+        return
+
+    from near_public_lakehouse_spark.operators.merge import _rewrite
+
+    if not n_buckets:
         stored = read_table(spark, target_path).select(*data_cols)
         hist = scd2_history(stored.unionByName(updates), keys, sequence_by)
-
-        from near_public_lakehouse_spark.operators.merge import _rewrite
-
         _rewrite(spark, hist, target_path, None)
-    else:
-        scd2_history(updates, keys, sequence_by).write.mode("overwrite").parquet(
-            target_path
-        )
+        return
+
+    touched = [
+        r[0]
+        for r in updates.select(_bucket_of(keys, n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    ]
+    stored = (
+        read_table(spark, target_path)
+        .filter(F.col(BUCKET_COL).isin(touched))  # partition-pruned scan
+        .select(*data_cols)
+    )
+    hist = scd2_history(stored.unionByName(updates), keys, sequence_by).withColumn(
+        BUCKET_COL, _bucket_of(keys, n_buckets)
+    )
+    _rewrite(spark, hist, target_path, BUCKET_COL)
 
 
 def scd2_stream(

@@ -378,3 +378,66 @@ def test_scd2_stream_matches_batch(spark, target, tmp_path):
         (1, "b", 20, None, True),
         (2, "x", 5, None, True),
     ]
+
+
+def test_scd2_bucketed_matches_unbucketed(spark, target, tmp_path):
+    from near_public_lakehouse_spark.operators.scd import apply_changes_scd2
+
+    rows = [(i, f"v{i % 3}", 10) for i in range(20)] + [(5, "w", 20), (7, "w", 20)]
+    flat = str(tmp_path / "flat")
+    for path, nb in ((flat, None), (target, 4)):
+        for batch in (rows[:10], rows[10:]):
+            apply_changes_scd2(
+                spark,
+                path,
+                spark.createDataFrame(batch, "k int, v string, seq int"),
+                ["k"],
+                "seq",
+                n_buckets=nb,
+            )
+    assert _hist(spark, target) == _hist(spark, flat)
+
+
+def test_scd2_bucketed_touches_only_affected_partitions(spark, target):
+    import os
+
+    from near_public_lakehouse_spark.operators.scd import (
+        BUCKET_COL,
+        apply_changes_scd2,
+        _bucket_of,
+    )
+
+    init = spark.createDataFrame(
+        [(i, "a", 10) for i in range(64)], "k int, v string, seq int"
+    )
+    apply_changes_scd2(spark, target, init, ["k"], "seq", n_buckets=8)
+
+    def part_files():
+        out = {}
+        for d in os.listdir(target):
+            if d.startswith(f"{BUCKET_COL}="):
+                pdir = os.path.join(target, d)
+                out[d] = {
+                    f: os.stat(os.path.join(pdir, f)).st_mtime_ns
+                    for f in os.listdir(pdir)
+                    if f.endswith(".parquet")
+                }
+        return out
+
+    before = part_files()
+    assert len(before) == 8  # 64 keys over 8 buckets: all present
+
+    upd = spark.createDataFrame([(3, "b", 20)], "k int, v string, seq int")
+    touched_bucket = upd.select(_bucket_of(["k"], 8).alias("b")).first().b
+    apply_changes_scd2(spark, target, upd, ["k"], "seq", n_buckets=8)
+    after = part_files()
+
+    for d in before:
+        if d == f"{BUCKET_COL}={touched_bucket}":
+            assert before[d] != after[d]  # rebuilt
+        else:
+            assert before[d] == after[d]  # bytes never touched
+
+    # and the update itself landed
+    hist = {(r.k, r.v): r for r in spark.read.parquet(target).collect()}
+    assert hist[(3, "b")]["__scd_current__"]
