@@ -120,3 +120,67 @@ def read_export(spark: SparkSession, path: str, fmt: str, schema=None):
             "inferSchema", "true"
         )
     return reader.load(path)
+
+
+# --- incremental hourly export scheduler -----------------------------------
+
+_DONE_MARKER = "_EXPORTED"
+
+
+def export_closed_hours(
+    df: DataFrame,
+    base_path: str,
+    table: str,
+    ts_col: str,
+    now: datetime,
+    late_tolerance_hours: int = 1,
+    reexport_trailing: int = 0,
+    fmt: str = "avro",
+) -> list[str]:
+    """Incremental hourly export: write every hour of `df` that has CLOSED
+    (hour end + late tolerance <= now) and is not yet exported; optionally
+    force-re-export the newest `reexport_trailing` closed hours (the
+    reference re-runs trailing hours after late-data MERGEs — NEAR Public
+    Datasets.py:150-154's 1-3 day trailing windows, compressed to hours at
+    testdata scale). Returns the list of paths written.
+
+    Idempotence is two-layer: a `_EXPORTED` marker skips completed hours on
+    rerun, and the avro writer itself is deterministic (byte-identical
+    rewrite) so a crash between data and marker just rewrites the same
+    bytes. The hour list is a bounded driver-side aggregate (one row per
+    distinct hour) — control plane, not data plane. `ts_col` is the ns
+    BIGINT event-time column (the engine contract for events)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from near_public_lakehouse_spark.functions.time import NS_PER_HOUR, _floordiv
+
+    import calendar
+
+    spark = df.sparkSession
+    # timegm, not .timestamp(): a naive `now` must mean UTC regardless of
+    # the submitting machine's zone (the engine's pinned-UTC discipline).
+    cutoff_hour = calendar.timegm(now.timetuple()) // 3600 - late_tolerance_hours
+    hours = [
+        r.h
+        for r in df.select(_floordiv(F.col(ts_col), NS_PER_HOUR).alias("h"))
+        .distinct()
+        .filter(F.col("h") < cutoff_hour)
+        .orderBy("h")
+        .collect()
+    ]
+    forced = set(hours[-reexport_trailing:]) if reexport_trailing else set()
+    written: list[str] = []
+    for h in hours:
+        ts = datetime.utcfromtimestamp(h * 3600)
+        path = hourly_export_path(base_path, fmt, table, ts)
+        marker = os.path.join(path, _DONE_MARKER)
+        if os.path.exists(marker) and h not in forced:
+            continue
+        hour_df = df.filter(_floordiv(F.col(ts_col), NS_PER_HOUR) == h)
+        export_hourly(hour_df, base_path, table, ts, fmt=fmt)
+        with open(marker, "w") as fh:
+            fh.write(f"{h}\n")
+        written.append(path)
+    return written

@@ -67,3 +67,50 @@ def test_hourly_export_idempotent_rerun(spark, tmp_path):
     path = export_hourly(df2, str(tmp_path), "logs", ts)
     # Rerun of the same hour replaces, never appends.
     assert read_export(spark, path, "avro").count() == 7
+
+
+def test_export_closed_hours_incremental_and_trailing(spark, tmp_path):
+    """Only closed hours export; markers make reruns no-ops; trailing
+    re-export rewrites the newest closed hour(s)."""
+    import os
+
+    from near_public_lakehouse_spark.operators.export import export_closed_hours
+
+    ns_h = 3_600 * 1_000_000_000
+    h0 = 500_000  # hours since epoch
+    rows = [(i, (h0 + i // 4) * ns_h + (i % 4) * ns_h // 4) for i in range(12)]  # 3 hours
+    df = spark.createDataFrame(rows, "id long, ts long")
+
+    # now = start of h0+2 plus a bit -> with 1h tolerance only h0 is closed
+    from datetime import datetime, timezone
+
+    now = datetime.fromtimestamp((h0 + 2) * 3600 + 60, tz=timezone.utc).replace(tzinfo=None)
+    written = export_closed_hours(df, str(tmp_path), "events", "ts", now)
+    assert len(written) == 1 and "/events/" in written[0]
+    assert os.path.exists(os.path.join(written[0], "_EXPORTED"))
+
+    # rerun: marker skips, nothing written
+    assert export_closed_hours(df, str(tmp_path), "events", "ts", now) == []
+
+    # time advances: the two later hours close and export
+    now2 = datetime.fromtimestamp((h0 + 4) * 3600, tz=timezone.utc).replace(tzinfo=None)
+    assert len(export_closed_hours(df, str(tmp_path), "events", "ts", now2)) == 2
+
+    # trailing re-export: newest closed hour rewritten even though marked
+    again = export_closed_hours(
+        df, str(tmp_path), "events", "ts", now2, reexport_trailing=1
+    )
+    assert len(again) == 1 and "/events/" in again[0]
+
+    # all three hour folders round-trip through the avro reader
+    from near_public_lakehouse_spark.operators.export import read_export
+
+    total = 0
+    for h in range(3):
+        from datetime import datetime as dt
+
+        from near_public_lakehouse_spark.operators.export import hourly_export_path
+
+        ts = dt.utcfromtimestamp((h0 + h) * 3600)
+        total += read_export(spark, hourly_export_path(str(tmp_path), "avro", "events", ts), "avro").count()
+    assert total == 12
