@@ -718,12 +718,22 @@ def _min_label_cc(edges: DataFrame) -> DataFrame:
     """(id, lab) connected-component labels by iterative min-label
     propagation over the symmetrized edge set.
 
-    Convergence detection is free: labels are monotone non-increasing (the
-    old label is always in the groupBy-min union), so the label sum
-    strictly decreases until the fixpoint. An ``Observation`` folds the sum
-    into the same pass that materializes each round — no separate
-    old-vs-new join + count job per round (which doubled the loop's job
-    count and, at cluster scale, its shuffles)."""
+    Each round does neighbor-min propagation AND pointer doubling
+    (``lab <- lab[lab]``), so convergence takes O(log diameter) rounds,
+    not O(diameter): plain propagation moves a component's min label one
+    hop per round, which silently mislabels any component whose diameter
+    exceeds the round cap (a 120-edge near-dup *chain* — each adjacent
+    pair >= 0.8 similar, ends unrelated — breaks the plain loop; pinned in
+    tests/test_dedup_guard.py). Doubling is one extra equi-join on the
+    compact (id, lab) table per round — cheap next to the edge join, and
+    the round cap of 50 now covers diameters up to ~2^50.
+
+    Convergence detection is free: labels are monotone non-increasing
+    (the old label is in the groupBy-min union, and doubling maps
+    lab -> label(lab) <= lab), so the label sum strictly decreases until
+    the fixpoint. An ``Observation`` folds the sum into the same pass
+    that materializes each round — no separate old-vs-new join + count
+    job per round."""
     from pyspark.sql import Observation
 
     sym = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
@@ -739,11 +749,15 @@ def _min_label_cc(edges: DataFrame) -> DataFrame:
         prop = sym.join(labels, sym.src == labels.id).select(
             F.col("dst").alias("id"), F.col("lab")
         )
+        merged = labels.union(prop).groupBy("id").agg(F.min("lab").alias("lab"))
+        # pointer doubling: every label jumps to its label's label. Label
+        # values are node ids, so the lookup join always hits; coalesce
+        # only guards the theoretical miss.
+        lut = merged.select(F.col("id").alias("p_id"), F.col("lab").alias("p_lab"))
         obs = Observation(f"cc_round_{i}")
         new_labels = (
-            labels.union(prop)
-            .groupBy("id")
-            .agg(F.min("lab").alias("lab"))
+            merged.join(lut, merged.lab == lut.p_id, "left")
+            .select(merged.id, F.coalesce("p_lab", "lab").alias("lab"))
             .observe(obs, F.sum("lab").alias("lab_sum"))
             .localCheckpoint()
         )

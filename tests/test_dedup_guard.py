@@ -69,3 +69,30 @@ def test_dropped_blocks_metric_zero_when_nothing_dropped(spark):
     pairs.collect()
     assert obs.get["dropped_blocks"] == 0
     assert obs.get["dropped_docs"] == 0
+
+
+def test_cc_long_chain_converges_within_round_cap(spark):
+    """A 120-edge path (diameter >> round cap) must still fully converge:
+    pointer doubling makes rounds O(log diameter), so the cap of 50 holds
+    for any realistic component. Plain one-hop propagation fails this."""
+    from near_public_lakehouse_spark.queries.dedup import _min_label_cc
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "doc_a long, doc_b long"
+    )
+    labels = _min_label_cc(edges)
+    assert labels.filter("lab != 0").count() == 0
+    assert labels.count() == 121
+
+
+def test_cc_multiple_components(spark):
+    from near_public_lakehouse_spark.queries.dedup import _min_label_cc
+
+    edges = spark.createDataFrame(
+        # component {1,2,3}, component {10,11}, chain {20..24}
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (23, 24)],
+        "doc_a long, doc_b long",
+    )
+    labels = {r.id: r.lab for r in _min_label_cc(edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                      20: 20, 21: 20, 22: 20, 23: 20, 24: 20}
