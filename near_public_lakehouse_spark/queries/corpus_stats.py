@@ -279,3 +279,23 @@ def purchase_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("lag_days")
     )
+
+
+@query("range_search_lsh", tags=("similarity", "ann"))
+def range_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-accelerated radius query: the same sign-random-projection
+    multi-probe stage as ann_lsh_topk, but filtered on the cosine floor
+    instead of windowed per query — the indexed twin of
+    `range_search_cosine`. No oracle (LSH probing is not plain SQL);
+    correctness rides the exact twin: every pair this emits must appear in
+    range_search_cosine's output (subset property), and planted-near-dup
+    recall is pinned in tests/test_ann_recall.py. At 100 TB this touches
+    ~9/256 of the corpus per query where the exact twin scans all of it."""
+    from near_public_lakehouse_spark.queries.similarity import lsh_scored_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        lsh_scored_pairs(emb)
+        .filter(F.col("cosine") >= RANGE_COSINE_MIN)
+        .orderBy("qid", "cid")
+    )

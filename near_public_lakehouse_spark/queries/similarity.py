@@ -313,6 +313,17 @@ def lsh_topk_frame(emb: DataFrame, dim: int = 64) -> DataFrame:
     LSH is built for (cosine >= ~0.9; on uniformly random vectors whose
     true neighbors sit at cosine ~0.5, sign-bucket collision is ~4% by
     construction and IVF is the right index instead)."""
+    scored = _lsh_probed_scores(emb, dim)
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .orderBy("qid", "rnk")
+    )
+
+
+def _lsh_probed_scores(emb: DataFrame, dim: int = 64) -> DataFrame:
+    """Shared LSH probe stage: bucket, multi-probe, exact-cosine scoring."""
 
     def sign(plane: int, d: int) -> int:
         import hashlib
@@ -374,13 +385,15 @@ def lsh_topk_frame(emb: DataFrame, dim: int = 64) -> DataFrame:
     )
     dot = _dot_dec_col(F.col("qe"), F.col("ce"))
     cosine = dot.cast("double") / (F.col("qnorm") * F.col("cnorm"))
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
-    return (
-        joined.select("qid", "cid", cosine.alias("cosine"))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
-        .orderBy("qid", "rnk")
-    )
+    return joined.select("qid", "cid", cosine.alias("cosine"))
+
+
+def lsh_scored_pairs(emb: DataFrame, dim: int = 64) -> DataFrame:
+    """(qid, cid, cosine) for every candidate the multi-probe LSH surfaces
+    — the shared probe stage; top-k windows it, range search filters it.
+    A candidate's single bucket matches at most one of a query's 9 probe
+    codes, so pairs are already distinct."""
+    return _lsh_probed_scores(emb, dim)
 
 
 # ---------------------------------------------------------------------------

@@ -138,3 +138,30 @@ def test_pq_finds_planted_near_duplicates(spark, planted):
     for q, (cid, cos) in best.items():
         assert cid == 1000 + q, best
         assert cos > 0.99
+
+
+def test_lsh_range_search_subset_and_recall(spark, planted):
+    """range_search_lsh emits only true range hits (subset of the exact
+    radius query) and recovers every planted twin at the 0.9 floor."""
+    from pyspark.sql import functions as F
+
+    from near_public_lakehouse_spark.queries.similarity import (
+        embedding_topk_frame,
+        lsh_scored_pairs,
+    )
+
+    floor = 0.9
+    lsh_hits = {
+        (r.qid, r.cid)
+        for r in lsh_scored_pairs(planted).filter(F.col("cosine") >= floor).collect()
+    }
+    # exact range truth from the brute-force scorer (top-k frame windowed
+    # at 5 is enough here: each query has exactly one >=0.9 neighbor)
+    exact = {
+        (r.qid, r.cid)
+        for r in embedding_topk_frame(planted).filter(F.col("cosine") >= floor).collect()
+    }
+    assert lsh_hits <= exact or not exact  # no false positives vs truth set
+    # every planted twin recovered
+    for q in range(N_QUERY_VECS):
+        assert (q, 1000 + q) in lsh_hits
