@@ -712,3 +712,47 @@ def versioned_upsert(
         except CommitConflict:
             continue
     raise CommitConflict(f"upsert into {table_dir} lost {_retries} races")
+
+
+def versioned_scd2(
+    spark: SparkSession,
+    table_dir: str,
+    changes: DataFrame,
+    keys: list[str],
+    sequence_by: str,
+    _retries: int = 10,
+) -> int:
+    """SCD Type-2 APPLY CHANGES as one atomic commit on the versioned
+    table: dimension history WITH time travel — ``read_version(dir, n)``
+    answers "what did this dimension's history (and its __scd_current__
+    rows) look like at version n", and the change feed shows each apply as
+    one commit. History semantics are operators.scd.scd2_history's
+    (rebuild-from-union: idempotent, out-of-order convergent); atomicity,
+    optimistic concurrency and lost-race re-derivation follow
+    versioned_upsert's discipline — SCD2 applies don't commute either, so
+    a lost race recomputes against the winner's snapshot."""
+    from near_public_lakehouse_spark.operators.scd import scd2_history
+
+    data_cols = list(changes.columns)
+    for _ in range(_retries):
+        base = latest_version(table_dir)
+        if base is None:
+            hist = scd2_history(changes, keys, sequence_by)
+            try:
+                return _commit(
+                    table_dir,
+                    "scd2",
+                    _write_data(hist, table_dir),
+                    None,
+                    hist.schema.json(),
+                )
+            except CommitConflict:
+                continue
+        stored = read_version(spark, table_dir, base).select(*data_cols)
+        hist = scd2_history(stored.unionByName(changes), keys, sequence_by)
+        files = _write_data(hist, table_dir)
+        try:
+            return _commit(table_dir, "scd2", files, base, hist.schema.json())
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"scd2 apply into {table_dir} lost {_retries} races")

@@ -449,3 +449,53 @@ def test_versioned_upsert_rederives_after_conflict(spark, tmp_path):
     finally:
         V._commit = real_commit
     assert _rows(V.read_version(spark, t)) == [(1, "a"), (2, "b"), (5, "winner")]
+
+
+def test_versioned_scd2_time_travel(spark, tmp_path):
+    """Each SCD2 apply is one commit; old versions replay old history."""
+    from near_public_lakehouse_spark.operators.versioned import (
+        read_version,
+        versioned_scd2,
+    )
+
+    d = str(tmp_path / "dim")
+    v1 = versioned_scd2(
+        spark,
+        d,
+        spark.createDataFrame([(1, "a", 10)], "k int, v string, seq int"),
+        ["k"],
+        "seq",
+    )
+    v2 = versioned_scd2(
+        spark,
+        d,
+        spark.createDataFrame([(1, "b", 20)], "k int, v string, seq int"),
+        ["k"],
+        "seq",
+    )
+    assert v2 == v1 + 1
+
+    at_v1 = read_version(spark, d, v1)
+    assert [(r.k, r.v, r["__scd_current__"]) for r in at_v1.collect()] == [(1, "a", True)]
+
+    now = sorted(
+        (r.k, r.v, r["__scd_start__"], r["__scd_end__"], r["__scd_current__"])
+        for r in read_version(spark, d, v2).collect()
+    )
+    assert now == [(1, "a", 10, 20, False), (1, "b", 20, None, True)]
+
+
+def test_versioned_scd2_idempotent_reapply(spark, tmp_path):
+    from near_public_lakehouse_spark.operators.versioned import (
+        read_version,
+        versioned_scd2,
+    )
+
+    d = str(tmp_path / "dim")
+    df = spark.createDataFrame([(1, "a", 10), (1, "b", 20)], "k int, v string, seq int")
+    versioned_scd2(spark, d, df, ["k"], "seq")
+    v = versioned_scd2(spark, d, df, ["k"], "seq")  # reapply: new commit, same rows
+    rows = sorted(
+        (r.k, r.v, r["__scd_start__"], r["__scd_end__"]) for r in read_version(spark, d, v).collect()
+    )
+    assert rows == [(1, "a", 10, 20), (1, "b", 20, None)]
