@@ -289,3 +289,14 @@ def test_conversion_lag_single_user_shuffle(spark):
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     # two aggregation exchanges + the final orderBy range exchange
     assert plan.count("Exchange") <= 3
+
+
+def test_asof_join_is_equi_keyed_never_cartesian(spark):
+    """The as-of interval join must key on user_id with the time window as
+    a residual — a BroadcastNestedLoopJoin/CartesianProduct here would be
+    the O(clicks x views) disaster at scale."""
+    from near_public_lakehouse_spark.queries import all_queries
+
+    plan = _plan(all_queries()["asof_click_view"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
