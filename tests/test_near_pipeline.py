@@ -290,3 +290,84 @@ def test_incremental_matches_batch(spark, raw_dir, pipe, tmp_path_factory):
     b = {(r.account_id, r.is_active) for r in pipe.read("silver_accounts").collect()}
     i = {(r.account_id, r.is_active) for r in p2.read("silver_accounts").collect()}
     assert b == i
+
+
+def test_publication_path_end_to_end(spark, tmp_path):
+    """Capstone composition: events land in a versioned bronze table
+    (atomic commits), a streaming tail drains the change feed into a
+    published silver table (exactly-once, offset inside the commit), and
+    the hourly exporter publishes closed hours as real avro bytes readable
+    by the official JVM reader — the reference's silver -> public-datasets
+    flow re-expressed end to end."""
+    import os
+    from datetime import datetime, timezone
+
+    from near_public_lakehouse_spark.operators.export import (
+        export_closed_hours,
+        read_export,
+    )
+    from near_public_lakehouse_spark.operators.versioned import (
+        commit_append,
+        tail_into,
+        tail_until_drained,
+    )
+
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    ns_h = 3_600 * 1_000_000_000
+    h0 = 490_000
+
+    # two bronze commits (e.g. two ingest batches)
+    b1 = spark.createDataFrame(
+        [(i, h0 * ns_h + i * ns_h // 8, "click") for i in range(8)],
+        "event_id long, ts long, event_type string",
+    )
+    b2 = spark.createDataFrame(
+        [(100 + i, (h0 + 1) * ns_h + i * ns_h // 4, "view") for i in range(4)],
+        "event_id long, ts long, event_type string",
+    )
+    commit_append(b1, bronze)
+    commit_append(b2, bronze)
+
+    # drain the change feed into silver (filter = the "published" projection)
+    tail_until_drained(
+        spark,
+        bronze,
+        silver,
+        transform=lambda df: df.filter("event_type in ('click','view')"),
+        max_versions_per_batch=1,
+    )
+    from near_public_lakehouse_spark.operators.versioned import latest_version, read_version
+
+    silver_df = read_version(spark, silver, latest_version(silver))
+    assert silver_df.count() == 12
+
+    # re-run the tail: nothing new, no double-append (exactly-once)
+    tail_into(spark, bronze, silver)
+    assert read_version(spark, silver, latest_version(silver)).count() == 12
+
+    # hourly publication: both hours closed -> two avro folders
+    now = datetime.fromtimestamp((h0 + 3) * 3600, tz=timezone.utc).replace(tzinfo=None)
+    written = export_closed_hours(
+        silver_df, str(tmp_path / "pub"), "events", "ts", now
+    )
+    assert len(written) == 2
+    total = sum(read_export(spark, p, "avro").count() for p in written)
+    assert total == 12
+
+    # the bytes are real avro: official JVM reader agrees on a folder
+    part = next(
+        os.path.join(written[0], f)
+        for f in sorted(os.listdir(written[0]))
+        if f.endswith(".avro")
+    )
+    jvm = spark._jvm
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(part), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    n = 0
+    while reader.hasNext():
+        reader.next()
+        n += 1
+    reader.close()
+    assert n > 0
