@@ -65,6 +65,24 @@ def _is_nested(dt) -> bool:
     return isinstance(dt, (ArrayType, MapType, StructType))
 
 
+def _require_local_path(base_path: str, what: str) -> None:
+    """Fail loudly where control-plane IO is driver-local `os`/`open`: the
+    OCF-fallback avro writer and the hour markers cannot target
+    object-store/DFS URIs the way the Spark-writer formats can. Without
+    this check an `s3://...` base would silently become a literal local
+    directory named "s3:"."""
+    import re
+
+    m = re.match(r"^([a-z][a-z0-9+.-]*)://", base_path, re.IGNORECASE)
+    if m and m.group(1).lower() != "file":
+        raise ValueError(
+            f"{what} uses driver-local filesystem IO and cannot target "
+            f"{m.group(1)}:// paths; use a mounted/local base path, or a "
+            "Spark-writer format (parquet/orc/csv, or avro with spark-avro "
+            "present) written by export_hourly directly"
+        )
+
+
 def export_hourly(
     df: DataFrame,
     base_path: str,
@@ -97,6 +115,7 @@ def export_hourly(
     if fmt == "avro" and not avro_available(spark):
         from near_public_lakehouse_spark.sources.avro_ocf import write_avro
 
+        _require_local_path(base_path, "the OCF-fallback avro writer")
         write_avro(df, path)
         return path
     writer = df.write.format(fmt).mode("overwrite")
@@ -158,6 +177,7 @@ def export_closed_hours(
 
     import calendar
 
+    _require_local_path(base_path, "export_closed_hours (its hour markers)")
     spark = df.sparkSession
     # timegm, not .timestamp(): a naive `now` must mean UTC regardless of
     # the submitting machine's zone (the engine's pinned-UTC discipline).

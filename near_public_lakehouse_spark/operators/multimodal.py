@@ -438,19 +438,26 @@ def audio_features(df: DataFrame) -> DataFrame:
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                # The FULL per-payload computation sits inside the guard: a
+                # WAV with a valid header but truncated multi-channel data
+                # would otherwise raise from reshape() and fail the job
+                # instead of being skipped like any other corrupt payload.
                 try:
                     w = decode_wav(bytes(payload))
-                except (ValueError, NotImplementedError):
-                    continue
-                x = w["samples"]
-                n_frames = len(x) // max(w["n_channels"], 1)
-                mono = x.reshape(-1, w["n_channels"]).mean(axis=1) if len(x) else x
-                zc = (
-                    float(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
-                    / max(len(mono) - 1, 1)
-                )
-                out.append(
-                    (
+                    x = w["samples"]
+                    n_frames = len(x) // max(w["n_channels"], 1)
+                    mono = (
+                        x.reshape(-1, w["n_channels"]).mean(axis=1) if len(x) else x
+                    )
+                    zc = (
+                        float(
+                            np.count_nonzero(
+                                np.signbit(mono[1:]) != np.signbit(mono[:-1])
+                            )
+                        )
+                        / max(len(mono) - 1, 1)
+                    )
+                    row = (
                         mid,
                         w["sample_rate"],
                         w["n_channels"],
@@ -459,7 +466,9 @@ def audio_features(df: DataFrame) -> DataFrame:
                         float(np.abs(x).max()) if len(x) else 0.0,
                         zc,
                     )
-                )
+                except (ValueError, NotImplementedError, ZeroDivisionError):
+                    continue
+                out.append(row)
             yield pd.DataFrame(
                 out,
                 columns=[

@@ -232,12 +232,24 @@ def scd2_stream(
     keys: list[str],
     sequence_by: str,
     checkpoint: str,
+    n_buckets: int | None = None,
 ):
-    """Streaming SCD2: foreachBatch(apply_changes_scd2)."""
+    """Streaming SCD2: foreachBatch(apply_changes_scd2).
+
+    ``n_buckets`` MUST be forwarded for large dimensions: without it every
+    micro-batch takes the full-history-rewrite branch of
+    `apply_changes_scd2`, rewriting the entire table per batch — the exact
+    hazard the key-hash bucketed layout exists to avoid at scale.
+    """
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         apply_changes_scd2(
-            batch_df.sparkSession, target_path, batch_df, keys, sequence_by
+            batch_df.sparkSession,
+            target_path,
+            batch_df,
+            keys,
+            sequence_by,
+            n_buckets=n_buckets,
         )
 
     return (

@@ -58,6 +58,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _LOG = "_log"
 _DATA = "data"
@@ -720,6 +721,7 @@ def versioned_scd2(
     changes: DataFrame,
     keys: list[str],
     sequence_by: str,
+    n_buckets: int | None = None,
     _retries: int = 10,
 ) -> int:
     """SCD Type-2 APPLY CHANGES as one atomic commit on the versioned
@@ -730,14 +732,32 @@ def versioned_scd2(
     (rebuild-from-union: idempotent, out-of-order convergent); atomicity,
     optimistic concurrency and lost-race re-derivation follow
     versioned_upsert's discipline — SCD2 applies don't commute either, so
-    a lost race recomputes against the winner's snapshot."""
-    from near_public_lakehouse_spark.operators.scd import scd2_history
+    a lost race recomputes against the winner's snapshot.
 
-    data_cols = list(changes.columns)
+    ``n_buckets`` is the 100 TB path, mirroring apply_changes_scd2's
+    key-hash bucket fencing but expressed in this store's native currency
+    — per-file footer stats: history rows carry a ``__scd_bucket__``
+    column, the initial write repartitions on it so each file spans few
+    buckets, and an apply CARRIES OVER (by manifest reference, no IO) every
+    base file whose min/max stats prove it holds no touched bucket. Only
+    candidate files are read and rewritten, so a batch touching 0.1% of
+    keys re-reads and re-writes ~0.1% of the table. Files without usable
+    stats are conservatively treated as candidates — pruning is never a
+    correctness filter."""
+    from near_public_lakehouse_spark.operators.scd import (
+        BUCKET_COL,
+        _bucket_of,
+        scd2_history,
+    )
+
+    data_cols = [c for c in changes.columns]
     for _ in range(_retries):
         base = latest_version(table_dir)
         if base is None:
             hist = scd2_history(changes, keys, sequence_by)
+            if n_buckets:
+                hist = hist.withColumn(BUCKET_COL, _bucket_of(keys, n_buckets))
+                hist = hist.repartition(n_buckets, BUCKET_COL)
             try:
                 return _commit(
                     table_dir,
@@ -748,8 +768,54 @@ def versioned_scd2(
                 )
             except CommitConflict:
                 continue
+        m = _read_manifest(table_dir, base)
+        stored_has_buckets = any(
+            f.get("name") == BUCKET_COL
+            for f in json.loads(m["schema"]).get("fields", [])
+        )
+        if n_buckets and stored_has_buckets:
+            touched = sorted(
+                r[0]
+                for r in changes.select(_bucket_of(keys, n_buckets).alias("b"))
+                .distinct()
+                .collect()
+            )
+            stats = m.get("stats", {})
+            keep, candidates = [], []
+            for f in m["files"]:
+                st = stats.get(f)
+                hits = st is None or any(
+                    _file_matches(st, [(BUCKET_COL, "=", b)]) for b in touched
+                )
+                (candidates if hits else keep).append(f)
+            if candidates:
+                cand = spark.read.parquet(
+                    *(os.path.join(table_dir, f) for f in candidates)
+                )
+            else:
+                cand = read_version(spark, table_dir, base).limit(0)
+            untouched = cand.filter(~F.col(BUCKET_COL).isin(touched))
+            touched_rows = cand.filter(F.col(BUCKET_COL).isin(touched)).select(
+                *data_cols
+            )
+            hist = scd2_history(
+                touched_rows.unionByName(changes), keys, sequence_by
+            ).withColumn(BUCKET_COL, _bucket_of(keys, n_buckets))
+            out = untouched.unionByName(hist).repartition(
+                max(1, min(len(touched) + 1, n_buckets)), BUCKET_COL
+            )
+            files = keep + _write_data(out, table_dir)
+            try:
+                return _commit(table_dir, "scd2", files, base, out.schema.json())
+            except CommitConflict:
+                continue
         stored = read_version(spark, table_dir, base).select(*data_cols)
         hist = scd2_history(stored.unionByName(changes), keys, sequence_by)
+        if n_buckets:
+            # migration: un-bucketed table + n_buckets => one full rewrite
+            # into the bucketed layout; subsequent applies prune.
+            hist = hist.withColumn(BUCKET_COL, _bucket_of(keys, n_buckets))
+            hist = hist.repartition(n_buckets, BUCKET_COL)
         files = _write_data(hist, table_dir)
         try:
             return _commit(table_dir, "scd2", files, base, hist.schema.json())

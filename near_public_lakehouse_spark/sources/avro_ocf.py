@@ -92,9 +92,11 @@ def _read_bytes(buf: io.BytesIO) -> bytes:
 
 _PRIMITIVES: dict[type, str] = {
     T.LongType: "long",
-    T.IntegerType: "long",
-    T.ShortType: "long",
-    T.ByteType: "long",
+    # spark-avro (the reference's writer) maps Integer/Short/Byte to avro
+    # "int" — match it so exported schemas don't silently widen to long.
+    T.IntegerType: "int",
+    T.ShortType: "int",
+    T.ByteType: "int",
     T.DoubleType: "double",
     T.FloatType: "float",
     T.StringType: "string",
@@ -103,10 +105,23 @@ _PRIMITIVES: dict[type, str] = {
 }
 
 
-def avro_schema_of(schema: T.StructType, name: str = "row") -> dict:
-    """Spark StructType -> avro record schema (JSON-able dict)."""
+def _avro_name(s: str) -> str:
+    """Sanitize a field-path component into a legal avro name."""
+    import re
 
-    def field_type(dt: T.DataType) -> object:
+    out = re.sub(r"[^A-Za-z0-9_]", "_", s)
+    return out if out and not out[0].isdigit() else f"_{out}"
+
+
+def avro_schema_of(schema: T.StructType, name: str = "row") -> dict:
+    """Spark StructType -> avro record schema (JSON-able dict).
+
+    Nested record names derive from the FIELD PATH (``row_a_b``), which is
+    deterministic across processes/reruns (the idempotent-export contract
+    needs byte-identical rewrites) and collision-free between siblings —
+    avro's Schema.Parser rejects duplicate record names."""
+
+    def field_type(dt: T.DataType, path: str) -> object:
         if type(dt) in _PRIMITIVES:
             return _PRIMITIVES[type(dt)]
         if isinstance(dt, T.DateType):
@@ -121,17 +136,17 @@ def avro_schema_of(schema: T.StructType, name: str = "row") -> dict:
                 "scale": dt.scale,
             }
         if isinstance(dt, T.ArrayType):
-            item = field_type(dt.elementType)
+            item = field_type(dt.elementType, f"{path}_item")
             if dt.containsNull:
                 item = ["null", item]
             return {"type": "array", "items": item}
         if isinstance(dt, T.StructType):
-            return avro_schema_of(dt, name=f"{name}_rec{id(dt) % 9973}")
+            return avro_schema_of(dt, name=path)
         raise TypeError(f"no avro mapping for Spark type {dt}")
 
     fields = []
     for f in schema.fields:
-        ft = field_type(f.dataType)
+        ft = field_type(f.dataType, f"{name}_{_avro_name(f.name)}")
         fields.append(
             {"name": f.name, "type": ["null", ft] if f.nullable else ft}
         )
@@ -494,8 +509,28 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _header_only(fh) -> bytes:
-    """Read enough of an OCF for header + first block (schema probe)."""
-    return fh.read()
+    """Read EXACTLY the OCF header (magic + metadata map + sync marker) and
+    stop before the first data block, so the driver-side schema probe is
+    O(header bytes) — never O(file): decode_ocf on the result sees zero
+    blocks. The zigzag/bytes readers only need ``.read``, so they work on
+    the file handle directly."""
+    start = fh.tell()
+    if fh.read(4) != MAGIC:
+        raise ValueError("not an avro object container file")
+    while True:
+        n = _read_zigzag(fh)
+        if n == 0:
+            break
+        if n < 0:  # block with byte-size prefix
+            n = -n
+            _read_zigzag(fh)
+        for _ in range(n):
+            _read_bytes(fh)  # key
+            _read_bytes(fh)  # value
+    fh.read(16)  # sync marker
+    end = fh.tell()
+    fh.seek(start)
+    return fh.read(end - start)
 
 
 def _arrow_type(dt: T.DataType):

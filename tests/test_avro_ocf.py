@@ -154,3 +154,51 @@ def test_lineitem_slice_export(spark, tmp_path):
     a = {tuple(r) for r in li.collect()}
     b = {tuple(r) for r in back.collect()}
     assert a == b
+
+
+def test_nested_record_names_deterministic_and_distinct(spark):
+    """Record names derive from the field path — identical across
+    processes (byte-identical rerun contract) and distinct for sibling
+    structs (Schema.Parser rejects duplicate names)."""
+    schema = spark.createDataFrame(
+        [((1, "x"), (2.0, True))],
+        "a struct<p: long, q: string>, b struct<r: double, s: boolean>",
+    ).schema
+    avro = avro_schema_of(schema)
+
+    def rec_name(union):
+        (t,) = [x for x in union if x != "null"]
+        return t["name"]
+
+    names = [rec_name(f["type"]) for f in avro["fields"]]
+    assert names == ["row_a", "row_b"]
+    # deterministic: a fresh derivation of the same schema is identical
+    assert json.dumps(avro_schema_of(schema)) == json.dumps(avro)
+
+
+def test_int_columns_keep_avro_int(spark, tmp_path):
+    """spark-avro maps IntegerType to avro "int" — so do we (no silent
+    widening to long across an export round-trip)."""
+    df = spark.createDataFrame([(1, 2), (3, 4)], "i int, j int")
+    avro = avro_schema_of(df.schema)
+    assert [f["type"] for f in avro["fields"]] == [["null", "int"], ["null", "int"]]
+    d = str(tmp_path / "ints")
+    write_avro(df, d)
+    back = read_avro(spark, d)
+    assert [f.dataType.simpleString() for f in back.schema.fields] == ["int", "int"]
+    assert sorted(tuple(r) for r in back.collect()) == [(1, 2), (3, 4)]
+
+
+def test_header_only_probe_reads_header_not_file(spark, tmp_path):
+    from near_public_lakehouse_spark.sources.avro_ocf import _header_only
+
+    d = str(tmp_path / "hdr")
+    write_avro(spark.range(10000).selectExpr("id", "repeat('x', 100) as pad"), d)
+    f = sorted(p for p in os.listdir(d) if p.endswith(".avro"))[0]
+    full = os.path.getsize(os.path.join(d, f))
+    with open(os.path.join(d, f), "rb") as fh:
+        hdr = _header_only(fh)
+    assert len(hdr) < full / 2  # header only, not the data blocks
+    sschema, rows = decode_ocf(hdr)
+    assert rows == []  # zero blocks decoded on the driver
+    assert [fl.name for fl in sschema.fields] == ["id", "pad"]

@@ -114,3 +114,34 @@ def test_export_closed_hours_incremental_and_trailing(spark, tmp_path):
         ts = dt.utcfromtimestamp((h0 + h) * 3600)
         total += read_export(spark, hourly_export_path(str(tmp_path), "avro", "events", ts), "avro").count()
     assert total == 12
+
+
+def test_local_only_paths_fail_loudly(spark, tmp_path):
+    """Driver-local control-plane IO (OCF fallback, hour markers) must
+    reject object-store URIs instead of writing to a literal './s3:' dir."""
+    import datetime
+
+    import pytest
+
+    from near_public_lakehouse_spark.operators.export import (
+        export_closed_hours,
+        export_hourly,
+    )
+
+    df = spark.createDataFrame([(1, 10**15)], "k long, ts long")
+    with pytest.raises(ValueError, match="driver-local"):
+        export_closed_hours(
+            df, "s3://bucket/base", "t", "ts", datetime.datetime(2024, 1, 2)
+        )
+    if not __import__(
+        "near_public_lakehouse_spark.operators.export", fromlist=["avro_available"]
+    ).avro_available(spark):
+        with pytest.raises(ValueError, match="driver-local"):
+            export_hourly(
+                df, "gs://bucket/base", "t", datetime.datetime(2024, 1, 2), fmt="avro"
+            )
+    # windows-style local paths and plain relative/absolute paths still pass
+    out = export_hourly(
+        df, str(tmp_path / "ok"), "t", datetime.datetime(2024, 1, 2), fmt="parquet"
+    )
+    assert out

@@ -205,3 +205,28 @@ def test_bmp_roundtrip_stats_and_resize(spark):
     tpx = decode_bmp(bytes(thumbs[2].thumb))
     assert tpx.shape == (32, 16, 3)
     assert np.all(tpx == np.array((200, 100, 50), dtype=np.uint8))  # solid stays solid
+
+
+def test_truncated_multichannel_wav_is_skipped_not_fatal(spark):
+    """A WAV whose header is valid but whose data bytes don't divide by
+    the channel count must be skipped like any corrupt payload — not fail
+    the whole job from inside reshape()."""
+    import struct as _s
+
+    from near_public_lakehouse_spark.operators.multimodal import (
+        audio_features,
+        encode_wav,
+    )
+    import numpy as np
+
+    good = encode_wav(np.zeros(100, dtype="<i2"), sample_rate=8000)
+    # valid stereo header, data chunk truncated to an odd sample count
+    stereo = np.zeros(200, dtype="<i2")  # 100 frames x 2 channels
+    bad = bytes(
+        bytearray(encode_wav(stereo, sample_rate=8000, n_channels=2))[:-2]
+    )  # drop one 16-bit sample -> 199 samples, not divisible by 2 channels
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(bad))], "media_id long, media binary"
+    )
+    out = audio_features(df).collect()
+    assert [r.media_id for r in out] == [1]

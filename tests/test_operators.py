@@ -441,3 +441,58 @@ def test_scd2_bucketed_touches_only_affected_partitions(spark, target):
     # and the update itself landed
     hist = {(r.k, r.v): r for r in spark.read.parquet(target).collect()}
     assert hist[(3, "b")]["__scd_current__"]
+
+
+def test_scd2_stream_bucketed_touches_only_affected_partitions(spark, target, tmp_path):
+    """Streaming mirror of the batch fencing test: scd2_stream must forward
+    n_buckets so a micro-batch rewrites only the buckets its keys hash to —
+    never the full history (the 100 TB hazard VERDICT r4 flagged)."""
+    import os
+
+    from near_public_lakehouse_spark.operators.scd import (
+        BUCKET_COL,
+        _bucket_of,
+        apply_changes_scd2,
+        scd2_stream,
+    )
+
+    init = spark.createDataFrame(
+        [(i, "a", 10) for i in range(64)], "k int, v string, seq int"
+    )
+    apply_changes_scd2(spark, target, init, ["k"], "seq", n_buckets=8)
+
+    def part_files():
+        out = {}
+        for d in os.listdir(target):
+            if d.startswith(f"{BUCKET_COL}="):
+                pdir = os.path.join(target, d)
+                out[d] = {
+                    f: os.stat(os.path.join(pdir, f)).st_mtime_ns
+                    for f in os.listdir(pdir)
+                    if f.endswith(".parquet")
+                }
+        return out
+
+    before = part_files()
+    assert len(before) == 8
+
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame([(3, "b", 20)], "k int, v string, seq int").write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    touched_bucket = (
+        spark.createDataFrame([(3,)], "k int").select(_bucket_of(["k"], 8).alias("b")).first().b
+    )
+    stream = spark.readStream.schema("k int, v string, seq int").parquet(src_dir)
+    qh = scd2_stream(stream, target, ["k"], "seq", str(tmp_path / "ckpt"), n_buckets=8)
+    qh.awaitTermination(60)
+    after = part_files()
+
+    for d in before:
+        if d == f"{BUCKET_COL}={touched_bucket}":
+            assert before[d] != after[d]  # rebuilt
+        else:
+            assert before[d] == after[d]  # bytes never touched
+
+    hist = {(r.k, r.v): r for r in spark.read.parquet(target).collect()}
+    assert hist[(3, "b")]["__scd_current__"]

@@ -499,3 +499,82 @@ def test_versioned_scd2_idempotent_reapply(spark, tmp_path):
         (r.k, r.v, r["__scd_start__"], r["__scd_end__"]) for r in read_version(spark, d, v).collect()
     )
     assert rows == [(1, "a", 10, 20), (1, "b", 20, None)]
+
+
+def test_versioned_scd2_bucketed_carries_untouched_files(spark, tmp_path):
+    """The n_buckets path: a 1-key apply carries over (by manifest
+    reference, zero IO) every base file whose footer stats prove it holds
+    no touched bucket, and the resulting history matches the unbucketed
+    apply exactly."""
+    from near_public_lakehouse_spark.operators.versioned import (
+        _read_manifest,
+        read_version,
+        versioned_scd2,
+    )
+
+    bucketed = str(tmp_path / "dim_b")
+    flat = str(tmp_path / "dim_f")
+    init = spark.createDataFrame(
+        [(i, "a", 10) for i in range(64)], "k int, v string, seq int"
+    )
+    upd = spark.createDataFrame([(3, "b", 20)], "k int, v string, seq int")
+
+    v0 = versioned_scd2(spark, bucketed, init, ["k"], "seq", n_buckets=8)
+    v1 = versioned_scd2(spark, bucketed, upd, ["k"], "seq", n_buckets=8)
+    versioned_scd2(spark, flat, init, ["k"], "seq")
+    versioned_scd2(spark, flat, upd, ["k"], "seq")
+
+    f0 = set(_read_manifest(bucketed, v0)["files"])
+    f1 = set(_read_manifest(bucketed, v1)["files"])
+    carried = f0 & f1
+    assert carried, "untouched-bucket files must be carried by reference"
+    # 64 keys over 8 buckets, 1 key touched: most base files survive
+    assert len(carried) >= len(f0) // 2
+    assert f1 - f0, "the touched bucket must be rewritten into new files"
+
+    def hist(d):
+        return sorted(
+            (r.k, r.v, r["__scd_start__"], r["__scd_end__"], r["__scd_current__"])
+            for r in read_version(spark, d).collect()
+        )
+
+    assert hist(bucketed) == hist(flat)
+
+
+def test_versioned_scd2_bucketed_migration_from_flat(spark, tmp_path):
+    """Passing n_buckets against an un-bucketed table does one full
+    rewrite into the bucketed layout; the NEXT apply prunes."""
+    from near_public_lakehouse_spark.operators.versioned import (
+        _read_manifest,
+        read_version,
+        versioned_scd2,
+    )
+
+    d = str(tmp_path / "dim")
+    versioned_scd2(
+        spark,
+        d,
+        spark.createDataFrame([(i, "a", 10) for i in range(64)], "k int, v string, seq int"),
+        ["k"],
+        "seq",
+    )
+    v1 = versioned_scd2(
+        spark,
+        d,
+        spark.createDataFrame([(1, "b", 20)], "k int, v string, seq int"),
+        ["k"],
+        "seq",
+        n_buckets=8,
+    )
+    v2 = versioned_scd2(
+        spark,
+        d,
+        spark.createDataFrame([(2, "c", 30)], "k int, v string, seq int"),
+        ["k"],
+        "seq",
+        n_buckets=8,
+    )
+    f1, f2 = set(_read_manifest(d, v1)["files"]), set(_read_manifest(d, v2)["files"])
+    assert f1 & f2, "post-migration applies must carry untouched files"
+    got = {(r.k, r.v): r["__scd_current__"] for r in read_version(spark, d, v2).collect()}
+    assert got[(1, "b")] and got[(2, "c")] and not got[(1, "a")] and not got[(2, "a")]
