@@ -2,7 +2,13 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "spread": {name: [min, max]},
+"runs": {name: [sec, sec, sec]}, "sf": ...}.
+
+Each query is timed $SPARK_GRAFT_BENCH_RUNS times (default 3); "queries"
+holds the MEDIAN, "spread" the [min, max], "runs" every raw timing —
+single-run numbers proved 2x-noisy round over round (cold vs warm
+sessions), which made regression calls unresolvable.
 
 Execution is forced with the noop sink (full pipeline runs, nothing is
 collected to the driver) — the honest analog of writing results out.
@@ -34,12 +40,25 @@ def main() -> None:
     # Warm the JVM/parquet footer caches with one untimed tiny pass.
     next(iter(queries.values())).fn(spark, sf_dir).limit(1).collect()
 
-    timings: dict[str, float] = {}
-    for name, q in queries.items():
-        t0 = time.perf_counter()
-        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    runs: dict[str, list[float]] = {}
+    # Round-robin over the query set (run 1 of all, then run 2 of all...)
+    # so per-query repeats are spread across the session's warmup curve
+    # instead of all landing in the same thermal/JIT state back to back.
+    for _ in range(n_runs):
+        for name, q in queries.items():
+            t0 = time.perf_counter()
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.setdefault(name, []).append(
+                round(time.perf_counter() - t0, 3)
+            )
 
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else round((s[mid - 1] + s[mid]) / 2, 3)
+
+    timings = {name: median(xs) for name, xs in runs.items()}
     print(
         json.dumps(
             {
@@ -47,6 +66,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "spread": {n: [min(xs), max(xs)] for n, xs in runs.items()},
+                "runs": runs,
                 "sf": sf,
             }
         )
