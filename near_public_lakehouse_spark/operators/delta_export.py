@@ -1,0 +1,198 @@
+"""Delta Lake `_delta_log` export for versioned tables — the interop seam.
+
+The reference stores every table as Delta (NB/BQ Writer Stream.py:9-15;
+every ``CREATE STREAMING LIVE TABLE``). `operators/versioned.py` reproduces
+the Delta CONTRACT (atomic commits, optimistic concurrency, time travel,
+change feed, idempotent txn, data-skipping stats) on its own manifest log;
+what it historically lacked was bytes-on-disk readable by EXTERNAL delta
+readers (delta-spark, duckdb-delta, delta-rs).
+
+This module closes that gap from the public Delta transaction-log protocol
+(https://github.com/delta-io/delta/blob/master/PROTOCOL.md): the data
+files are already plain parquet under the table root, so emitting the
+manifest history as `_delta_log/<20-digit version>.json` commit files —
+newline-delimited protocol / metaData / add / remove / txn actions — makes
+the SAME directory a readable Delta table in place. No data is copied or
+rewritten; the export is control-plane only and deterministic, so it can
+be re-run after every commit (idempotent overwrite of the same bytes).
+
+Mapping (versioned manifest -> Delta actions):
+
+  manifest "files" (full snapshot)   -> add/remove DIFF vs previous version
+  manifest "schema" (StructType json)-> metaData.schemaString (same format:
+                                        Delta inherited Spark's schema JSON)
+  manifest "stats" rows/min/max      -> add.stats JSON (numRecords/minValues/
+                                        maxValues — Delta's data-skipping)
+  manifest "data_change" false       -> add/remove with dataChange: false
+                                        (OPTIMIZE-style reorganization)
+  manifest "txn" {app: version}      -> txn actions (idempotent writers)
+
+Out of scope (documented, not silently skipped): checkpoint parquet files
+(readers replay JSON commits without them; required only above 10M-file
+scale), deletion vectors, column mapping. Readers needing only
+minReaderVersion 1 can read these tables.
+
+The container deliberately has no delta-spark jar, no duckdb-delta
+extension and no network, so EXTERNAL byte-validation cannot run here;
+tests/test_delta_export.py instead pins the protocol structure action by
+action against the spec (commit naming, action shapes, snapshot replay
+equivalence, schemaString round-trip, stats fidelity), and COVERAGE.md
+records the disposition.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from near_public_lakehouse_spark.operators.versioned import (
+    _read_manifest,
+    _versions,
+)
+
+_DELTA_LOG = "_delta_log"
+
+# Protocol floor: plain parquet + append/remove semantics only, which is
+# exactly minReaderVersion 1 / minWriterVersion 2 per PROTOCOL.md.
+_PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+def _delta_stats(stats: dict | None) -> str | None:
+    """Manifest per-file stats -> Delta `add.stats` JSON string."""
+    if not stats:
+        return None
+    out: dict = {"numRecords": stats.get("rows")}
+    if stats.get("min"):
+        out["minValues"] = stats["min"]
+    if stats.get("max"):
+        out["maxValues"] = stats["max"]
+    return json.dumps(out)
+
+
+def _table_id(table_dir: str) -> str:
+    """Stable table id: derived from the v0 manifest timestamp + dir name
+    so re-exports emit byte-identical metaData (Delta requires the id to
+    be stable across commits of one table)."""
+    m0 = _read_manifest(table_dir, _versions(table_dir)[0])
+    seed = f"{os.path.basename(os.path.abspath(table_dir))}|{m0['timestamp']}"
+    return str(uuid.uuid5(uuid.NAMESPACE_URL, seed))
+
+
+def write_delta_log(table_dir: str) -> list[str]:
+    """Export the table's full manifest history as a Delta `_delta_log`.
+
+    Returns the commit-file paths written. Idempotent: a re-run rewrites
+    byte-identical files (all content derives from the manifests), so it
+    composes with the versioned store's crash discipline — run it after
+    any commit to refresh interop state.
+    """
+    versions = _versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"{table_dir} has no committed versions")
+    log_dir = os.path.join(table_dir, _DELTA_LOG)
+    os.makedirs(log_dir, exist_ok=True)
+    table_id = _table_id(table_dir)
+
+    written: list[str] = []
+    prev_files: dict[str, dict] = {}
+    prev_schema: str | None = None
+    for v in versions:
+        m = _read_manifest(table_dir, v)
+        ts_ms = int(m["timestamp"] * 1000)
+        data_change = bool(m.get("data_change", True))
+        stats = m.get("stats", {})
+        cur_files = {f: stats.get(f) for f in m["files"]}
+
+        actions: list[dict] = []
+        if v == versions[0]:
+            actions.append({"protocol": _PROTOCOL})
+        if m["schema"] != prev_schema:
+            # metaData appears in commit 0 and again on schema evolution —
+            # exactly when Delta requires a new metaData action.
+            actions.append(
+                {
+                    "metaData": {
+                        "id": table_id,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": m["schema"],
+                        "partitionColumns": [],
+                        "configuration": {},
+                        "createdTime": ts_ms,
+                    }
+                }
+            )
+            prev_schema = m["schema"]
+        for app, txv in (m.get("txn") or {}).items():
+            actions.append({"txn": {"appId": app, "version": txv, "lastUpdated": ts_ms}})
+        for path in sorted(set(prev_files) - set(cur_files)):
+            actions.append(
+                {
+                    "remove": {
+                        "path": path,
+                        "deletionTimestamp": ts_ms,
+                        "dataChange": data_change,
+                    }
+                }
+            )
+        for path in sorted(set(cur_files) - set(prev_files)):
+            st = _delta_stats(cur_files[path])
+            add = {
+                "path": path,
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(table_dir, path))
+                if os.path.exists(os.path.join(table_dir, path))
+                else 0,
+                "modificationTime": ts_ms,
+                "dataChange": data_change,
+            }
+            if st:
+                add["stats"] = st
+            actions.append({"add": add})
+
+        commit_path = os.path.join(log_dir, f"{v:020d}.json")
+        payload = "".join(json.dumps(a, sort_keys=True) + "\n" for a in actions)
+        with open(commit_path, "w") as fh:
+            fh.write(payload)
+        written.append(commit_path)
+        prev_files = cur_files
+    return written
+
+
+def read_delta_snapshot(table_dir: str, version: int | None = None) -> dict:
+    """Replay a `_delta_log` the way an external reader would (PROTOCOL.md
+    action reconciliation): latest metaData wins, add/remove tombstone by
+    path. Returns {"version", "schema", "files"}. Used by the structural
+    tests to prove snapshot equivalence with the manifest store — and
+    usable as a minimal in-repo Delta reader for foreign tables that fit
+    the supported protocol floor."""
+    log_dir = os.path.join(table_dir, _DELTA_LOG)
+    commits = sorted(
+        int(n[:-5])
+        for n in os.listdir(log_dir)
+        if n.endswith(".json") and n[:-5].isdigit()
+    )
+    if version is not None:
+        commits = [c for c in commits if c <= version]
+    files: set[str] = set()
+    schema = None
+    protocol = None
+    for c in commits:
+        with open(os.path.join(log_dir, f"{c:020d}.json")) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "protocol" in action:
+                    protocol = action["protocol"]
+                    if protocol["minReaderVersion"] > 1:
+                        raise NotImplementedError(
+                            f"reader version {protocol['minReaderVersion']} > 1"
+                        )
+                elif "metaData" in action:
+                    schema = action["metaData"]["schemaString"]
+                elif "add" in action:
+                    files.add(action["add"]["path"])
+                elif "remove" in action:
+                    files.discard(action["remove"]["path"])
+    return {"version": commits[-1] if commits else None, "schema": schema, "files": files}
