@@ -146,6 +146,83 @@ def read_export(spark: SparkSession, path: str, fmt: str, schema=None):
 _DONE_MARKER = "_EXPORTED"
 
 
+def avro_stream_sink(
+    stream_df: DataFrame,
+    staging_path: str,
+    base_path: str,
+    table: str,
+    ts_col: str,
+    *,
+    checkpoint_path: str,
+    late_tolerance_hours: int = 1,
+    reexport_trailing: int = 0,
+    fmt: str = "avro",
+    now_fn=None,
+    available_now: bool = True,
+):
+    """Streaming variant of the hourly publication path: a `writeStream`
+    sink that drains a stream into a staging store and publishes every
+    hour the stream has CLOSED as an hourly export folder — the
+    reference's silver -> public-datasets flow as one continuous query
+    instead of a scheduled batch job.
+
+    Two-layer exactly-once, both layers idempotent under foreachBatch
+    replays:
+      1. staging: each micro-batch overwrites its own
+         ``batch_id=<epoch id>`` subdirectory, so a replayed batch
+         rewrites the same files instead of appending duplicates;
+      2. publication: `export_closed_hours` marker fencing skips
+         already-exported hours, and the OCF writer's deterministic bytes
+         make a crash between data and marker a no-op rewrite.
+
+    The publication clock is EVENT TIME by default: an hour is closed
+    when the staging high-watermark (max `ts_col`) has moved past hour
+    end + `late_tolerance_hours` — the same discipline as a streaming
+    watermark, and deterministic for tests/backfills. Pass `now_fn`
+    (-> datetime) to fence on wall clock instead (production cron
+    parity). Returns the StreamingQuery; exported paths accumulate under
+    `<base_path>/<fmt>/<table>/...`.
+    """
+    from pyspark.sql import functions as F
+
+    _require_local_path(base_path, "avro_stream_sink (its hour markers)")
+
+    def _publish(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df.write.mode("overwrite").parquet(
+            f"{staging_path}/batch_id={batch_id}"
+        )
+        staged = spark.read.option("basePath", staging_path).parquet(
+            f"{staging_path}/batch_id=*"
+        ).drop("batch_id")
+        if now_fn is not None:
+            now = now_fn()
+        else:
+            hi = staged.agg(F.max(ts_col).alias("hi")).collect()[0].hi
+            if hi is None:
+                return
+            # floor-divide the ns BIGINT driver-side (float division would
+            # round near hour boundaries — the repo-wide ns discipline)
+            now = datetime.utcfromtimestamp(hi // 1_000_000_000)
+        export_closed_hours(
+            staged,
+            base_path,
+            table,
+            ts_col,
+            now,
+            late_tolerance_hours=late_tolerance_hours,
+            reexport_trailing=reexport_trailing,
+            fmt=fmt,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_publish).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def export_closed_hours(
     df: DataFrame,
     base_path: str,

@@ -145,3 +145,103 @@ def test_local_only_paths_fail_loudly(spark, tmp_path):
         df, str(tmp_path / "ok"), "t", datetime.datetime(2024, 1, 2), fmt="parquet"
     )
     assert out
+
+
+# --- streaming OCF publication sink ----------------------------------------
+
+
+def _sink_events(spark, root, file_no, rows):
+    df = spark.createDataFrame(rows, "event_id long, ts long, event_type string")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{root}/b{file_no}")
+
+
+def test_avro_stream_sink_publishes_closed_hours(spark, tmp_path):
+    """The streaming publication sink drains micro-batches into staging and
+    publishes each hour once its event-time high-watermark closes it —
+    marker-fenced (closed hours are never rewritten on later batches or
+    reruns) and exactly-once at the staging layer (one overwritten dir per
+    batch id)."""
+    import os
+    import time
+
+    from near_public_lakehouse_spark.operators.export import (
+        avro_stream_sink,
+        read_export,
+    )
+
+    ns_h = 3_600 * 10**9
+    h0 = 490_000
+    src = str(tmp_path / "src")
+    staging = str(tmp_path / "staging")
+    pub = str(tmp_path / "pub")
+    ckpt = str(tmp_path / "ckpt")
+
+    _sink_events(
+        spark,
+        src,
+        0,
+        [(i, h0 * ns_h + i * ns_h // 8, "click") for i in range(6)]
+        + [(10 + i, (h0 + 1) * ns_h + i * ns_h // 4, "view") for i in range(2)],
+    )
+    _sink_events(spark, src, 1, [(20, (h0 + 3) * ns_h, "click")])
+
+    schema = "event_id long, ts long, event_type string"
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            # glob the per-batch dirs: FileStreamSource does not recurse
+            # into plain (non-partition) subdirectories
+            .parquet(f"{src}/b*")
+        )
+        q = avro_stream_sink(
+            stream, staging, pub, "events", "ts", checkpoint_path=ckpt
+        )
+        q.awaitTermination(120)
+        return q
+
+    run()
+    # hours h0 and h0+1 closed by the h0+3 high-watermark (tolerance 1h);
+    # the h0+3 hour itself is still open
+    root = f"{pub}/avro/events"
+    hour_dirs = sorted(
+        os.path.join(dp, "")[len(root) + 1 :].rstrip("/")
+        for dp, dns, fns in os.walk(root)
+        if "_EXPORTED" in fns
+    )
+    assert len(hour_dirs) == 2
+    paths = [os.path.join(root, h) for h in hour_dirs]
+    assert [read_export(spark, p, "avro").count() for p in paths] == [6, 2]
+
+    # staging holds every input row exactly once, one dir per batch id
+    staged = spark.read.option("basePath", staging).parquet(f"{staging}/batch_id=*")
+    assert staged.count() == 9
+
+    # rerun against the same checkpoint: no new batches, no rewrites
+    mtimes = {p: os.path.getmtime(os.path.join(p, "_EXPORTED")) for p in paths}
+    run()
+    assert mtimes == {
+        p: os.path.getmtime(os.path.join(p, "_EXPORTED")) for p in paths
+    }
+
+    # a later batch closes h0+2 and h0+3 without touching published hours
+    time.sleep(0.05)
+    _sink_events(
+        spark,
+        src,
+        2,
+        [(30, (h0 + 2) * ns_h + ns_h // 2, "view"), (31, (h0 + 5) * ns_h, "click")],
+    )
+    run()
+    hour_dirs2 = sorted(
+        os.path.join(dp, "")[len(root) + 1 :].rstrip("/")
+        for dp, dns, fns in os.walk(root)
+        if "_EXPORTED" in fns
+    )
+    assert len(hour_dirs2) == 4
+    assert mtimes == {
+        p: os.path.getmtime(os.path.join(p, "_EXPORTED")) for p in paths
+    }
+    new_paths = [os.path.join(root, h) for h in hour_dirs2 if os.path.join(root, h) not in paths]
+    assert sorted(read_export(spark, p, "avro").count() for p in new_paths) == [1, 1]
