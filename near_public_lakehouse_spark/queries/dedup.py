@@ -1149,6 +1149,125 @@ def duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUBSTRING_CLEAN_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+w AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i, md5(array_to_string(toks[i:i+7], ' ')) AS h
+  FROM t, UNNEST(range(1, greatest(len(toks) - 6, 1))) AS u(i)
+),
+dupwins AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+ds AS (SELECT DISTINCT w.doc_id, w.i FROM w JOIN dupwins USING (h)),
+covered AS (
+  SELECT DISTINCT doc_id, i + CAST(o AS BIGINT) AS j
+  FROM ds, UNNEST(range(0, 8)) AS q(o)
+),
+pos AS (
+  SELECT doc_id, CAST(j AS BIGINT) AS j, toks[j] AS tok
+  FROM t, UNNEST(range(1, len(toks) + 1)) AS g(j)
+),
+kept AS (
+  SELECT p.doc_id, p.j, p.tok
+  FROM pos p LEFT JOIN covered c ON p.doc_id = c.doc_id AND p.j = c.j
+  WHERE c.j IS NULL
+),
+ka AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_toks,
+         string_agg(tok, ' ' ORDER BY j) AS cleaned_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_toks,
+       coalesce(ka.kept_toks, 0) AS kept_toks,
+       CAST(len(t.toks) AS BIGINT) - coalesce(ka.kept_toks, 0) AS removed_toks,
+       coalesce(ka.cleaned_text, '') AS cleaned_text
+FROM t LEFT JOIN ka USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@query(
+    "substring_dedup_clean",
+    tags=("dedup", "substring", "transform", "beyond-reference"),
+    oracle=_SUBSTRING_CLEAN_SQL,
+)
+def substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of exact-substring dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"):
+    `duplicate_ngram_spans` MEASURES the duplicated-window fraction; this
+    query performs the actual transform — every token covered by any
+    8-token window that occurs in >= 2 distinct documents is cut, and the
+    document is rebuilt from the surviving tokens. Output per doc:
+    original/kept/removed token counts plus the cleaned text, the thing a
+    curation pipeline actually writes back out.
+
+    Scale shape, in three shuffles regardless of corpus size:
+      1. window hashes explode per-row via HOFs (no Python) and shuffle
+         ONCE on the hash for the distinct-doc count — a window shared by
+         a million docs costs one counter, never a pair list;
+      2. duplicated window starts shuffle back to their doc (groupBy
+         doc_id into a per-doc start array — bounded by the doc's own
+         window count, so rows stay document-sized);
+      3. the rebuild is a single per-row HOF pass: token j survives iff
+         no dup-window start s satisfies s <= j < s + W, checked with
+         `F.exists` against the doc's own start array — O(tokens x
+         dup-starts) per doc, JVM-side, no shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    t = docs.select("doc_id", toks.alias("toks")).localCheckpoint()
+    nwin = F.size(F.col("toks")) - SPAN_W + 1
+    wins = F.when(
+        F.size(F.col("toks")) >= SPAN_W,
+        F.transform(
+            F.sequence(F.lit(1), nwin),
+            lambda i: F.struct(
+                i.cast("long").alias("i"),
+                F.md5(F.array_join(F.slice(F.col("toks"), i, SPAN_W), " ")).alias(
+                    "h"
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<i:bigint,h:string>>"))
+    e = t.select("doc_id", F.explode(wins).alias("w")).select(
+        "doc_id", F.col("w.i").alias("i"), F.col("w.h").alias("h")
+    )
+    dup_h = (
+        e.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("h")
+    )
+    starts = (
+        e.join(dup_h, "h")
+        .groupBy("doc_id")
+        .agg(F.collect_set("i").alias("starts"))
+    )
+    st = F.coalesce(F.col("starts"), F.array().cast("array<bigint>"))
+    # token j (1-based) survives iff no dup-window start covers it
+    kept = F.filter(
+        F.col("toks"),
+        lambda x, j: ~F.exists(
+            st, lambda s: (s <= j + 1) & (j + 1 < s + F.lit(SPAN_W))
+        ),
+    )
+    n_toks = F.size(F.col("toks")).cast("long")
+    kept_n = F.size(kept).cast("long")
+    return (
+        t.join(starts, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_toks.alias("n_toks"),
+            kept_n.alias("kept_toks"),
+            (n_toks - kept_n).alias("removed_toks"),
+            F.array_join(kept, " ").alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # cross-source contamination matrix over the composite duplicate graph
 
