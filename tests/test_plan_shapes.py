@@ -300,3 +300,31 @@ def test_asof_join_is_equi_keyed_never_cartesian(spark):
     plan = _plan(all_queries()["asof_click_view"].fn(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_substring_dedup_clean_no_python_and_bounded_shuffles(spark):
+    """The span-removal transform must stay JVM-side (HOF rebuild, no
+    Python eval) and keep its documented three-shuffle budget — a pair
+    list or a Python UDF sneaking in would show here first."""
+    from near_public_lakehouse_spark.queries import all_queries
+
+    df = all_queries()["substring_dedup_clean"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # window-hash agg, dup-start regroup, rebuild join (+ the final
+    # presentation sort) — no quadratic pair materialization anywhere
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_star_cc_rounds_are_keyed_joins(spark):
+    """Each star round is groupBy-min + equi-join on node ids: never a
+    cartesian product, never Python."""
+    from near_public_lakehouse_spark.queries.dedup import _star_cc
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)] + [(0, 39)], "doc_a long, doc_b long"
+    )
+    df = _star_cc(edges)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
