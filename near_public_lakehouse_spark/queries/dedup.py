@@ -1215,7 +1215,13 @@ def substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
          `F.exists` against the doc's own start array — O(tokens x
          dup-starts) per doc, JVM-side, no shuffle.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return substring_clean_frame(load_table(spark, sf_dir, "documents"))
+
+
+def substring_clean_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level body of `substring_dedup_clean` (docs needs doc_id +
+    text); split out so invariants are property-testable on synthetic
+    corpora (tests/test_dedup_properties.py)."""
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
     t = docs.select("doc_id", toks.alias("toks")).localCheckpoint()
     nwin = F.size(F.col("toks")) - SPAN_W + 1

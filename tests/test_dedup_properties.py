@@ -71,3 +71,50 @@ def test_simhash_is_order_invariant_32bit(spark, toks, seed):
     rows = {r.doc_id: r.simhash for r in dd.simhash_frame(df).collect()}
     assert rows[0] == rows[1]
     assert 0 <= rows[0] < 2**SIMHASH_BITS
+
+
+# --- substring_dedup_clean invariants --------------------------------------
+
+
+def _clean(spark, texts):
+    from near_public_lakehouse_spark.queries.dedup import substring_clean_frame
+
+    return {
+        r.doc_id: r for r in substring_clean_frame(_docs(spark, texts)).collect()
+    }
+
+
+@given(toks=st.lists(words, min_size=8, max_size=20), extra=words)
+@settings(**_SETTINGS)
+def test_identical_docs_fully_removed_unique_doc_untouched(spark, toks, extra):
+    """Two identical >=8-token docs share every window -> both are fully
+    cut; a doc made of tokens disjoint from any other doc keeps itself."""
+    dup = " ".join(toks)
+    unique = " ".join(f"zz{extra}{i}" for i in range(10))
+    out = _clean(spark, [dup, dup, unique])
+    assert out[0].kept_toks == 0 and out[1].kept_toks == 0
+    assert out[0].cleaned_text == "" == out[1].cleaned_text
+    assert out[2].removed_toks == 0
+    assert out[2].cleaned_text == unique
+
+
+@given(texts=st.lists(st.lists(words, min_size=1, max_size=30), min_size=1, max_size=6))
+@settings(**_SETTINGS)
+def test_counts_add_up_and_cleaned_is_subsequence(spark, texts):
+    out = _clean(spark, [" ".join(t) for t in texts])
+    for i, t in enumerate(texts):
+        r = out[i]
+        assert r.n_toks == len(t)
+        assert r.kept_toks + r.removed_toks == r.n_toks
+        cleaned = [x for x in r.cleaned_text.split(" ") if x != ""]
+        assert len(cleaned) == r.kept_toks
+        # cleaned tokens are a subsequence of the original token stream
+        it = iter(t)
+        assert all(any(tok == o for o in it) for tok in cleaned)
+
+
+def test_short_docs_never_removed(spark):
+    """Docs below the window width have no windows -> never touched, even
+    when byte-identical (that is exact dedup's job, not span removal)."""
+    out = _clean(spark, ["a b c", "a b c", "a b c d e f g"])
+    assert all(r.removed_toks == 0 for r in out.values())
