@@ -1191,6 +1191,7 @@ ORDER BY doc_id
 @query(
     "substring_dedup_clean",
     tags=("dedup", "substring", "transform", "beyond-reference"),
+    bench=True,
     oracle=_SUBSTRING_CLEAN_SQL,
 )
 def substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
