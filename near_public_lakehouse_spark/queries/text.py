@@ -673,3 +673,130 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# frequent n-gram mining: bounded-state heavy-hitter candidates + exact
+# recount — the scale path for phrase/boilerplate mining where a full
+# n-gram groupBy would shuffle a corpus-sized key set.
+
+MG_NGRAM_W = 3  # phrase width in tokens
+MG_CAPACITY = 8192  # per-partition Misra-Gries counter budget
+# support threshold: ceil(total_windows / MG_SUPPORT_DIVISOR), floored at
+# MG_MIN_SUPPORT. The exactness guarantee needs threshold > N/MG_CAPACITY;
+# 1/8000 > 1/8192 makes that hold at EVERY corpus size by construction.
+MG_SUPPORT_DIVISOR = 8000
+MG_MIN_SUPPORT = 5
+# candidate sets above this are shuffled, not broadcast (same discipline
+# as dedup.VERIFY_BROADCAST_MAX_REPS)
+MG_BROADCAST_MAX_CANDIDATES = 1_000_000
+
+_FREQ_NGRAM_SQL = f"""
+WITH t AS (SELECT {TOKENS_SQL} AS toks FROM documents),
+e AS (
+  SELECT unnest(
+    CASE WHEN len(toks) >= {MG_NGRAM_W}
+         THEN list_transform(range(1, len(toks) - {MG_NGRAM_W} + 2),
+                i -> array_to_string(toks[i:i+{MG_NGRAM_W - 1}], ' '))
+         ELSE CAST([] AS VARCHAR[]) END) AS ngram
+  FROM t
+),
+th AS (
+  SELECT greatest({MG_MIN_SUPPORT},
+                  (count(*) + {MG_SUPPORT_DIVISOR - 1}) // {MG_SUPPORT_DIVISOR}) AS t
+  FROM e
+)
+SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM e GROUP BY ngram
+HAVING count(*) >= (SELECT t FROM th)
+ORDER BY n_occurrences DESC, ngram
+"""
+
+
+def mg_candidates(wins: DataFrame, capacity: int) -> DataFrame:
+    """Per-partition Misra-Gries over a single `ngram` string column:
+    at most `capacity` candidate rows per partition, guaranteed to
+    contain every item whose PARTITION count exceeds N_p/capacity (so,
+    by pigeonhole over the union, every item whose GLOBAL count exceeds
+    N/capacity survives in at least one partition). Batched decrement:
+    on overflow the d-th-smallest counter value is subtracted from all
+    and <=0 entries drop — the standard generalization, same bound."""
+    import pandas as pd
+
+    def _mg(batches):
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for g, c in pdf["ngram"].value_counts().items():
+                counts[g] = counts.get(g, 0) + int(c)
+            over = len(counts) - capacity
+            if over > 0:
+                cut = sorted(counts.values())[over - 1]
+                counts = {g: c - cut for g, c in counts.items() if c > cut}
+        yield pd.DataFrame({"ngram": list(counts.keys())})
+
+    return wins.mapInPandas(_mg, "ngram string")
+
+
+@query(
+    "frequent_ngram_mining",
+    tags=("text", "sketch", "beyond-reference"),
+    oracle=_FREQ_NGRAM_SQL,
+)
+def frequent_ngram_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 3-gram phrases with support >= max(5, ceil(N/8000)) and their
+    EXACT counts — boilerplate/template mining for curation (the phrases
+    a cleaning pass strips, the contamination a report flags) — computed
+    with bounded per-partition state instead of a corpus-sized shuffle.
+
+    Why not a plain groupBy: distinct n-grams grow ~linearly with corpus
+    size (most occur once), so `word_frequencies`-style counting shuffles
+    a key set as large as the corpus. At 100 TB that exchange is the job.
+    This query instead runs the classic two-pass heavy-hitter scheme:
+
+      1. CANDIDATES: per-partition Misra-Gries over the n-gram stream via
+         `mapInPandas` (the one place Python earns its keep — a bounded-
+         state sketch is not expressible with built-in aggregates).
+         Capacity 8192 counters; when the dict overflows, the d-th-
+         smallest count is subtracted from every counter and <=0 entries
+         drop (the batched MG decrement). Per partition the output is
+         <= 8192 rows regardless of input size.
+         GUARANTEE (pigeonhole over the union): if an n-gram reaches the
+         support threshold globally it must exceed N_p/capacity in some
+         partition, so it SURVIVES there — no false negatives as long as
+         threshold > N/capacity, which 1/8000 > 1/8192 ensures at every
+         corpus size.
+      2. EXACT RECOUNT: the (bounded) candidate set joins back against
+         the n-gram stream — broadcast below 1M candidates, shuffled
+         equi-join above — and exact counts filter at the threshold. The
+         sketch only ever prunes; reported numbers are exact, which is
+         why a plain SQL twin can oracle-check this query.
+
+    Driver-side reads are control-plane only: one scalar count for the
+    threshold and one candidate count for the broadcast decision.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    nwin = F.size(toks) - MG_NGRAM_W + 1
+    grams = F.when(
+        F.size(toks) >= MG_NGRAM_W,
+        F.transform(
+            F.sequence(F.lit(1), nwin),
+            lambda i: F.array_join(F.slice(toks, i, MG_NGRAM_W), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wins = docs.select(F.explode(grams).alias("ngram")).localCheckpoint()
+    total = wins.count()  # free: localCheckpoint already materialized
+    threshold = max(
+        MG_MIN_SUPPORT, (total + MG_SUPPORT_DIVISOR - 1) // MG_SUPPORT_DIVISOR
+    )
+
+    cands = mg_candidates(wins, MG_CAPACITY).distinct().localCheckpoint()
+    n_cands = cands.count()
+    side = F.broadcast(cands) if n_cands <= MG_BROADCAST_MAX_CANDIDATES else cands
+    return (
+        wins.join(side, "ngram")
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= threshold)
+        .orderBy(F.desc("n_occurrences"), "ngram")
+    )
