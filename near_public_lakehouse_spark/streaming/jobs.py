@@ -441,3 +441,90 @@ def streaming_incremental_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_frequent_ngrams(
+    spark: SparkSession,
+    docs_path: str,
+    n_buckets: int = 8,
+    capacity: int = 1024,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Continuous boilerplate detection: the streaming twin of
+    queries.text.frequent_ngram_mining. Document n-grams are hash-routed
+    into `n_buckets` key groups and each group maintains a Misra-Gries
+    summary (same batched-decrement kernel contract as the batch query)
+    inside `applyInPandasWithState`; every trigger emits the group's
+    current candidate snapshot (ngram, MG lower-bound count, group
+    total).
+
+    The routing strengthens the batch guarantee: hash partitioning sends
+    EVERY occurrence of an n-gram to one bucket, so a candidate set of a
+    bucket misses only items with true count <= N_bucket/capacity — and
+    N_bucket is ~1/n_buckets of the stream. Snapshots are UPDATE-mode
+    rows; the latest snapshot per bucket (max bucket_total) is the live
+    candidate set, and a downstream exact recount completes the
+    frequent-phrase product exactly as in the batch query.
+
+    Scale notes: state per bucket is <= capacity (gram, count) pairs —
+    bounded forever, no watermark needed (the summary is the point, not
+    per-event state); shuffle per trigger is one exchange on the bucket
+    key. Raise n_buckets to spread state across executors at 100 TB/day
+    stream rates."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from near_public_lakehouse_spark.queries.text import MG_NGRAM_W
+
+    schema = spark.read.parquet(docs_path).schema
+    r = spark.readStream
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = r.schema(schema).parquet(_stream_path(docs_path))
+
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    nwin = F.size(toks) - MG_NGRAM_W + 1
+    grams = F.when(
+        F.size(toks) >= MG_NGRAM_W,
+        F.transform(
+            F.sequence(F.lit(1), nwin),
+            lambda i: F.array_join(F.slice(toks, i, MG_NGRAM_W), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wins = stream.select(F.explode(grams).alias("ngram")).select(
+        "ngram",
+        (F.abs(F.xxhash64("ngram")) % n_buckets).cast("int").alias("bucket"),
+    )
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        (bucket,) = key
+        counts: dict[str, int] = {}
+        total = 0
+        if state.exists:
+            grams_l, counts_l, total = state.get
+            counts = dict(zip(grams_l, counts_l))
+        for pdf in pdfs:
+            total += len(pdf)
+            for g, c in pdf["ngram"].value_counts().items():
+                counts[g] = counts.get(g, 0) + int(c)
+            over = len(counts) - capacity
+            if over > 0:
+                cut = sorted(counts.values())[over - 1]
+                counts = {g: c - cut for g, c in counts.items() if c > cut}
+        state.update((list(counts.keys()), [int(c) for c in counts.values()], total))
+        yield pd.DataFrame(
+            {
+                "bucket": [bucket] * len(counts),
+                "ngram": list(counts.keys()),
+                "mg_count": [int(c) for c in counts.values()],
+                "bucket_total": [total] * len(counts),
+            }
+        )
+
+    return wins.groupBy("bucket").applyInPandasWithState(
+        fn,
+        outputStructType="bucket int, ngram string, mg_count long, bucket_total long",
+        stateStructType="grams array<string>, counts array<long>, total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

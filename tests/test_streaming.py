@@ -143,3 +143,72 @@ def test_run_batch_is_true_full_refresh_for_stateful_nodes(spark, tmp_path):
     pipe.run_batch({"changes": feed2})
     rows = {r.k: (r.v, r.seq) for r in pipe.read("accounts").collect()}
     assert rows == {1: ("a2", 20)}
+
+
+def test_streaming_frequent_ngrams_matches_batch(spark, tmp_path):
+    """The keyed-MG stream must converge to the batch truth: with
+    capacity high enough to never overflow, the final snapshot per bucket
+    holds EXACT counts for every n-gram; with a tiny capacity, a hot
+    phrase still survives (the per-bucket pigeonhole guarantee)."""
+    import os
+
+    root = str(tmp_path / "docs")
+    hot = "alpha beta gamma delta"  # 4 tokens -> 2 trigram windows
+    docs0 = [(i, f"u{i}a u{i}b u{i}c u{i}d", "en", "s", 10) for i in range(40)]
+    docs1 = [(100 + i, hot, "en", "s", 10) for i in range(25)]
+    for no, rows in ((0, docs0), (1, docs1)):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(root, f"b{no}"))
+
+    from near_public_lakehouse_spark.streaming.jobs import (
+        run_to_memory,
+        streaming_frequent_ngrams,
+    )
+
+    src = os.path.join(root, "b*")
+    out = streaming_frequent_ngrams(
+        spark, src, n_buckets=4, capacity=4096, max_files_per_trigger=1
+    )
+    run_to_memory(out, "freq_ng", str(tmp_path / "ck"), output_mode="update")
+    snap = spark.table("freq_ng")
+    # latest snapshot per bucket = rows at that bucket's max bucket_total
+    from pyspark.sql import Window as W
+
+    latest = snap.withColumn(
+        "mx", F.max("bucket_total").over(W.partitionBy("bucket"))
+    ).filter(F.col("bucket_total") == F.col("mx"))
+    got = {(r.ngram, r.mg_count) for r in latest.collect()}
+
+    # batch truth over the same files with the same trigram extraction
+    from near_public_lakehouse_spark.queries.text import MG_NGRAM_W
+
+    docs = spark.read.parquet(os.path.join(root, "b*"))
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    grams = F.when(
+        F.size(toks) >= MG_NGRAM_W,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - MG_NGRAM_W + 1),
+            lambda i: F.array_join(F.slice(toks, i, MG_NGRAM_W), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exact = {
+        (r.ngram, r.c)
+        for r in docs.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert got == exact  # no overflow at capacity 4096 -> exact snapshot
+
+    # tiny capacity: the hot trigrams must still be candidates
+    out2 = streaming_frequent_ngrams(
+        spark, src, n_buckets=2, capacity=8, max_files_per_trigger=1
+    )
+    run_to_memory(out2, "freq_ng2", str(tmp_path / "ck2"), output_mode="update")
+    snap2 = spark.table("freq_ng2")
+    latest2 = snap2.withColumn(
+        "mx", F.max("bucket_total").over(W.partitionBy("bucket"))
+    ).filter(F.col("bucket_total") == F.col("mx"))
+    cands2 = {r.ngram for r in latest2.collect()}
+    assert "alpha beta gamma" in cands2 and "beta gamma delta" in cands2
