@@ -768,7 +768,9 @@ def _min_label_cc(edges: DataFrame) -> DataFrame:
         )
         lab_sum = obs.get["lab_sum"]
         labels = new_labels
-        if prev_sum is not None and lab_sum == prev_sum:
+        # None == None also converges: an EMPTY edge set sums to None every
+        # round, and without this it would spin all 50 (empty) rounds.
+        if lab_sum == prev_sum and i > 0:
             break
         prev_sum = lab_sum
     return labels

@@ -86,3 +86,9 @@ def test_star_query_matches_pointer_doubling_on_testdata(spark):
     a = [tuple(r) for r in dedup_clusters(spark, sf).collect()]
     b = [tuple(r) for r in dedup_clusters_star(spark, sf).collect()]
     assert a == b and len(a) > 0
+
+
+def test_empty_edge_set_terminates_fast_with_empty_labels(spark):
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert _star_cc(empty).count() == 0
+    assert _min_label_cc(empty).count() == 0
