@@ -1221,10 +1221,10 @@ def substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_clean_frame(load_table(spark, sf_dir, "documents"))
 
 
-def substring_clean_frame(docs: DataFrame) -> DataFrame:
-    """Frame-level body of `substring_dedup_clean` (docs needs doc_id +
-    text); split out so invariants are property-testable on synthetic
-    corpora (tests/test_dedup_properties.py)."""
+def doc_windows(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(t, e): the tokenized doc table (doc_id, toks) — materialized once —
+    and its exploded positional windows (doc_id, i, h). Shared by the
+    batch transform and the streaming/incremental cleaner."""
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
     t = docs.select("doc_id", toks.alias("toks")).localCheckpoint()
     nwin = F.size(F.col("toks")) - SPAN_W + 1
@@ -1243,17 +1243,12 @@ def substring_clean_frame(docs: DataFrame) -> DataFrame:
     e = t.select("doc_id", F.explode(wins).alias("w")).select(
         "doc_id", F.col("w.i").alias("i"), F.col("w.h").alias("h")
     )
-    dup_h = (
-        e.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("ndocs"))
-        .filter(F.col("ndocs") >= 2)
-        .select("h")
-    )
-    starts = (
-        e.join(dup_h, "h")
-        .groupBy("doc_id")
-        .agg(F.collect_set("i").alias("starts"))
-    )
+    return t, e
+
+
+def clean_against_starts(t: DataFrame, starts: DataFrame) -> DataFrame:
+    """Rebuild docs from (doc_id, starts array<bigint>) dup-window starts:
+    the shared per-row HOF pass of the batch and streaming cleaners."""
     st = F.coalesce(F.col("starts"), F.array().cast("array<bigint>"))
     # token j (1-based) survives iff no dup-window start covers it
     kept = F.filter(
@@ -1275,6 +1270,25 @@ def substring_clean_frame(docs: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def substring_clean_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level body of `substring_dedup_clean` (docs needs doc_id +
+    text); split out so invariants are property-testable on synthetic
+    corpora (tests/test_dedup_properties.py)."""
+    t, e = doc_windows(docs)
+    dup_h = (
+        e.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("h")
+    )
+    starts = (
+        e.join(dup_h, "h")
+        .groupBy("doc_id")
+        .agg(F.collect_set("i").alias("starts"))
+    )
+    return clean_against_starts(t, starts)
 
 
 # ---------------------------------------------------------------------------

@@ -528,3 +528,75 @@ def streaming_frequent_ngrams(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_substring_clean(
+    spark: SparkSession,
+    docs_path: str,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Incremental exact-substring cleaning: the streaming counterpart of
+    queries.dedup.substring_dedup_clean. Documents arrive as a file
+    stream; a maintained WINDOW-HASH INDEX accumulates per-hash distinct-
+    doc counts across batches, and each micro-batch's documents are
+    rebuilt with every token cut that is covered by a window duplicated
+    across the corpus SEEN SO FAR (the batch's own windows merge into the
+    index before its docs clean, so a single-batch run reproduces the
+    batch transform exactly).
+
+    One-way semantics, like incremental_dedup: a late-arriving duplicate
+    cleans ITSELF against history but cannot retro-clean documents
+    already emitted — re-running the batch transform over the full corpus
+    is the compaction that restores symmetry.
+
+    Exactly-once via per-batch-id overwrite on BOTH tables: the index is
+    a union of `batch_id=N` partial-count dirs (a replayed batch
+    overwrites its own dir — no double counting) aggregated at read time,
+    and cleaned output lands the same way. At 100 TB the index read is
+    the fold point: periodically compact the batch dirs into one
+    bucketed-by-hash table and MERGE instead (operators/merge.py), which
+    turns the per-trigger index scan into a bucket-pruned join."""
+    from near_public_lakehouse_spark.queries.dedup import (
+        clean_against_starts,
+        doc_windows,
+    )
+
+    schema = spark.read.parquet(docs_path).schema
+    r = spark.readStream
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = r.schema(schema).parquet(_stream_path(docs_path))
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        t, e = doc_windows(batch_df)
+        e = e.localCheckpoint()  # feeds the index write AND the starts join
+        (
+            e.groupBy("h")
+            .agg(F.countDistinct("doc_id").alias("n_docs"))
+            .write.mode("overwrite")
+            .parquet(f"{index_path}/batch_id={batch_id}")
+        )
+        merged = (
+            sp.read.option("basePath", index_path)
+            .parquet(f"{index_path}/batch_id=*")
+            .groupBy("h")
+            .agg(F.sum("n_docs").alias("n_docs"))
+        )
+        dup_h = merged.filter(F.col("n_docs") >= 2).select("h")
+        starts = (
+            e.join(dup_h, "h").groupBy("doc_id").agg(F.collect_set("i").alias("starts"))
+        )
+        clean_against_starts(t, starts).write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

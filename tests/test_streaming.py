@@ -212,3 +212,75 @@ def test_streaming_frequent_ngrams_matches_batch(spark, tmp_path):
     ).filter(F.col("bucket_total") == F.col("mx"))
     cands2 = {r.ngram for r in latest2.collect()}
     assert "alpha beta gamma" in cands2 and "beta gamma delta" in cands2
+
+
+def test_streaming_substring_clean(spark, tmp_path):
+    """Incremental span cleaning: one-batch run == the batch transform;
+    across batches a later duplicate cleans itself against history while
+    already-emitted docs stay as published; checkpoint rerun is a no-op."""
+    import os
+
+    from near_public_lakehouse_spark.queries.dedup import substring_clean_frame
+    from near_public_lakehouse_spark.streaming.jobs import streaming_substring_clean
+
+    dup = " ".join(f"w{i}" for i in range(12))  # 12 tokens -> 5 windows of 8
+    uniq0 = " ".join(f"x{i}" for i in range(12))
+    uniq1 = " ".join(f"y{i}" for i in range(12))
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    b0 = [(0, dup, "en", "s", 1), (1, uniq0, "en", "s", 1)]
+    b1 = [(2, dup, "en", "s", 1), (3, uniq1, "en", "s", 1)]
+    root = str(tmp_path / "docs")
+    for no, rows in ((0, b0), (1, b1)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(root, f"b{no}"))
+    src = os.path.join(root, "b*")
+
+    def run(tag):
+        q = streaming_substring_clean(
+            spark,
+            src,
+            str(tmp_path / "index"),
+            str(tmp_path / "out"),
+            str(tmp_path / "ck"),
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+    run("first")
+    out = spark.read.option("basePath", str(tmp_path / "out")).parquet(
+        str(tmp_path / "out") + "/batch_id=*"
+    )
+    got = {r.doc_id: (r.removed_toks, r.cleaned_text) for r in out.collect()}
+    # batch 0: dup not yet duplicated -> untouched; batch 1: doc 2 sees doc
+    # 0's windows in the index and is fully cut; uniques never touched
+    assert got[0] == (0, dup) and got[1] == (0, uniq0) and got[3] == (0, uniq1)
+    assert got[2] == (12, "")
+
+    # checkpoint rerun: nothing reprocessed, outputs unchanged
+    run("again")
+    out2 = spark.read.option("basePath", str(tmp_path / "out")).parquet(
+        str(tmp_path / "out") + "/batch_id=*"
+    )
+    assert {r.doc_id: (r.removed_toks, r.cleaned_text) for r in out2.collect()} == got
+
+    # single-batch equivalence: everything in ONE batch == batch transform
+    root2 = str(tmp_path / "docs_one")
+    spark.createDataFrame(b0 + b1, schema).coalesce(1).write.parquet(
+        os.path.join(root2, "all")
+    )
+    q = streaming_substring_clean(
+        spark,
+        os.path.join(root2, "a*"),
+        str(tmp_path / "index2"),
+        str(tmp_path / "out2"),
+        str(tmp_path / "ck3"),
+    )
+    q.awaitTermination(120)
+    one = spark.read.option("basePath", str(tmp_path / "out2")).parquet(
+        str(tmp_path / "out2") + "/batch_id=*"
+    )
+    batch_truth = substring_clean_frame(spark.createDataFrame(b0 + b1, schema))
+    assert sorted(map(tuple, one.drop("batch_id").collect())) == sorted(
+        map(tuple, batch_truth.collect())
+    )
