@@ -600,3 +600,70 @@ def streaming_substring_clean(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_substring_index(spark: SparkSession, index_path: str) -> int:
+    """Fold the streaming substring cleaner's per-batch index dirs into
+    one aggregated dir. The index read is a union of `batch_id=N` partial
+    counts; after thousands of triggers that union is thousands of small
+    files. Compaction aggregates them into a single `batch_id=-1` dir (a
+    batch id Spark never assigns, so the cleaner's glob keeps matching
+    and future triggers never collide with it) and removes the folded
+    dirs. Returns the number of dirs folded.
+
+    Crash-safe without double counting or loss, run OFFLINE (stream
+    stopped). Protocol: the fold is staged in `_compact_tmp`; a
+    `_FOLDED` sidecar (leading underscore — parquet readers ignore it)
+    listing the absorbed source dirs is written only after the parquet
+    is complete, and from that moment the staged fold SUPERSEDES the old
+    `batch_id=-1` (it already contains those counts). Recovery order on
+    every run: (1) a complete tmp is promoted over the old fold, (2) any
+    source dir listed in the live fold's sidecar is deleted (a crash
+    left it behind — its counts are already folded), (3) an incomplete
+    tmp is discarded. Every crash point lands in exactly one of those
+    cases. At 100 TB scale the same fold writes a bucketed-by-hash table
+    and the cleaner's per-trigger read becomes a bucket-pruned join (see
+    streaming_substring_clean's docstring)."""
+    import glob as _glob
+    import json
+    import os
+    import shutil
+
+    target = os.path.join(index_path, "batch_id=-1")
+    tmp = os.path.join(index_path, "_compact_tmp")
+
+    def _promote_and_clean() -> None:
+        if os.path.exists(os.path.join(tmp, "_FOLDED")):
+            # complete staged fold supersedes the old one (it includes it)
+            if os.path.exists(target):
+                shutil.rmtree(target)
+            os.rename(tmp, target)
+        elif os.path.exists(tmp):  # incomplete stage from a crash
+            shutil.rmtree(tmp)
+        marker = os.path.join(target, "_FOLDED")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                for name in json.load(fh):
+                    leftover = os.path.join(index_path, name)
+                    if os.path.exists(leftover):
+                        shutil.rmtree(leftover)
+
+    _promote_and_clean()
+    dirs = sorted(
+        d
+        for d in _glob.glob(os.path.join(index_path, "batch_id=*"))
+        if os.path.basename(d) != "batch_id=-1"
+    )
+    if not dirs:
+        return 0
+    merged = (
+        spark.read.option("basePath", index_path)
+        .parquet(os.path.join(index_path, "batch_id=*"))
+        .groupBy("h")
+        .agg(F.sum("n_docs").alias("n_docs"))
+    )
+    merged.write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_FOLDED"), "w") as fh:
+        json.dump([os.path.basename(d) for d in dirs], fh)
+    _promote_and_clean()  # commit: promote the stage, drop absorbed dirs
+    return len(dirs)

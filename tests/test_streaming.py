@@ -284,3 +284,80 @@ def test_streaming_substring_clean(spark, tmp_path):
     assert sorted(map(tuple, one.drop("batch_id").collect())) == sorted(
         map(tuple, batch_truth.collect())
     )
+
+
+def test_compact_substring_index(spark, tmp_path):
+    """Index compaction folds batch dirs into batch_id=-1 with identical
+    aggregated counts, the stream keeps cleaning correctly against the
+    compacted history, and crash leftovers (absorbed dir still on disk)
+    are recovered without double counting."""
+    import os
+    import shutil
+
+    from near_public_lakehouse_spark.streaming.jobs import (
+        compact_substring_index,
+        streaming_substring_clean,
+    )
+
+    dup = " ".join(f"w{i}" for i in range(12))
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    root = str(tmp_path / "docs")
+    b0 = [(0, dup, "en", "s", 1), (1, " ".join(f"x{i}" for i in range(12)), "en", "s", 1)]
+    b1 = [(2, " ".join(f"y{i}" for i in range(12)), "en", "s", 1)]
+    for no, rows in ((0, b0), (1, b1)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(root, f"b{no}"))
+    src = os.path.join(root, "b*")
+    index, out, ck = (str(tmp_path / p) for p in ("index", "out", "ck"))
+
+    def run():
+        streaming_substring_clean(
+            spark, src, index, out, ck, max_files_per_trigger=1
+        ).awaitTermination(120)
+
+    run()
+
+    def counts():
+        return {
+            (r.h, r.n_docs)
+            for r in spark.read.option("basePath", index)
+            .parquet(f"{index}/batch_id=*")
+            .groupBy("h")
+            .agg(F.sum("n_docs").alias("n_docs"))
+            .collect()
+        }
+
+    before = counts()
+    assert compact_substring_index(spark, index) == 2
+    assert sorted(os.listdir(index)) == ["batch_id=-1"]
+    assert counts() == before
+
+    # crash leftover: an absorbed dir reappears -> recovery removes it,
+    # counts unchanged (no double counting)
+    shutil.copytree(
+        os.path.join(index, "batch_id=-1"), os.path.join(index, "batch_id=0")
+    )
+    os.remove(os.path.join(index, "batch_id=0", "_FOLDED"))
+    # pretend batch_id=0 was absorbed by the live fold
+    import json
+
+    with open(os.path.join(index, "batch_id=-1", "_FOLDED"), "w") as fh:
+        json.dump(["batch_id=0"], fh)
+    assert compact_substring_index(spark, index) == 0
+    assert sorted(os.listdir(index)) == ["batch_id=-1"]
+    assert counts() == before
+
+    # the stream continues against the compacted index: a new duplicate of
+    # the batch-0 doc is fully cleaned
+    spark.createDataFrame(
+        [(9, dup, "en", "s", 1)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(root, "b2"))
+    run()
+    got = {
+        r.doc_id: (r.removed_toks, r.cleaned_text)
+        for r in spark.read.option("basePath", out)
+        .parquet(f"{out}/batch_id=*")
+        .collect()
+    }
+    assert got[9] == (12, "")
