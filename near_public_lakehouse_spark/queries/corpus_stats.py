@@ -43,7 +43,7 @@ tc AS (
   SELECT source, token, count(*) AS cnt FROM tok GROUP BY source, token
 )
 SELECT source,
-       sum(cnt) AS total_tokens,
+       CAST(sum(cnt) AS BIGINT) AS total_tokens,
        count(*) AS vocab_size,
        count(*) FILTER (cnt = 1) AS hapax_count,
        CAST(count(*) AS DOUBLE) / sum(cnt) AS type_token_ratio

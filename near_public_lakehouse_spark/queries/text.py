@@ -515,7 +515,7 @@ def _bucket_case_sql() -> str:
 WITH t AS (SELECT source, len({TOKENS_SQL}) AS n_tokens, n_chars FROM documents)
 SELECT source, {_bucket_case_sql()} AS bucket_lt,
        count(*) AS n_docs,
-       sum(n_tokens) AS total_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
 FROM t
 GROUP BY source, bucket_lt
@@ -636,7 +636,9 @@ r AS (
          ], x -> x IS NOT NULL) AS reasons
   FROM m
 )
-SELECT doc_id, n_tokens, reasons, len(reasons) = 0 AS passes
+SELECT doc_id, n_tokens,
+       coalesce(array_to_string(reasons, ','), '') AS reasons,
+       len(reasons) = 0 AS passes
 FROM r
 ORDER BY doc_id
 """,
@@ -668,7 +670,11 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             "doc_id",
             n.alias("n_tokens"),
-            reasons.alias("reasons"),
+            # Public column is the comma-joined audit string, not the raw
+            # array: hash-comparable by any harness that canonicalizes
+            # through pandas (arrays are unhashable there), and just as
+            # parseable downstream. Rule order is fixed by the rule list.
+            F.array_join(reasons, ",").alias("reasons"),
             (F.size(reasons) == 0).alias("passes"),
         )
         .orderBy("doc_id")

@@ -10,19 +10,37 @@ driver hash failures that the old tolerance-based compare could not see
 locally so oracle drift is caught in `pytest` before a round ends, not
 by the judge.
 
+Round 5 proved the harness must ALSO mirror the driver's materialization
+path, not just its hash: the driver fetches DuckDB results through pandas
+(`res.df()`), where HUGEINT becomes float64 — so three oracles with uncast
+`sum(BIGINT)` passed the old `fetchall()` harness (HUGEINT -> Python int)
+while hash-mismatching at the driver, and one array-typed output column
+crashed the driver's pandas canonicalizer (`unhashable numpy.ndarray`)
+while the old recursive canon sailed past it. The oracle side below now
+goes through `res.df()` — the exact dtype funnel the driver uses — and
+array/struct-typed OUTPUT columns are flagged as driver-breaking on either
+side.
+
 Canonical form rules (dtype-sensitive on purpose):
 - int            -> "174"
 - float          -> "174.0"   (repr after round(v, 6) — the round-1
                     driver evidence pins this down: int-vs-float dtype
                     divergence fails its hash while last-ulp float noise
                     from summation order passes, so floats are rounded
-                    but never collapsed to int form)
+                    but never collapsed to int form; NaN -> null)
 - Decimal        -> via float -> "174.0"  (mirrors the driver's pandas
                     conversion of DuckDB DECIMAL/HUGEINT results)
 - bool           -> "True"/"False" (checked before int)
 - bytes          -> hex
 - datetime       -> tz-stripped "YYYY-MM-DD HH:MM:SS[.ffffff]"
-- arrays/maps    -> recursive canonical join
+- date           -> "YYYY-MM-DD 00:00:00" — pandas has no date dtype, so
+                    the driver sees DuckDB DATE as a midnight Timestamp
+                    while Spark DateType collects as datetime.date; the
+                    r1-r4 driver record shows date-output queries green,
+                    so the two forms must canonicalize identically
+- arrays/maps    -> recursive canonical join (kept for conftest uses, but
+                    compare_with_oracle REJECTS them as output columns —
+                    the driver cannot sort them)
 """
 
 from __future__ import annotations
@@ -34,6 +52,7 @@ import os
 from typing import Any, Sequence
 
 import duckdb
+import pandas as pd
 
 from near_public_lakehouse_spark.sources.tables import TABLES
 
@@ -53,6 +72,10 @@ def duckdb_oracle(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def canon_value(v: Any) -> str:
     """Exact, dtype-sensitive canonical string for one value."""
     if v is None:
+        return _NULL
+    if isinstance(v, float) and v != v:  # NaN — pandas' null for numerics
+        return _NULL
+    if v is pd.NaT:
         return _NULL
     if isinstance(v, bool):
         return "True" if v else "False"
@@ -75,7 +98,9 @@ def canon_value(v: Any) -> str:
     if isinstance(v, _dt.datetime):
         return v.replace(tzinfo=None).isoformat(sep=" ")
     if isinstance(v, _dt.date):
-        return v.isoformat()
+        # Midnight-timestamp form: DuckDB DATE reaches the driver's pandas
+        # as Timestamp 00:00:00 while Spark DateType collects as date.
+        return v.isoformat() + " 00:00:00"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon_value(x) for x in v) + "]"
     if isinstance(v, dict):
@@ -114,20 +139,77 @@ def result_hash(cols: Sequence[str], rows: Sequence[Sequence[Any]]) -> str:
     return h.hexdigest()
 
 
+def _driver_unsortable(v: Any) -> bool:
+    """True for values the driver's pandas canonicalizer cannot sort/hash
+    (it sorts the result as a pandas DataFrame): arrays, maps, structs.
+    r5 evidence: quality_filter's ARRAY<STRING> column erred at the driver
+    with `unhashable type: 'numpy.ndarray'` while the recursive local canon
+    passed it."""
+    return (
+        isinstance(v, (list, tuple, dict, set))
+        or hasattr(v, "asDict")
+        or (hasattr(v, "tolist") and getattr(v, "ndim", 0) != 0)
+    )
+
+
+def oracle_rows_pandas(
+    con: duckdb.DuckDBPyConnection, sql: str
+) -> tuple[list[str], list[tuple[Any, ...]]]:
+    """Run oracle SQL and materialize THROUGH PANDAS — the driver's path.
+
+    `res.df()` is where the dtype coercions the hash gate sees actually
+    happen: HUGEINT/DECIMAL -> float64 (so an uncast `sum(BIGINT)` oracle
+    visibly disagrees with a Spark BIGINT), DATE -> midnight Timestamp,
+    NULL-bearing integer columns -> float64 + NaN. `fetchall()` hides all
+    of these (HUGEINT -> Python int) — that gap is exactly why the r5
+    local rehearsal predicted green for four queries the driver failed.
+    """
+    res = con.execute(sql)
+    cols = [d[0] for d in res.description]
+    pdf = res.df()
+    rows = [tuple(rec) for rec in pdf.itertuples(index=False, name=None)]
+    return cols, rows
+
+
 def compare_with_oracle(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
     """Returns a list of mismatch descriptions; empty list == match.
 
     Strict by design: any dtype-level divergence between the Spark result
     and the oracle (int vs float, tz handling, byte formatting) is a
-    failure here exactly as it is in the driver's hash gate.
+    failure here exactly as it is in the driver's hash gate, and any
+    output column shape the driver cannot canonicalize (arrays/structs)
+    is flagged even though values would compare equal recursively.
     """
     problems: list[str] = []
     spark_cols = list(spark_df.columns)
-    spark_rows = [tuple(row) for row in spark_df.collect()]
+    # The SPARK side also goes through pandas — the driver sorts the Spark
+    # result as a pandas DataFrame (that is where r5's `unhashable
+    # numpy.ndarray` came from), so a NULL-bearing BIGINT column becomes
+    # float64+NaN on BOTH sides and canonicalizes identically, exactly as
+    # the driver sees it. collect() would keep Python ints and diverge.
+    spdf = spark_df.toPandas()
+    spark_rows = [tuple(rec) for rec in spdf.itertuples(index=False, name=None)]
 
-    res = con.execute(sql)
-    oracle_cols = [d[0] for d in res.description]
-    oracle_rows = res.fetchall()
+    oracle_cols, oracle_rows = oracle_rows_pandas(con, sql)
+
+    for side, cols, rows in (
+        ("spark", spark_cols, spark_rows),
+        ("oracle", oracle_cols, oracle_rows),
+    ):
+        bad: dict[str, str] = {}
+        for r in rows:
+            for c, v in zip(cols, r):
+                if c not in bad and _driver_unsortable(v):
+                    bad[c] = type(v).__name__
+        for c, tn in bad.items():
+            problems.append(
+                f"{side} column {c!r} is array/struct-typed ({tn}) — the "
+                "driver's pandas canonicalizer cannot sort it (r5 "
+                "quality_filter failure mode); emit array_join/to_json "
+                "instead"
+            )
+        if problems:
+            return problems
 
     if sorted(c.lower() for c in spark_cols) != sorted(c.lower() for c in oracle_cols):
         problems.append(f"column mismatch: spark={spark_cols} oracle={oracle_cols}")

@@ -36,21 +36,128 @@ def test_result_hash_sensitive_to_dtype():
     assert h1 != h2
 
 
+def test_uncast_hugeint_oracle_fails_like_the_driver(spark):
+    """r5 root cause (VERDICT r5 'wrong' #1/#3): DuckDB `sum(BIGINT)` is
+    HUGEINT; the driver materializes oracle results through pandas where
+    HUGEINT becomes float64, so an uncast sum hash-mismatches a Spark
+    BIGINT even though values are equal. The old fetchall() harness saw
+    Python ints and passed three such oracles the driver failed. This
+    pins the pandas-path fix: the uncast form must now fail locally, the
+    CAST form must pass."""
+    import duckdb
+
+    from near_public_lakehouse_spark.testing.compare import compare_with_oracle
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES (1::BIGINT), (173::BIGINT)) v(x)")
+    sdf = spark.createDataFrame([(174,)], "s BIGINT")
+
+    uncast = compare_with_oracle(sdf, con, "SELECT sum(x) AS s FROM t")
+    assert uncast and "174.0" in "; ".join(uncast), uncast
+
+    cast = compare_with_oracle(sdf, con, "SELECT CAST(sum(x) AS BIGINT) AS s FROM t")
+    assert cast == []
+    con.close()
+
+
+def test_array_output_column_fails_like_the_driver(spark):
+    """r5 root cause (VERDICT r5 'wrong' #2): the driver sorts results as a
+    pandas DataFrame and dies on array cells (`unhashable numpy.ndarray`),
+    so quality_filter's ARRAY<STRING> column erred at the driver while the
+    old recursive canon passed it locally. Array/struct OUTPUT columns on
+    either side must now be flagged."""
+    import duckdb
+
+    from near_public_lakehouse_spark.testing.compare import compare_with_oracle
+
+    con = duckdb.connect()
+    sdf = spark.createDataFrame([(1, ["a", "b"])], "id BIGINT, reasons ARRAY<STRING>")
+    problems = compare_with_oracle(sdf, con, "SELECT 1::BIGINT AS id, ['a','b'] AS reasons")
+    assert problems and "canonicalizer" in problems[0], problems
+
+    # The shipped fix-shape — join to a string on both sides — passes.
+    joined = spark.createDataFrame([(1, "a,b")], "id BIGINT, reasons STRING")
+    ok = compare_with_oracle(
+        joined, con, "SELECT 1::BIGINT AS id, array_to_string(['a','b'], ',') AS reasons"
+    )
+    assert ok == []
+    con.close()
+
+
+def test_null_int_column_matches_through_pandas(spark):
+    """A NULL-bearing BIGINT column reaches the driver as float64+NaN from
+    BOTH engines (pandas has no nullable int64 by default); the canonical
+    form must agree — NaN is null, and DATE arrives as midnight Timestamp."""
+    import datetime as dt
+
+    import duckdb
+
+    from near_public_lakehouse_spark.testing.compare import compare_with_oracle
+
+    con = duckdb.connect()
+    sdf = spark.createDataFrame(
+        [(dt.date(2024, 1, 2), 7), (dt.date(2024, 1, 3), None)],
+        "d DATE, v BIGINT",
+    )
+    ok = compare_with_oracle(
+        sdf,
+        con,
+        "SELECT * FROM (VALUES (DATE '2024-01-02', 7::BIGINT), "
+        "(DATE '2024-01-03', NULL::BIGINT)) t(d, v)",
+    )
+    assert ok == []
+    con.close()
+
+
 def test_driver_window_composition_is_pinned():
     """The grading driver oracle-checks only the FIRST 50 registry names
-    alphabetically. Round 5 rotated that window onto the 46 never-verified
-    `a5_` aliases plus the 4 organic early names; any future query whose
-    name sorts before `benchmark_decontamination_hashed` would silently
-    displace a window entry — this pin makes that a visible test failure
-    instead."""
+    alphabetically. The round-6 window (rotation prescribed by VERDICT r5
+    task #3) = the 15 `a6_` aliases (4 fixed driver-RED rows kept in-window
+    to prove the fix, pack_sequences' unresolved r1 FAIL, the 3 never-
+    checked r5 additions, the 7 pre-rename-only greens) + the 5 new
+    `approx_*` invariant twins + the first 30 organic names. Any future
+    query whose name sorts before `important_nation_revenue` would
+    silently displace a window entry — this pin makes that a visible test
+    failure so the composition is always chosen consciously."""
     from near_public_lakehouse_spark.queries import all_queries
     from near_public_lakehouse_spark.queries.registry import DRIVER_WINDOW_ROTATION
 
     window = sorted(all_queries())[:50]
     expected = sorted(DRIVER_WINDOW_ROTATION.values()) + [
         "ann_lsh_topk",
+        "approx_ann_lsh_recall",
+        "approx_dau_error",
+        "approx_kmeans_invariants",
+        "approx_pq_score_bounds",
+        "approx_range_search_recall",
         "asof_click_view",
         "benchmark_decontamination",
         "benchmark_decontamination_hashed",
+        "cheapest_part_offers",
+        "corpus_prep",
+        "customer_order_delta",
+        "customers_without_orders",
+        "daily_active_users",
+        "daily_active_users_approx",
+        "daily_event_pivot",
+        "dedup_clusters",
+        "disjunctive_predicate_revenue",
+        "doc_chunks",
+        "doc_fingerprints",
+        "doc_repetition_stats",
+        "dominant_part_shippers",
+        "double_entry_ledger",
+        "duplicate_ngram_spans",
+        "embedding_near_dup",
+        "embedding_topk_cosine",
+        "event_index_pack",
+        "event_sequences",
+        "event_transitions",
+        "exact_dup_groups",
+        "flagged_customers_like_any",
+        "funnel_counts",
+        "hourly_event_stats",
+        "idle_rich_customers",
+        "important_nation_revenue",
     ]
     assert window == sorted(expected)
