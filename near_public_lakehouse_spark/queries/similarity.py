@@ -322,8 +322,12 @@ def lsh_topk_frame(emb: DataFrame, dim: int = 64) -> DataFrame:
     )
 
 
-def _lsh_probed_scores(emb: DataFrame, dim: int = 64) -> DataFrame:
-    """Shared LSH probe stage: bucket, multi-probe, exact-cosine scoring."""
+def lsh_planes(dim: int = 64) -> list[list[float]]:
+    """The deterministic ±1 hyperplane matrix (md5-seeded, no RNG state).
+
+    Module-level so the SQL-literal twin (`queries/approx_checks.py`) can
+    replicate the exact same planes inside DuckDB oracle SQL — which makes
+    the LSH bucketing fully oracle-checkable after all."""
 
     def sign(plane: int, d: int) -> int:
         import hashlib
@@ -331,7 +335,13 @@ def _lsh_probed_scores(emb: DataFrame, dim: int = 64) -> DataFrame:
         h = hashlib.md5(f"plane{plane}_dim{d}".encode()).hexdigest()
         return 1 if int(h[:8], 16) % 2 == 0 else -1
 
-    planes = [[float(sign(p, d)) for d in range(dim)] for p in range(N_PLANES)]
+    return [[float(sign(p, d)) for d in range(dim)] for p in range(N_PLANES)]
+
+
+def _lsh_probed_scores(emb: DataFrame, dim: int = 64) -> DataFrame:
+    """Shared LSH probe stage: bucket, multi-probe, exact-cosine scoring."""
+
+    planes = lsh_planes(dim)
     planes_lit = F.array(
         *[F.array(*[F.lit(v) for v in plane]) for plane in planes]
     )
