@@ -1153,11 +1153,12 @@ def duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SUBSTRING_CLEAN_SQL = """
 WITH t AS (
-  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS toks
   FROM documents
 ),
 w AS (
-  SELECT doc_id, CAST(i AS BIGINT) AS i, md5(array_to_string(toks[i:i+7], ' ')) AS h
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         md5(lower(array_to_string(toks[i:i+7], ' '))) AS h
   FROM t, UNNEST(range(1, greatest(len(toks) - 6, 1))) AS u(i)
 ),
 dupwins AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
@@ -1184,7 +1185,8 @@ SELECT t.doc_id,
        CAST(len(t.toks) AS BIGINT) AS n_toks,
        coalesce(ka.kept_toks, 0) AS kept_toks,
        CAST(len(t.toks) AS BIGINT) - coalesce(ka.kept_toks, 0) AS removed_toks,
-       coalesce(ka.cleaned_text, '') AS cleaned_text
+       CASE WHEN coalesce(ka.kept_toks, 0) = CAST(len(t.toks) AS BIGINT)
+            THEN t.text ELSE coalesce(ka.cleaned_text, '') END AS cleaned_text
 FROM t LEFT JOIN ka USING (doc_id)
 ORDER BY doc_id
 """
@@ -1222,11 +1224,18 @@ def substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_windows(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(t, e): the tokenized doc table (doc_id, toks) — materialized once —
-    and its exploded positional windows (doc_id, i, h). Shared by the
-    batch transform and the streaming/incremental cleaner."""
-    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
-    t = docs.select("doc_id", toks.alias("toks")).localCheckpoint()
+    """(t, e): the tokenized doc table (doc_id, text, toks) — materialized
+    once — and its exploded positional windows (doc_id, i, h). Shared by
+    the batch transform and the streaming/incremental cleaner.
+
+    Tokens keep the ORIGINAL casing; only the window hash lowercases (the
+    md5 is over the lowercased join), so matching stays case-insensitive
+    but the rebuilt text preserves the document's own characters — a
+    curation pipeline must not rewrite every doc to lowercase as a side
+    effect of dedup (round-6 ADVICE; Lee et al. remove spans from the
+    original text)."""
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    t = docs.select("doc_id", "text", toks.alias("toks")).localCheckpoint()
     nwin = F.size(F.col("toks")) - SPAN_W + 1
     wins = F.when(
         F.size(F.col("toks")) >= SPAN_W,
@@ -1234,9 +1243,9 @@ def doc_windows(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
             F.sequence(F.lit(1), nwin),
             lambda i: F.struct(
                 i.cast("long").alias("i"),
-                F.md5(F.array_join(F.slice(F.col("toks"), i, SPAN_W), " ")).alias(
-                    "h"
-                ),
+                F.md5(
+                    F.lower(F.array_join(F.slice(F.col("toks"), i, SPAN_W), " "))
+                ).alias("h"),
             ),
         ),
     ).otherwise(F.array().cast("array<struct<i:bigint,h:string>>"))
@@ -1259,6 +1268,13 @@ def clean_against_starts(t: DataFrame, starts: DataFrame) -> DataFrame:
     )
     n_toks = F.size(F.col("toks")).cast("long")
     kept_n = F.size(kept).cast("long")
+    # Untouched docs round-trip byte-exact (original whitespace runs
+    # included); docs with removals are rebuilt from the surviving
+    # original-cased tokens, single-space joined — the unavoidable
+    # residue of token-level (vs byte-span) removal.
+    cleaned = F.when(kept_n == n_toks, F.col("text")).otherwise(
+        F.array_join(kept, " ")
+    )
     return (
         t.join(starts, "doc_id", "left")
         .select(
@@ -1266,7 +1282,7 @@ def clean_against_starts(t: DataFrame, starts: DataFrame) -> DataFrame:
             n_toks.alias("n_toks"),
             kept_n.alias("kept_toks"),
             (n_toks - kept_n).alias("removed_toks"),
-            F.array_join(kept, " ").alias("cleaned_text"),
+            cleaned.alias("cleaned_text"),
         )
         .orderBy("doc_id")
     )

@@ -113,6 +113,28 @@ def test_counts_add_up_and_cleaned_is_subsequence(spark, texts):
         assert all(any(tok == o for o in it) for tok in cleaned)
 
 
+def test_untouched_docs_round_trip_and_case_insensitive_match(spark):
+    """Round-6 ADVICE regression: the cleaner must not rewrite documents
+    as a side effect. An untouched doc round-trips BYTE-EXACT (original
+    casing AND whitespace runs); window matching stays case-insensitive
+    (a doc differing from a duplicate only by case is still cut); and a
+    partially-cleaned doc keeps the original casing of surviving tokens."""
+    dup_lower = " ".join(f"w{i}" for i in range(12))
+    dup_upper = dup_lower.upper()
+    untouched = "The  Quick   Brown Fox " + " ".join(f"q{i}" for i in range(8))
+    # 8 unique prefix tokens + the 12-token duplicated (case-varied) tail
+    mixed = " ".join(f"Pre{i}" for i in range(8)) + " " + dup_lower.title()
+    out = _clean(spark, [dup_lower, dup_upper, untouched, mixed])
+    # case-insensitive matching: both case variants fully cut
+    assert out[0].kept_toks == 0 and out[1].kept_toks == 0
+    # byte-exact round trip, double/triple spaces included
+    assert out[2].removed_toks == 0
+    assert out[2].cleaned_text == untouched
+    # survivors keep their original casing
+    assert out[3].removed_toks == 12
+    assert out[3].cleaned_text == " ".join(f"Pre{i}" for i in range(8))
+
+
 def test_short_docs_never_removed(spark):
     """Docs below the window width have no windows -> never touched, even
     when byte-identical (that is exact dedup's job, not span removal)."""
