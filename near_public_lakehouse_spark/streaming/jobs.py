@@ -602,7 +602,9 @@ def streaming_substring_clean(
     )
 
 
-def compact_substring_index(spark: SparkSession, index_path: str) -> int:
+def compact_substring_index(
+    spark: SparkSession, index_path: str, checkpoint: str | None = None
+) -> int:
     """Fold the streaming substring cleaner's per-batch index dirs into
     one aggregated dir. The index read is a union of `batch_id=N` partial
     counts; after thousands of triggers that union is thousands of small
@@ -610,6 +612,18 @@ def compact_substring_index(spark: SparkSession, index_path: str) -> int:
     batch id Spark never assigns, so the cleaner's glob keeps matching
     and future triggers never collide with it) and removes the folded
     dirs. Returns the number of dirs folded.
+
+    REPLAY FENCE (round-6 ADVICE): a stream can stop after foreachBatch
+    wrote `batch_id=N` but before the checkpoint commit; on restart Spark
+    replays batch N and rewrites that dir. If compaction had folded N
+    into `batch_id=-1` and deleted the dir, the rewrite would make those
+    counts exist TWICE and single-occurrence windows would cross the >=2
+    threshold — wrongly cutting tokens from every future doc. So only
+    COMMITTED batches fold: pass the stream's `checkpoint` to fold
+    exactly the ids in its commits log; without one, the highest batch_id
+    dir is always left unfolded (foreachBatch has at most one in-flight
+    batch, so every lower id is necessarily committed). A replayed
+    batch's overwrite of its own un-folded dir then stays idempotent.
 
     Crash-safe without double counting or loss, run OFFLINE (stream
     stopped). Protocol: the fold is staged in `_compact_tmp`; a
@@ -654,11 +668,33 @@ def compact_substring_index(spark: SparkSession, index_path: str) -> int:
         for d in _glob.glob(os.path.join(index_path, "batch_id=*"))
         if os.path.basename(d) != "batch_id=-1"
     )
+
+    def _bid(d: str) -> int:
+        return int(os.path.basename(d).split("=", 1)[1])
+
+    if checkpoint is not None:
+        commits_dir = os.path.join(checkpoint, "commits")
+        committed = (
+            {
+                int(f)
+                for f in os.listdir(commits_dir)
+                if not f.startswith(".") and f.lstrip("-").isdigit()
+            }
+            if os.path.isdir(commits_dir)
+            else set()
+        )
+        dirs = [d for d in dirs if _bid(d) in committed]
+    elif dirs:
+        # No checkpoint: the highest id is the only possibly-uncommitted
+        # batch (foreachBatch is serial) — leave it unfolded.
+        newest = max(_bid(d) for d in dirs)
+        dirs = [d for d in dirs if _bid(d) != newest]
     if not dirs:
         return 0
+    read_paths = list(dirs) + ([target] if os.path.exists(target) else [])
     merged = (
         spark.read.option("basePath", index_path)
-        .parquet(os.path.join(index_path, "batch_id=*"))
+        .parquet(*read_paths)
         .groupBy("h")
         .agg(F.sum("n_docs").alias("n_docs"))
     )

@@ -329,7 +329,7 @@ def test_compact_substring_index(spark, tmp_path):
         }
 
     before = counts()
-    assert compact_substring_index(spark, index) == 2
+    assert compact_substring_index(spark, index, checkpoint=ck) == 2
     assert sorted(os.listdir(index)) == ["batch_id=-1"]
     assert counts() == before
 
@@ -344,7 +344,7 @@ def test_compact_substring_index(spark, tmp_path):
 
     with open(os.path.join(index, "batch_id=-1", "_FOLDED"), "w") as fh:
         json.dump(["batch_id=0"], fh)
-    assert compact_substring_index(spark, index) == 0
+    assert compact_substring_index(spark, index, checkpoint=ck) == 0
     assert sorted(os.listdir(index)) == ["batch_id=-1"]
     assert counts() == before
 
@@ -361,3 +361,52 @@ def test_compact_substring_index(spark, tmp_path):
         .collect()
     }
     assert got[9] == (12, "")
+
+
+def test_compact_substring_index_replay_fence(spark, tmp_path):
+    """Round-6 ADVICE regression: an index dir whose batch never committed
+    (foreachBatch wrote it, then the stream died before the checkpoint
+    commit) must NOT fold — otherwise the restarted stream's replay
+    rewrites the dir and its counts exist twice, pushing single-occurrence
+    windows over the >=2 duplicate threshold."""
+    import json
+    import os
+
+    from near_public_lakehouse_spark.streaming.jobs import compact_substring_index
+
+    index = str(tmp_path / "index")
+    ck = str(tmp_path / "ck")
+    os.makedirs(os.path.join(ck, "commits"))
+    one = spark.createDataFrame([("h_committed", 1)], "h string, n_docs long")
+    two = spark.createDataFrame([("h_uncommitted", 1)], "h string, n_docs long")
+    one.coalesce(1).write.parquet(os.path.join(index, "batch_id=0"))
+    two.coalesce(1).write.parquet(os.path.join(index, "batch_id=1"))
+    # only batch 0 reached the commit log
+    open(os.path.join(ck, "commits", "0"), "w").close()
+
+    assert compact_substring_index(spark, index, checkpoint=ck) == 1
+    assert sorted(os.listdir(index)) == ["batch_id=-1", "batch_id=1"]
+
+    # the replayed batch overwrites its own dir — idempotent, no doubling
+    two.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index, "batch_id=1")
+    )
+    merged = {
+        r.h: r.n
+        for r in spark.read.option("basePath", index)
+        .parquet(f"{index}/batch_id=*")
+        .groupBy("h")
+        .agg(F.sum("n_docs").alias("n"))
+        .collect()
+    }
+    assert merged == {"h_committed": 1, "h_uncommitted": 1}
+
+    # without a checkpoint, the highest batch id is fenced instead
+    no_ck_index = str(tmp_path / "index2")
+    one.coalesce(1).write.parquet(os.path.join(no_ck_index, "batch_id=0"))
+    two.coalesce(1).write.parquet(os.path.join(no_ck_index, "batch_id=1"))
+    assert compact_substring_index(spark, no_ck_index) == 1
+    assert sorted(os.listdir(no_ck_index)) == ["batch_id=-1", "batch_id=1"]
+    # sanity: the fold's sidecar records exactly the absorbed dir
+    with open(os.path.join(no_ck_index, "batch_id=-1", "_FOLDED")) as fh:
+        assert json.load(fh) == ["batch_id=0"]
