@@ -530,6 +530,115 @@ def streaming_frequent_ngrams(
     )
 
 
+def streaming_boilerplate_decontamination(
+    spark: SparkSession,
+    docs_path: str,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    support: int = 5,
+    capacity: int = 1024,
+    max_files_per_trigger: int | None = None,
+):
+    """Online boilerplate decontamination: Misra-Gries heavy-hitter
+    detection FUSED with the per-doc contamination flagging in one
+    streaming job (VERDICT r5 task #7) — a phrase that crosses the
+    support threshold mid-stream starts being flagged from that very
+    trigger, with no batch round-trip to build a block-list.
+
+    Per micro-batch:
+      1. the batch's 3-gram occurrences run the same bounded-state MG
+         kernel as `frequent_ngram_mining` (`queries.text.mg_candidates`)
+         and the surviving candidates are EXACTLY recounted within the
+         batch — <= capacity rows per partition regardless of batch size;
+      2. those per-batch exact candidate counts land idempotently at
+         `index_path/batch_id=N` (a replayed batch overwrites its own
+         dir — same exactly-once discipline as streaming_substring_clean;
+         `compact_substring_index(..., key_col="ngram")` folds this index
+         too, same layout);
+      3. the LIVE block-list = phrases whose accumulated count across all
+         index dirs (this batch included — merge-before-flag) reaches
+         `support`; the batch's docs are flagged against it and land at
+         `out_path/batch_id=N` with per-doc occurrence counts.
+
+    Guarantee: per-batch counts are exact for every MG survivor and MG
+    only ever undercounts by <= N_batch/capacity per batch, so the
+    accumulated index undercounts any phrase by < N_total/capacity in
+    the worst case — with support > N_total/capacity (the batch query's
+    own threshold discipline) no truly-frequent phrase is ever missed,
+    and no phrase is flagged before its real occurrence count reaches
+    support (stored counts never exceed true counts).
+
+    One-way semantics like the other incremental cleaners: a phrase
+    crossing the threshold cannot retro-flag docs already emitted;
+    re-running the batch decontamination over the full corpus is the
+    compaction that restores symmetry."""
+    from near_public_lakehouse_spark.queries.text import MG_NGRAM_W, mg_candidates
+
+    schema = spark.read.parquet(docs_path).schema
+    r = spark.readStream
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = r.schema(schema).parquet(_stream_path(docs_path))
+
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    nwin = F.size(toks) - MG_NGRAM_W + 1
+    grams = F.when(
+        F.size(toks) >= MG_NGRAM_W,
+        F.transform(
+            F.sequence(F.lit(1), nwin),
+            lambda i: F.array_join(F.slice(toks, i, MG_NGRAM_W), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        docs = batch_df.select("doc_id", grams.alias("grams"))
+        occ = docs.select(
+            "doc_id", F.explode("grams").alias("ngram")
+        ).localCheckpoint()  # feeds the index write AND the flag join
+        cand = mg_candidates(occ.select("ngram"), capacity).distinct()
+        (
+            occ.join(F.broadcast(cand), "ngram")
+            .groupBy("ngram")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .write.mode("overwrite")
+            .parquet(f"{index_path}/batch_id={batch_id}")
+        )
+        block = (
+            sp.read.option("basePath", index_path)
+            .parquet(f"{index_path}/batch_id=*")
+            .groupBy("ngram")
+            .agg(F.sum("n_docs").alias("n_total"))
+            .filter(F.col("n_total") >= support)
+            .select("ngram")
+        )
+        hits = (
+            occ.join(F.broadcast(block), "ngram")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_blocked"))
+        )
+        (
+            docs.select("doc_id", F.size("grams").alias("n_ngrams"))
+            .join(hits, "doc_id", "left")
+            .select(
+                "doc_id",
+                "n_ngrams",
+                F.coalesce("n_blocked", F.lit(0)).alias("n_blocked"),
+                (F.coalesce("n_blocked", F.lit(0)) > 0).alias("is_flagged"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{out_path}/batch_id={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_substring_clean(
     spark: SparkSession,
     docs_path: str,
@@ -603,12 +712,18 @@ def streaming_substring_clean(
 
 
 def compact_substring_index(
-    spark: SparkSession, index_path: str, checkpoint: str | None = None
+    spark: SparkSession,
+    index_path: str,
+    checkpoint: str | None = None,
+    key_col: str = "h",
 ) -> int:
-    """Fold the streaming substring cleaner's per-batch index dirs into
-    one aggregated dir. The index read is a union of `batch_id=N` partial
-    counts; after thousands of triggers that union is thousands of small
-    files. Compaction aggregates them into a single `batch_id=-1` dir (a
+    """Fold a streaming per-batch count index (`batch_id=N` dirs of
+    (key, n_docs) partial counts) into one aggregated dir. Serves the
+    substring cleaner's window-hash index (key_col="h", the default) and
+    the boilerplate decontaminator's n-gram index (key_col="ngram") —
+    same layout, same discipline. The index read is a union of
+    `batch_id=N` partial counts; after thousands of triggers that union
+    is thousands of small files. Compaction aggregates them into a single `batch_id=-1` dir (a
     batch id Spark never assigns, so the cleaner's glob keeps matching
     and future triggers never collide with it) and removes the folded
     dirs. Returns the number of dirs folded.
@@ -695,7 +810,7 @@ def compact_substring_index(
     merged = (
         spark.read.option("basePath", index_path)
         .parquet(*read_paths)
-        .groupBy("h")
+        .groupBy(key_col)
         .agg(F.sum("n_docs").alias("n_docs"))
     )
     merged.write.mode("overwrite").parquet(tmp)

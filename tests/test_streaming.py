@@ -363,6 +363,83 @@ def test_compact_substring_index(spark, tmp_path):
     assert got[9] == (12, "")
 
 
+def test_streaming_boilerplate_decontamination_flags_from_crossing_trigger(
+    spark, tmp_path
+):
+    """VERDICT r5 task #7: MG heavy-hitter detection fused with the
+    contamination flagging. A phrase below support in batch 0 flags
+    nothing; when its accumulated count crosses the threshold in batch 1,
+    batch 1's docs are flagged in that same trigger (merge-before-flag)
+    and every later doc containing it stays flagged — no batch round-trip
+    to build a block-list."""
+    import os
+
+    from near_public_lakehouse_spark.streaming.jobs import (
+        compact_substring_index,
+        streaming_boilerplate_decontamination,
+    )
+
+    phrase = "free prize now"
+    filler = lambda i: " ".join(f"f{i}x{j}" for j in range(6))  # noqa: E731
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    root = str(tmp_path / "docs")
+    # batch 0: phrase occurs twice (below support=4) across two docs
+    b0 = [
+        (0, f"{phrase} {filler(0)}", "en", "s", 1),
+        (1, f"{filler(1)} {phrase}", "en", "s", 1),
+    ]
+    # batch 1: two more occurrences -> cumulative 4 crosses support
+    b1 = [
+        (2, f"{phrase} {filler(2)}", "en", "s", 1),
+        (3, f"{phrase} also here", "en", "s", 1),
+        (4, filler(4), "en", "s", 1),
+    ]
+    # batch 2: a single occurrence in a fresh doc is now instantly flagged
+    b2 = [(5, f"brand new {phrase} text", "en", "s", 1)]
+    for no, rows in ((0, b0), (1, b1), (2, b2)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(root, f"b{no}"))
+    index, out, ck = (str(tmp_path / p) for p in ("index", "out", "ck"))
+
+    streaming_boilerplate_decontamination(
+        spark,
+        os.path.join(root, "b*"),
+        index,
+        out,
+        ck,
+        support=4,
+        capacity=64,
+        max_files_per_trigger=1,
+    ).awaitTermination(180)
+
+    got = {
+        r.doc_id: (r.n_blocked, r.is_flagged)
+        for r in spark.read.option("basePath", out)
+        .parquet(f"{out}/batch_id=*")
+        .collect()
+    }
+    assert len(got) == 6
+    # batch 0: phrase still below support -> nothing flagged
+    assert got[0] == (0, False) and got[1] == (0, False)
+    # batch 1: the crossing trigger — phrase docs flagged, filler not
+    assert got[2][1] and got[3][1] and got[4] == (0, False)
+    # batch 2: one occurrence suffices once the phrase is hot
+    assert got[5][1]
+
+    # the shared compaction folds this index too (key_col="ngram")
+    assert compact_substring_index(spark, index, checkpoint=ck, key_col="ngram") == 3
+    merged = {
+        r.ngram: r.n
+        for r in spark.read.option("basePath", index)
+        .parquet(f"{index}/batch_id=*")
+        .groupBy("ngram")
+        .agg(F.sum("n_docs").alias("n"))
+        .collect()
+    }
+    assert merged[phrase] == 5  # 2 (b0) + 2 (b1) + 1 (b2)
+
+
 def test_compact_substring_index_replay_fence(spark, tmp_path):
     """Round-6 ADVICE regression: an index dir whose batch never committed
     (foreachBatch wrote it, then the stream died before the checkpoint

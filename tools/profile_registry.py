@@ -47,6 +47,7 @@ def main() -> None:
     for name in sorted(queries):
         q = queries[name]
         t0 = time.monotonic()
+        df = rows = None
         try:
             df = q.fn(spark, args.sf_dir)
             rows = df.collect()
@@ -56,6 +57,22 @@ def main() -> None:
             rec = {"name": name, "sec": None, "rows": None, "err": str(exc)[:200]}
         timings.append(rec)
         print(json.dumps(rec), flush=True)
+        # Round-6 finding: accumulated session state (localCheckpoint RDD
+        # blocks held until driver-side GC, shuffle files, JVM heap
+        # pressure) inflates later queries' sweep times — r5's
+        # minhash_lsh_candidates read 67.9 s in-sweep vs 32.8-42 s
+        # isolated, same code. Dropping the Python references and forcing
+        # both GCs between queries releases checkpointed blocks via the
+        # ContextCleaner and keeps sweep numbers comparable to isolated
+        # runs.
+        df = rows = None
+        import gc
+
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
     hashes: dict[str, dict] = {}
     if not args.skip_hashes:
