@@ -176,34 +176,67 @@ def avro_stream_sink(
          make a crash between data and marker a no-op rewrite.
 
     The publication clock is EVENT TIME by default: an hour is closed
-    when the staging high-watermark (max `ts_col`) has moved past hour
-    end + `late_tolerance_hours` — the same discipline as a streaming
+    when the staging high-watermark has moved past hour end +
+    `late_tolerance_hours` — the same discipline as a streaming
     watermark, and deterministic for tests/backfills. Pass `now_fn`
     (-> datetime) to fence on wall clock instead (production cron
     parity). Returns the StreamingQuery; exported paths accumulate under
     `<base_path>/<fmt>/<table>/...`.
+
+    Per-trigger cost stays BOUNDED over the stream's lifetime (round-6
+    ADVICE — it used to rescan all of staging every batch and keep every
+    batch dir forever):
+      - the high-watermark is tracked incrementally: each trigger scans
+        only ITS OWN batch for max(ts) and folds it into a `_WATERMARK`
+        sidecar (a monotone max, so a replayed batch folds the same value
+        in again — idempotent);
+      - each staged dir records its own max ts in a `_BATCH_HI` sidecar,
+        and after publication every dir whose newest row sits strictly
+        below the oldest hour any future trigger could still export
+        (cutoff minus the forced re-export window) is deleted — its rows
+        are all in marker-fenced exports. Staging therefore holds only
+        the open + late-tolerance + trailing window, so the per-trigger
+        union read is bounded too.
     """
+    import json
+    import os
+    import shutil
+
     from pyspark.sql import functions as F
+
+    from near_public_lakehouse_spark.functions.time import NS_PER_HOUR, _floordiv
 
     _require_local_path(base_path, "avro_stream_sink (its hour markers)")
 
     def _publish(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch_df.write.mode("overwrite").parquet(
-            f"{staging_path}/batch_id={batch_id}"
-        )
-        staged = spark.read.option("basePath", staging_path).parquet(
-            f"{staging_path}/batch_id=*"
-        ).drop("batch_id")
+        bdir = f"{staging_path}/batch_id={batch_id}"
+        batch_df.write.mode("overwrite").parquet(bdir)
+        # batch-local max(ts): reads back just this trigger's files
+        bhi = spark.read.parquet(bdir).agg(F.max(ts_col).alias("hi")).collect()[0].hi
+        if bhi is not None:
+            with open(os.path.join(bdir, "_BATCH_HI"), "w") as fh:
+                json.dump({"hi": int(bhi)}, fh)
+        wm_path = os.path.join(staging_path, "_WATERMARK")
+        hi = None
+        if os.path.exists(wm_path):
+            with open(wm_path) as fh:
+                hi = json.load(fh).get("hi")
+        if bhi is not None and (hi is None or int(bhi) > hi):
+            hi = int(bhi)
+            with open(wm_path, "w") as fh:
+                json.dump({"hi": hi}, fh)
         if now_fn is not None:
             now = now_fn()
+        elif hi is None:
+            return
         else:
-            hi = staged.agg(F.max(ts_col).alias("hi")).collect()[0].hi
-            if hi is None:
-                return
             # floor-divide the ns BIGINT driver-side (float division would
             # round near hour boundaries — the repo-wide ns discipline)
             now = datetime.utcfromtimestamp(hi // 1_000_000_000)
+        staged = spark.read.option("basePath", staging_path).parquet(
+            f"{staging_path}/batch_id=*"
+        ).drop("batch_id")
         export_closed_hours(
             staged,
             base_path,
@@ -214,6 +247,39 @@ def avro_stream_sink(
             reexport_trailing=reexport_trailing,
             fmt=fmt,
         )
+        # prune staged dirs whose every row is below the safe fence: the
+        # oldest hour a future trigger could still (re-)export. Closed
+        # hours are marker-fenced, so their rows live in the exports now;
+        # the forced-trailing window is held back because re-export
+        # re-filters staging.
+        import calendar
+
+        cutoff_hour = (
+            calendar.timegm(now.timetuple()) // 3600 - late_tolerance_hours
+        )
+        safe_hour = cutoff_hour
+        if reexport_trailing:
+            staged_hours = sorted(
+                r.h
+                for r in staged.select(
+                    _floordiv(F.col(ts_col), NS_PER_HOUR).alias("h")
+                )
+                .distinct()
+                .filter(F.col("h") < cutoff_hour)
+                .collect()
+            )
+            forced = staged_hours[-reexport_trailing:]
+            if forced:
+                safe_hour = min(forced)
+        for name in os.listdir(staging_path):
+            d = os.path.join(staging_path, name)
+            sidecar = os.path.join(d, "_BATCH_HI")
+            if not (name.startswith("batch_id=") and os.path.exists(sidecar)):
+                continue
+            with open(sidecar) as fh:
+                dir_hi = json.load(fh)["hi"]
+            if dir_hi // NS_PER_HOUR < safe_hour:
+                shutil.rmtree(d)
 
     writer = stream_df.writeStream.foreachBatch(_publish).option(
         "checkpointLocation", checkpoint_path

@@ -214,9 +214,14 @@ def test_avro_stream_sink_publishes_closed_hours(spark, tmp_path):
     paths = [os.path.join(root, h) for h in hour_dirs]
     assert [read_export(spark, p, "avro").count() for p in paths] == [6, 2]
 
-    # staging holds every input row exactly once, one dir per batch id
+    # staging is PRUNED down to the open/late window (round-6 ADVICE):
+    # batch 0's rows all live in marker-fenced exports now, so its dir is
+    # gone; only batch 1 (the still-open h0+3 row) remains
     staged = spark.read.option("basePath", staging).parquet(f"{staging}/batch_id=*")
-    assert staged.count() == 9
+    assert staged.count() == 1
+    assert sorted(
+        d for d in os.listdir(staging) if d.startswith("batch_id=")
+    ) == ["batch_id=1"]
 
     # rerun against the same checkpoint: no new batches, no rewrites
     mtimes = {p: os.path.getmtime(os.path.join(p, "_EXPORTED")) for p in paths}
