@@ -189,9 +189,9 @@ def _band_keys_sql() -> str:
     return "[" + ", ".join(bands) + "]"
 
 
-def _band_key_df(docs: DataFrame) -> DataFrame:
-    """(doc_id, band_key) rows: 12 min-hashes over the distinct-token set,
-    banded 4x3, per input row (needs `doc_id` and `text` columns).
+def _sig_df(docs: DataFrame, *extra: str) -> DataFrame:
+    """(doc_id, *extra, sig ARRAY<BIGINT>): the 12 min-hash signature per
+    input row (needs `doc_id` and `text`; pass-through columns by name).
 
     Hash every token ONCE per row: a plain projection would be inlined
     back into all 12 min-hash expressions by Catalyst's project collapse,
@@ -214,7 +214,13 @@ def _band_key_df(docs: DataFrame) -> DataFrame:
             ),
         ),
     )[0]
-    hashed = docs.select("doc_id", sig_expr.alias("sig"))
+    return docs.select("doc_id", *extra, sig_expr.alias("sig"))
+
+
+def _band_key_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_key) rows: 12 min-hashes over the distinct-token set,
+    banded 4x3, per input row (needs `doc_id` and `text` columns)."""
+    hashed = _sig_df(docs)
     band_cols = []
     for band in range(N_BANDS):
         parts = [

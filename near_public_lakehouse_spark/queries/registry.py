@@ -104,6 +104,7 @@ def query(name: str, oracle: str | None = None, bench: bool = False, tags: tuple
 def all_queries() -> dict[str, Query]:
     # Import side-effect modules that populate REGISTRY.
     from near_public_lakehouse_spark.queries import (  # noqa: F401
+        adaptive_lsh,
         approx_checks,
         classic,
         core,
