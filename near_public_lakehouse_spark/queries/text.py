@@ -49,6 +49,55 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# BPE-ish pre-tokenizer: GPT-2-style contraction / space-prefixed word /
+# number / punctuation-run alternation, restricted to constructs whose
+# semantics are IDENTICAL under Java regex (Spark) and RE2 (DuckDB) — no
+# lookarounds (RE2 has none), and every alternation is start-disjoint or
+# longest-first so leftmost-first and leftmost-longest matching agree.
+# Counting these matches approximates subword token counts (each match is
+# a merge-seed) far better than whitespace words on punctuation- or
+# number-heavy text — the ratio column is the standard budget estimator a
+# curation pipeline uses before paying for real BPE.
+BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s']+|'+|\s+"
+_BPE_SQL_PAT = BPE_PAT.replace("'", "''")
+
+
+@query(
+    "token_counts_bpe",
+    tags=("text", "tokenizer"),
+    oracle=f"""
+SELECT doc_id,
+       len({TOKENS_SQL}) AS n_ws_tokens,
+       len(list_filter(regexp_extract_all(text, '{_BPE_SQL_PAT}'), m -> trim(m) <> ''))
+         AS n_bpe_tokens,
+       len(list_filter(regexp_extract_all(text, '{_BPE_SQL_PAT}'), m -> trim(m) <> ''))::DOUBLE
+         / greatest(len({TOKENS_SQL}), 1) AS bpe_per_word
+FROM documents
+ORDER BY doc_id
+""",
+)
+def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget estimation with a BPE-ish regex pre-tokenizer
+    (GPT-2-style contraction/word/number/punct alternation) next to the
+    whitespace count, plus their ratio — per-row regexp inside codegen,
+    no explode, no shuffle, no Python; cross-engine parity of the
+    pattern is pinned in tests/test_text_extra.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = tokens_col()
+    bpe = F.filter(
+        F.regexp_extract_all(F.col("text"), F.lit(BPE_PAT), 0),
+        lambda m: F.trim(m) != "",
+    )
+    n_ws = F.size(ws)
+    n_bpe = F.size(bpe)
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        (n_bpe.cast("double") / F.greatest(n_ws, F.lit(1))).alias("bpe_per_word"),
+    ).orderBy("doc_id")
+
+
 @query(
     "word_frequencies",
     tags=("text", "G1", "G2"),

@@ -1,0 +1,63 @@
+"""BPE-ish pre-tokenizer (`queries/text.py BPE_PAT`): behavioral pin on
+adversarial strings and Spark/DuckDB parity of the pattern semantics.
+The full-corpus oracle equality runs in test_queries_oracle.py; these
+tests pin WHY it holds — no construct where Java-regex and RE2 disagree."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from near_public_lakehouse_spark.queries.text import BPE_PAT, _BPE_SQL_PAT
+
+TRICKY = [
+    "it's 42 degrees—wow!  'quoted' end",
+    "can't won't we're i'll you've i'm he'd",
+    "   leading spaces",
+    "trailing spaces   ",
+    "under_score mixed123abc 3.14e10",
+    "!!!???...,,,'''",
+    "",
+    "'",
+    "a",
+]
+
+
+def _spark_tokens(spark, s: str) -> list[str]:
+    row = spark.range(1).select(
+        F.regexp_extract_all(F.lit(s), F.lit(BPE_PAT), 0).alias("t")
+    ).collect()[0]
+    return list(row.t)
+
+
+def _duck_tokens(s: str) -> list[str]:
+    lit = s.replace("'", "''")
+    return duckdb.sql(
+        f"SELECT regexp_extract_all('{lit}', '{_BPE_SQL_PAT}')"
+    ).fetchone()[0]
+
+
+@pytest.mark.parametrize("s", TRICKY)
+def test_spark_duckdb_tokenization_parity(spark, s):
+    assert _spark_tokens(spark, s) == _duck_tokens(s), s
+
+
+@pytest.mark.parametrize("s", TRICKY)
+def test_tokenization_is_a_partition(spark, s):
+    """Matches must cover the input exactly, in order, with no gaps —
+    i.e. the alternation has no dead zones that silently drop text."""
+    assert "".join(_spark_tokens(spark, s)) == s
+
+
+def test_contractions_are_single_tokens(spark):
+    toks = _spark_tokens(spark, "can't we're i'll")
+    assert "'t" in toks and "'re" in toks and "'ll" in toks
+
+
+def test_bpe_counts_exceed_ws_on_punct_heavy_text(spark):
+    """The estimator's reason to exist: punctuation-heavy text costs more
+    subword tokens than its whitespace word count suggests."""
+    s = "end. of. sentence! (with) [brackets] -- and, punctuation;"
+    bpe = [t for t in _spark_tokens(spark, s) if t.strip()]
+    assert len(bpe) > len(s.split())
