@@ -143,21 +143,32 @@ def _source_thresholds(keys: DataFrame) -> DataFrame:
 
 
 def _agree_expr():
-    """Positions where the two joined signatures agree, out of 12."""
-    return F.size(
-        F.filter(
-            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x - y),
-            lambda d: d == F.lit(0),
-        )
-    )
+    """Positions where the two joined signatures agree, out of 12 —
+    written as 12 flat integer comparisons over pre-split hash columns,
+    NOT an array zip_with: per-joined-row HOF allocations on tens of
+    millions of join outputs are the measured 3x cost trap (ROADMAP
+    round-5 negative result), while flat comparisons stay inside
+    whole-stage codegen."""
+    terms = [
+        (F.col(f"a.h{i}") == F.col(f"b.h{i}")).cast("int") for i in range(N_HASHES)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
 
 
 def _adaptive_pairs(docs: DataFrame) -> DataFrame:
     keys = _s2_keys_df(docs)
     cfg = _source_thresholds(keys)
-    keyed = keys.join(F.broadcast(cfg), "source")
-    a = keyed.alias("a")
-    b = keyed.alias("b")
+    flat = keys.join(F.broadcast(cfg), "source").select(
+        "doc_id",
+        "band_key",
+        "thr",
+        *[F.col("sig")[i].alias(f"h{i}") for i in range(N_HASHES)],
+    )
+    a = flat.alias("a")
+    b = flat.alias("b")
     return (
         a.join(
             b,
