@@ -340,16 +340,59 @@ def minhash_adaptive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     superset pair count, same as the candidate generators themselves."""
     docs = load_table(spark, sf_dir, "documents")
 
+    # ONE widened band join builds the superset; everything derived from
+    # it (agreement scores, adaptive membership, truth Jaccard) reattaches
+    # per-doc state via BROADCAST lookups — signatures, thresholds and
+    # token sets are O(docs) rows, never worth a second band shuffle. The
+    # fixed 4x3 candidate set alone is recomputed INDEPENDENTLY so the
+    # superset check stays a real check (deriving fixed membership from
+    # the superset rows would make `superset_violations = 0` tautological).
     sup = _superset_pairs(docs).localCheckpoint()
     fixed = _fixed_pairs(docs).localCheckpoint()
-    adaptive = _adaptive_pairs(docs)
+
+    keys = _s2_keys_df(docs)
+    cfg = _source_thresholds(keys)
+    flat = (
+        _sig_df(docs, "source")
+        .join(F.broadcast(cfg), "source")
+        .select(
+            "doc_id",
+            "thr",
+            *[F.col("sig")[i].alias(f"h{i}") for i in range(N_HASHES)],
+        )
+    )
+    scored = (
+        sup.join(
+            F.broadcast(flat.select([F.col(c).alias(f"{c}_x" if c != "doc_id" else "doc_a") for c in flat.columns])),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(flat.select([F.col(c).alias(f"{c}_y" if c != "doc_id" else "doc_b") for c in flat.columns])),
+            "doc_b",
+        )
+    )
+    agree = None
+    for i in range(N_HASHES):
+        t = (F.col(f"h{i}_x") == F.col(f"h{i}_y")).cast("int")
+        agree = t if agree is None else agree + t
+    adaptive = (
+        scored.filter(agree >= F.least(F.col("thr_x"), F.col("thr_y")))
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
 
     toks = docs.select("doc_id", _dtoks_col().alias("t"))
     inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
     union = F.size(F.col("ta")) + F.size(F.col("tb")) - inter
     truth = (
-        sup.join(toks.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta")), "doc_a")
-        .join(toks.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb")), "doc_b")
+        sup.join(
+            F.broadcast(toks.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(toks.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"))),
+            "doc_b",
+        )
         .filter(inter.cast("double") / union >= 0.8)
         .select("doc_a", "doc_b")
         .localCheckpoint()

@@ -176,6 +176,70 @@ def token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# unigram LM scoring (CCNet-style perplexity proxy)
+
+LM_ALPHA = 0.5  # add-alpha smoothing
+
+
+@query(
+    "unigram_logprob_scores",
+    tags=("text", "llm-pipeline", "quality"),
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKENS_SQL}) AS token FROM documents
+),
+freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+tot AS (
+  SELECT CAST(sum(cnt) AS DOUBLE) AS n_total, CAST(count(*) AS DOUBLE) AS vocab
+  FROM freq
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       avg(ln((CAST(cnt AS DOUBLE) + {LM_ALPHA}) / (n_total + {LM_ALPHA} * vocab)))
+         AS avg_logprob
+FROM tok JOIN freq USING (token) CROSS JOIN tot
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality proxy per document: mean add-alpha-smoothed
+    unigram log-probability under the corpus's own unigram distribution —
+    the shuffle-only stand-in for the KenLM perplexity filter in
+    CCNet-style curation (very negative = rare-token gibberish; near the
+    corpus mode = fluent or boilerplate). Plan: one explode + token-count
+    shuffle builds the frequency table, the corpus rejoins it on token
+    (the canonical word-frequency join shape) with the 1-row total
+    broadcast, then one doc-level re-aggregation. Like
+    `token_entropy_by_source`, the transcendental enters per joined row
+    and is summed as double — noise stays orders below the harness's 1e-6
+    canonical rounding at any document length. At 100 TB, prune freq to
+    the top-K vocabulary with one OOV fallback row to make the token join
+    broadcastable."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = freq.agg(
+        F.sum("cnt").cast("double").alias("n_total"),
+        F.count(F.lit(1)).cast("double").alias("vocab"),
+    )
+    logp = F.log(
+        (F.col("cnt").cast("double") + F.lit(LM_ALPHA))
+        / (F.col("n_total") + F.lit(LM_ALPHA) * F.col("vocab"))
+    )
+    return (
+        tok.join(freq, "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(logp).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # cosine range search (radius query)
 
 RANGE_COSINE_MIN = 0.3

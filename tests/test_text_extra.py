@@ -61,3 +61,33 @@ def test_bpe_counts_exceed_ws_on_punct_heavy_text(spark):
     s = "end. of. sentence! (with) [brackets] -- and, punctuation;"
     bpe = [t for t in _spark_tokens(spark, s) if t.strip()]
     assert len(bpe) > len(s.split())
+
+
+def test_unigram_logprob_ranks_gibberish_below_fluent(spark):
+    """The LM proxy's reason to exist: a doc of corpus-rare tokens must
+    score strictly below a doc of corpus-common tokens."""
+    from near_public_lakehouse_spark.queries.corpus_stats import (
+        unigram_logprob_scores,
+    )
+    import near_public_lakehouse_spark.sources.tables as tables
+
+    common = "the the the of of to and in a the of to"
+    rare = "zxqv wvvq qqzx vvxz xqzw zzzv qwxv vzqx wwqz xvzq zqwv qvwz"
+    docs = spark.createDataFrame(
+        [(0, common, "en", "s", len(common))]
+        + [(1, rare, "en", "s", len(rare))]
+        + [(i, "the quick brown fox of the morning to the river and back in town", "en", "s", 64) for i in range(2, 12)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda spark_, sf_dir_, name_: docs
+        import near_public_lakehouse_spark.queries.corpus_stats as cs
+        cs.load_table = tables.load_table
+        scores = {r.doc_id: r.avg_logprob for r in unigram_logprob_scores(spark, "ignored").collect()}
+    finally:
+        tables.load_table = orig
+        import near_public_lakehouse_spark.queries.corpus_stats as cs
+        cs.load_table = orig
+    assert scores[1] < scores[0], scores
+    assert all(scores[1] < scores[i] for i in range(2, 12)), scores
