@@ -104,6 +104,34 @@ def _pair_mass(n):
     return n * (n - 1) / 2
 
 
+def threshold_expr(ident_mass, coll_mass):
+    """Per-source agreement threshold from the two calibration masses.
+    coll_mass counts a colliding doc pair once PER SHARED BAND (up to
+    S2_N_BANDS times — an identical pair collides in all 6), so divide
+    by the band count to put ident_frac on a per-pair scale where a
+    fully-identical source reads ~1.0. Shared by the batch calibration
+    and the streaming state-derived one (`streaming/jobs.py`) so the two
+    can never drift."""
+    frac = F.coalesce(ident_mass, F.lit(0.0)) / F.greatest(
+        coll_mass / S2_N_BANDS, F.lit(1.0)
+    )
+    return (
+        F.when(frac >= IDENT_HI, THR_STRICT)
+        .when(frac < IDENT_LO, THR_PERMISSIVE)
+        .otherwise(THR_DEFAULT)
+    )
+
+
+def sig_key_col():
+    """Compact deterministic identity key for a full 12-hash signature —
+    the groupable stand-in for the array itself in stored calibration
+    state (md5 over the joined hashes; grouping by it yields the same
+    identical-signature mass as grouping by the array)."""
+    return F.md5(
+        F.concat_ws("_", *[F.col("sig")[i].cast("string") for i in range(N_HASHES)])
+    )
+
+
 def _source_thresholds(keys: DataFrame) -> DataFrame:
     """(source, thr): per-source agreement threshold from observed
     signature agreement rates. Two bounded aggregates — collision mass
@@ -123,22 +151,9 @@ def _source_thresholds(keys: DataFrame) -> DataFrame:
         .groupBy("source")
         .agg(F.sum(_pair_mass(F.col("n"))).alias("ident_mass"))
     )
-    # coll_mass counts a colliding doc pair once PER SHARED BAND (up to
-    # S2_N_BANDS times — an identical pair collides in all 6), so divide
-    # by the band count to put ident_frac on a per-pair scale where a
-    # fully-identical source reads ~1.0.
-    frac = F.coalesce(F.col("ident_mass"), F.lit(0.0)) / F.greatest(
-        F.col("coll_mass") / S2_N_BANDS, F.lit(1.0)
-    )
-    return (
-        coll.join(idt, "source", "left")
-        .select(
-            "source",
-            F.when(frac >= IDENT_HI, THR_STRICT)
-            .when(frac < IDENT_LO, THR_PERMISSIVE)
-            .otherwise(THR_DEFAULT)
-            .alias("thr"),
-        )
+    return coll.join(idt, "source", "left").select(
+        "source",
+        threshold_expr(F.col("ident_mass"), F.col("coll_mass")).alias("thr"),
     )
 
 

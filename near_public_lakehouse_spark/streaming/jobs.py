@@ -818,3 +818,101 @@ def compact_substring_index(
         json.dump([os.path.basename(d) for d in dirs], fh)
     _promote_and_clean()  # commit: promote the stage, drop absorbed dirs
     return len(dirs)
+
+
+def adaptive_thresholds_from_state(spark: SparkSession, index_path: str) -> DataFrame:
+    """(source, thr): per-source adaptive-LSH agreement thresholds derived
+    from the streaming calibration index — the same masses and the same
+    `threshold_expr` the batch calibration uses (`queries/adaptive_lsh`),
+    so a stream that has seen the corpus yields EXACTLY the batch
+    thresholds (pinned in tests/test_streaming_adaptive.py). The index is
+    a union of per-batch-id partial-count dirs; summing n per key before
+    the pair-mass fold reconstructs the global bucket sizes, which is why
+    the masses merge exactly across batches."""
+    from near_public_lakehouse_spark.queries.adaptive_lsh import threshold_expr
+
+    def _mass(sub: str, key: str, out: str) -> DataFrame:
+        return (
+            spark.read.option("basePath", f"{index_path}/{sub}")
+            .parquet(f"{index_path}/{sub}/batch_id=*")
+            .groupBy("source", key)
+            .agg(F.sum("n").alias("n"))
+            .groupBy("source")
+            .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias(out))
+        )
+
+    coll = _mass("band", "band_key", "coll_mass")
+    idt = _mass("sig", "sig_key", "ident_mass")
+    return coll.join(idt, "source", "left").select(
+        "source",
+        threshold_expr(F.col("ident_mass"), F.col("coll_mass")).alias("thr"),
+    )
+
+
+def streaming_adaptive_thresholds(
+    spark: SparkSession,
+    docs_path: str,
+    index_path: str,
+    checkpoint: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming twin of the adaptive-LSH calibration: documents arrive
+    as a file stream and the per-source emission thresholds
+    (`queries/adaptive_lsh._source_thresholds`) are maintained
+    INCREMENTALLY — a source whose duplicate regime changes mid-stream
+    (say a crawl source starts shipping byte-identical boilerplate) gets
+    its stricter threshold at the NEXT trigger, no batch recalibration
+    round-trip.
+
+    State is two per-batch-id partial-count indexes in the
+    streaming_substring_clean mold (replay = overwrite own dir =
+    idempotent; compact with compact_substring_index(key_col=...)):
+      {index_path}/band/batch_id=N  (source, band_key, n)
+      {index_path}/sig/batch_id=N   (source, sig_key, n)
+    Both are count tables over compact keys — the band index is the same
+    object incremental_dedup maintains at 100 TB, the sig index is
+    strictly smaller (one key per distinct signature). After updating
+    state, each trigger derives the thresholds from the AGGREGATED index
+    (exact: summed bucket counts reconstruct global collision masses) and
+    snapshots them to {index_path}/thresholds with the batch id."""
+    from near_public_lakehouse_spark.queries.adaptive_lsh import (
+        _s2_keys_df,
+        sig_key_col,
+    )
+
+    schema = spark.read.parquet(docs_path).schema
+    r = spark.readStream
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = r.schema(schema).parquet(_stream_path(docs_path))
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        keys = _s2_keys_df(batch_df).localCheckpoint()
+        (
+            keys.groupBy("source", "band_key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .parquet(f"{index_path}/band/batch_id={batch_id}")
+        )
+        (
+            keys.filter(F.col("band_key").startswith("s2:0:"))
+            .select("source", sig_key_col().alias("sig_key"))
+            .groupBy("source", "sig_key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .parquet(f"{index_path}/sig/batch_id={batch_id}")
+        )
+        (
+            adaptive_thresholds_from_state(sp, index_path)
+            .withColumn("as_of_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(f"{index_path}/thresholds")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
