@@ -21,6 +21,8 @@ the JVM heap; checkpoints make every query restartable.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -715,13 +717,16 @@ def compact_substring_index(
     spark: SparkSession,
     index_path: str,
     checkpoint: str | None = None,
-    key_col: str = "h",
+    key_col: str | Sequence[str] = "h",
+    count_col: str = "n_docs",
 ) -> int:
     """Fold a streaming per-batch count index (`batch_id=N` dirs of
-    (key, n_docs) partial counts) into one aggregated dir. Serves the
-    substring cleaner's window-hash index (key_col="h", the default) and
-    the boilerplate decontaminator's n-gram index (key_col="ngram") —
-    same layout, same discipline. The index read is a union of
+    (key..., count) partial counts) into one aggregated dir. Serves the
+    substring cleaner's window-hash index (key_col="h", the default), the
+    boilerplate decontaminator's n-gram index (key_col="ngram"), and the
+    adaptive-LSH calibration indexes (compound keys:
+    key_col=("source", "band_key") / ("source", "sig_key"),
+    count_col="n") — same layout, same discipline. The index read is a union of
     `batch_id=N` partial counts; after thousands of triggers that union
     is thousands of small files. Compaction aggregates them into a single `batch_id=-1` dir (a
     batch id Spark never assigns, so the cleaner's glob keeps matching
@@ -807,11 +812,12 @@ def compact_substring_index(
     if not dirs:
         return 0
     read_paths = list(dirs) + ([target] if os.path.exists(target) else [])
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
     merged = (
         spark.read.option("basePath", index_path)
         .parquet(*read_paths)
-        .groupBy(key_col)
-        .agg(F.sum("n_docs").alias("n_docs"))
+        .groupBy(*keys)
+        .agg(F.sum(count_col).alias(count_col))
     )
     merged.write.mode("overwrite").parquet(tmp)
     with open(os.path.join(tmp, "_FOLDED"), "w") as fh:

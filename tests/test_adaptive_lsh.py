@@ -91,3 +91,26 @@ def test_cfg_join_is_broadcast(spark):
     broadcast, never a shuffle."""
     plan = _adaptive_pairs(_docs(spark))._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_adaptive_assignments_agree_with_fixed_pipeline(spark):
+    """Routing the candidate stage through the adaptive generator must
+    leave the dedup product essentially unchanged: both pipelines verify
+    candidates by true Jaccard, so they can only differ where one
+    generator missed a true pair. Require >= 99% identical rows."""
+    from near_public_lakehouse_spark.queries.adaptive_lsh import (
+        near_dup_assignments_adaptive,
+    )
+    from near_public_lakehouse_spark.queries.dedup import near_dup_assignments
+
+    fixed = {
+        (r.doc_id, r.keeper_doc_id)
+        for r in near_dup_assignments(spark, SF_DIR).collect()
+    }
+    adaptive = {
+        (r.doc_id, r.keeper_doc_id)
+        for r in near_dup_assignments_adaptive(spark, SF_DIR).collect()
+    }
+    assert len(fixed) == len(adaptive)
+    agree = len(fixed & adaptive) / len(fixed)
+    assert agree >= 0.99, f"agreement {agree:.4f}"

@@ -97,3 +97,35 @@ def test_threshold_adapts_when_regime_changes_mid_stream(spark, tmp_path):
         tuple(r) for r in spark.read.parquet(f"{idx}/thresholds").collect()
     )
     assert after == before
+
+
+def test_calibration_indexes_compact_without_drift(spark, tmp_path):
+    """The generic per-batch-count compactor must fold the compound-key
+    calibration indexes (source, band_key/sig_key, n) with no change to
+    the derived thresholds."""
+    from near_public_lakehouse_spark.streaming.jobs import compact_substring_index
+
+    src = str(tmp_path / "docs")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(_borderline(), DOC_SCHEMA).write.parquet(src)
+    q = streaming_adaptive_thresholds(spark, src, idx, ckpt)
+    q.awaitTermination(120)
+    spark.createDataFrame(_boiler(), DOC_SCHEMA).write.mode("append").parquet(src)
+    q = streaming_adaptive_thresholds(spark, src, idx, ckpt)
+    q.awaitTermination(120)
+
+    before = sorted(
+        tuple(r) for r in adaptive_thresholds_from_state(spark, idx).collect()
+    )
+    folded = compact_substring_index(
+        spark, f"{idx}/band", checkpoint=ckpt, key_col=("source", "band_key"), count_col="n"
+    )
+    folded += compact_substring_index(
+        spark, f"{idx}/sig", checkpoint=ckpt, key_col=("source", "sig_key"), count_col="n"
+    )
+    assert folded >= 2
+    after = sorted(
+        tuple(r) for r in adaptive_thresholds_from_state(spark, idx).collect()
+    )
+    assert after == before
