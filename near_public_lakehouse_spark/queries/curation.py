@@ -1,0 +1,398 @@
+"""Corpus-curation operators: the publish side of a training-data pipeline.
+
+The dedup/quality/tokenizer modules measure and transform documents; this
+module covers what a pipeline does right before (and right after) writing
+training data out:
+
+- `self_dedup_clean` — WITHIN-document repeated-window removal, the
+  intra-doc half of Lee et al.'s "Deduplicating Training Data Makes
+  Language Models Better" (the cross-doc half is
+  `dedup.substring_dedup_clean`). Pure per-row higher-order functions:
+  no explode, no shuffle, no Python — embarrassingly parallel at any
+  corpus size.
+- `shard_manifest` — deterministic seeded hash-sharding of the corpus
+  into training shards plus the per-shard manifest row (doc counts,
+  token budgets, id fences) a dataloader consumes. Hash placement means
+  NO global sort or range partitioning: adding shards rehashes uniformly
+  and the plan is one groupBy at any scale.
+- `source_data_card` — the per-source "data card" report real curation
+  teams publish: volume, token budgets under both tokenizers, exact-dup
+  rate, quality-gate failure counts, mean quality. One two-level
+  aggregation; map-side partials shrink the shuffle to |sources|.
+- `perplexity_buckets` — corpus composition by unigram-LM quality band
+  (the CCNet head/middle/tail split generalized to ln-width buckets):
+  how many documents and training tokens live at each fluency level.
+  Fixed absolute bucket edges (floor of mean logprob) rather than
+  quantiles, so bucket membership is engine-exact and the operator needs
+  no global sort.
+
+Reference parity: the reference pipeline stops at per-table gold marts
+(`NB/Gold *.py`); curation packaging is part of the beyond-reference
+LLM-pipeline surface (SURVEY §2.13).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from near_public_lakehouse_spark.queries.registry import query
+from near_public_lakehouse_spark.queries.text import (
+    BPE_PAT,
+    QF_MAX_AVG_WORD_LEN,
+    QF_MAX_STOPWORD_RATIO,
+    QF_MIN_DISTINCT_RATIO,
+    QF_MIN_TOKENS,
+    STOP_SQL,
+    STOPWORDS,
+    TOKENS_SQL,
+    _BPE_SQL_PAT,
+    tokens_col,
+)
+from near_public_lakehouse_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# self_dedup_clean: within-document repeated-window removal
+
+SELF_DEDUP_W = 3  # phrase width in tokens
+
+# A window (token run of width W) is a duplicate iff the same W tokens
+# appeared earlier in the SAME document; every token covered by a
+# duplicate window is removed and the document is rebuilt from the
+# survivors (canonical single-space join — the same token-sequence
+# round-trip contract as substring_dedup_clean). First occurrences always
+# survive, so cleaning is idempotent: cleaning a cleaned doc removes 0.
+
+
+def self_dedup_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level transform seam (doc_id, text) -> cleaned columns, so
+    property tests can feed constructed documents. All four steps are
+    array HOFs inside whole-stage codegen; per-row cost is
+    O(n_windows * n_dups) with n bounded by document length."""
+    w = SELF_DEDUP_W
+    return (
+        docs.withColumn("toks", tokens_col())
+        .withColumn(
+            "wins",
+            F.expr(
+                f"CASE WHEN size(toks) >= {w} THEN "
+                f"transform(sequence(1, size(toks) - {w} + 1), "
+                f"i -> concat_ws(' ', slice(toks, i, {w}))) "
+                "ELSE array() END"
+            ),
+        )
+        .withColumn(
+            "dups",
+            F.expr(
+                "CASE WHEN size(wins) = 0 THEN array() ELSE "
+                "filter(sequence(1, size(wins)), "
+                "i -> array_position(wins, element_at(wins, i)) < i) END"
+            ),
+        )
+        .withColumn(
+            "kept",
+            F.expr(
+                "CASE WHEN size(toks) = 0 THEN array() ELSE "
+                "filter(sequence(1, size(toks)), "
+                f"j -> NOT exists(dups, s -> j >= s AND j <= s + {w} - 1)) END"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.expr("size(toks)").alias("n_tokens"),
+            F.expr("size(toks) - size(kept)").alias("removed_toks"),
+            F.expr(
+                "concat_ws(' ', transform(kept, j -> element_at(toks, j)))"
+            ).alias("cleaned_text"),
+        )
+    )
+
+
+_SELF_DEDUP_ORACLE = f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+w AS (SELECT doc_id, toks,
+        CASE WHEN len(toks) >= {SELF_DEDUP_W}
+             THEN list_transform(range(1, len(toks) - {SELF_DEDUP_W} + 2),
+                    i -> array_to_string(toks[i:i+{SELF_DEDUP_W - 1}], ' '))
+             ELSE CAST([] AS VARCHAR[]) END AS wins FROM t),
+d AS (SELECT doc_id, toks,
+        list_filter(range(1, len(wins) + 1),
+          i -> list_position(wins, wins[i]) < i) AS dups
+      FROM w),
+k AS (SELECT doc_id, toks, dups,
+        list_filter(range(1, len(toks) + 1),
+          j -> len(list_filter(dups,
+                 s -> j >= s AND j <= s + {SELF_DEDUP_W} - 1)) = 0) AS kept
+      FROM d)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(toks) - len(kept) AS removed_toks,
+       array_to_string(list_transform(kept, j -> toks[j]), ' ') AS cleaned_text
+FROM k
+ORDER BY doc_id
+"""
+
+
+@query(
+    "self_dedup_clean",
+    tags=("text", "dedup", "llm-pipeline"),
+    oracle=_SELF_DEDUP_ORACLE,
+)
+def self_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-window removal (intra-doc half of Lee et
+    al. substring dedup): any {W}-token run whose exact content appeared
+    earlier in the same document is cut, and the document is rebuilt from
+    the surviving tokens. Zero shuffles — unlike the cross-doc transform
+    there is no corpus-wide window index to build, so this runs as a
+    narrow map over the scan and composes with any downstream operator
+    for free. At 100 TB: per-row cost depends only on document length,
+    never corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return self_dedup_frame(docs.select("doc_id", "text")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# shard_manifest: deterministic seeded hash-sharding + manifest
+
+N_SHARDS = 16
+SHARD_SEED = "r6"  # versioned placement: new seed = full deterministic reshuffle
+
+
+def shard_col(seed: str = SHARD_SEED, n_shards: int = N_SHARDS):
+    """Deterministic shard id from a seeded md5 of the doc id. Hash
+    placement (vs range/ntile) needs no global sort, is stable under any
+    row order or partitioning, and balances shards to within sampling
+    noise. The seed versions the placement: re-sharding for a new
+    training run is a seed bump, not a data rewrite."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(seed), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % n_shards
+    )
+
+
+_SHARD_SQL = (
+    f"('0x' || substr(md5('{SHARD_SEED}' || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+    f" % {N_SHARDS}"
+)
+
+
+@query(
+    "shard_manifest",
+    tags=("sampling", "llm-pipeline"),
+    oracle=f"""
+SELECT {_SHARD_SQL} AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len({TOKENS_SQL})) AS BIGINT) AS total_tokens,
+       CAST(sum(len(list_filter(regexp_extract_all(text, '{_BPE_SQL_PAT}'),
+                                m -> trim(m) <> ''))) AS BIGINT) AS total_bpe_tokens,
+       count(DISTINCT source) AS n_sources,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM documents
+GROUP BY 1
+ORDER BY shard_id
+""",
+)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment and the per-shard manifest
+    a dataloader consumes: doc count, token budget under both tokenizers,
+    source spread, id fences. One groupBy on the seeded hash — map-side
+    partials reduce the shuffle to {n_shards} rows regardless of corpus
+    size, and shard skew is bounded by hash uniformity (no hot-key
+    regime exists). The write side is `df.write.partitionBy(shard_id)`
+    with this manifest as the sidecar."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = tokens_col()
+    bpe = F.filter(
+        F.regexp_extract_all(F.col("text"), F.lit(BPE_PAT), 0),
+        lambda m: F.trim(m) != "",
+    )
+    return (
+        docs.select(
+            shard_col().alias("shard_id"),
+            F.size(ws).alias("n_ws"),
+            F.size(bpe).alias("n_bpe"),
+            "source",
+            "doc_id",
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_ws").alias("total_tokens"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# source_data_card: the per-source corpus report
+
+_QF_FAIL_SQL = f"""(
+  len({TOKENS_SQL}) < {QF_MIN_TOKENS}
+  OR CAST(len(list_distinct({TOKENS_SQL})) AS DOUBLE) / len({TOKENS_SQL}) < {QF_MIN_DISTINCT_RATIO}
+  OR CAST(len(list_filter({TOKENS_SQL}, x -> x IN {STOP_SQL})) AS DOUBLE)
+       / len({TOKENS_SQL}) > {QF_MAX_STOPWORD_RATIO}
+  OR CAST(n_chars AS DOUBLE) / len({TOKENS_SQL}) > {QF_MAX_AVG_WORD_LEN}
+)"""
+
+
+@query(
+    "source_data_card",
+    tags=("text", "llm-pipeline", "reporting"),
+    oracle=f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len({TOKENS_SQL})) AS BIGINT) AS total_tokens,
+       CAST(sum(len(list_filter(regexp_extract_all(text, '{_BPE_SQL_PAT}'),
+                                m -> trim(m) <> ''))) AS BIGINT) AS total_bpe_tokens,
+       CAST(count(*) - count(DISTINCT md5(lower(trim(text)))) AS BIGINT) AS n_exact_dup_docs,
+       CAST(sum(CASE WHEN {_QF_FAIL_SQL} THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_fail,
+       avg(least(1.0, len({TOKENS_SQL}) / 64.0) * 0.4
+           + (CAST(len(list_distinct({TOKENS_SQL})) AS DOUBLE) / len({TOKENS_SQL})) * 0.4
+           + (1.0 - CAST(len(list_filter({TOKENS_SQL}, x -> x IN {STOP_SQL})) AS DOUBLE)
+                    / len({TOKENS_SQL})) * 0.2) AS mean_quality
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def source_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data card: volume, token budgets under both tokenizers,
+    exact-duplicate count (docs minus distinct fingerprints), quality-gate
+    failure count (same four rules as `quality_filter`), and mean quality
+    score — the one-row-per-source report a curation team publishes with
+    every corpus release. Single two-level aggregation: every metric is a
+    per-row expression combined with map-side partials, so the shuffle
+    carries |sources| rows; count(DISTINCT fingerprint) expands to the
+    standard two-phase distinct aggregate, still keyed on source."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    nstop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    bpe = F.filter(
+        F.regexp_extract_all(F.col("text"), F.lit(BPE_PAT), 0),
+        lambda m: F.trim(m) != "",
+    )
+    fails = (
+        (n < QF_MIN_TOKENS)
+        | (nd.cast("double") / n < QF_MIN_DISTINCT_RATIO)
+        | (nstop.cast("double") / n > QF_MAX_STOPWORD_RATIO)
+        | (F.col("n_chars").cast("double") / n > QF_MAX_AVG_WORD_LEN)
+    )
+    quality = (
+        F.least(F.lit(1.0), n / F.lit(64.0)) * 0.4
+        + (nd.cast("double") / n) * 0.4
+        + (F.lit(1.0) - nstop.cast("double") / n) * 0.2
+    )
+    return (
+        docs.select(
+            "source",
+            n.alias("n_ws"),
+            F.size(bpe).alias("n_bpe"),
+            F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
+            F.when(fails, 1).otherwise(0).alias("qfail"),
+            quality.alias("q"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_ws").alias("total_tokens"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+            (F.count(F.lit(1)) - F.countDistinct("fingerprint")).alias(
+                "n_exact_dup_docs"
+            ),
+            F.sum("qfail").alias("n_quality_fail"),
+            F.avg("q").alias("mean_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# perplexity_buckets: corpus composition by unigram-LM quality band
+
+LM_ALPHA = 0.5  # matches corpus_stats.unigram_logprob_scores
+
+
+@query(
+    "perplexity_buckets",
+    tags=("text", "llm-pipeline", "quality"),
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKENS_SQL}) AS token FROM documents
+),
+freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+tot AS (
+  SELECT CAST(sum(cnt) AS DOUBLE) AS n_total, CAST(count(*) AS DOUBLE) AS vocab
+  FROM freq
+),
+doc AS (
+  SELECT doc_id,
+         count(*) AS n_tokens,
+         avg(ln((CAST(cnt AS DOUBLE) + {LM_ALPHA}) / (n_total + {LM_ALPHA} * vocab)))
+           AS avg_logprob
+  FROM tok JOIN freq USING (token) CROSS JOIN tot
+  GROUP BY doc_id
+)
+SELECT CAST(floor(avg_logprob) AS BIGINT) AS logprob_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       avg(avg_logprob) AS mean_logprob
+FROM doc
+GROUP BY 1
+ORDER BY logprob_bucket
+""",
+)
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition by unigram-LM fluency band: how many documents
+    and training tokens sit in each ln-width bucket of mean token
+    log-probability — the CCNet-style head/middle/tail report as absolute
+    bands. Fixed bucket edges (floor of the mean logprob) instead of
+    quantiles keep membership engine-exact and avoid the global sort an
+    ntile split would need; downstream mixture sampling selects by bucket
+    id. Plan: the `unigram_logprob_scores` pipeline (explode -> frequency
+    shuffle -> token join with 1-row broadcast total -> doc re-agg) plus
+    one |buckets|-row final aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = freq.agg(
+        F.sum("cnt").cast("double").alias("n_total"),
+        F.count(F.lit(1)).cast("double").alias("vocab"),
+    )
+    logp = F.log(
+        (F.col("cnt").cast("double") + F.lit(LM_ALPHA))
+        / (F.col("n_total") + F.lit(LM_ALPHA) * F.col("vocab"))
+    )
+    doc = (
+        tok.join(freq, "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(logp).alias("avg_logprob"),
+        )
+    )
+    return (
+        doc.select(
+            F.floor(F.col("avg_logprob")).cast("bigint").alias("logprob_bucket"),
+            "n_tokens",
+            "avg_logprob",
+        )
+        .groupBy("logprob_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.avg("avg_logprob").alias("mean_logprob"),
+        )
+        .orderBy("logprob_bucket")
+    )

@@ -109,6 +109,7 @@ def all_queries() -> dict[str, Query]:
         classic,
         core,
         corpus_stats,
+        curation,
         dedup,
         events,
         joins_extra,
