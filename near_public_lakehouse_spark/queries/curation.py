@@ -244,10 +244,7 @@ _QF_FAIL_SQL = f"""(
 )"""
 
 
-@query(
-    "source_data_card",
-    tags=("text", "llm-pipeline", "reporting"),
-    oracle=f"""
+_CARD_ORACLE = f"""
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(len({TOKENS_SQL})) AS BIGINT) AS total_tokens,
@@ -262,18 +259,15 @@ SELECT source,
 FROM documents
 GROUP BY source
 ORDER BY source
-""",
-)
-def source_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source data card: volume, token budgets under both tokenizers,
-    exact-duplicate count (docs minus distinct fingerprints), quality-gate
-    failure count (same four rules as `quality_filter`), and mean quality
-    score — the one-row-per-source report a curation team publishes with
-    every corpus release. Single two-level aggregation: every metric is a
-    per-row expression combined with map-side partials, so the shuffle
-    carries |sources| rows; count(DISTINCT fingerprint) expands to the
-    standard two-phase distinct aggregate, still keyed on source."""
-    docs = load_table(spark, sf_dir, "documents")
+"""
+
+
+def card_row_metrics(docs: DataFrame) -> DataFrame:
+    """Per-row data-card metric projection
+    (source, n_ws, n_bpe, fingerprint, qfail, q) — the shared seam
+    between the batch `source_data_card` aggregation and the streaming
+    twin's per-batch partial indexes (`streaming/jobs.py`), so the two
+    can never disagree on what a metric means."""
     toks = tokens_col()
     n = F.size(toks)
     nd = F.size(F.array_distinct(toks))
@@ -293,15 +287,34 @@ def source_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (nd.cast("double") / n) * 0.4
         + (F.lit(1.0) - nstop.cast("double") / n) * 0.2
     )
+    return docs.select(
+        "source",
+        n.alias("n_ws"),
+        F.size(bpe).alias("n_bpe"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
+        F.when(fails, 1).otherwise(0).alias("qfail"),
+        quality.alias("q"),
+    )
+
+
+@query(
+    "source_data_card",
+    tags=("text", "llm-pipeline", "reporting"),
+    oracle=_CARD_ORACLE,
+)
+def source_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data card: volume, token budgets under both tokenizers,
+    exact-duplicate count (docs minus distinct fingerprints), quality-gate
+    failure count (same four rules as `quality_filter`), and mean quality
+    score — the one-row-per-source report a curation team publishes with
+    every corpus release. Single two-level aggregation: every metric is a
+    per-row expression combined with map-side partials, so the shuffle
+    carries |sources| rows; count(DISTINCT fingerprint) expands to the
+    standard two-phase distinct aggregate, still keyed on source.
+    Streaming twin: `streaming/jobs.streaming_source_data_card`."""
+    docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select(
-            "source",
-            n.alias("n_ws"),
-            F.size(bpe).alias("n_bpe"),
-            F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
-            F.when(fails, 1).otherwise(0).alias("qfail"),
-            quality.alias("q"),
-        )
+        card_row_metrics(docs)
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -922,3 +922,118 @@ def streaming_adaptive_thresholds(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def data_card_from_state(spark: SparkSession, index_path: str) -> DataFrame:
+    """The per-source data card (`queries/curation.source_data_card`
+    columns) derived from the streaming card indexes: summing the
+    fingerprint partial counts per key before the distinct count, and the
+    per-batch metric sums per source, reconstructs the batch aggregation
+    over the corpus seen so far. Integer metrics merge EXACTLY across
+    batch dirs; mean_quality is a double sum whose association order
+    differs from the batch avg by float noise only (pinned <= 1e-9 in
+    tests/test_streaming_card.py)."""
+    fp = (
+        spark.read.option("basePath", f"{index_path}/fp")
+        .parquet(f"{index_path}/fp/batch_id=*")
+        .groupBy("source", "fingerprint")
+        .agg(F.sum("n").alias("n"))
+        .groupBy("source")
+        .agg(
+            F.sum("n").alias("n_docs_fp"),
+            F.count(F.lit(1)).alias("n_distinct_fp"),
+        )
+    )
+    sums = (
+        spark.read.option("basePath", f"{index_path}/sums")
+        .parquet(f"{index_path}/sums/batch_id=*")
+        .groupBy("source")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_tokens").alias("total_tokens"),
+            F.sum("total_bpe_tokens").alias("total_bpe_tokens"),
+            F.sum("n_quality_fail").alias("n_quality_fail"),
+            F.sum("sum_q").alias("sum_q"),
+        )
+    )
+    return sums.join(fp, "source").select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "total_bpe_tokens",
+        (F.col("n_docs_fp") - F.col("n_distinct_fp")).alias("n_exact_dup_docs"),
+        "n_quality_fail",
+        (F.col("sum_q") / F.col("n_docs")).alias("mean_quality"),
+    )
+
+
+def streaming_source_data_card(
+    spark: SparkSession,
+    docs_path: str,
+    index_path: str,
+    checkpoint: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming twin of `source_data_card`: the per-source release
+    report maintained incrementally over a document stream, so the data
+    card is always current instead of a batch job over the full corpus.
+
+    State follows the streaming_substring_clean discipline (per-batch-id
+    overwrite dirs — replay = rewrite own dir = idempotent):
+      {index_path}/fp/batch_id=N    (source, fingerprint, n) — the exact
+        duplicate-count state; a true count table, so it folds with
+        compact_substring_index(key_col=("source", "fingerprint"),
+        count_col="n").
+      {index_path}/sums/batch_id=N  one row per source of additive
+        metric sums (docs, ws/BPE tokens, quality failures, quality
+        sum) — |sources| rows per trigger, so it never needs compaction.
+    The per-row metrics come from the SAME projection as the batch query
+    (`curation.card_row_metrics`), so the two cannot drift. After
+    updating state, each trigger snapshots the derived card to
+    {index_path}/card with its batch id.
+
+    At 100 TB the fingerprint index is the only state that grows with
+    the corpus (one row per distinct content hash — the same object the
+    incremental dedup index maintains); everything else is O(sources)."""
+    from near_public_lakehouse_spark.queries.curation import card_row_metrics
+
+    schema = spark.read.parquet(docs_path).schema
+    r = spark.readStream
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = r.schema(schema).parquet(_stream_path(docs_path))
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        rows = card_row_metrics(batch_df).localCheckpoint()
+        (
+            rows.groupBy("source", "fingerprint")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .parquet(f"{index_path}/fp/batch_id={batch_id}")
+        )
+        (
+            rows.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_ws").alias("total_tokens"),
+                F.sum("n_bpe").alias("total_bpe_tokens"),
+                F.sum("qfail").alias("n_quality_fail"),
+                F.sum("q").alias("sum_q"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{index_path}/sums/batch_id={batch_id}")
+        )
+        (
+            data_card_from_state(sp, index_path)
+            .withColumn("as_of_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(f"{index_path}/card")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
