@@ -119,6 +119,7 @@ def all_queries() -> dict[str, Query]:
         stats,
         subqueries,
         text,
+        tokenizer,
         windows,
     )
 
