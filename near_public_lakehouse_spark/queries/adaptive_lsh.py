@@ -555,3 +555,194 @@ def near_dup_assignments_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# per-source adaptive band COUNT (round-6; ROADMAP round-7 candidate pulled
+# forward): strict sources consult only the 4 fixed-band-aligned size-2
+# bands instead of all 6.
+#
+# Why 4 is exactly enough for strict sources (pigeonhole): the strict
+# emission rule keeps a pair only if >= 9 of 12 signature positions agree,
+# i.e. at most 3 disagree. The 4 retained bands are DISJOINT position
+# pairs, so 3 disagreeing positions can break at most 3 of them — every
+# pair that can pass the strict filter still collides in >= 1 retained
+# band. Within strict sources the banded candidate set therefore EQUALS
+# the full 6-band one (pinned in tests/test_adaptive_lsh.py), while the
+# band explode, join input, and collision product shrink by up to 1/3.
+#
+# The honest residual: a CROSS-source pair between a strict and a
+# permissive source is judged at the permissive threshold (7 or 8), where
+# the pigeonhole bound needs >= 9 — such a pair colliding ONLY in a
+# dropped band is lost. `minhash_adaptive_bands_eval` measures exactly
+# that loss as driver-checked integers instead of asserting it away.
+
+STRICT_BANDS = (0, 2, 3, 5)  # size-2 bands aligned with the fixed 4x3 bands
+
+
+def _band_idx_col():
+    return F.split(F.col("band_key"), ":").getItem(1).cast("int")
+
+
+def _pairs_from_flat(flat: DataFrame) -> DataFrame:
+    """band-key self-join + per-pair agreement filter + distinct — the
+    shared tail of the adaptive generators (flat integer comparisons, no
+    array HOFs on the matched side; ROADMAP round-5/6 negative results)."""
+    a = flat.alias("a")
+    b = flat.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(_agree_expr() >= F.least(F.col("a.thr"), F.col("b.thr")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _banded_flat(docs: DataFrame) -> DataFrame:
+    keys = _s2_keys_df(docs)
+    cfg = _source_thresholds(keys)
+    return (
+        keys.join(F.broadcast(cfg), "source")
+        .filter(
+            (F.col("thr") < F.lit(THR_STRICT))
+            | _band_idx_col().isin(*STRICT_BANDS)
+        )
+        .select(
+            "doc_id",
+            "band_key",
+            "thr",
+            *[F.col("sig")[i].alias(f"h{i}") for i in range(N_HASHES)],
+        )
+    )
+
+
+_BANDED_CTES = f"""
+kkb AS (
+  SELECT k.doc_id, k.source, k.sig, k.band_key
+  FROM kk k JOIN cfg c USING (source)
+  WHERE c.thr < {THR_STRICT}
+     OR CAST(string_split(k.band_key, ':')[2] AS INT) IN {STRICT_BANDS}
+),
+sup_b AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kkb a JOIN kkb b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+scored_b AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_filter(range(1, {N_HASHES + 1}), i -> sa.sig[i] = sb.sig[i])) AS agree,
+         least(ta.thr, tb.thr) AS thr
+  FROM sup_b c
+  JOIN sig sa ON c.doc_a = sa.doc_id
+  JOIN sig sb ON c.doc_b = sb.doc_id
+  JOIN cfg ta ON sa.source = ta.source
+  JOIN cfg tb ON sb.source = tb.source
+)"""
+
+
+@query(
+    "minhash_lsh_adaptive_bands",
+    tags=("dedup", "lsh", "adaptive"),
+    oracle=f"""
+WITH {_adaptive_ctes()},
+{_BANDED_CTES}
+SELECT doc_a, doc_b FROM scored_b WHERE agree >= thr
+ORDER BY doc_a, doc_b
+""",
+)
+def minhash_lsh_adaptive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive LSH candidates with per-source band COUNTS on top of the
+    per-source agreement thresholds: strict (boilerplate-identical)
+    sources consult only the 4 fixed-aligned size-2 bands — provably
+    lossless within strict sources at their >= 9/12 threshold (3
+    disagreements cannot break 4 disjoint bands), measurably near-lossless
+    across sources (`minhash_adaptive_bands_eval`). The explode, join
+    input, and collision product for strict sources shrink by 1/3."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _pairs_from_flat(_banded_flat(docs)).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "minhash_adaptive_bands_eval",
+    tags=("dedup", "lsh", "adaptive", "eval"),
+    oracle=f"""
+WITH {_adaptive_ctes()},
+{_BANDED_CTES},
+adapt AS (SELECT doc_a, doc_b FROM scored WHERE agree >= thr),
+banded AS (SELECT doc_a, doc_b FROM scored_b WHERE agree >= thr),
+toks AS (SELECT doc_id, {DTOKS_SQL} AS t FROM documents),
+truth AS (
+  SELECT s.doc_a, s.doc_b
+  FROM superset s
+  JOIN toks a ON s.doc_a = a.doc_id
+  JOIN toks b ON s.doc_b = b.doc_id
+  WHERE len(list_intersect(a.t, b.t))::DOUBLE
+          / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 0.8
+)
+SELECT
+  CAST((SELECT count(*) FROM adapt) AS BIGINT) AS pairs_adaptive,
+  CAST((SELECT count(*) FROM banded) AS BIGINT) AS pairs_banded,
+  CAST((SELECT count(*) FROM banded b LEFT JOIN adapt a
+        ON b.doc_a = a.doc_a AND b.doc_b = a.doc_b
+        WHERE a.doc_a IS NULL) AS BIGINT) AS subset_violations,
+  CAST((SELECT count(*) FROM truth t JOIN adapt a
+        ON t.doc_a = a.doc_a AND t.doc_b = a.doc_b) AS BIGINT) AS hits_adaptive,
+  CAST((SELECT count(*) FROM truth t JOIN banded b
+        ON t.doc_a = b.doc_a AND t.doc_b = b.doc_b) AS BIGINT) AS hits_banded,
+  CAST((SELECT count(*) FROM cfg WHERE thr = {THR_STRICT}) AS BIGINT) AS strict_sources
+""",
+)
+def minhash_adaptive_bands_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-count-adaptation scorecard as driver-checked integers:
+    `subset_violations = 0` (banded candidates never exceed the full
+    adaptive set), `hits_banded` vs `hits_adaptive` quantifies the
+    cross-source loss the pigeonhole bound does not cover (0 on the probe
+    corpora), and `strict_sources` shows the adaptation actually engaged.
+    Diagnostic query bounded by the same superset product as the
+    generators."""
+    docs = load_table(spark, sf_dir, "documents")
+    adapt = _adaptive_pairs(docs).localCheckpoint()
+    banded = _pairs_from_flat(_banded_flat(docs)).localCheckpoint()
+    keys = _s2_keys_df(docs)
+    cfg = _source_thresholds(keys).localCheckpoint()
+
+    sup = _superset_pairs(docs)
+    toks = docs.select("doc_id", _dtoks_col().alias("t"))
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
+    union = F.size(F.col("ta")) + F.size(F.col("tb")) - inter
+    truth = (
+        sup.join(
+            F.broadcast(
+                toks.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"))
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                toks.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"))
+            ),
+            "doc_b",
+        )
+        .filter(inter.cast("double") / union >= 0.8)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+
+    def n(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias(name))
+
+    return (
+        n(adapt, "pairs_adaptive")
+        .crossJoin(n(banded, "pairs_banded"))
+        .crossJoin(n(banded.join(adapt, ["doc_a", "doc_b"], "left_anti"), "subset_violations"))
+        .crossJoin(n(truth.join(adapt, ["doc_a", "doc_b"]), "hits_adaptive"))
+        .crossJoin(n(truth.join(banded, ["doc_a", "doc_b"]), "hits_banded"))
+        .crossJoin(
+            cfg.filter(F.col("thr") == THR_STRICT).agg(
+                F.count(F.lit(1)).alias("strict_sources")
+            )
+        )
+    )

@@ -114,3 +114,41 @@ def test_adaptive_assignments_agree_with_fixed_pipeline(spark):
     assert len(fixed) == len(adaptive)
     agree = len(fixed & adaptive) / len(fixed)
     assert agree >= 0.99, f"agreement {agree:.4f}"
+
+
+# --- per-source adaptive band COUNT (strict sources -> 4 aligned bands) ---
+
+
+def test_banded_equals_adaptive_within_strict_sources(spark):
+    """The pigeonhole guarantee: with EVERY source strict (>= 9/12
+    threshold), at most 3 disagreeing positions cannot break 4 disjoint
+    bands, so the 4-band candidate set must EQUAL the 6-band one."""
+    from near_public_lakehouse_spark.queries.adaptive_lsh import (
+        _banded_flat,
+        _pairs_from_flat,
+    )
+
+    rows = []
+    for fam in range(4):  # boilerplate families -> every source strict
+        rows += [
+            (fam * 100 + i, f"boiler{fam}", f"breaking news family {fam} subscribe today")
+            for i in range(6)
+        ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    thr = {r.source: r.thr for r in _source_thresholds(_s2_keys_df(docs)).collect()}
+    assert set(thr.values()) == {THR_STRICT}
+    banded = _pairs_from_flat(_banded_flat(docs))
+    full = _adaptive_pairs(docs)
+    assert banded.exceptAll(full).count() == 0
+    assert full.exceptAll(banded).count() == 0
+    assert full.count() > 0
+
+
+def test_banded_scorecard_on_probe_corpus(spark):
+    """Driver-checked integers: banded is a subset of adaptive, engages
+    on at least one strict source, and loses no true pairs on the probe
+    corpus."""
+    row = REGISTRY["minhash_adaptive_bands_eval"].fn(spark, SF_DIR).collect()[0]
+    assert row.subset_violations == 0
+    assert row.pairs_banded <= row.pairs_adaptive
+    assert row.hits_banded == row.hits_adaptive, row  # measured: no loss here
