@@ -155,6 +155,7 @@ ORDER BY doc_id
     "self_dedup_clean",
     tags=("text", "dedup", "llm-pipeline"),
     oracle=_SELF_DEDUP_ORACLE,
+    bench=True,
 )
 def self_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-window removal (intra-doc half of Lee et
@@ -426,4 +427,109 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("avg_logprob").alias("mean_logprob"),
         )
         .orderBy("logprob_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality_mixture_sample: perplexity-banded deterministic downsampling
+
+QMS_KEEP_MIDDLE = 500  # per-mille keep rate for the middle band
+QMS_KEEP_TAIL = 100  # per-mille keep rate for the tail band
+QMS_TAIL_LN = 1.0  # tail = more than 1 ln below the corpus mean
+QMS_SEED = "qms"
+
+_QMS_HASH = f"('0x' || substr(md5('{QMS_SEED}' || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000"
+
+
+@query(
+    "quality_mixture_sample",
+    tags=("text", "llm-pipeline", "quality", "sampling"),
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKENS_SQL}) AS token FROM documents
+),
+freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+tot AS (
+  SELECT CAST(sum(cnt) AS DOUBLE) AS n_total, CAST(count(*) AS DOUBLE) AS vocab
+  FROM freq
+),
+doc AS (
+  SELECT doc_id,
+         avg(ln((CAST(cnt AS DOUBLE) + {LM_ALPHA}) / (n_total + {LM_ALPHA} * vocab)))
+           AS avg_logprob
+  FROM tok JOIN freq USING (token) CROSS JOIN tot
+  GROUP BY doc_id
+),
+m AS (SELECT avg(avg_logprob) AS mu FROM doc),
+banded AS (
+  SELECT doc_id, avg_logprob,
+         CASE WHEN avg_logprob >= mu THEN 'head'
+              WHEN avg_logprob >= mu - {QMS_TAIL_LN} THEN 'middle'
+              ELSE 'tail' END AS band
+  FROM doc CROSS JOIN m
+)
+SELECT doc_id, avg_logprob, band
+FROM banded
+WHERE CASE band WHEN 'head' THEN 1000
+                WHEN 'middle' THEN {QMS_KEEP_MIDDLE}
+                ELSE {QMS_KEEP_TAIL} END > {_QMS_HASH}
+ORDER BY doc_id
+""",
+)
+def quality_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality-banded downsampling, fully deterministic: each
+    document's unigram-LM mean log-probability places it in the head
+    (above the corpus mean — kept whole), middle (within 1 ln below —
+    kept at 50%), or tail (further below — kept at 10%), and the keep
+    decision is a seeded hash of the doc id, not an RNG — so the sample
+    is reproducible under any partitioning, re-run, or engine, and
+    incremental batches sample consistently. The corpus mean is a 1-row
+    broadcast; everything else reuses the unigram pipeline's shuffles.
+    A training run swaps the per-mille constants for its mixture
+    weights; the seed versions the sample like `shard_manifest`'s."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = freq.agg(
+        F.sum("cnt").cast("double").alias("n_total"),
+        F.count(F.lit(1)).cast("double").alias("vocab"),
+    )
+    logp = F.log(
+        (F.col("cnt").cast("double") + F.lit(LM_ALPHA))
+        / (F.col("n_total") + F.lit(LM_ALPHA) * F.col("vocab"))
+    )
+    doc = (
+        tok.join(freq, "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.avg(logp).alias("avg_logprob"))
+    )
+    mu = doc.agg(F.avg("avg_logprob").alias("mu"))
+    band = (
+        F.when(F.col("avg_logprob") >= F.col("mu"), "head")
+        .when(F.col("avg_logprob") >= F.col("mu") - QMS_TAIL_LN, "middle")
+        .otherwise("tail")
+    )
+    keep_mille = (
+        F.when(F.col("band") == "head", 1000)
+        .when(F.col("band") == "middle", QMS_KEEP_MIDDLE)
+        .otherwise(QMS_KEEP_TAIL)
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(QMS_SEED), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    return (
+        doc.crossJoin(F.broadcast(mu))
+        .select("doc_id", "avg_logprob", band.alias("band"))
+        .filter(keep_mille > bucket)
+        .orderBy("doc_id")
     )

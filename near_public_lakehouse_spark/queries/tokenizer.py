@@ -150,3 +150,64 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merge_rank int, left_sym string, right_sym string, "
         "merged string, pair_count bigint",
     ).orderBy("merge_rank")
+
+
+@query(
+    "tokenizer_encode_stats",
+    tags=("text", "tokenizer", "llm-pipeline"),
+    oracle=None,  # depends on the learned (data-dependent) merge chain
+)
+def tokenizer_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train -> apply, end to end: learn the first {K} BPE merges on the
+    global vocabulary (same loop as `tokenizer_bpe_merges`), encode every
+    word with them, and report the per-source token-budget effect — word
+    occurrences, character symbols before, subword symbols after, and the
+    compression ratio a real tokenizer run would deliver. The encode is
+    the K-fold merge chain applied to the (source, word)-distinct table:
+    vocabulary-x-sources bounded, never corpus-bounded. Rows-only for
+    the driver (the merge chain is data-dependent); exact equality with
+    the sequential reference encode is pinned in tests/test_tokenizer.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        _word_counts(docs).withColumn("syms", F.split("word", "")).localCheckpoint()
+    )
+    merges = []
+    train = words
+    for _ in range(BPE_K):
+        top = (
+            _pair_counts(train)
+            .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+            .first()
+        )
+        if top is None:
+            break
+        left, right = top.pair.split(" ", 1)
+        merges.append((left, right))
+        train = train.withColumn(
+            "syms", F.expr(_merge_expr(left, right))
+        ).localCheckpoint()
+
+    by_source = (
+        docs.select("source", F.explode(tokens_col()).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("syms", F.split("word", ""))
+    )
+    encoded = by_source
+    for left, right in merges:
+        encoded = encoded.withColumn("syms_next", F.expr(_merge_expr(left, right))).drop(
+            "syms"
+        ).withColumnRenamed("syms_next", "syms")
+    return (
+        encoded.groupBy("source")
+        .agg(
+            F.sum("n").alias("n_word_occurrences"),
+            F.sum(F.col("n") * F.length("word")).alias("char_symbols"),
+            F.sum(F.col("n") * F.size("syms")).alias("bpe_symbols"),
+        )
+        .withColumn(
+            "compression",
+            F.col("bpe_symbols").cast("double") / F.col("char_symbols"),
+        )
+        .orderBy("source")
+    )

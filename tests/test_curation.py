@@ -140,3 +140,20 @@ def test_perplexity_buckets_partition_the_corpus(spark):
     assert all(r.mean_logprob < 0 for r in rows)
     for r in rows:  # mean of each bucket sits inside the bucket's ln-band
         assert r.logprob_bucket <= r.mean_logprob < r.logprob_bucket + 1
+
+
+def test_quality_mixture_sample_bands_and_determinism(spark):
+    q = all_queries()["quality_mixture_sample"].fn
+    rows = q(spark, SF_DIR).collect()
+    again = q(spark, SF_DIR).collect()
+    assert rows == again  # seeded hash, not an RNG
+    bands = {r.band for r in rows}
+    assert "head" in bands
+    docs_n = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert 0 < len(rows) <= docs_n
+    # every head doc is kept whole: count(head kept) == count(head overall)
+    # (head keep rate is 1000/1000 by construction, so none are dropped)
+    head_scores = [r.avg_logprob for r in rows if r.band == "head"]
+    other = [r.avg_logprob for r in rows if r.band != "head"]
+    if head_scores and other:
+        assert min(head_scores) >= max(other)  # bands order by score

@@ -109,3 +109,41 @@ def test_merge_fold_semantics(spark):
     assert out == [["aa", "a"], ["a", "b", "a", "b"], ["x"], []]
     out2 = [r.m for r in df.selectExpr(f"{_merge_expr('a', 'b')} AS m").collect()]
     assert out2 == [["a", "a", "a"], ["ab", "ab"], ["x"], []]
+
+
+def test_encode_stats_equal_reference_encode(spark):
+    """Train->apply: the per-source symbol counts after the 8 learned
+    merges must equal a sequential reference encode exactly."""
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in all_queries()["tokenizer_bpe_merges"].fn(spark, SF_DIR).collect()
+    ]
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(
+            "source",
+            F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("w"),
+        )
+        .collect()
+    )
+    per_source: dict = {}
+    encode_cache: dict = {}
+    for r in rows:
+        if r.w not in encode_cache:
+            syms = tuple(r.w)
+            for pair in merges:
+                syms = _ref_merge(syms, pair)
+            encode_cache[r.w] = len(syms)
+        occ, chars, bpe = per_source.get(r.source, (0, 0, 0))
+        per_source[r.source] = (occ + 1, chars + len(r.w), bpe + encode_cache[r.w])
+
+    got = {
+        r.source: (r.n_word_occurrences, r.char_symbols, r.bpe_symbols, r.compression)
+        for r in all_queries()["tokenizer_encode_stats"].fn(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(per_source)
+    for s, (occ, chars, bpe) in per_source.items():
+        g = got[s]
+        assert (g[0], g[1], g[2]) == (occ, chars, bpe), (s, g)
+        assert abs(g[3] - bpe / chars) <= 1e-12
+        assert g[3] < 1.0  # merges actually compress
