@@ -304,7 +304,10 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole computation inside array HOFs — per-row, shuffle-free, which is
     the shape that survives 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_frame(docs).orderBy("doc_id")
+    # sort the scan, not the output: a final orderBy makes the range
+    # partitioner's sampling pass evaluate the bit-vote HOF twice
+    # (the curation.self_dedup_clean pattern; ~2x at sf0.1)
+    return simhash_frame(docs.orderBy("doc_id"))
 
 
 def simhash_frame(docs: DataFrame) -> DataFrame:
