@@ -328,3 +328,58 @@ def test_star_cc_rounds_are_keyed_joins(spark):
     df = _star_cc(edges)
     plan = _plan(df)
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_shard_manifest_single_exchange_with_partial_agg(spark):
+    """One groupBy on the seeded hash plus the standard two-phase
+    expansion of count(DISTINCT source): exactly two hash exchanges —
+    (shard_id, source) then shard_id — each fed by a partial aggregate so
+    the shuffles carry |shards x sources| and |shards| rows; scan stays
+    metadata-narrow (doc_id, text, source only)."""
+    from near_public_lakehouse_spark.queries import all_queries
+
+    df = all_queries()["shard_manifest"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "partial_count" in plan, plan
+    f = _formatted(df)
+    assert "n_chars" not in f.split("ReadSchema")[-1], f  # pruned column
+
+
+def test_source_data_card_shuffles_on_source_only(spark):
+    """Two-level aggregate keyed on source (the distinct-fingerprint
+    expansion re-keys on (source, fingerprint) first): every hash
+    exchange must include source, none may key on doc_id."""
+    from near_public_lakehouse_spark.queries import all_queries
+
+    plan = _plan(all_queries()["source_data_card"].fn(spark, SF_DIR))
+    exchanges = [
+        line for line in plan.splitlines() if "Exchange hashpartitioning" in line
+    ]
+    assert exchanges, plan
+    for line in exchanges:
+        assert "source" in line, line
+        assert "doc_id" not in line, line
+
+
+def test_tokenizer_pair_counts_are_vocabulary_keyed(spark):
+    """BPE pair statistics must aggregate the distinct-word table, never
+    the corpus: the plan re-keys on word then pair — no doc_id exchange."""
+    from near_public_lakehouse_spark.queries import all_queries
+
+    plan = _plan(all_queries()["tokenizer_pair_frequencies"].fn(spark, SF_DIR))
+    exchanges = [
+        line for line in plan.splitlines() if "Exchange hashpartitioning" in line
+    ]
+    assert exchanges, plan
+    for line in exchanges:
+        assert "doc_id" not in line, line
+
+
+def test_quality_mixture_sample_broadcasts_global_stats(spark):
+    """The corpus mean and the vocabulary totals come back as broadcast
+    joins — the document side never shuffles for them."""
+    from near_public_lakehouse_spark.queries import all_queries
+
+    plan = _plan(all_queries()["quality_mixture_sample"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
