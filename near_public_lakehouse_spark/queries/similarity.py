@@ -672,3 +672,84 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.select("vec_id", "cluster_id", F.round("sq_dist", 6).alias("sq_dist"))
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# scalar quantization (SQ8): the memory-bound ANN scale lever
+
+SQ8_LEVELS = 256
+
+
+@query(
+    "sq8_quantization_stats",
+    tags=("similarity", "ann", "quantization"),
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+s AS (SELECT d, min(v) AS lo, max(v) AS hi FROM e GROUP BY d),
+q AS (
+  SELECT e.d, e.v, s.lo, s.hi,
+         CASE WHEN s.hi > s.lo
+              THEN least({SQ8_LEVELS - 1},
+                         floor((e.v - s.lo) / (s.hi - s.lo) * {SQ8_LEVELS}))
+              ELSE 0 END AS code
+  FROM e JOIN s USING (d)
+)
+SELECT d AS dim,
+       CAST(count(*) AS BIGINT) AS n_values,
+       lo, hi,
+       avg(abs(v - (lo + (code + 0.5) * (hi - lo) / {SQ8_LEVELS}))) AS mean_abs_err,
+       max(abs(v - (lo + (code + 0.5) * (hi - lo) / {SQ8_LEVELS}))) AS max_abs_err
+FROM q
+GROUP BY d, lo, hi
+ORDER BY dim
+""",
+)
+def sq8_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension scalar (int8) quantization of the embedding table —
+    the codec that makes a 100 TB vector corpus fit executor memory for
+    ANN (4x smaller than float32, SIMD-friendly codes; the standard
+    companion to the IVF/PQ operators here). Trains the per-dimension
+    [lo, hi] ranges in one bounded aggregate (|dims| rows), encodes with
+    a pure floor expression (identical IEEE tree on both engines — no
+    round() tie-break ambiguity), and reports the reconstruction-error
+    profile per dimension. Plan: posexplode -> |dims|-row min/max ->
+    broadcast join back -> per-row code/error -> |dims|-row re-agg;
+    nothing corpus-sized ever shuffles except the one dim-keyed explode."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("d0", "vf")
+    ).select(
+        (F.col("d0") + 1).alias("d"), F.col("vf").cast("double").alias("v")
+    )
+    s = e.groupBy("d").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    joined = e.join(F.broadcast(s), "d")
+    code = F.when(
+        F.col("hi") > F.col("lo"),
+        F.least(
+            F.lit(SQ8_LEVELS - 1),
+            F.floor((F.col("v") - F.col("lo")) / (F.col("hi") - F.col("lo")) * SQ8_LEVELS),
+        ),
+    ).otherwise(F.lit(0))
+    dequant = F.col("lo") + (code + 0.5) * (F.col("hi") - F.col("lo")) / SQ8_LEVELS
+    err = F.abs(F.col("v") - dequant)
+    return (
+        joined.groupBy("d", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.avg(err).alias("mean_abs_err"),
+            F.max(err).alias("max_abs_err"),
+        )
+        .select(
+            F.col("d").alias("dim"),
+            "n_values",
+            "lo",
+            "hi",
+            "mean_abs_err",
+            "max_abs_err",
+        )
+        .orderBy("dim")
+    )
