@@ -447,10 +447,7 @@ QMS_SEED = "qms"
 _QMS_HASH = f"('0x' || substr(md5('{QMS_SEED}' || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000"
 
 
-@query(
-    "quality_mixture_sample",
-    tags=("text", "llm-pipeline", "quality", "sampling"),
-    oracle=f"""
+_QMS_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id, unnest({TOKENS_SQL}) AS token FROM documents
 ),
@@ -480,22 +477,15 @@ WHERE CASE band WHEN 'head' THEN 1000
                 WHEN 'middle' THEN {QMS_KEEP_MIDDLE}
                 ELSE {QMS_KEEP_TAIL} END > {_QMS_HASH}
 ORDER BY doc_id
-""",
-)
-def quality_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style quality-banded downsampling, fully deterministic: each
-    document's unigram-LM mean log-probability places it in the head
-    (above the corpus mean — kept whole), middle (within 1 ln below —
-    kept at 50%), or tail (further below — kept at 10%), and the keep
-    decision is a seeded hash of the doc id, not an RNG — so the sample
-    is reproducible under any partitioning, re-run, or engine, and
-    incremental batches sample consistently. The corpus mean is a 1-row
-    broadcast; everything else reuses the unigram pipeline's shuffles.
-    A training run swaps the per-mille constants for its mixture
-    weights; the seed versions the sample like `shard_manifest`'s."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
-    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+"""
+
+
+def unigram_scores_against(tok: DataFrame, freq: DataFrame) -> DataFrame:
+    """(doc_id, avg_logprob): mean add-alpha unigram log-probability of
+    each document's tokens under the GIVEN frequency table — the shared
+    scoring seam between the batch sampler (freq from the same corpus)
+    and the streaming twin (freq from the maintained corpus-so-far
+    index), so the two can never diverge on what a score means."""
     tot = freq.agg(
         F.sum("cnt").cast("double").alias("n_total"),
         F.count(F.lit(1)).cast("double").alias("vocab"),
@@ -504,13 +494,18 @@ def quality_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cnt").cast("double") + F.lit(LM_ALPHA))
         / (F.col("n_total") + F.lit(LM_ALPHA) * F.col("vocab"))
     )
-    doc = (
+    return (
         tok.join(freq, "token")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(F.avg(logp).alias("avg_logprob"))
     )
-    mu = doc.agg(F.avg("avg_logprob").alias("mu"))
+
+
+def mixture_keep(doc: DataFrame, mu: DataFrame) -> DataFrame:
+    """Band (head/middle/tail vs the given 1-row mean) + seeded-hash keep
+    decision over a (doc_id, avg_logprob) frame — shared by the batch
+    sampler and the streaming twin."""
     band = (
         F.when(F.col("avg_logprob") >= F.col("mu"), "head")
         .when(F.col("avg_logprob") >= F.col("mu") - QMS_TAIL_LN, "middle")
@@ -537,5 +532,29 @@ def quality_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc.crossJoin(F.broadcast(mu))
         .select("doc_id", "avg_logprob", band.alias("band"))
         .filter(keep_mille > bucket)
-        .orderBy("doc_id")
     )
+
+
+@query(
+    "quality_mixture_sample",
+    tags=("text", "llm-pipeline", "quality", "sampling"),
+    oracle=_QMS_ORACLE,
+)
+def quality_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality-banded downsampling, fully deterministic: each
+    document's unigram-LM mean log-probability places it in the head
+    (above the corpus mean — kept whole), middle (within 1 ln below —
+    kept at 50%), or tail (further below — kept at 10%), and the keep
+    decision is a seeded hash of the doc id, not an RNG — so the sample
+    is reproducible under any partitioning, re-run, or engine, and
+    incremental batches sample consistently. The corpus mean is a 1-row
+    broadcast; everything else reuses the unigram pipeline's shuffles.
+    A training run swaps the per-mille constants for its mixture
+    weights; the seed versions the sample like `shard_manifest`'s.
+    Streaming twin: `streaming/jobs.streaming_quality_mixture`."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    doc = unigram_scores_against(tok, freq)
+    mu = doc.agg(F.avg("avg_logprob").alias("mu"))
+    return mixture_keep(doc, mu).orderBy("doc_id")

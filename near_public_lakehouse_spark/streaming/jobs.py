@@ -1037,3 +1037,103 @@ def streaming_source_data_card(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def mixture_kept_from_state(spark: SparkSession, index_path: str) -> DataFrame:
+    """Every keep decision the streaming mixture sampler has made so far
+    (doc_id, avg_logprob, band, as_of_batch)."""
+    return spark.read.option("basePath", f"{index_path}/kept").parquet(
+        f"{index_path}/kept/batch_id=*"
+    )
+
+
+def streaming_quality_mixture(
+    spark: SparkSession,
+    docs_path: str,
+    index_path: str,
+    checkpoint: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming twin of `quality_mixture_sample`: CCNet-style
+    quality-banded downsampling over a document stream. Each trigger
+    updates the corpus token-frequency index, scores ITS documents under
+    the corpus-seen-so-far distribution, bands them against the mean of
+    all scores assigned so far, and records the seeded-hash keep
+    decisions — so a curation stream emits its sample continuously
+    instead of waiting for a batch pass.
+
+    Incremental semantics (the `incremental_dedup` discipline): past
+    documents are NOT re-scored as the distribution evolves — a doc's
+    score and band are fixed at its arrival trigger. A single-batch run
+    therefore reproduces the batch sampler EXACTLY (corpus-so-far = the
+    corpus, mean-so-far = the batch mean — pinned in
+    tests/test_streaming_mixture.py); a multi-batch run's early
+    decisions reflect the distribution at their time, which is the
+    honest online behavior and is documented rather than hidden.
+
+    State, all per-batch-id overwrite dirs (replay = rewrite own dir =
+    idempotent):
+      {index_path}/freq/batch_id=N   (token, cnt) — vocabulary-bounded
+        count table; folds with compact_substring_index(key_col="token",
+        count_col="cnt").
+      {index_path}/scores/batch_id=N (sum_logprob, n_docs) — one row,
+        the running-mean state.
+      {index_path}/kept/batch_id=N   the decisions (the product).
+    The scoring and keep logic are the batch query's own functions
+    (`curation.unigram_scores_against` / `curation.mixture_keep`), so
+    the engines cannot drift."""
+    from near_public_lakehouse_spark.queries.curation import (
+        mixture_keep,
+        unigram_scores_against,
+    )
+    from near_public_lakehouse_spark.queries.text import tokens_col
+
+    schema = spark.read.parquet(docs_path).schema
+    r = spark.readStream
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = r.schema(schema).parquet(_stream_path(docs_path))
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        tok = batch_df.select(
+            "doc_id", F.explode(tokens_col()).alias("token")
+        ).localCheckpoint()
+        (
+            tok.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .write.mode("overwrite")
+            .parquet(f"{index_path}/freq/batch_id={batch_id}")
+        )
+        freq = (
+            sp.read.option("basePath", f"{index_path}/freq")
+            .parquet(f"{index_path}/freq/batch_id=*")
+            .groupBy("token")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        doc = unigram_scores_against(tok, freq).localCheckpoint()
+        (
+            doc.agg(
+                F.sum("avg_logprob").alias("sum_logprob"),
+                F.count(F.lit(1)).alias("n_docs"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{index_path}/scores/batch_id={batch_id}")
+        )
+        mu = (
+            sp.read.option("basePath", f"{index_path}/scores")
+            .parquet(f"{index_path}/scores/batch_id=*")
+            .agg((F.sum("sum_logprob") / F.sum("n_docs")).alias("mu"))
+        )
+        (
+            mixture_keep(doc, mu)
+            .write.mode("overwrite")
+            .parquet(f"{index_path}/kept/batch_id={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
