@@ -1,0 +1,199 @@
+"""Message-publisher sink (K5): rows -> JSON messages -> injected
+transport, with ack-await and ordered delivery.
+
+The reference tails the block stream and publishes each streamer message
+as a JSON Pub/Sub message, awaiting the ack before logging the block
+height (`rust-near-gcp-pubsub-writer/src/main.rs:48-67`; strictly
+sequential via `buffer_unordered(1)`). This module re-expresses that as a
+Spark sink:
+
+- serialization is JVM-side (`to_json(struct(...))`) — the Python
+  boundary carries finished payload strings only;
+- the TRANSPORT is injected (a zero-arg factory constructed per
+  partition), the same seam as the repo's RPC clients (`plans/gold.py`):
+  a real deployment passes a Pub/Sub/Kafka client factory, tests pass the
+  file-backed transport below. `publish(batch)` returning without raising
+  IS the ack (the reference's `awaiter.get().await`);
+- ordering: the reference's strict total order serializes the whole
+  stream through one publisher — at 100 TB that is the bottleneck, so the
+  default here is ORDER PER KEY (repartition by the ordering key, sort by
+  the sequence column within partitions, publish sequentially within each
+  partition — Pub/Sub ordering-key semantics). `ordered="total"` gives
+  the reference-exact single-publisher order for streams that need it,
+  explicitly documented as non-scaling;
+- at-least-once: the streaming sink fences replayed micro-batches with a
+  published-batch marker. A crash between transport ack and marker write
+  re-publishes that one batch on restart — the same at-least-once
+  contract the reference has (it can crash between ack and its height
+  log too). The per-batch max of the sequence column is recorded as a
+  cursor sidecar (the reference's height eprintln, made durable).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+
+DEFAULT_CHUNK = 500  # messages per transport.publish() call
+
+
+def _payload_df(df: DataFrame, key_col: str, seq_col: str, *, ordered: str) -> DataFrame:
+    """JVM-side serialization + ordering. Output columns: _key, _seq,
+    _payload — the only things that cross into Python."""
+    from pyspark.sql import functions as F
+
+    cols = [c for c in df.columns]
+    out = df.select(
+        F.col(key_col).cast("string").alias("_key"),
+        F.col(seq_col).cast("long").alias("_seq"),
+        F.to_json(F.struct(*cols)).alias("_payload"),
+    )
+    if ordered == "total":
+        # reference-exact: one publisher, global sequence order. Does not
+        # scale past one partition's throughput — documented trade.
+        return out.repartition(1).sortWithinPartitions("_seq")
+    if ordered == "per_key":
+        return out.repartition("_key").sortWithinPartitions("_key", "_seq")
+    if ordered == "none":
+        return out
+    raise ValueError(f"ordered must be total|per_key|none, got {ordered!r}")
+
+
+def publish_rows(
+    df: DataFrame,
+    transport_factory,
+    *,
+    key_col: str,
+    seq_col: str,
+    ordered: str = "per_key",
+    chunk_size: int = DEFAULT_CHUNK,
+) -> None:
+    """Publish every row of `df` as a JSON message.
+
+    `transport_factory()` is called once per partition ON THE EXECUTOR
+    and must return an object with `publish(list[(key, seq, payload)])`
+    that is durable when it returns. Messages flow through in bounded
+    chunks so executor memory stays flat regardless of partition size.
+    """
+    shaped = _payload_df(df, key_col, seq_col, ordered=ordered)
+
+    def _drain(rows) -> None:
+        transport = transport_factory()
+        buf: list[tuple[str, int, str]] = []
+        for r in rows:
+            buf.append((r._key, r._seq, r._payload))
+            if len(buf) >= chunk_size:
+                transport.publish(buf)  # returning == acked
+                buf = []
+        if buf:
+            transport.publish(buf)
+
+    shaped.foreachPartition(_drain)
+
+
+def publish_stream(
+    stream_df: DataFrame,
+    transport_factory,
+    state_path: str,
+    *,
+    key_col: str,
+    seq_col: str,
+    checkpoint_path: str,
+    ordered: str = "per_key",
+    chunk_size: int = DEFAULT_CHUNK,
+    available_now: bool = True,
+):
+    """Streaming publisher: each micro-batch is published then fenced.
+
+    Markers under `<state_path>/published/` make a REPLAYED batch a no-op
+    (at-least-once overall: only a crash inside the publish->marker gap
+    re-sends that single batch). `<state_path>/_CURSOR` tracks the max
+    sequence value acked so far — the durable twin of the reference's
+    per-block height log (main.rs:63-66).
+    """
+    os.makedirs(f"{state_path}/published", exist_ok=True)
+
+    def _publish(batch_df: DataFrame, batch_id: int) -> None:
+        marker = f"{state_path}/published/batch_{batch_id}"
+        if os.path.exists(marker):
+            return  # replayed batch, already acked
+        from pyspark.sql import functions as F
+
+        publish_rows(
+            batch_df,
+            transport_factory,
+            key_col=key_col,
+            seq_col=seq_col,
+            ordered=ordered,
+            chunk_size=chunk_size,
+        )
+        hi = batch_df.agg(F.max(F.col(seq_col).cast("long")).alias("hi")).collect()[0].hi
+        cursor_path = f"{state_path}/_CURSOR"
+        cur = None
+        if os.path.exists(cursor_path):
+            with open(cursor_path) as fh:
+                cur = json.load(fh).get("hi")
+        if hi is not None and (cur is None or int(hi) > cur):
+            with open(cursor_path, "w") as fh:
+                json.dump({"hi": int(hi)}, fh)
+        with open(marker, "w") as fh:
+            fh.write("")
+
+    writer = stream_df.writeStream.foreachBatch(_publish).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# File-backed transport (tests / local runs)
+
+
+class FileTransport:
+    """Durable local transport: each publish() appends one JSON-lines file
+    named so that (partition arrival order, chunk order) is reconstructable
+    — tests verify per-key ordering through it. fsync before returning =
+    the ack contract."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._n = 0
+
+    def publish(self, batch) -> None:
+        import uuid
+
+        pid = os.getpid()
+        path = os.path.join(self.root, f"msgs_{pid}_{self._n:06d}_{uuid.uuid4().hex[:8]}.jsonl")
+        self._n += 1
+        with open(path, "w") as fh:
+            for key, seq, payload in batch:
+                fh.write(json.dumps({"key": key, "seq": seq, "data": payload}) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+
+    @staticmethod
+    def read_all(root: str) -> list[dict]:
+        """All messages in (writer pid, file order) — within one writer
+        this is publish order, which is what per-key ordering asserts."""
+        out: list[dict] = []
+        for name in sorted(os.listdir(root)):
+            if not name.startswith("msgs_"):
+                continue
+            with open(os.path.join(root, name)) as fh:
+                out.extend(json.loads(line) for line in fh if line.strip())
+        return out
+
+
+def file_transport_factory(root: str):
+    """Factory-of-factory so the closure shipped to executors carries only
+    the path string."""
+
+    def make() -> FileTransport:
+        return FileTransport(root)
+
+    return make

@@ -8,8 +8,9 @@ Python ints are unbounded, so u128 balances and the U256 intermediate
 product need no special handling; u64 timestamp saturation is made
 explicit. The UDF wrapper at the bottom is the U4 surface
 (`rust_api_get_lockup_amount` — Aggregated Circulating Supply
-Pipeline.py:158-199) with the RPC/Borsh layer (L2) replaced by
-fixture-provided decoded state, as SURVEY §2.13 prescribes.
+Pipeline.py:158-199); the Borsh decode layer (L2) lives in
+`sources/borsh.py` and composes with this UDF, while the RPC fetch
+itself stays an injected client like the repo's other RPC seams.
 """
 
 from __future__ import annotations
@@ -61,8 +62,8 @@ class Terminating:
 @dataclass(frozen=True)
 class Lockup:
     """Decoded lockup contract state (lockup_types.rs:32-136). The RPC
-    fetch + Borsh decode (L2) is out of engine scope; fixtures provide
-    this struct directly."""
+    fetch stays an injected client; `sources/borsh.py` (L2) decodes raw
+    view_state bytes into this shape."""
 
     lockup_amount: int
     termination_withdrawn_tokens: int = 0
