@@ -175,6 +175,67 @@ def token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "source_token_kl_drift",
+    tags=("text", "llm-pipeline"),
+    oracle=f"""
+WITH tok AS (
+  SELECT source, unnest({TOKENS_SQL}) AS token FROM documents
+),
+tc AS (SELECT source, token, count(*) AS cnt FROM tok GROUP BY source, token),
+corpus AS (SELECT token, sum(cnt) AS cnt_all FROM tc GROUP BY token),
+st AS (SELECT source, CAST(sum(cnt) AS DOUBLE) AS n_src FROM tc GROUP BY source),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_all FROM tc)
+SELECT tc.source,
+       CAST(sum(tc.cnt) AS BIGINT) AS total_tokens,
+       count(*) AS vocab_size,
+       sum((tc.cnt / n_src) * ln((tc.cnt / n_src) / (cnt_all / n_all)))
+         AS kl_from_corpus,
+       -sum((tc.cnt / n_src) * ln(cnt_all / n_all)) AS cross_entropy
+FROM tc JOIN corpus USING (token) JOIN st ON tc.source = st.source CROSS JOIN tot
+GROUP BY tc.source ORDER BY tc.source
+""",
+)
+def source_token_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: KL(source unigram dist || corpus
+    unigram dist) and the cross-entropy it decomposes from — the standard
+    monitor for a source going templated/spammy relative to the mixture
+    (rising KL) and for mixture re-weighting decisions. No smoothing term
+    is needed: every source token is by construction in the corpus
+    distribution, so the log ratio is always finite.
+
+    Plan: the (source, token) count shuffle is shared with vocab_stats /
+    token_entropy_by_source shapes; the corpus marginal is a second
+    token-keyed rollup of the ALREADY-aggregated counts (small), rejoined
+    on token; per-source totals and the corpus total are broadcast. The
+    transcendental enters per (source, token) row after exact integer
+    counts, the same double-sum discipline as token_entropy_by_source."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select("source", F.explode(tokens_col()).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    corpus = tc.groupBy("token").agg(F.sum("cnt").alias("cnt_all"))
+    st = tc.groupBy("source").agg(F.sum("cnt").cast("double").alias("n_src"))
+    tot = tc.agg(F.sum("cnt").cast("double").alias("n_all"))
+    p_s = F.col("cnt").cast("double") / F.col("n_src")
+    p_all = F.col("cnt_all").cast("double") / F.col("n_all")
+    return (
+        tc.join(corpus, "token")
+        .join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").alias("total_tokens"),
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.sum(p_s * F.log(p_s / p_all)).alias("kl_from_corpus"),
+            (-F.sum(p_s * F.log(p_all))).alias("cross_entropy"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # unigram LM scoring (CCNet-style perplexity proxy)
 

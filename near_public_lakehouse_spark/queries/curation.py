@@ -558,3 +558,117 @@ def quality_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = unigram_scores_against(tok, freq)
     mu = doc.agg(F.avg("avg_logprob").alias("mu"))
     return mixture_keep(doc, mu).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via hashed-n-gram importance resampling scores
+
+DSIR_BUCKETS = 4096  # hashed feature space (Xie et al. 2023 use 10k)
+DSIR_TARGET_LANG = "en"  # stand-in target domain on the synthetic corpus
+
+_DSIR_BUCKET_SQL = "('0x' || substr(md5({g}), 1, 8))::BIGINT % " + str(DSIR_BUCKETS)
+
+_DSIR_ORACLE = f"""
+WITH t AS (SELECT doc_id, lang, {TOKENS_SQL} AS toks FROM documents),
+bg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> {_DSIR_BUCKET_SQL.format(g="toks[i] || ' ' || toks[i + 1]")})) AS b
+  FROM t WHERE len(toks) >= 2
+),
+raw AS (SELECT b, count(*) AS rc FROM bg GROUP BY b),
+tgt AS (SELECT b, count(*) AS tc FROM bg WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b),
+tots AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_raw,
+         CAST(count(*) FILTER (lang = '{DSIR_TARGET_LANG}') AS DOUBLE) AS n_tgt
+  FROM bg
+),
+lr AS (
+  SELECT raw.b,
+         ln((COALESCE(tc, 0) + 1) / (n_tgt + {DSIR_BUCKETS}))
+           - ln((rc + 1) / (n_raw + {DSIR_BUCKETS})) AS lr
+  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tots
+)
+SELECT doc_id,
+       count(*) AS n_feats,
+       sum(lr) AS log_importance,
+       sum(lr) / count(*) AS avg_log_importance
+FROM bg JOIN lr USING (b)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+_BIGRAMS_EXPR = (
+    "transform(sequence(1, size(filter(split(text, ' '), x -> x != '')) - 1),"
+    " i -> concat(element_at(filter(split(text, ' '), x -> x != ''), i), ' ',"
+    "             element_at(filter(split(text, ' '), x -> x != ''), i + 1)))"
+)
+
+
+@query(
+    "sampling_dsir_importance",
+    tags=("text", "llm-pipeline", "sampling"),
+    oracle=_DSIR_ORACLE,
+)
+def sampling_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): hash every bigram into a
+    bounded feature space, fit add-1-smoothed bag-of-buckets models for
+    the target domain (here: lang='en' docs) and the raw corpus, and
+    score each document by its log importance ratio
+    sum_b c_b * (ln p_target(b) - ln p_raw(b)). Positive length-normalized
+    scores mean "more target-like than the mixture" — the resampling stage
+    takes a Gumbel top-k over these scores.
+
+    100 TB design: the feature space is FIXED at 4096 buckets, so both
+    model tables are bounded and broadcast regardless of corpus size; the
+    md5 bucketing is the repo's cross-engine hash idiom
+    (benchmark_decontamination_hashed). Plan: one (bucket) count shuffle
+    each for raw/target (map-side combined), a broadcast join of the
+    per-bucket log-ratios back onto the feature stream, one doc_id
+    re-aggregation. No Python boundary; the transcendental enters per
+    bucket (4096 rows), not per token."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    bg = (
+        docs.filter(F.size(toks) >= 2)
+        .select("doc_id", "lang", F.explode(F.expr(_BIGRAMS_EXPR)).alias("g"))
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("bigint")
+                % DSIR_BUCKETS
+            ).alias("b"),
+        )
+    )
+    is_tgt = F.col("lang") == DSIR_TARGET_LANG
+    raw = bg.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    tgt = bg.filter(is_tgt).groupBy("b").agg(F.count(F.lit(1)).alias("tc"))
+    tots = bg.agg(
+        F.count(F.lit(1)).cast("double").alias("n_raw"),
+        F.sum(is_tgt.cast("long")).cast("double").alias("n_tgt"),
+    )
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("tc"), F.lit(0)) + 1)
+                    / (F.col("n_tgt") + DSIR_BUCKETS)
+                )
+                - F.log((F.col("rc") + 1) / (F.col("n_raw") + DSIR_BUCKETS))
+            ).alias("lr"),
+        )
+    )
+    return (
+        bg.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("lr").alias("log_importance"),
+            (F.sum("lr") / F.count(F.lit(1))).alias("avg_log_importance"),
+        )
+        .orderBy("doc_id")
+    )

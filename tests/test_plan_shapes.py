@@ -383,3 +383,27 @@ def test_quality_mixture_sample_broadcasts_global_stats(spark):
 
     plan = _plan(all_queries()["quality_mixture_sample"].fn(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_dsir_models_broadcast_onto_feature_stream(spark):
+    """Both bag-of-buckets model tables are bounded by the fixed feature
+    space, so the per-bucket log-ratio joins back to the document feature
+    stream as a broadcast — never a sort-merge over the corpus — and the
+    doc-side aggregation keeps map-side partials."""
+    from near_public_lakehouse_spark.queries import all_queries
+
+    plan = _plan(all_queries()["sampling_dsir_importance"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_count" in plan  # map-side combine on the bucket counts
+
+
+def test_kl_drift_broadcasts_totals(spark):
+    """Per-source totals and the corpus total are tiny aggregates joined
+    back broadcast; the only big shuffle keys on (source, token) with
+    map-side partial aggregation."""
+    from near_public_lakehouse_spark.queries import all_queries
+
+    plan = _plan(all_queries()["source_token_kl_drift"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "partial_count" in plan, plan
