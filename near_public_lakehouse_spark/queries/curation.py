@@ -33,7 +33,7 @@ LLM-pipeline surface (SURVEY §2.13).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from near_public_lakehouse_spark.queries.registry import query
@@ -628,9 +628,16 @@ def sampling_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregation. No Python boundary; the transcendental enters per
     bucket (4096 rows), not per token."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col()
-    bg = (
-        docs.filter(F.size(toks) >= 2)
+    bg = dsir_feature_stream(docs)
+    raw, tgt, tots = dsir_bucket_models(bg)
+    return dsir_doc_scores(bg, dsir_log_ratios(raw, tgt, tots)).orderBy("doc_id")
+
+
+def dsir_feature_stream(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, b): every bigram instance hashed into the bounded
+    bucket space. Pure scan-side projection — no shuffle."""
+    return (
+        docs.filter(F.size(tokens_col()) >= 2)
         .select("doc_id", "lang", F.explode(F.expr(_BIGRAMS_EXPR)).alias("g"))
         .select(
             "doc_id",
@@ -641,6 +648,11 @@ def sampling_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("b"),
         )
     )
+
+
+def dsir_bucket_models(bg: DataFrame):
+    """Raw- and target-model bucket counts plus totals, each bounded by
+    the fixed feature space (broadcastable at any corpus size)."""
     is_tgt = F.col("lang") == DSIR_TARGET_LANG
     raw = bg.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
     tgt = bg.filter(is_tgt).groupBy("b").agg(F.count(F.lit(1)).alias("tc"))
@@ -648,7 +660,12 @@ def sampling_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("n_raw"),
         F.sum(is_tgt.cast("long")).cast("double").alias("n_tgt"),
     )
-    lr = (
+    return raw, tgt, tots
+
+
+def dsir_log_ratios(raw: DataFrame, tgt: DataFrame, tots: DataFrame) -> DataFrame:
+    """(b, lr): add-1-smoothed per-bucket log importance ratios."""
+    return (
         raw.join(tgt, "b", "left")
         .crossJoin(F.broadcast(tots))
         .select(
@@ -662,6 +679,11 @@ def sampling_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lr"),
         )
     )
+
+
+def dsir_doc_scores(bg: DataFrame, lr: DataFrame) -> DataFrame:
+    """Per-document importance: broadcast the bounded log-ratio table onto
+    the feature stream, one doc_id re-aggregation."""
     return (
         bg.join(F.broadcast(lr), "b")
         .groupBy("doc_id")
@@ -670,5 +692,106 @@ def sampling_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lr").alias("log_importance"),
             (F.sum("lr") / F.count(F.lit(1))).alias("avg_log_importance"),
         )
-        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR resampling: deterministic Gumbel top-k over the importance scores
+
+DSIR_TOPK_K = 100
+DSIR_SEED = "dsir-r6"  # versions the sample, like shard_manifest's seed
+
+# seeded uniform in (0,1): md5 of the doc id, 8 hex chars -> [0, 1e6) + 0.5
+_DSIR_U_SQL = (
+    f"((('0x' || substr(md5('{DSIR_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+    " % 1000000) + 0.5) / 1000000.0"
+)
+
+_DSIR_TOPK_ORACLE = f"""
+WITH t AS (SELECT doc_id, lang, {TOKENS_SQL} AS toks FROM documents),
+bg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> {_DSIR_BUCKET_SQL.format(g="toks[i] || ' ' || toks[i + 1]")})) AS b
+  FROM t WHERE len(toks) >= 2
+),
+raw AS (SELECT b, count(*) AS rc FROM bg GROUP BY b),
+tgt AS (SELECT b, count(*) AS tc FROM bg WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b),
+tots AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_raw,
+         CAST(count(*) FILTER (lang = '{DSIR_TARGET_LANG}') AS DOUBLE) AS n_tgt
+  FROM bg
+),
+lr AS (
+  SELECT raw.b,
+         ln((COALESCE(tc, 0) + 1) / (n_tgt + {DSIR_BUCKETS}))
+           - ln((rc + 1) / (n_raw + {DSIR_BUCKETS})) AS lr
+  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tots
+),
+scored AS (
+  SELECT doc_id, sum(lr) AS log_importance
+  FROM bg JOIN lr USING (b) GROUP BY doc_id
+),
+keyed AS (
+  SELECT doc_id, log_importance,
+         log_importance - ln(-ln({_DSIR_U_SQL})) AS gumbel_key
+  FROM scored
+)
+SELECT doc_id, log_importance, gumbel_key,
+       CAST(row_number() OVER (ORDER BY gumbel_key DESC, doc_id) AS BIGINT) AS rnk
+FROM keyed
+QUALIFY rnk <= {DSIR_TOPK_K}
+ORDER BY rnk
+"""
+
+
+@query(
+    "sampling_dsir_topk",
+    tags=("text", "llm-pipeline", "sampling"),
+    oracle=_DSIR_TOPK_ORACLE,
+)
+def sampling_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resampling stage of DSIR: draw K documents WITHOUT replacement
+    with probability proportional to importance, via the Gumbel-max trick
+    — key = log_importance + Gumbel(0,1), take the top K keys. The Gumbel
+    noise is a SEEDED HASH of the doc id (-ln(-ln(u)), u = md5-derived
+    uniform), not an RNG, so the drawn sample is identical under any
+    partitioning, engine, or re-run, and incremental batches draw
+    consistently — the same determinism discipline as
+    quality_mixture_sample and shard_manifest.
+
+    Plan: everything up to the per-doc score is sampling_dsir_importance's
+    broadcast pipeline; the top-K is orderBy().limit(K), which Catalyst
+    compiles to TakeOrderedAndProject — per-partition top-K heaps then a
+    K*P merge — so no global sort ever materializes. Only the K survivors
+    see a window (for the rank column), and K*P stays tiny for K=100 at
+    any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = dsir_feature_stream(docs)
+    raw, tgt, tots = dsir_bucket_models(bg)
+    scored = dsir_doc_scores(bg, dsir_log_ratios(raw, tgt, tots))
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{DSIR_SEED}:"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 1000000
+        ).cast("double")
+        + 0.5
+    ) / 1000000.0
+    keyed = scored.select(
+        "doc_id",
+        "log_importance",
+        (F.col("log_importance") - F.log(-F.log(u))).alias("gumbel_key"),
+    )
+    topk = keyed.orderBy(F.col("gumbel_key").desc(), "doc_id").limit(DSIR_TOPK_K)
+    w = Window.orderBy(F.col("gumbel_key").desc(), F.col("doc_id"))
+    return (
+        topk.withColumn("rnk", F.row_number().over(w).cast("bigint")).orderBy("rnk")
     )

@@ -157,3 +157,16 @@ def test_quality_mixture_sample_bands_and_determinism(spark):
     other = [r.avg_logprob for r in rows if r.band != "head"]
     if head_scores and other:
         assert min(head_scores) >= max(other)  # bands order by score
+
+
+def test_dsir_topk_ranks_and_determinism(spark):
+    q = all_queries()["sampling_dsir_topk"].fn
+    rows = q(spark, SF_DIR).collect()
+    again = q(spark, SF_DIR).collect()
+    assert rows == again  # seeded-hash Gumbel noise, not an RNG
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    keys = [r.gumbel_key for r in rows]
+    assert keys == sorted(keys, reverse=True)  # ranked by descending key
+    # the sample is exactly the K largest keys among ALL scored docs
+    scored = all_queries()["sampling_dsir_importance"].fn(spark, SF_DIR)
+    assert len(rows) == min(100, scored.count())

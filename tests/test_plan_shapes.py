@@ -407,3 +407,13 @@ def test_kl_drift_broadcasts_totals(spark):
     plan = _plan(all_queries()["source_token_kl_drift"].fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_dsir_topk_uses_take_ordered_not_global_sort(spark):
+    """The resampling top-K compiles to TakeOrderedAndProject (per-partition
+    heaps + K*P merge); the corpus is never globally sorted and the rank
+    window only ever sees the K survivors."""
+    from near_public_lakehouse_spark.queries import all_queries
+
+    plan = _plan(all_queries()["sampling_dsir_topk"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
