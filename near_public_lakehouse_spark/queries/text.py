@@ -731,6 +731,165 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Gopher repetition gate: the MassiveText repetition rules (Rae et al.
+# 2021, appendix A) as a SHUFFLE-FREE per-row projection. Where
+# doc_repetition_stats shuffles on (doc_id, bigram) to count, this gate
+# computes the same top-/duplicate-bigram shares entirely inside the scan:
+# the most-common-bigram count is the longest equal-neighbor run of the
+# SORTED per-row bigram array (an O(L log L) aggregate fold per document),
+# so a 100 TB gate pass is embarrassingly parallel with zero exchange.
+
+QG_MIN_TOKENS = 20
+QG_WORD_LEN_LO = 3.0
+QG_WORD_LEN_HI = 5.0  # synthetic vocab is short; Gopher's band is [3, 10]
+QG_MAX_TOP_BIGRAM_SHARE = 0.06
+QG_MAX_DUP_BIGRAM_SHARE = 0.06
+QG_MIN_DISTINCT_STOP = 2
+
+_QG_TOKS = "filter(split(text, ' '), x -> x != '')"
+_QG_BIGRAMS = (
+    f"transform(sequence(1, greatest(size({_QG_TOKS}) - 1, 0)),"
+    f" i -> concat(element_at({_QG_TOKS}, i), ' ', element_at({_QG_TOKS}, i + 1)))"
+)
+# longest equal-neighbor run in the sorted bigram list == max bigram count.
+# The '' seed can never match a real bigram (tokens are non-empty).
+_QG_TOP_RUN = (
+    f"aggregate(array_sort({_QG_BIGRAMS}),"
+    " struct(CAST('' AS STRING) AS prev, CAST(0 AS BIGINT) AS run,"
+    "        CAST(0 AS BIGINT) AS best),"
+    " (acc, x) -> struct(x AS prev,"
+    "   CAST(IF(x = acc.prev, acc.run + 1, 1) AS BIGINT) AS run,"
+    "   CAST(GREATEST(acc.best, IF(x = acc.prev, acc.run + 1, 1)) AS BIGINT)"
+    "     AS best),"
+    " acc -> acc.best)"
+)
+
+_QG_RULES_SQL = f"""
+list_filter([
+  CASE WHEN n_tokens < {QG_MIN_TOKENS} THEN 'too_short' END,
+  CASE WHEN mean_word_len < {QG_WORD_LEN_LO}
+         OR mean_word_len > {QG_WORD_LEN_HI} THEN 'word_len_out_of_band' END,
+  CASE WHEN top_bigram_share > {QG_MAX_TOP_BIGRAM_SHARE}
+       THEN 'top_bigram_heavy' END,
+  CASE WHEN dup_bigram_share > {QG_MAX_DUP_BIGRAM_SHARE}
+       THEN 'dup_bigram_heavy' END,
+  CASE WHEN n_stop_distinct < {QG_MIN_DISTINCT_STOP} THEN 'few_stopwords' END
+], x -> x IS NOT NULL)
+"""
+
+
+@query(
+    "gopher_repetition_gate",
+    tags=("text", "quality", "llm-pipeline"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+m AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         list_sum(list_transform(toks, w -> CAST(strlen(w) AS DOUBLE)))
+           / len(toks) AS mean_word_len,
+         len(list_distinct(list_filter(toks, x -> x IN {STOP_SQL})))
+           AS n_stop_distinct
+  FROM t
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS b
+  FROM t WHERE len(toks) >= 2
+),
+c AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+d AS (
+  SELECT doc_id,
+         CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_share,
+         CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_share
+  FROM c GROUP BY doc_id
+),
+r AS (
+  SELECT m.doc_id, n_tokens, mean_word_len,
+         COALESCE(top_share, 0.0) AS top_bigram_share,
+         COALESCE(dup_share, 0.0) AS dup_bigram_share,
+         n_stop_distinct
+  FROM m LEFT JOIN d ON m.doc_id = d.doc_id
+),
+g AS (SELECT *, {_QG_RULES_SQL} AS reasons FROM r)
+SELECT doc_id, n_tokens, mean_word_len, top_bigram_share, dup_bigram_share,
+       n_stop_distinct,
+       coalesce(array_to_string(reasons, ','), '') AS reasons,
+       len(reasons) = 0 AS passes
+FROM g ORDER BY doc_id
+""",
+)
+def gopher_repetition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText repetition quality gate (Rae et al. 2021,
+    appendix A, adapted to token-level statistics): length band, mean word
+    length band, most-common-bigram share, duplicate-bigram share, and a
+    distinct-stopword floor — each failed rule recorded in a fixed-order
+    audit string like `quality_filter`'s.
+
+    Scale design: UNLIKE `doc_repetition_stats` (one (doc_id, bigram)
+    shuffle), every measure here — including the most-common-bigram count,
+    via the longest equal-neighbor run of the per-row SORTED bigram array —
+    is a scan-side expression, so the gate runs with zero exchanges at any
+    corpus size and composes into other scans for free. The per-document
+    fold is O(L log L); no corpus-sized key set ever exists. Reference
+    scope: quality gating is beyond-reference LLM-pipeline surface
+    (SURVEY §2.13); rule set from the public Gopher paper."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n = F.size(toks)
+    mean_word_len = (
+        F.expr(f"aggregate({_QG_TOKS}, CAST(0 AS DOUBLE), (a, x) -> a + length(x))")
+        / n
+    )
+    n_bg = F.expr(f"size({_QG_BIGRAMS})")
+    n_distinct_bg = F.expr(f"size(array_distinct({_QG_BIGRAMS}))")
+    top_share = F.when(
+        n_bg > 0, F.expr(_QG_TOP_RUN).cast("double") / n_bg.cast("double")
+    ).otherwise(F.lit(0.0))
+    dup_share = F.when(
+        n_bg > 0, (n_bg - n_distinct_bg).cast("double") / n_bg.cast("double")
+    ).otherwise(F.lit(0.0))
+    n_stop_distinct = F.size(
+        F.array_distinct(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    )
+    measured = docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        mean_word_len.alias("mean_word_len"),
+        top_share.alias("top_bigram_share"),
+        dup_share.alias("dup_bigram_share"),
+        n_stop_distinct.alias("n_stop_distinct"),
+    )
+    reasons = F.array_compact(
+        F.array(
+            F.when(F.col("n_tokens") < QG_MIN_TOKENS, "too_short"),
+            F.when(
+                (F.col("mean_word_len") < QG_WORD_LEN_LO)
+                | (F.col("mean_word_len") > QG_WORD_LEN_HI),
+                "word_len_out_of_band",
+            ),
+            F.when(
+                F.col("top_bigram_share") > QG_MAX_TOP_BIGRAM_SHARE,
+                "top_bigram_heavy",
+            ),
+            F.when(
+                F.col("dup_bigram_share") > QG_MAX_DUP_BIGRAM_SHARE,
+                "dup_bigram_heavy",
+            ),
+            F.when(F.col("n_stop_distinct") < QG_MIN_DISTINCT_STOP, "few_stopwords"),
+        )
+    )
+    return (
+        measured.select(
+            "*",
+            F.array_join(reasons, ",").alias("reasons"),
+            (F.size(reasons) == 0).alias("passes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # frequent n-gram mining: bounded-state heavy-hitter candidates + exact
 # recount — the scale path for phrase/boilerplate mining where a full
 # n-gram groupBy would shuffle a corpus-sized key set.

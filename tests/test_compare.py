@@ -115,10 +115,14 @@ def test_driver_window_composition_is_pinned():
     task #3) = the 15 `a6_` aliases (4 fixed driver-RED rows kept in-window
     to prove the fix, pack_sequences' unresolved r1 FAIL, the 3 never-
     checked r5 additions, the 7 pre-rename-only greens) + the 5 new
-    `approx_*` invariant twins + the first 30 organic names. Any future
-    query whose name sorts before `important_nation_revenue` would
-    silently displace a window entry — this pin makes that a visible test
-    failure so the composition is always chosen consciously."""
+    `approx_*` invariant twins + the first organic names. Third-sitting
+    amendment (conscious): `gopher_repetition_gate` (new, never checked)
+    enters the window and displaces `important_nation_revenue`
+    (driver-green r1-r4) — exactly the rotation principle of verified
+    names yielding slots to unverified ones. Any future query whose name
+    sorts before `idle_rich_customers` would silently displace a window
+    entry — this pin makes that a visible test failure so the composition
+    is always chosen consciously."""
     from near_public_lakehouse_spark.queries import all_queries
     from near_public_lakehouse_spark.queries.registry import DRIVER_WINDOW_ROTATION
 
@@ -156,8 +160,8 @@ def test_driver_window_composition_is_pinned():
         "exact_dup_groups",
         "flagged_customers_like_any",
         "funnel_counts",
+        "gopher_repetition_gate",
         "hourly_event_stats",
         "idle_rich_customers",
-        "important_nation_revenue",
     ]
     assert window == sorted(expected)
