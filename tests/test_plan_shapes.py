@@ -417,3 +417,14 @@ def test_dsir_topk_uses_take_ordered_not_global_sort(spark):
 
     plan = _plan(all_queries()["sampling_dsir_topk"].fn(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_gopher_gate_is_shuffle_free(spark):
+    """Every Gopher-gate measure, including the most-common-bigram count,
+    is a scan-side expression: no hash exchange anywhere in the plan (the
+    cosmetic ORDER BY keeps its range sort, nothing more)."""
+    from near_public_lakehouse_spark.queries import all_queries
+
+    plan = _plan(all_queries()["gopher_repetition_gate"].fn(spark, SF_DIR))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan

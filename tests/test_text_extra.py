@@ -91,3 +91,23 @@ def test_unigram_logprob_ranks_gibberish_below_fluent(spark):
         cs.load_table = orig
     assert scores[1] < scores[0], scores
     assert all(scores[1] < scores[i] for i in range(2, 12)), scores
+
+
+def test_gopher_gate_shares_match_shuffle_computation(spark):
+    """The per-row sorted-run bigram shares must equal the shuffle-based
+    (doc_id, bigram) groupBy shares from doc_repetition_stats — the two
+    engines compute the same statistic by different plans."""
+    from near_public_lakehouse_spark.queries import all_queries
+    from tests.conftest import SF_DIR
+
+    gate = {
+        r.doc_id: (r.top_bigram_share, r.dup_bigram_share)
+        for r in all_queries()["gopher_repetition_gate"].fn(spark, SF_DIR).collect()
+    }
+    rep = {
+        r.doc_id: (r.top_bigram_share, r.dup_bigram_share)
+        for r in all_queries()["doc_repetition_stats"].fn(spark, SF_DIR).collect()
+    }
+    assert set(rep) <= set(gate)
+    for doc_id, shares in rep.items():
+        assert gate[doc_id] == shares, doc_id
