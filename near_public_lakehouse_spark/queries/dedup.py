@@ -1365,3 +1365,122 @@ def source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking: shift-invariant cross-document chunk dedup
+
+# A chunk boundary falls AFTER any token whose 32-bit md5 hash is 0 mod
+# CDC_MOD — the token-level analogue of Rabin-fingerprint content-defined
+# chunking (Muthitacharoen et al., "A Low-bandwidth Network File System",
+# SOSP'01). Because boundaries depend only on local content, an insertion
+# early in a document re-synchronizes at the next boundary token, so
+# shared tails still produce identical chunks — the shift invariance
+# fixed-stride shingles lack.
+CDC_MOD = 8  # expected chunk length = CDC_MOD tokens
+
+# boundary positions + the final position n, deduplicated (DuckDB).
+# list_distinct does NOT preserve order in DuckDB — the list_sort is
+# load-bearing.
+_CDC_ENDS_SQL = (
+    "list_sort(list_distinct(list_concat("
+    " list_filter(generate_series(1, len(t)),"
+    "             i -> ('0x' || substr(md5(t[i]), 1, 8))::BIGINT % {m} = 0),"
+    " [len(t)])))"
+).format(m=CDC_MOD)
+
+_CDC_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_SQL} AS t FROM documents
+  WHERE len({TOKENS_SQL}) >= 1
+),
+e AS (SELECT doc_id, t, {_CDC_ENDS_SQL} AS ends FROM t),
+ch AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ends)),
+           k -> array_to_string(
+                  t[(CASE WHEN k = 1 THEN 1 ELSE ends[k - 1] + 1 END):ends[k]],
+                  ' '))) AS chunk
+  FROM e
+),
+h AS (
+  SELECT doc_id, md5(chunk) AS chunk_hash,
+         len(list_filter(string_split(chunk, ' '), x -> x <> '')) AS chunk_len
+  FROM ch
+)
+SELECT chunk_hash,
+       CAST(min(chunk_len) AS BIGINT) AS chunk_len,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       min(doc_id) AS example_doc_id
+FROM h
+GROUP BY chunk_hash
+HAVING count(*) >= 2
+ORDER BY n_occurrences DESC, chunk_hash
+"""
+
+
+def cdc_chunk_instances(docs: DataFrame) -> DataFrame:
+    """(doc_id, chunk, chunk_hash, chunk_len): the content-defined chunk
+    stream of every document — a per-row HOF cascade in the scan followed
+    by one explode; no shuffle, no Python."""
+    t = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    base = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= 1)
+    ends = F.expr(
+        "array_distinct(concat("
+        " filter(sequence(1, size(t)),"
+        f"        i -> conv(substring(md5(element_at(t, i)), 1, 8), 16, 10)"
+        f"             % {CDC_MOD} = 0),"
+        " array(size(t))))"
+    )
+    chunks = F.expr(
+        "transform(sequence(1, size(ends)),"
+        " k -> array_join(slice(t,"
+        "   IF(k = 1, 1, element_at(ends, k - 1) + 1),"
+        "   element_at(ends, k) - IF(k = 1, 0, element_at(ends, k - 1))), ' '))"
+    )
+    return (
+        base.withColumn("ends", ends)
+        .select("doc_id", F.explode(chunks).alias("chunk"))
+        .select(
+            "doc_id",
+            "chunk",
+            F.md5("chunk").alias("chunk_hash"),
+            F.size(F.filter(F.split(F.col("chunk"), " "), lambda x: x != "")).alias(
+                "chunk_len"
+            ),
+        )
+    )
+
+
+@query("cdc_chunk_dedup", tags=("dedup", "beyond-reference"), oracle=_CDC_ORACLE)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup: every document is split at
+    content-determined boundaries (a token whose 32-bit md5 hash is
+    0 mod {CDC_MOD} ends a chunk), chunks are fingerprinted, and chunk
+    families occurring more than once are reported with occurrence/doc
+    counts. Boundaries move WITH the content, so two documents sharing a
+    long span produce identical chunks even when the span sits at
+    different offsets — the storage-dedup trick (LBFS, SOSP'01) applied
+    to corpus curation, complementing the fixed-window substring metric
+    (`duplicate_ngram_spans`) with insertion tolerance.
+
+    Scale shape: chunking is a per-row HOF cascade in the scan (no
+    explode until chunks exist, no Python); then ONE shuffle keyed on
+    chunk_hash whose partial aggregation collapses duplicates map-side.
+    State per key is a counter, never chunk text — the hash is the key.
+    At 100 TB the chunk-instance stream is ~n_tokens/{CDC_MOD} rows of
+    (hash, doc_id), the same order as any shingle pipeline here."""
+    docs = load_table(spark, sf_dir, "documents")
+    inst = cdc_chunk_instances(docs).drop("chunk")
+    return (
+        inst.groupBy("chunk_hash")
+        .agg(
+            F.min("chunk_len").cast("bigint").alias("chunk_len"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("example_doc_id"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+        .orderBy(F.desc("n_occurrences"), "chunk_hash")
+    )

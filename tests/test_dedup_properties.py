@@ -140,3 +140,44 @@ def test_short_docs_never_removed(spark):
     when byte-identical (that is exact dedup's job, not span removal)."""
     out = _clean(spark, ["a b c", "a b c", "a b c d e f g"])
     assert all(r.removed_toks == 0 for r in out.values())
+
+
+def test_cdc_chunks_are_shift_invariant(spark):
+    """Prepending tokens to a document changes only the chunks before the
+    first boundary inside the shared part — every later chunk of the
+    original reappears verbatim (content-defined boundaries re-sync)."""
+    from near_public_lakehouse_spark.queries.dedup import cdc_chunk_instances
+
+    base = "alpha beta the gamma key delta sort merge window epsilon zeta " \
+           "table scan join order batch stream spark filter customer value"
+    shifted = "noise tokens inserted here " + base
+    docs = spark.createDataFrame(
+        [(1, base), (2, shifted)], "doc_id long, text string"
+    )
+    by_doc = {1: [], 2: []}
+    for r in cdc_chunk_instances(docs).orderBy("doc_id").collect():
+        by_doc[r.doc_id].append(r.chunk)
+    # the original must produce >1 chunk for the property to be non-trivial
+    assert len(by_doc[1]) > 1, by_doc
+    # everything after the original's first chunk re-syncs in the shifted doc
+    for chunk in by_doc[1][1:]:
+        assert chunk in by_doc[2], (chunk, by_doc[2])
+
+
+def test_cdc_chunks_partition_each_document(spark):
+    """Chunk streams reassemble exactly to the token stream: joining every
+    chunk back in order reproduces the document."""
+    from near_public_lakehouse_spark.queries.dedup import cdc_chunk_instances
+
+    texts = [
+        (1, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "single"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in cdc_chunk_instances(docs).collect():
+        got.setdefault(r.doc_id, []).append(r.chunk)
+        assert r.chunk_len >= 1
+    for doc_id, text in texts:
+        assert " ".join(got[doc_id]) == text, doc_id

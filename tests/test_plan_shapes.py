@@ -428,3 +428,16 @@ def test_gopher_gate_is_shuffle_free(spark):
     plan = _plan(all_queries()["gopher_repetition_gate"].fn(spark, SF_DIR))
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_cdc_chunking_shuffles_only_on_compact_keys(spark):
+    """Content-defined chunking is scan-side HOFs + explode; the only hash
+    exchanges are the two phases of the exact count(distinct doc_id)
+    aggregate — (chunk_hash, doc_id) then chunk_hash, both compact keys,
+    both with map-side partials. No join, no corpus-sized key."""
+    from near_public_lakehouse_spark.queries import all_queries
+
+    plan = _plan(all_queries()["cdc_chunk_dedup"].fn(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "partial_count" in plan, plan
+    assert "Join" not in plan, plan
