@@ -1137,3 +1137,108 @@ def streaming_quality_mixture(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dsir_scores_from_state(spark: SparkSession, index_path: str) -> DataFrame:
+    """Every importance score the streaming DSIR job has assigned so far
+    (doc_id, n_feats, log_importance, avg_log_importance, as_of_batch)."""
+    return spark.read.option("basePath", f"{index_path}/scores").parquet(
+        f"{index_path}/scores/batch_id=*"
+    )
+
+
+def streaming_dsir_importance(
+    spark: SparkSession,
+    docs_path: str,
+    index_path: str,
+    checkpoint: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming twin of `sampling_dsir_importance`: hashed-bigram DSIR
+    importance scoring (Xie et al. 2023) over a document stream. Each
+    trigger folds ITS bucket counts into the raw/target bag-of-buckets
+    models and scores its documents under the models-seen-so-far — so a
+    selection stream assigns importance continuously instead of waiting
+    for a batch pass over the full corpus.
+
+    Incremental semantics (the `incremental_dedup` discipline): a
+    document's score is fixed at its arrival trigger and never re-scored
+    as the models sharpen. A single-batch run reproduces the batch query
+    EXACTLY (models-so-far = the batch models); multi-batch early scores
+    reflect the model at their time — the honest online behavior,
+    documented rather than hidden.
+
+    State, all per-batch-id overwrite dirs (replay = rewrite own dir =
+    idempotent), every table bounded by the FIXED 4096-bucket feature
+    space regardless of stream length:
+      {index_path}/buckets/batch_id=N  (b, rc, tc) — this batch's raw /
+        target bucket counts; folds with compact_substring_index
+        (key_col="b", count_col=["rc", "tc"] via two passes) or stays
+        partitioned — either way the fold read is <= 4096 rows per dir.
+      {index_path}/totals/batch_id=N   (n_raw, n_tgt) — one row.
+      {index_path}/scores/batch_id=N   the product: per-doc importance.
+    The feature stream, model fold, log-ratio, and scoring are the batch
+    query's own functions (`dsir_feature_stream` / `dsir_log_ratios` /
+    `dsir_doc_scores`), so the two surfaces cannot drift."""
+    from near_public_lakehouse_spark.queries.curation import (
+        DSIR_TARGET_LANG,
+        dsir_doc_scores,
+        dsir_log_ratios,
+        dsir_feature_stream,
+    )
+
+    schema = spark.read.parquet(docs_path).schema
+    r = spark.readStream
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = r.schema(schema).parquet(_stream_path(docs_path))
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        bg = dsir_feature_stream(batch_df).localCheckpoint()
+        is_tgt = F.col("lang") == DSIR_TARGET_LANG
+        (
+            bg.groupBy("b")
+            .agg(
+                F.count(F.lit(1)).alias("rc"),
+                F.sum(is_tgt.cast("long")).alias("tc"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{index_path}/buckets/batch_id={batch_id}")
+        )
+        (
+            bg.agg(
+                F.count(F.lit(1)).alias("n_raw"),
+                F.sum(is_tgt.cast("long")).alias("n_tgt"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{index_path}/totals/batch_id={batch_id}")
+        )
+        folded = (
+            sp.read.option("basePath", f"{index_path}/buckets")
+            .parquet(f"{index_path}/buckets/batch_id=*")
+            .groupBy("b")
+            .agg(F.sum("rc").alias("rc"), F.sum("tc").alias("tc"))
+        )
+        raw = folded.select("b", "rc")
+        tgt = folded.filter(F.col("tc") > 0).select("b", "tc")
+        tots = (
+            sp.read.option("basePath", f"{index_path}/totals")
+            .parquet(f"{index_path}/totals/batch_id=*")
+            .agg(
+                F.sum("n_raw").cast("double").alias("n_raw"),
+                F.sum("n_tgt").cast("double").alias("n_tgt"),
+            )
+        )
+        (
+            dsir_doc_scores(bg, dsir_log_ratios(raw, tgt, tots))
+            .write.mode("overwrite")
+            .parquet(f"{index_path}/scores/batch_id={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
