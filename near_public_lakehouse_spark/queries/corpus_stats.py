@@ -424,3 +424,131 @@ def range_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= RANGE_COSINE_MIN)
         .orderBy("qid", "cid")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch: a hash-verifiable approximate distinct count
+
+# K minimum (distinct) 32-bit token hashes per source. Unlike HyperLogLog
+# (approx_count_distinct), the KMV estimate is a DETERMINISTIC function of
+# the value set — both engines compute the identical sketch and estimate,
+# so the approximate path itself is driver-hash-checkable end to end.
+KMV_K = 16
+KMV_HASH_SPACE = float(2**32)  # hashes are uniform in [0, 2^32)
+
+
+def source_token_hashes(docs: DataFrame) -> DataFrame:
+    """(source, hv): the distinct 32-bit token-hash stream the KMV sketch
+    ranks — map-side-collapsing distinct, shared by query and tests."""
+    return (
+        docs.select("source", F.explode(tokens_col()).alias("token"))
+        .select(
+            "source",
+            F.conv(F.substring(F.md5("token"), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("hv"),
+        )
+        .distinct()
+    )
+
+
+def kmv_minima(h: DataFrame) -> DataFrame:
+    """(source, hv): the K smallest distinct hashes per source — the
+    mergeable sketch itself (union two shards' minima, take minima
+    again: identical to the sketch of the union)."""
+    w = Window.partitionBy("source").orderBy("hv")
+    return (
+        h.distinct()
+        .select("source", "hv", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= KMV_K)
+        .select("source", "hv")
+    )
+
+
+@query(
+    "kmv_distinct_sketch",
+    tags=("text", "llm-pipeline", "sketch"),
+    oracle=f"""
+WITH tok AS (
+  SELECT DISTINCT source, unnest({TOKENS_SQL}) AS token FROM documents
+),
+h AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5(token), 1, 8))::BIGINT AS hv
+  FROM tok
+),
+rk AS (
+  SELECT source, hv,
+         row_number() OVER (PARTITION BY source ORDER BY hv) AS rk,
+         count(*) OVER (PARTITION BY source) AS n_exact
+  FROM h
+),
+s AS (
+  SELECT source,
+         CAST(min(n_exact) AS BIGINT) AS exact_distinct,
+         CAST(count(*) AS BIGINT) AS sketch_size,
+         CAST(max(hv) AS BIGINT) AS kth_hash
+  FROM rk WHERE rk <= {KMV_K} GROUP BY source
+)
+SELECT source, exact_distinct, sketch_size, kth_hash,
+       CASE WHEN sketch_size < {KMV_K} THEN CAST(exact_distinct AS DOUBLE)
+            ELSE ({KMV_K} - 1) * {KMV_HASH_SPACE} / kth_hash END
+         AS est_distinct,
+       abs(CASE WHEN sketch_size < {KMV_K} THEN CAST(exact_distinct AS DOUBLE)
+                ELSE ({KMV_K} - 1) * {KMV_HASH_SPACE} / kth_hash END
+           - exact_distinct) / exact_distinct AS rel_err
+FROM s ORDER BY source
+""",
+)
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-token estimation with a K-minimum-values
+    sketch (Bar-Yossef et al. 2002): keep the K smallest distinct 32-bit
+    token hashes; the Kth smallest, as a fraction of the hash space,
+    estimates density, so est = (K-1) * 2^32 / kth_hash. The exact
+    distinct count and the relative error ride along as a self-grading
+    scorecard — the same invariant-twin discipline as the approx_* ANN
+    queries, except here the sketch is fully deterministic, so even the
+    APPROXIMATE estimate is hash-checked against DuckDB.
+
+    Scale shape: distinct (source, token) collapses map-side, then the
+    rank window shuffles once on source — and at 100 TB the rank input
+    can be pre-cut per partition (any partition's local K minima are a
+    superset-free bound for the global K), the classic KMV merge. Here
+    the exact count shares the same distinct stream, so the probe costs
+    nothing extra. HLL (approx_count_distinct) remains the register-
+    bounded alternative (`daily_active_users_approx`); KMV is the one
+    you can hash-verify and MERGE across shards losslessly."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = source_token_hashes(docs)
+    w = Window.partitionBy("source").orderBy("hv")
+    ranked = h.select(
+        "source",
+        "hv",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n_exact"),
+    )
+    s = (
+        ranked.filter(F.col("rk") <= KMV_K)
+        .groupBy("source")
+        .agg(
+            F.min("n_exact").cast("bigint").alias("exact_distinct"),
+            F.count(F.lit(1)).cast("bigint").alias("sketch_size"),
+            F.max("hv").cast("bigint").alias("kth_hash"),
+        )
+    )
+    est = F.when(
+        F.col("sketch_size") < KMV_K, F.col("exact_distinct").cast("double")
+    ).otherwise(
+        (KMV_K - 1) * F.lit(KMV_HASH_SPACE) / F.col("kth_hash")
+    )
+    return s.select(
+        "source",
+        "exact_distinct",
+        "sketch_size",
+        "kth_hash",
+        est.alias("est_distinct"),
+        (
+            F.abs(est - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+        ).alias("rel_err"),
+    ).orderBy("source")
