@@ -746,23 +746,9 @@ QG_MAX_TOP_BIGRAM_SHARE = 0.06
 QG_MAX_DUP_BIGRAM_SHARE = 0.06
 QG_MIN_DISTINCT_STOP = 2
 
-_QG_TOKS = "filter(split(text, ' '), x -> x != '')"
-_QG_BIGRAMS = (
-    f"transform(sequence(1, greatest(size({_QG_TOKS}) - 1, 0)),"
-    f" i -> concat(element_at({_QG_TOKS}, i), ' ', element_at({_QG_TOKS}, i + 1)))"
-)
-# longest equal-neighbor run in the sorted bigram list == max bigram count.
-# The '' seed can never match a real bigram (tokens are non-empty).
-_QG_TOP_RUN = (
-    f"aggregate(array_sort({_QG_BIGRAMS}),"
-    " struct(CAST('' AS STRING) AS prev, CAST(0 AS BIGINT) AS run,"
-    "        CAST(0 AS BIGINT) AS best),"
-    " (acc, x) -> struct(x AS prev,"
-    "   CAST(IF(x = acc.prev, acc.run + 1, 1) AS BIGINT) AS run,"
-    "   CAST(GREATEST(acc.best, IF(x = acc.prev, acc.run + 1, 1)) AS BIGINT)"
-    "     AS best),"
-    " acc -> acc.best)"
-)
+# The most-common-bigram count is the longest equal-neighbor run in the
+# SORTED per-row bigram list; the '' fold seed can never match a real
+# bigram (tokens are non-empty).
 
 _QG_RULES_SQL = f"""
 list_filter([
@@ -831,28 +817,51 @@ def gopher_repetition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the longest equal-neighbor run of the per-row SORTED bigram array —
     is a scan-side expression, so the gate runs with zero exchanges at any
     corpus size and composes into other scans for free. The per-document
-    fold is O(L log L); no corpus-sized key set ever exists. Reference
-    scope: quality gating is beyond-reference LLM-pipeline surface
-    (SURVEY §2.13); rule set from the public Gopher paper."""
+    fold is O(L log L); no corpus-sized key set ever exists. Perf shape:
+    the token and bigram arrays are materialized ONCE each as projection
+    columns and every measure reads the column — inlining the array
+    expression into each measure re-evaluates the split/transform per
+    measure per row (HOFs see no common-subexpression elimination) and
+    ran ~5x slower. Reference scope: quality gating is beyond-reference
+    LLM-pipeline surface (SURVEY §2.13); rule set from the public Gopher
+    paper."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col()
-    n = F.size(toks)
-    mean_word_len = (
-        F.expr(f"aggregate({_QG_TOKS}, CAST(0 AS DOUBLE), (a, x) -> a + length(x))")
-        / n
+    staged = docs.select(
+        "doc_id", tokens_col().alias("t")
+    ).select(
+        "doc_id",
+        "t",
+        F.expr(
+            "transform(sequence(1, greatest(size(t) - 1, 0)),"
+            " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+        ).alias("bg"),
     )
-    n_bg = F.expr(f"size({_QG_BIGRAMS})")
-    n_distinct_bg = F.expr(f"size(array_distinct({_QG_BIGRAMS}))")
+    n = F.size(F.col("t"))
+    mean_word_len = (
+        F.expr("aggregate(t, CAST(0 AS DOUBLE), (a, x) -> a + length(x))") / n
+    )
+    n_bg = F.size(F.col("bg"))
+    n_distinct_bg = F.size(F.array_distinct(F.col("bg")))
+    top_run = F.expr(
+        "aggregate(array_sort(bg),"
+        " struct(CAST('' AS STRING) AS prev, CAST(0 AS BIGINT) AS run,"
+        "        CAST(0 AS BIGINT) AS best),"
+        " (acc, x) -> struct(x AS prev,"
+        "   CAST(IF(x = acc.prev, acc.run + 1, 1) AS BIGINT) AS run,"
+        "   CAST(GREATEST(acc.best, IF(x = acc.prev, acc.run + 1, 1)) AS BIGINT)"
+        "     AS best),"
+        " acc -> acc.best)"
+    )
     top_share = F.when(
-        n_bg > 0, F.expr(_QG_TOP_RUN).cast("double") / n_bg.cast("double")
+        n_bg > 0, top_run.cast("double") / n_bg.cast("double")
     ).otherwise(F.lit(0.0))
     dup_share = F.when(
         n_bg > 0, (n_bg - n_distinct_bg).cast("double") / n_bg.cast("double")
     ).otherwise(F.lit(0.0))
     n_stop_distinct = F.size(
-        F.array_distinct(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+        F.array_distinct(F.filter(F.col("t"), lambda x: x.isin(*STOPWORDS)))
     )
-    measured = docs.select(
+    measured = staged.select(
         "doc_id",
         n.alias("n_tokens"),
         mean_word_len.alias("mean_word_len"),
