@@ -1023,3 +1023,106 @@ def frequent_ngram_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_occurrences") >= threshold)
         .orderBy(F.desc("n_occurrences"), "ngram")
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram PMI: collocation / phrase mining
+
+PMI_MIN_SUPPORT = 20  # bigram must occur this often corpus-wide
+
+
+@query(
+    "bigram_pmi_phrases",
+    tags=("text", "llm-pipeline"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+uni AS (
+  SELECT unnest(toks) AS w FROM t
+),
+uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+nu AS (SELECT CAST(sum(c) AS DOUBLE) AS nu FROM uc),
+bg AS (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> [toks[i], toks[i + 1]])) AS p
+  FROM t WHERE len(toks) >= 2
+),
+bc AS (
+  SELECT p[1] AS w1, p[2] AS w2, count(*) AS c12
+  FROM bg GROUP BY p[1], p[2]
+  HAVING count(*) >= {PMI_MIN_SUPPORT}
+),
+nb AS (
+  SELECT CAST(sum(len(toks) - 1) AS DOUBLE) AS nb
+  FROM t WHERE len(toks) >= 2
+)
+SELECT w1, w2,
+       CAST(c12 AS BIGINT) AS c12,
+       CAST(u1.c AS BIGINT) AS c1,
+       CAST(u2.c AS BIGINT) AS c2,
+       ln((CAST(c12 AS DOUBLE) * nu * nu) / (nb * u1.c * u2.c)) AS pmi
+FROM bc
+JOIN uc u1 ON bc.w1 = u1.w
+JOIN uc u2 ON bc.w2 = u2.w
+CROSS JOIN nu CROSS JOIN nb
+ORDER BY pmi DESC, w1, w2
+""",
+)
+def bigram_pmi_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information (Church & Hanks
+    1990; the phrase-detection statistic behind word2vec's phrase pass):
+    for every adjacent token pair above a support floor,
+    pmi = ln(p(w1,w2) / (p(w1) p(w2))) over corpus unigram/bigram
+    distributions. High-PMI pairs are the multi-word expressions a
+    tokenizer or n-gram blocklist should treat as units.
+
+    Scale shape: one shuffle on bigram pair, one on unigram token (both
+    collapse map-side); the unigram table joins back BROADCAST onto the
+    support-filtered bigram table (vocabulary-sized, and the support
+    floor cuts it further); the two scalar totals are 1-row broadcasts
+    (J8 pattern). The transcendental is evaluated once per surviving
+    pair — identical double expression tree on both engines, the
+    zipf_slope discipline."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens_col().alias("toks"))
+    uni = t.select(F.explode("toks").alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    nu = uc.agg(F.sum("c").cast("double").alias("nu"))
+    pairs = t.filter(F.size("toks") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, i) AS w1,"
+                "             element_at(toks, i + 1) AS w2))"
+            )
+        ).alias("p")
+    )
+    bc = (
+        pairs.select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= PMI_MIN_SUPPORT)
+    )
+    nb = (
+        t.filter(F.size("toks") >= 2)
+        .agg(F.sum(F.size("toks") - 1).cast("double").alias("nb"))
+    )
+    u1 = uc.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1_raw")
+    u2 = uc.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2_raw")
+    return (
+        bc.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("c12"),
+            F.col("c1_raw").cast("bigint").alias("c1"),
+            F.col("c2_raw").cast("bigint").alias("c2"),
+            F.log(
+                (F.col("c12").cast("double") * F.col("nu") * F.col("nu"))
+                / (F.col("nb") * F.col("c1_raw") * F.col("c2_raw"))
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+    )

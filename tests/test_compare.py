@@ -116,13 +116,14 @@ def test_driver_window_composition_is_pinned():
     to prove the fix, pack_sequences' unresolved r1 FAIL, the 3 never-
     checked r5 additions, the 7 pre-rename-only greens) + the 5 new
     `approx_*` invariant twins + the first organic names. Third-sitting
-    amendment (conscious): `gopher_repetition_gate` and `cdc_chunk_dedup`
-    (both new, never checked) enter the window and displace
-    `important_nation_revenue` / `idle_rich_customers` (both driver-green
-    r1-r4) — exactly the rotation principle of verified names yielding
-    slots to unverified ones. Any future query whose name sorts before
-    `hourly_event_stats` would silently displace a window entry — this
-    pin makes that a visible test failure so the composition is always
+    amendment (conscious): `gopher_repetition_gate`, `cdc_chunk_dedup`,
+    and `bigram_pmi_phrases` (all new, never checked) enter the window
+    and displace `important_nation_revenue` / `idle_rich_customers` /
+    `hourly_event_stats` (all driver-green in earlier rounds) — exactly
+    the rotation principle of verified names yielding slots to
+    unverified ones. Any future query whose name sorts before
+    `funnel_counts` would silently displace a window entry — this pin
+    makes that a visible test failure so the composition is always
     chosen consciously."""
     from near_public_lakehouse_spark.queries import all_queries
     from near_public_lakehouse_spark.queries.registry import DRIVER_WINDOW_ROTATION
@@ -138,6 +139,7 @@ def test_driver_window_composition_is_pinned():
         "asof_click_view",
         "benchmark_decontamination",
         "benchmark_decontamination_hashed",
+        "bigram_pmi_phrases",
         "cdc_chunk_dedup",
         "cheapest_part_offers",
         "corpus_prep",
@@ -163,6 +165,5 @@ def test_driver_window_composition_is_pinned():
         "flagged_customers_like_any",
         "funnel_counts",
         "gopher_repetition_gate",
-        "hourly_event_stats",
     ]
     assert window == sorted(expected)

@@ -441,3 +441,16 @@ def test_cdc_chunking_shuffles_only_on_compact_keys(spark):
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert "partial_count" in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_pmi_unigram_tables_broadcast_onto_pairs(spark):
+    """The vocabulary-sized unigram table and the two scalar totals come
+    back to the support-filtered bigram table as broadcasts — the pair
+    table never sort-merges, and both count shuffles keep map-side
+    partials."""
+    from near_public_lakehouse_spark.queries import all_queries
+
+    plan = _plan(all_queries()["bigram_pmi_phrases"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_count" in plan, plan
