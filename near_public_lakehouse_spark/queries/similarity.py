@@ -852,3 +852,135 @@ def sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes than `embedding_topk_cosine` for the measured error profile."""
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_topk_frame(_sq8_dequant_frame(emb))
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection: dimensionality reduction for
+# cheap distance prefilters
+
+K_JL = 16  # projected dimensionality (64 -> 16: 4x cheaper distances)
+
+
+def jl_signs(dim: int = 64) -> list[list[float]]:
+    """The deterministic ±1 projection matrix (Achlioptas 2003 database-
+    friendly JL variant), md5-seeded like `lsh_planes` so the SQL-literal
+    twin can replicate it inside DuckDB oracle SQL — the projection, and
+    therefore the whole approximate retrieval path, is hash-checkable."""
+
+    def sign(j: int, d: int) -> int:
+        import hashlib
+
+        h = hashlib.md5(f"jl{j}_dim{d}".encode()).hexdigest()
+        return 1 if int(h[:8], 16) % 2 == 0 else -1
+
+    return [[float(sign(j, d)) for d in range(dim)] for j in range(K_JL)]
+
+
+def jl_project(emb: DataFrame, dim: int = 64) -> DataFrame:
+    """(vec_id, p): every embedding projected to K_JL dims — a scan-side
+    HOF fold per output dim, no shuffle, no Python. Each coordinate is an
+    exact-decimal signed sum of the input coordinates (signs are ±1, so
+    products are exact doubles), making the projection bit-identical
+    across engines and parallelism."""
+    signs = jl_signs(dim)
+    signs_lit = F.array(
+        *[F.array(*[F.lit(v) for v in row]) for row in signs]
+    )
+    p = F.transform(
+        F.sequence(F.lit(1), F.lit(K_JL)),
+        lambda j: _dot_dec_col(
+            F.col("embedding"), F.element_at(signs_lit, j)
+        ).cast("double"),
+    )
+    return emb.select("vec_id", p.alias("p"))
+
+
+def _jl_signs_sql(dim: int = 64) -> str:
+    rows = jl_signs(dim)
+    return "[" + ", ".join(
+        "[" + ", ".join(f"{v:.1f}" for v in row) + "]" for row in rows
+    ) + "]"
+
+
+_JL_ORACLE = f"""
+WITH s AS (SELECT {_jl_signs_sql()} AS m),
+proj AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, {K_JL}), j ->
+           CAST(list_sum(list_transform(generate_series(1, 64), i ->
+             CAST(CAST(embedding[i] AS DOUBLE) * m[j][i] AS DECIMAL(30,15))))
+           AS DOUBLE)) AS p
+  FROM embeddings, s
+),
+n AS (
+  SELECT vec_id, p,
+         sqrt(CAST(list_sum(list_transform(generate_series(1, {K_JL}), j ->
+           CAST(p[j] * p[j] AS DECIMAL(30,15)))) AS DOUBLE)) AS nrm
+  FROM proj
+),
+q AS (SELECT vec_id AS qid, p AS qp, nrm AS qnorm FROM n WHERE vec_id < {N_QUERY_VECS}),
+scored AS (
+  SELECT qid, c.vec_id AS cid,
+         CAST(list_sum(list_transform(generate_series(1, {K_JL}), j ->
+           CAST(qp[j] * c.p[j] AS DECIMAL(30,15)))) AS DOUBLE)
+           / (qnorm * c.nrm) AS jl_cosine
+  FROM q, n c WHERE c.vec_id <> qid
+),
+ranked AS (
+  SELECT qid, cid, jl_cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY jl_cosine DESC, cid)
+           AS rnk
+  FROM scored
+)
+SELECT qid, cid, jl_cosine, rnk FROM ranked
+WHERE rnk <= {TOP_K}
+ORDER BY qid, rnk
+"""
+
+
+@query("jl_projection_topk", tags=("similarity", "ann"), oracle=_JL_ORACLE)
+def jl_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k in Johnson-Lindenstrauss-projected space: embeddings
+    are projected from 64 to {K_JL} dims with a deterministic ±1 matrix
+    (Achlioptas 2003), then ranked by projected-space cosine — the cheap
+    prefilter a 100 TB retrieval pipeline runs before exact rescoring
+    (4x fewer multiply-adds per distance, 4x smaller scan). Because the
+    matrix is md5-derived rather than sampled, the projection is
+    reproducible everywhere and this APPROXIMATE path is fully
+    driver-hash-checked, the SQ8 discipline. Recall vs the exact top-k is
+    pinned in tests/test_jl.py; the analytic JL guarantee (distortion
+    concentrates as dims grow) is what makes the recall hold at scale.
+
+    Plan: projection is a per-row fold cascade in the scan; the query
+    side broadcasts; one window per qid — the exact skeleton of
+    embedding_topk_cosine but over 16-dim arrays."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return jl_topk_frame(emb)
+
+
+def jl_topk_frame(emb: DataFrame, dim: int = 64) -> DataFrame:
+    """Core of jl_projection_topk over any (vec_id, embedding) frame — so
+    tests can plant near-duplicates and pin recall in the regime a cheap
+    projected prefilter is built for (cosine >= ~0.99 twins; on uniformly
+    random vectors, 64->16 JL distortion ~ the neighbor margin and recall
+    collapses by design — documented, not hidden)."""
+    proj = jl_project(emb, dim)
+    norm = F.sqrt(_dot_dec_col(F.col("p"), F.col("p")).cast("double"))
+    n = proj.select("vec_id", "p", norm.alias("nrm"))
+    q = n.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("p").alias("qp"), F.col("nrm").alias("qnorm")
+    )
+    c = n.select(
+        F.col("vec_id").alias("cid"), F.col("p").alias("cp"), F.col("nrm").alias("cnorm")
+    )
+    joined = c.crossJoin(F.broadcast(q)).filter(F.col("cid") != F.col("qid"))
+    cosine = _dot_dec_col(F.col("qp"), F.col("cp")).cast("double") / (
+        F.col("qnorm") * F.col("cnorm")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("jl_cosine"), F.asc("cid"))
+    return (
+        joined.select("qid", "cid", cosine.alias("jl_cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .orderBy("qid", "rnk")
+    )
