@@ -193,3 +193,130 @@ def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# table profiling: the ANALYZE-style per-column statistics pass
+
+# (table, column, class) for the profiled tables. The testdata schema is
+# fixed (TESTDATA.md); the SQL twin is generated from this same list.
+_PROFILE_COLS = {
+    "orders": (
+        ("o_orderkey", "numeric"),
+        ("o_custkey", "numeric"),
+        ("o_orderstatus", "string"),
+        ("o_totalprice", "numeric"),
+        ("o_orderdate", "timestamp"),
+        ("o_orderpriority", "string"),
+    ),
+    "customer": (
+        ("c_custkey", "numeric"),
+        ("c_name", "string"),
+        ("c_nationkey", "numeric"),
+        ("c_acctbal", "numeric"),
+        ("c_mktsegment", "string"),
+    ),
+}
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for tbl, cols in _PROFILE_COLS.items():
+        for c, cls in cols:
+            mn_num = f"CAST(min({c}) AS DOUBLE)" if cls == "numeric" else "NULL::DOUBLE"
+            mx_num = f"CAST(max({c}) AS DOUBLE)" if cls == "numeric" else "NULL::DOUBLE"
+            mn_str = f"min({c})" if cls == "string" else "NULL::VARCHAR"
+            mx_str = f"max({c})" if cls == "string" else "NULL::VARCHAR"
+            mn_dt = (
+                f"min(CAST({c} AS DATE))" if cls == "timestamp" else "NULL::DATE"
+            )
+            mx_dt = (
+                f"max(CAST({c} AS DATE))" if cls == "timestamp" else "NULL::DATE"
+            )
+            parts.append(
+                f"SELECT '{tbl}' AS tbl, '{c}' AS col, '{cls}' AS cls,"
+                f" CAST(count(*) AS BIGINT) AS n_rows,"
+                f" CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,"
+                f" CAST(count(DISTINCT {c}) AS BIGINT) AS ndv,"
+                f" {mn_num} AS min_num, {mx_num} AS max_num,"
+                f" {mn_str} AS min_str, {mx_str} AS max_str,"
+                f" {mn_dt} AS min_date, {mx_dt} AS max_date"
+                f" FROM {tbl}"
+            )
+    return " UNION ALL ".join(parts) + " ORDER BY tbl, col"
+
+
+@query("table_profile", tags=("stats", "maintenance"), oracle=_profile_oracle())
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics for the warehouse tables: row
+    count, null count, exact NDV, and class-appropriate min/max (numeric
+    as double, string as string, timestamp as DATE — the canonical forms
+    that survive every engine/timezone seam). This is the statistics
+    pass a catalog feeds the optimizer (join reordering, broadcast
+    decisions) and a data team reads as the freshness/skew dashboard.
+
+    Scale shape: ONE aggregation pass per table — every column's
+    count/ndv/min/max computed in a single agg (the multi-distinct
+    Expand), one shuffle per table, never a per-column rescan. At 100 TB
+    swap the exact NDV for the KMV sketch (`kmv_distinct_sketch`'s
+    mergeable minima) and this becomes the standard incremental-ANALYZE
+    job; exact is right at oracle-check scale."""
+    pieces = []
+    for tbl, cols in _PROFILE_COLS.items():
+        df = load_table(spark, sf_dir, tbl)
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for c, cls in cols:
+            aggs.append(F.count(c).alias(f"cnt__{c}"))
+            aggs.append(F.countDistinct(c).alias(f"ndv__{c}"))
+            if cls == "numeric":
+                aggs.append(F.min(c).cast("double").alias(f"mnn__{c}"))
+                aggs.append(F.max(c).cast("double").alias(f"mxn__{c}"))
+            elif cls == "string":
+                aggs.append(F.min(c).alias(f"mns__{c}"))
+                aggs.append(F.max(c).alias(f"mxs__{c}"))
+            else:  # timestamp -> DATE canonical form
+                aggs.append(F.min(F.to_date(c)).alias(f"mnd__{c}"))
+                aggs.append(F.max(F.to_date(c)).alias(f"mxd__{c}"))
+        one = df.agg(*aggs)
+        null_num = F.lit(None).cast("double")
+        null_str = F.lit(None).cast("string")
+        null_dt = F.lit(None).cast("date")
+        structs = []
+        for c, cls in cols:
+            structs.append(
+                F.struct(
+                    F.lit(tbl).alias("tbl"),
+                    F.lit(c).alias("col"),
+                    F.lit(cls).alias("cls"),
+                    F.col("n_rows").cast("bigint").alias("n_rows"),
+                    (F.col("n_rows") - F.col(f"cnt__{c}"))
+                    .cast("bigint")
+                    .alias("n_nulls"),
+                    F.col(f"ndv__{c}").cast("bigint").alias("ndv"),
+                    (F.col(f"mnn__{c}") if cls == "numeric" else null_num).alias(
+                        "min_num"
+                    ),
+                    (F.col(f"mxn__{c}") if cls == "numeric" else null_num).alias(
+                        "max_num"
+                    ),
+                    (F.col(f"mns__{c}") if cls == "string" else null_str).alias(
+                        "min_str"
+                    ),
+                    (F.col(f"mxs__{c}") if cls == "string" else null_str).alias(
+                        "max_str"
+                    ),
+                    (F.col(f"mnd__{c}") if cls == "timestamp" else null_dt).alias(
+                        "min_date"
+                    ),
+                    (F.col(f"mxd__{c}") if cls == "timestamp" else null_dt).alias(
+                        "max_date"
+                    ),
+                )
+            )
+        pieces.append(
+            one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("tbl", "col")
