@@ -795,3 +795,85 @@ def sampling_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         topk.withColumn("rnk", F.row_number().over(w).cast("bigint")).orderBy("rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# mixture re-balancing: temperature-based per-source sampling rates
+
+MIX_TEMP_ALPHA = 0.5  # temperature exponent; 0.5 == sqrt re-weighting
+
+
+@query(
+    "mixture_rebalance_plan",
+    tags=("text", "llm-pipeline", "sampling"),
+    oracle=f"""
+WITH s AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({TOKENS_SQL})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM s),
+w AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(n_tokens AS DOUBLE) / total AS current_share,
+         sqrt(CAST(n_tokens AS DOUBLE) / total) AS raw_w
+  FROM s CROSS JOIN t
+),
+z AS (SELECT CAST(sum(raw_w) AS DOUBLE) AS zsum FROM w)
+SELECT source, n_docs, n_tokens, current_share,
+       raw_w / zsum AS target_share,
+       raw_w / zsum * total AS target_tokens,
+       (raw_w / zsum * total) / n_tokens AS rate,
+       CASE WHEN (raw_w / zsum * total) / n_tokens <= 1.0
+            THEN 'downsample' ELSE 'upsample' END AS mode
+FROM w CROSS JOIN z CROSS JOIN t
+ORDER BY source
+""",
+)
+def mixture_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture re-weighting plan a curation pipeline derives before
+    resampling: per-source token shares are re-balanced by temperature
+    sampling (share^alpha renormalized, alpha={MIX_TEMP_ALPHA} — the
+    multilingual-corpus standard of Conneau & Lample 2019), and each
+    source gets its sampling `rate` = target_tokens / current_tokens,
+    labeled downsample (feed `quality_mixture_sample`-style seeded-hash
+    keeps) or upsample (feed `mixture_upsample`'s copy counts). Paired
+    with `source_token_kl_drift`, this closes the monitor -> plan ->
+    resample loop.
+
+    Scale shape: one |sources|-row aggregation off the scan; the two
+    scalar totals come back as 1-row broadcasts (J8 pattern). sqrt, not
+    pow, so the transcendental is the same primitive on both engines.
+    All doubles derive from exact BIGINT sums — order-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(tokens_col())).cast("bigint").alias("n_tokens"),
+    )
+    t = s.agg(F.sum("n_tokens").cast("double").alias("total"))
+    w = s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("total")).alias("current_share"),
+        F.sqrt(F.col("n_tokens").cast("double") / F.col("total")).alias("raw_w"),
+        "total",
+    )
+    z = w.agg(F.sum("raw_w").cast("double").alias("zsum"))
+    target_tokens = F.col("raw_w") / F.col("zsum") * F.col("total")
+    rate = target_tokens / F.col("n_tokens")
+    return (
+        w.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "current_share",
+            (F.col("raw_w") / F.col("zsum")).alias("target_share"),
+            target_tokens.alias("target_tokens"),
+            rate.alias("rate"),
+            F.when(rate <= 1.0, "downsample").otherwise("upsample").alias("mode"),
+        )
+        .orderBy("source")
+    )

@@ -170,3 +170,16 @@ def test_dsir_topk_ranks_and_determinism(spark):
     # the sample is exactly the K largest keys among ALL scored docs
     scored = all_queries()["sampling_dsir_importance"].fn(spark, SF_DIR)
     assert len(rows) == min(100, scored.count())
+
+
+def test_rebalance_plan_conserves_token_budget(spark):
+    rows = all_queries()["mixture_rebalance_plan"].fn(spark, SF_DIR).collect()
+    assert rows
+    assert abs(sum(r.target_share for r in rows) - 1.0) <= 1e-9
+    total = sum(r.n_tokens for r in rows)
+    assert abs(sum(r.target_tokens for r in rows) - total) <= 1e-6 * total
+    # temperature 0.5 flattens: every under-represented source is upsampled
+    mean_share = 1.0 / len(rows)
+    for r in rows:
+        if r.current_share < mean_share:
+            assert r.rate > 1.0 and r.mode == "upsample", r
