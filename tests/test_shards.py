@@ -1,0 +1,86 @@
+"""Training-shard writer (`operators/shards.py`): placement parity with
+shard_manifest, per-shard doc_id ordering, overwrite idempotence, and
+the store audit."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from near_public_lakehouse_spark.operators.shards import (
+    verify_shard_store,
+    write_training_shards,
+)
+from near_public_lakehouse_spark.queries import all_queries
+from near_public_lakehouse_spark.sources.tables import load_table
+
+from tests.conftest import SF_DIR
+
+
+def test_written_shards_match_computed_manifest(spark, tmp_path):
+    base = str(tmp_path / "shards")
+    docs = load_table(spark, SF_DIR, "documents")
+    write_training_shards(docs, base)
+    stored = {
+        r.shard_id: (r.n_docs, r.min_doc_id, r.max_doc_id)
+        for r in spark.read.parquet(f"{base}/_manifest").collect()
+    }
+    computed = {
+        r.shard_id: (r.n_docs, r.min_doc_id, r.max_doc_id)
+        for r in all_queries()["shard_manifest"].fn(spark, SF_DIR).collect()
+    }
+    assert stored == computed
+    # and no document was lost or duplicated across shard dirs
+    data = spark.read.parquet(f"{base}/data")
+    assert data.count() == docs.count()
+    assert data.select("doc_id").distinct().count() == docs.count()
+
+
+def test_shard_files_are_doc_id_sorted(spark, tmp_path):
+    base = str(tmp_path / "shards")
+    write_training_shards(load_table(spark, SF_DIR, "documents"), base)
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = glob.glob(f"{base}/data/shard_id=*/*.parquet")
+    assert files
+    for f in files:
+        ids = pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist()
+        assert ids == sorted(ids), f
+
+
+def test_rewrite_is_stable_and_audit_is_clean(spark, tmp_path):
+    base = str(tmp_path / "shards")
+    docs = load_table(spark, SF_DIR, "documents")
+    write_training_shards(docs, base)
+    first = {
+        (r.shard_id, r.doc_id)
+        for r in spark.read.parquet(f"{base}/data").select("shard_id", "doc_id").collect()
+    }
+    write_training_shards(docs, base)  # overwrite with identical placement
+    second = {
+        (r.shard_id, r.doc_id)
+        for r in spark.read.parquet(f"{base}/data").select("shard_id", "doc_id").collect()
+    }
+    assert first == second
+    audit = verify_shard_store(spark, base)
+    assert audit.filter(F.col("mismatch")).count() == 0
+    assert audit.count() > 0
+
+
+def test_seed_bump_reshuffles_deterministically(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents").limit(200)
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    write_training_shards(docs, a, seed="r6")
+    write_training_shards(docs, b, seed="r7")
+    pa = {
+        r.doc_id: r.shard_id
+        for r in spark.read.parquet(f"{a}/data").select("doc_id", "shard_id").collect()
+    }
+    pb = {
+        r.doc_id: r.shard_id
+        for r in spark.read.parquet(f"{b}/data").select("doc_id", "shard_id").collect()
+    }
+    assert set(pa) == set(pb)
+    assert any(pa[d] != pb[d] for d in pa)  # the placement actually moved
