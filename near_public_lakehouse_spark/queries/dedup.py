@@ -1484,3 +1484,108 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_occurrences") >= 2)
         .orderBy(F.desc("n_occurrences"), "chunk_hash")
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints: the MOSS local-fingerprinting scheme
+
+WIN_K = 3  # k-gram width (tokens)
+WIN_W = 4  # winnowing window over the k-gram hash stream
+# Guarantee (Schleimer et al. 2003): any shared token run of length
+# >= WIN_W + WIN_K - 1 (= 6) produces at least one shared fingerprint,
+# and no fingerprint is farther than WIN_W k-grams from the previous one
+# — position-robust partial-overlap detection with O(n / w) fingerprints
+# per document instead of O(n) shingles.
+
+# selection encoded as one BIGINT: hash * 256 + rightmost-min position
+# (positions fit 8 bits at test scale; the encoding only needs to be
+# injective per document for the adjacent-window dedup).
+_WIN_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_SQL} AS t FROM documents
+  WHERE len({TOKENS_SQL}) >= {WIN_K}
+),
+h AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(t) - {WIN_K - 1}),
+           i -> ('0x' || substr(md5(array_to_string(t[i:i + {WIN_K - 1}], ' ')), 1, 8))::BIGINT)
+           AS hs
+  FROM t
+),
+sel AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(hs) - {WIN_W - 1}),
+           j -> list_min(hs[j:j + {WIN_W - 1}]) * 256
+                + (j + {WIN_W} - list_position(list_reverse(hs[j:j + {WIN_W - 1}]),
+                                               list_min(hs[j:j + {WIN_W - 1}]))))) AS keys
+  FROM h WHERE len(hs) >= {WIN_W}
+),
+fp AS (
+  SELECT doc_id, unnest(keys) // 256 AS fingerprint FROM sel
+),
+d AS (SELECT DISTINCT doc_id, fingerprint FROM fp)
+SELECT fingerprint,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS example_doc_id
+FROM d GROUP BY fingerprint
+HAVING count(*) >= 2
+ORDER BY n_docs DESC, fingerprint
+"""
+
+
+def winnowing_selections(docs: DataFrame) -> DataFrame:
+    """(doc_id, key): the winnowed selection stream — every stage a named
+    projection column (the Gopher-gate lesson: HOF inputs must be
+    materialized columns, or each measure re-evaluates the cascade)."""
+    t = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    base = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= WIN_K)
+    hs = base.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, size(t) - {WIN_K - 1}),"
+            f" i -> cast(conv(substring(md5(concat_ws(' ', slice(t, i, {WIN_K}))), 1, 8), 16, 10) AS BIGINT))"
+        ).alias("hs"),
+    ).filter(F.size("hs") >= WIN_W)
+    sel = hs.select(
+        "doc_id",
+        F.expr(
+            f"array_distinct(transform(sequence(1, size(hs) - {WIN_W - 1}),"
+            f" j -> array_min(slice(hs, j, {WIN_W})) * 256"
+            f"      + (j + {WIN_W} - array_position(reverse(slice(hs, j, {WIN_W})),"
+            f"                                      array_min(slice(hs, j, {WIN_W}))))))"
+        ).alias("keys"),
+    )
+    return sel.select("doc_id", F.explode("keys").alias("key"))
+
+
+@query("winnowing_matches", tags=("dedup", "beyond-reference"), oracle=_WIN_ORACLE)
+def winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (Schleimer et al., SIGMOD'03 — the MOSS fingerprinting
+    scheme): per document, hash every {WIN_K}-token k-gram, slide a
+    {WIN_W}-wide window over the hash stream, and select each window's
+    rightmost minimal hash; fingerprints shared by >= 2 documents are
+    reported. The density guarantee (one fingerprint per {WIN_W} k-grams,
+    every shared run >= {WIN_W + WIN_K - 1} tokens detected) is what
+    fixed-stride sampling can't give and full shingling pays O(n) to get.
+    Complements CDC chunking: winnowing finds partial overlap at k-gram
+    granularity; CDC finds it at chunk granularity.
+
+    Scale shape: selection is a per-row HOF cascade over named columns
+    (no shuffle, ~n/{WIN_W} selected keys per doc); then the same two
+    compact-key exchanges as cdc_chunk_dedup for the exact distinct-doc
+    rollup. At 100 TB the fingerprint stream is the SMALLEST of the
+    dedup families' candidate streams by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = winnowing_selections(docs).select(
+        "doc_id", (F.col("key") / 256).cast("bigint").alias("fingerprint")
+    )
+    d = fp.distinct()
+    return (
+        d.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("example_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), "fingerprint")
+    )

@@ -181,3 +181,59 @@ def test_cdc_chunks_partition_each_document(spark):
         assert r.chunk_len >= 1
     for doc_id, text in texts:
         assert " ".join(got[doc_id]) == text, doc_id
+
+
+def test_winnowing_detects_shared_runs_at_any_offset(spark):
+    """Schleimer et al.'s guarantee: documents sharing a token run of
+    length >= WIN_W + WIN_K - 1 share at least one fingerprint, wherever
+    the run sits in each document."""
+    from near_public_lakehouse_spark.queries.dedup import (
+        WIN_K,
+        WIN_W,
+        winnowing_selections,
+    )
+
+    shared = "aa bb cc dd ee ff"  # exactly w + k - 1 = 6 tokens
+    assert len(shared.split()) == WIN_W + WIN_K - 1
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} xx yy zz qq ww rr tt"),
+            (2, f"k1 k2 k3 k4 k5 {shared}"),
+            (3, "n1 n2 n3 n4 n5 n6 n7 n8 n9 n0"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {}
+    for r in winnowing_selections(docs).collect():
+        fps.setdefault(r.doc_id, set()).add(r.key // 256)
+    assert fps[1] & fps[2], (fps[1], fps[2])  # shared run detected
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+def test_winnowing_density_bound(spark):
+    """At most one fingerprint per position, at least one per WIN_W
+    k-grams: selected-key count is within [ceil(n_kgrams/WIN_W),
+    n_kgrams]."""
+    import math
+
+    from near_public_lakehouse_spark.queries.dedup import (
+        WIN_K,
+        WIN_W,
+        winnowing_selections,
+    )
+    from near_public_lakehouse_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    toks = {
+        r.doc_id: len([t for t in r.text.split(" ") if t])
+        for r in docs.collect()
+    }
+    counts = {}
+    for r in winnowing_selections(docs).collect():
+        counts[r.doc_id] = counts.get(r.doc_id, 0) + 1
+    for doc_id, c in counts.items():
+        n_kgrams = toks[doc_id] - WIN_K + 1
+        n_windows = n_kgrams - WIN_W + 1
+        assert c <= n_windows
+        assert c >= math.ceil(n_windows / WIN_W)
