@@ -1242,3 +1242,77 @@ def streaming_dsir_importance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def cdc_families_from_state(spark: SparkSession, index_path: str) -> DataFrame:
+    """Duplicate chunk families over everything the streaming CDC indexer
+    has seen: fold the per-batch chunk index and report chunk hashes with
+    >= 2 occurrences — the same shape as the batch `cdc_chunk_dedup`."""
+    folded = (
+        spark.read.option("basePath", f"{index_path}/chunks")
+        .parquet(f"{index_path}/chunks/batch_id=*")
+        .groupBy("chunk_hash")
+        .agg(
+            F.min("chunk_len").cast("bigint").alias("chunk_len"),
+            F.sum("n_occurrences").cast("bigint").alias("n_occurrences"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.min("example_doc_id").alias("example_doc_id"),
+        )
+    )
+    return folded.filter(F.col("n_occurrences") >= 2).orderBy(
+        F.desc("n_occurrences"), "chunk_hash"
+    )
+
+
+def streaming_cdc_chunks(
+    spark: SparkSession,
+    docs_path: str,
+    index_path: str,
+    checkpoint: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming twin of `cdc_chunk_dedup`: content-defined chunk
+    fingerprints maintained incrementally over a document stream. Each
+    trigger chunks ITS documents (per-row HOF cascade — chunk boundaries
+    depend only on local content, so streaming arrival order cannot
+    change any chunk) and writes its per-chunk partial aggregate to a
+    replay-idempotent batch_id dir; duplicate families are the fold of
+    the partials, equal to the batch query over the corpus seen so far.
+
+    Note the doc-count caveat baked into the state shape: per-batch
+    n_docs partials sum EXACTLY because a document lives in exactly one
+    batch — the same doc never splits across triggers, so
+    sum(partial count(DISTINCT doc_id)) == count(DISTINCT doc_id).
+    State: {index_path}/chunks/batch_id=N (chunk_hash, chunk_len,
+    n_occurrences, n_docs, example_doc_id) — compacts with
+    compact_substring_index(key_col="chunk_hash") per count column or
+    stays partitioned; either way the fold reads hash-sized rows, never
+    documents."""
+    from near_public_lakehouse_spark.queries.dedup import cdc_chunk_instances
+
+    schema = spark.read.parquet(docs_path).schema
+    r = spark.readStream
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = r.schema(schema).parquet(_stream_path(docs_path))
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            cdc_chunk_instances(batch_df)
+            .groupBy("chunk_hash")
+            .agg(
+                F.min("chunk_len").alias("chunk_len"),
+                F.count(F.lit(1)).alias("n_occurrences"),
+                F.countDistinct("doc_id").alias("n_docs"),
+                F.min("doc_id").alias("example_doc_id"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{index_path}/chunks/batch_id={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
