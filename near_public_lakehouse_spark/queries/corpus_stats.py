@@ -25,7 +25,7 @@ from near_public_lakehouse_spark.queries.similarity import (
     N_QUERY_VECS,
     _dot_dec_col,
 )
-from near_public_lakehouse_spark.queries.text import TOKENS_SQL, tokens_col
+from near_public_lakehouse_spark.queries.text import STOPWORDS, TOKENS_SQL, tokens_col
 from near_public_lakehouse_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -552,3 +552,88 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("exact_distinct")
         ).alias("rel_err"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# cross-modal audit: embedding clusters x document quality
+
+LQA_LOW_QUALITY = 0.75  # quality_score floor for the low-quality counter
+
+
+@query(
+    "label_quality_audit",
+    tags=("similarity", "text", "llm-pipeline"),
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id,
+         least(1.0, len({TOKENS_SQL}) / 64.0) * 0.4
+           + len(list_distinct({TOKENS_SQL})) / len({TOKENS_SQL}) * 0.4
+           + (1.0 - len(list_filter({TOKENS_SQL}, x -> x IN
+               ('the', 'a', 'of', 'an', 'to', 'and', 'in')))
+               / len({TOKENS_SQL})) * 0.2 AS quality_score,
+         source
+  FROM documents
+),
+j AS (
+  SELECT e.label, q.quality_score, q.source
+  FROM embeddings e JOIN q ON q.doc_id = e.vec_id
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST(quality_score AS DECIMAL(30,15))) AS DOUBLE) / count(*)
+         AS mean_quality,
+       count(DISTINCT source) AS n_sources,
+       CAST(count(*) FILTER (quality_score < {LQA_LOW_QUALITY}) AS BIGINT)
+         AS n_low_quality
+FROM j GROUP BY label ORDER BY label
+""",
+)
+def label_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal cluster audit: embedding cluster labels joined to
+    text-side quality scores (vec_id == doc_id in the testdata contract)
+    — per cluster, document count, mean quality, source spread, and the
+    low-quality tally. This is the diagnostic behind SemDeDup-style
+    cluster pruning (Abbas et al. 2023): clusters that concentrate
+    low-quality or single-source documents are dropped wholesale before
+    any per-document work.
+
+    Scale shape: one equi-join on the id (both sides partition-aligned
+    by construction at write time; at 100 TB co-bucket both tables on
+    the id, `operators/bucketing`), then a |labels|-row aggregation with
+    map-side partials. The mean uses the decimal-sum-then-double rule so
+    it is order- and parallelism-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n = F.size(toks).cast("double")
+    quality = (
+        F.least(F.lit(1.0), F.size(toks) / F.lit(64.0)) * 0.4
+        + (F.size(F.array_distinct(toks)) / n) * 0.4
+        + (
+            F.lit(1.0)
+            - F.size(
+                F.filter(toks, lambda x: x.isin(*STOPWORDS))
+            )
+            / n
+        )
+        * 0.2
+    )
+    q = docs.select("doc_id", quality.alias("quality_score"), "source")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    j = emb.join(q, "doc_id")
+    return (
+        j.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            (
+                F.sum(F.col("quality_score").cast("decimal(30,15)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_quality"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum((F.col("quality_score") < LQA_LOW_QUALITY).cast("long"))
+            .cast("bigint")
+            .alias("n_low_quality"),
+        )
+        .orderBy("label")
+    )
