@@ -14,7 +14,7 @@ all-pairs O(n^2) join never appears at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from near_public_lakehouse_spark.queries.registry import query
@@ -1497,9 +1497,10 @@ WIN_W = 4  # winnowing window over the k-gram hash stream
 # — position-robust partial-overlap detection with O(n / w) fingerprints
 # per document instead of O(n) shingles.
 
-# selection encoded as one BIGINT: hash * 256 + rightmost-min position
-# (positions fit 8 bits at test scale; the encoding only needs to be
-# injective per document for the adjacent-window dedup).
+# selection encoded as one BIGINT: hash * 65536 + rightmost-min position
+# (positions fit 16 bits for documents up to 64Ki k-grams — widen the
+# radix for longer documents; the encoding only needs to be injective
+# per document for the adjacent-window dedup).
 _WIN_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, {TOKENS_SQL} AS t FROM documents
@@ -1515,13 +1516,13 @@ h AS (
 sel AS (
   SELECT doc_id,
          list_distinct(list_transform(generate_series(1, len(hs) - {WIN_W - 1}),
-           j -> list_min(hs[j:j + {WIN_W - 1}]) * 256
+           j -> list_min(hs[j:j + {WIN_W - 1}]) * 65536
                 + (j + {WIN_W} - list_position(list_reverse(hs[j:j + {WIN_W - 1}]),
                                                list_min(hs[j:j + {WIN_W - 1}]))))) AS keys
   FROM h WHERE len(hs) >= {WIN_W}
 ),
 fp AS (
-  SELECT doc_id, unnest(keys) // 256 AS fingerprint FROM sel
+  SELECT doc_id, unnest(keys) // 65536 AS fingerprint FROM sel
 ),
 d AS (SELECT DISTINCT doc_id, fingerprint FROM fp)
 SELECT fingerprint,
@@ -1534,9 +1535,24 @@ ORDER BY n_docs DESC, fingerprint
 
 
 def winnowing_selections(docs: DataFrame) -> DataFrame:
-    """(doc_id, key): the winnowed selection stream — every stage a named
-    projection column (the Gopher-gate lesson: HOF inputs must be
-    materialized columns, or each measure re-evaluates the cascade)."""
+    """(doc_id, key): the winnowed selection stream, key = fingerprint *
+    65536 + 1-based-position (positions fit 16 bits for documents up to
+    64Ki k-grams; widen the radix for longer documents).
+
+    Plan shape — and why it is a window function, not a per-row HOF:
+    the k-gram hashes posexplode to ROWS (Generate evaluates the md5
+    transform once per document), then the rightmost minimal hash of
+    every sliding window is min() over a ROWS BETWEEN CURRENT AND w-1
+    FOLLOWING frame, with the hash encoded as h * 65536 + (65535 - pos)
+    so ties pick the LARGEST position — the paper's rightmost rule —
+    inside a single order-statistic. Two rejected per-row HOF shapes,
+    both measured at sf0.001: slice/reverse/array_min allocated three
+    arrays per window, and any fold doing element_at(hs, q) lookups hit
+    the ProjectCollapse trap — the explode inlines the full md5
+    transform into every lookup, turning the scan quadratic (~88 s for
+    500 docs, size-independent). The window shuffle on doc_id is the
+    honest linear cost and partitions the same way as every downstream
+    doc-keyed consumer."""
     t = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     base = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= WIN_K)
     hs = base.select(
@@ -1546,16 +1562,23 @@ def winnowing_selections(docs: DataFrame) -> DataFrame:
             f" i -> cast(conv(substring(md5(concat_ws(' ', slice(t, i, {WIN_K}))), 1, 8), 16, 10) AS BIGINT))"
         ).alias("hs"),
     ).filter(F.size("hs") >= WIN_W)
-    sel = hs.select(
+    ks = hs.select(
         "doc_id",
-        F.expr(
-            f"array_distinct(transform(sequence(1, size(hs) - {WIN_W - 1}),"
-            f" j -> array_min(slice(hs, j, {WIN_W})) * 256"
-            f"      + (j + {WIN_W} - array_position(reverse(slice(hs, j, {WIN_W})),"
-            f"                                      array_min(slice(hs, j, {WIN_W}))))))"
-        ).alias("keys"),
+        F.size("hs").alias("n"),
+        F.posexplode("hs").alias("pos", "h"),  # pos is 0-based
     )
-    return sel.select("doc_id", F.explode("keys").alias("key"))
+    enc = F.col("h") * 65536 + (65535 - F.col("pos"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WIN_W - 1)
+    )
+    sel = ks.select(
+        "doc_id", "n", "pos", F.min(enc).over(w).alias("wmin")
+    ).filter(F.col("pos") <= F.col("n") - WIN_W)
+    fp = F.expr("wmin DIV 65536")
+    pos1 = 65536 - (F.col("wmin") % 65536)  # = 0-based pos + 1
+    return sel.select("doc_id", (fp * 65536 + pos1).alias("key")).distinct()
 
 
 @query("winnowing_matches", tags=("dedup", "beyond-reference"), oracle=_WIN_ORACLE)
@@ -1577,7 +1600,7 @@ def winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup families' candidate streams by construction."""
     docs = load_table(spark, sf_dir, "documents")
     fp = winnowing_selections(docs).select(
-        "doc_id", (F.col("key") / 256).cast("bigint").alias("fingerprint")
+        "doc_id", (F.col("key") / 65536).cast("bigint").alias("fingerprint")
     )
     d = fp.distinct()
     return (
