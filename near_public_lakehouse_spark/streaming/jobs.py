@@ -1316,3 +1316,67 @@ def streaming_cdc_chunks(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def winnowing_matches_from_state(spark: SparkSession, index_path: str) -> DataFrame:
+    """Cross-document fingerprint matches over everything the streaming
+    winnowing indexer has seen — same shape as the batch
+    `winnowing_matches`."""
+    folded = (
+        spark.read.option("basePath", f"{index_path}/fps")
+        .parquet(f"{index_path}/fps/batch_id=*")
+        .groupBy("fingerprint")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.min("example_doc_id").alias("example_doc_id"),
+        )
+    )
+    return folded.filter(F.col("n_docs") >= 2).orderBy(
+        F.desc("n_docs"), "fingerprint"
+    )
+
+
+def streaming_winnowing(
+    spark: SparkSession,
+    docs_path: str,
+    index_path: str,
+    checkpoint: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming twin of `winnowing_matches`: winnowed fingerprints
+    maintained incrementally. Selection is a pure per-document function
+    (window minima over the doc's own hash stream), so arrival order
+    cannot change any fingerprint, and per-batch distinct-doc partials
+    fold losslessly — a document lives in exactly one batch (the
+    streaming CDC argument verbatim). State:
+    {index_path}/fps/batch_id=N (fingerprint, n_docs, example_doc_id),
+    replay-idempotent overwrite dirs, compactable by fingerprint."""
+    from near_public_lakehouse_spark.queries.dedup import winnowing_selections
+
+    schema = spark.read.parquet(docs_path).schema
+    r = spark.readStream
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = r.schema(schema).parquet(_stream_path(docs_path))
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        fp = winnowing_selections(batch_df).select(
+            "doc_id", F.expr("key DIV 65536").alias("fingerprint")
+        )
+        (
+            fp.distinct()
+            .groupBy("fingerprint")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.min("doc_id").alias("example_doc_id"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{index_path}/fps/batch_id={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -237,3 +237,21 @@ def test_winnowing_density_bound(spark):
         n_windows = n_kgrams - WIN_W + 1
         assert c <= n_windows
         assert c >= math.ceil(n_windows / WIN_W)
+
+
+@given(docs=st.lists(token_lists, min_size=1, max_size=4))
+@settings(**_SETTINGS)
+def test_cdc_chunks_always_partition_the_token_stream(spark, docs):
+    """Fuzz the partition property: for ANY token stream, CDC chunks
+    reassemble to the exact document and every chunk is non-empty."""
+    from near_public_lakehouse_spark.queries.dedup import cdc_chunk_instances
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    frame = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in cdc_chunk_instances(frame).collect():
+        assert r.chunk_len >= 1
+        got.setdefault(r.doc_id, []).append(r.chunk)
+    for doc_id, text in rows:
+        if text:
+            assert " ".join(got[doc_id]) == text
