@@ -118,6 +118,7 @@ def all_queries() -> dict[str, Query]:
         similarity,
         stats,
         subqueries,
+        suffix,
         text,
         tokenizer,
         windows,

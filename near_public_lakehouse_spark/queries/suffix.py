@@ -1,0 +1,197 @@
+"""Distributed suffix array over the tokenized corpus, by Manber-Myers
+prefix doubling — the machinery behind suffix-array substring dedup (Lee
+et al. 2022 build exactly this, single-node, to find duplicated spans).
+
+Engine validation story: `suffix_array_dup_positions` flags every k-gram
+position whose gram occurs >= 2 corpus-wide USING ONLY suffix-array
+neighbor comparisons (equal grams are contiguous in suffix order, so a
+position is duplicated iff it shares an L-prefix with its SA neighbor) —
+while the DuckDB oracle computes the same quantity by brute-force n-gram
+counting. Agreement hash-checks the whole distributed SA construction.
+
+Scale design (the reason every step is range-partitioned, never a global
+window):
+- `distributed_dense_rank` is the two-pass pattern: repartitionByRange on
+  the key (equal keys land in one partition by construction), dense rank
+  within partitions, then add broadcast per-partition offsets. The only
+  driver-side read is one row per partition.
+- Prefix doubling runs O(log max_suffix_length) rounds; each round is one
+  self-join on shifted position plus one dense rank. With a unique
+  per-document separator token, suffixes become distinct once the offset
+  passes the longest document, so rounds are O(log max_doc_len) — ~7 for
+  this corpus shape — independent of corpus size.
+- Convergence is checked with one count-distinct aggregate per round
+  (bounded control read, the CC-engine discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from near_public_lakehouse_spark.queries.registry import query
+from near_public_lakehouse_spark.queries.text import TOKENS_SQL, tokens_col
+from near_public_lakehouse_spark.sources.tables import load_table
+
+SA_GRAM_L = 3  # duplicate-span gram width (tokens)
+_SA_PARTS = 32  # range partitions for rank passes
+_SEP = ""  # separator prefix; cannot collide with real tokens
+
+
+def distributed_dense_rank(df: DataFrame, key_cols: list[str], out: str = "rank") -> DataFrame:
+    """Global dense rank over key_cols without a single-partition window:
+    range-repartition on the keys (equal keys co-locate), rank within
+    each partition, then shift by broadcast cumulative distinct counts.
+    Driver reads one row per partition."""
+    parted = df.repartitionByRange(_SA_PARTS, *key_cols).sortWithinPartitions(*key_cols)
+    w = Window.partitionBy(F.spark_partition_id()).orderBy(*key_cols)
+    local = parted.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_lrank", F.dense_rank().over(w)
+    )
+    local = local.localCheckpoint()  # rank pass reused twice below
+    counts = (
+        local.groupBy("_pid")
+        .agg(F.max("_lrank").alias("_n"))
+        .orderBy("_pid")
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r._pid] = acc
+        acc += r._n
+    omap = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    return local.withColumn(out, F.col("_lrank") + omap[F.col("_pid")]).drop(
+        "_pid", "_lrank"
+    )
+
+
+def corpus_token_stream(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, token, doc_len, gpos): every token of every document
+    plus one unique separator token per document, with corpus-global
+    positions. Doc offsets come from a cumulative sum over the bounded
+    per-doc length table (|docs| rows; at extreme scale reuse the
+    two-pass rank pattern for the cumsum as well)."""
+    toks = docs.select("doc_id", tokens_col().alias("t"))
+    lens = toks.select("doc_id", (F.size("t") + 1).alias("slot_len"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = lens.select(
+        "doc_id", F.coalesce(F.sum("slot_len").over(w), F.lit(0)).alias("offset")
+    )
+    stream = (
+        toks.select(
+            "doc_id",
+            F.size("t").alias("doc_len"),
+            F.posexplode(
+                F.concat("t", F.array(F.concat(F.lit(_SEP), F.col("doc_id"))))
+            ).alias("pos0", "token"),
+        )
+        .select("doc_id", "doc_len", (F.col("pos0") + 1).alias("pos"), "token")
+    )
+    return stream.join(offsets, "doc_id").select(
+        "doc_id", "doc_len", "pos", "token", (F.col("offset") + F.col("pos")).alias("gpos")
+    )
+
+
+def suffix_ranks(stream: DataFrame, spark: SparkSession) -> DataFrame:
+    """(gpos, rank): the suffix array as a rank permutation — rank r means
+    the suffix starting at gpos is the r-th smallest. Prefix doubling
+    until all ranks are distinct (guaranteed by the unique separators)."""
+    n = stream.count()
+    ranks = distributed_dense_rank(stream.select("gpos", "token"), ["token"]).select(
+        "gpos", "rank"
+    )
+    offset = 1
+    while True:
+        distinct = ranks.agg(F.countDistinct("rank").alias("d")).collect()[0].d
+        if distinct == n:
+            break
+        nxt = ranks.select((F.col("gpos") - offset).alias("gpos"), F.col("rank").alias("rank2"))
+        keyed = ranks.join(nxt, "gpos", "left").select(
+            "gpos", "rank", F.coalesce("rank2", F.lit(0)).alias("rank2")
+        )
+        ranks = distributed_dense_rank(keyed, ["rank", "rank2"], out="new_rank").select(
+            "gpos", F.col("new_rank").alias("rank")
+        )
+        offset *= 2
+        if offset > 2 * n:  # safety backstop; separators guarantee earlier exit
+            raise RuntimeError("prefix doubling failed to converge")
+    return ranks
+
+
+@query(
+    "suffix_array_dup_positions",
+    tags=("dedup", "beyond-reference"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS t FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - {SA_GRAM_L - 1}),
+                i -> array_to_string(t[i:i + {SA_GRAM_L - 1}], ' '))) AS gram
+  FROM t WHERE len(t) >= {SA_GRAM_L}
+),
+c AS (SELECT gram, count(*) AS n FROM g GROUP BY gram)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_gram_positions,
+       CAST(count(*) FILTER (n >= 2) AS BIGINT) AS n_dup_positions
+FROM g JOIN c USING (gram)
+GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def suffix_array_dup_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate {SA_GRAM_L}-gram positions per document, computed from a
+    DISTRIBUTED SUFFIX ARRAY: build the corpus suffix array by prefix
+    doubling, then flag a position as duplicated iff its {SA_GRAM_L}-gram
+    equals a suffix-array NEIGHBOR's — equal grams are contiguous in
+    suffix order, so two neighbor compares replace the corpus-wide gram
+    groupBy. The DuckDB oracle computes the identical count by
+    brute-force gram counting, so a hash match certifies the whole SA
+    construction end to end (the star-CC/min-label cross-engine
+    discipline, applied to Lee et al.'s dedup machinery)."""
+    docs = load_table(spark, sf_dir, "documents")
+    stream = corpus_token_stream(docs).localCheckpoint()
+    ranks = suffix_ranks(stream, spark)
+    # L-gram (as md5) at every position with a full in-document gram
+    grams = stream.filter(F.col("pos") <= F.col("doc_len") - SA_GRAM_L + 1)
+    toks = docs.select("doc_id", tokens_col().alias("t"))
+    gram_tbl = (
+        toks.filter(F.size("t") >= SA_GRAM_L)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {SA_GRAM_L - 1}),"
+                    f" i -> md5(concat_ws(' ', slice(t, i, {SA_GRAM_L}))))"
+                )
+            ).alias("pos0", "gram"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    )
+    pos_grams = grams.join(gram_tbl, ["doc_id", "pos"]).select(
+        "doc_id", "pos", "gpos", "gram"
+    )
+    sa = pos_grams.join(ranks, "gpos").select("doc_id", "pos", "gram", "rank")
+    prev = sa.select((F.col("rank") + 1).alias("rank"), F.col("gram").alias("gram_prev"))
+    nxt = sa.select((F.col("rank") - 1).alias("rank"), F.col("gram").alias("gram_next"))
+    flagged = (
+        sa.join(prev, "rank", "left")
+        .join(nxt, "rank", "left")
+        .select(
+            "doc_id",
+            (
+                (F.col("gram") == F.col("gram_prev"))
+                | (F.col("gram") == F.col("gram_next"))
+            ).alias("dup"),
+        )
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gram_positions"),
+            F.sum(F.coalesce(F.col("dup"), F.lit(False)).cast("long"))
+            .cast("bigint")
+            .alias("n_dup_positions"),
+        )
+        .orderBy("doc_id")
+    )
