@@ -637,3 +637,123 @@ def label_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram LM with interpolated unigram backoff
+
+# p(w2 | w1) = (c12 + LM_ALPHA * p_uni(w2)) / (c1 + LM_ALPHA), where
+# p_uni is the add-alpha unigram above. The interpolation normalizes
+# exactly (sum over w2 of the numerator = c1 + LM_ALPHA) — a proper
+# conditional distribution, the Jelinek-Mercer/Lidstone family.
+
+
+@query(
+    "bigram_lm_scores",
+    tags=("text", "llm-pipeline", "quality"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+tot AS (
+  SELECT CAST(sum(cnt) AS DOUBLE) AS n_total, CAST(count(*) AS DOUBLE) AS vocab
+  FROM freq
+),
+pr AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> [toks[i], toks[i + 1]])) AS p
+  FROM t WHERE len(toks) >= 2
+),
+bc AS (SELECT p[1] AS w1, p[2] AS w2, count(*) AS c12 FROM pr GROUP BY p[1], p[2]),
+terms AS (
+  SELECT doc_id,
+         ln((CAST(f.cnt AS DOUBLE) + {LM_ALPHA}) / (n_total + {LM_ALPHA} * vocab)) AS lp
+  FROM (SELECT doc_id, toks[1] AS token FROM t WHERE len(toks) >= 1) ft
+  JOIN freq f USING (token) CROSS JOIN tot
+  UNION ALL
+  SELECT pr.doc_id,
+         ln((CAST(c12 AS DOUBLE) + {LM_ALPHA}
+               * ((CAST(f2.cnt AS DOUBLE) + {LM_ALPHA}) / (n_total + {LM_ALPHA} * vocab)))
+            / (CAST(f1.cnt AS DOUBLE) + {LM_ALPHA})) AS lp
+  FROM pr
+  JOIN bc ON bc.w1 = pr.p[1] AND bc.w2 = pr.p[2]
+  JOIN freq f1 ON f1.token = pr.p[1]
+  JOIN freq f2 ON f2.token = pr.p[2]
+  CROSS JOIN tot
+)
+SELECT doc_id, count(*) AS n_terms, avg(lp) AS avg_logprob_bigram
+FROM terms GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality proxy: mean log-probability of each
+    document under a corpus bigram LM with interpolated add-alpha unigram
+    backoff — p(w2|w1) = (c12 + a*p_uni(w2)) / (c1 + a), first token
+    scored by the unigram. One conditioning step sharper than
+    `unigram_logprob_scores`: repeated boilerplate scores HIGH here (its
+    transitions are predictable) while rare-word gibberish scores low on
+    both — the pair of scores separates the two failure modes CCNet-style
+    filtering wants to treat differently.
+
+    Plan: pair counts and unigram counts are the two canonical count
+    shuffles; the pair-instance stream rejoins its count tables (at this
+    vocab the joins broadcast; at 100 TB the pair table shuffles,
+    co-partitioned with the instance stream on the pair key — or prune to
+    top-K pairs with the interpolation as the OOV fallback, which the
+    backoff term makes EXACT for unseen pairs, the actual reason the
+    interpolated form is the scale-correct choice). The transcendental
+    enters once per term, the unigram op's discipline."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens_col().alias("toks"))
+    tok = t.select("doc_id", F.explode("toks").alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = freq.agg(
+        F.sum("cnt").cast("double").alias("n_total"),
+        F.count(F.lit(1)).cast("double").alias("vocab"),
+    )
+    p_uni = lambda cnt: (cnt.cast("double") + F.lit(LM_ALPHA)) / (
+        F.col("n_total") + F.lit(LM_ALPHA) * F.col("vocab")
+    )
+    first = (
+        t.filter(F.size("toks") >= 1)
+        .select("doc_id", F.element_at("toks", 1).alias("token"))
+        .join(freq, "token")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", F.log(p_uni(F.col("cnt"))).alias("lp"))
+    )
+    pr = t.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, i) AS w1,"
+                "             element_at(toks, i + 1) AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    bc = pr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    f1 = freq.withColumnRenamed("token", "w1").withColumnRenamed("cnt", "c1")
+    f2 = freq.withColumnRenamed("token", "w2").withColumnRenamed("cnt", "c2")
+    cond = (
+        pr.join(F.broadcast(bc), ["w1", "w2"])
+        .join(F.broadcast(f1), "w1")
+        .join(F.broadcast(f2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("c12").cast("double") + F.lit(LM_ALPHA) * p_uni(F.col("c2")))
+                / (F.col("c1").cast("double") + F.lit(LM_ALPHA))
+            ).alias("lp"),
+        )
+    )
+    return (
+        first.unionByName(cond)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.avg("lp").alias("avg_logprob_bigram"),
+        )
+        .orderBy("doc_id")
+    )

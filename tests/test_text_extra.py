@@ -111,3 +111,27 @@ def test_gopher_gate_shares_match_shuffle_computation(spark):
     assert set(rep) <= set(gate)
     for doc_id, shares in rep.items():
         assert gate[doc_id] == shares, doc_id
+
+
+def test_bigram_lm_separates_transition_structure(spark, tmp_path):
+    """Two documents with the SAME token multiset (identical unigram
+    score) must separate under the bigram LM: deterministic transitions
+    score far higher than scrambled ones."""
+    from near_public_lakehouse_spark.queries import all_queries
+
+    ordered = " ".join(["x y"] * 12)              # x->y, y->x only
+    scrambled = " ".join(["x x y y x y y x"] * 3)  # same 12 x, 12 y
+    base = [
+        (i + 10, f"w{i} filler common tokens w{i} more", "en", "s", 30)
+        for i in range(6)
+    ]
+    rows = [(1, ordered, "en", "s", len(ordered)), (2, scrambled, "en", "s", len(scrambled))] + base
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    got = {
+        r.doc_id: r.avg_logprob_bigram
+        for r in all_queries()["bigram_lm_scores"].fn(spark, d).collect()
+    }
+    assert got[1] > got[2] + 0.1, got
