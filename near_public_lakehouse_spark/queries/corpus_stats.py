@@ -649,7 +649,7 @@ def label_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "bigram_lm_scores",
+    "lm_bigram_scores",
     tags=("text", "llm-pipeline", "quality"),
     oracle=f"""
 WITH t AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),

@@ -132,6 +132,6 @@ def test_bigram_lm_separates_transition_structure(spark, tmp_path):
     ).write.parquet(f"{d}/documents.parquet")
     got = {
         r.doc_id: r.avg_logprob_bigram
-        for r in all_queries()["bigram_lm_scores"].fn(spark, d).collect()
+        for r in all_queries()["lm_bigram_scores"].fn(spark, d).collect()
     }
     assert got[1] > got[2] + 0.1, got
