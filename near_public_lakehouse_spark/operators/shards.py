@@ -91,3 +91,76 @@ def verify_shard_store(spark: SparkSession, base: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+def shard_manifest_from_stream(spark: SparkSession, base: str) -> DataFrame:
+    """The folded manifest over everything the streaming shard appender
+    has written: per shard, total docs and id fences — the same row shape
+    as the batch `_manifest`."""
+    return (
+        spark.read.option("basePath", f"{base}/_manifest_parts")
+        .parquet(f"{base}/_manifest_parts/batch_id=*")
+        .groupBy("shard_id")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.min("min_doc_id").alias("min_doc_id"),
+            F.max("max_doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+def streaming_training_shards(
+    spark: SparkSession,
+    docs_path: str,
+    base: str,
+    checkpoint: str,
+    seed: str = SHARD_SEED,
+    n_shards: int = N_SHARDS,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming twin of `write_training_shards`: documents stream INTO
+    the shard store continuously. Placement is a pure function of
+    (seed, doc_id), so a document's shard never changes and batches
+    write disjoint row sets; each trigger lands under
+    `data/shard_id=M/batch_id=N/` via DYNAMIC partition overwrite — a
+    replayed batch rewrites exactly its own (shard, batch) partitions
+    and nothing else, the per-batch-dir idempotence discipline in
+    partitioned-layout form. Manifest partials fold losslessly (a doc
+    lives in exactly one batch); `shard_manifest_from_stream` equals the
+    batch `_manifest` over the same corpus."""
+    from near_public_lakehouse_spark.streaming.jobs import _stream_path
+
+    schema = spark.read.parquet(docs_path).schema
+    r = spark.readStream
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = r.schema(schema).parquet(_stream_path(docs_path))
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        sharded = batch_df.withColumn("shard_id", shard_col(seed, n_shards))
+        (
+            sharded.withColumn("batch_id", F.lit(batch_id))
+            .repartition(n_shards, "shard_id")
+            .sortWithinPartitions("shard_id", "doc_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("shard_id", "batch_id")
+            .parquet(f"{base}/data")
+        )
+        (
+            sharded.groupBy("shard_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.min("doc_id").alias("min_doc_id"),
+                F.max("doc_id").alias("max_doc_id"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{base}/_manifest_parts/batch_id={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -84,3 +84,65 @@ def test_seed_bump_reshuffles_deterministically(spark, tmp_path):
     }
     assert set(pa) == set(pb)
     assert any(pa[d] != pb[d] for d in pa)  # the placement actually moved
+
+
+def test_streaming_shards_equal_batch_store(spark, tmp_path):
+    docs_path = f"{SF_DIR}/documents.parquet"
+    sbase = str(tmp_path / "s")
+    bbase = str(tmp_path / "b")
+    from near_public_lakehouse_spark.operators.shards import (
+        shard_manifest_from_stream,
+        streaming_training_shards,
+    )
+
+    streaming_training_shards(
+        spark, docs_path, sbase, str(tmp_path / "ckpt")
+    ).awaitTermination(120)
+    write_training_shards(load_table(spark, SF_DIR, "documents"), bbase)
+    got = {
+        (r.shard_id, r.doc_id)
+        for r in spark.read.parquet(f"{sbase}/data").select("shard_id", "doc_id").collect()
+    }
+    want = {
+        (r.shard_id, r.doc_id)
+        for r in spark.read.parquet(f"{bbase}/data").select("shard_id", "doc_id").collect()
+    }
+    assert got == want
+    sm = {
+        r.shard_id: (r.n_docs, r.min_doc_id, r.max_doc_id)
+        for r in shard_manifest_from_stream(spark, sbase).collect()
+    }
+    bm = {
+        r.shard_id: (r.n_docs, r.min_doc_id, r.max_doc_id)
+        for r in spark.read.parquet(f"{bbase}/_manifest").drop("seed").collect()
+    }
+    assert sm == bm
+
+
+def test_streaming_shards_accumulate_across_triggers(spark, tmp_path):
+    from near_public_lakehouse_spark.operators.shards import (
+        shard_manifest_from_stream,
+        streaming_training_shards,
+    )
+
+    src = str(tmp_path / "docs")
+    base = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(
+        [(i, f"doc {i}", "en", "s", 6) for i in range(50)], schema
+    ).write.parquet(src)
+    streaming_training_shards(spark, src, base, ckpt).awaitTermination(60)
+    first = spark.read.parquet(f"{base}/data").count()
+    assert first == 50
+
+    spark.createDataFrame(
+        [(100 + i, f"doc {100+i}", "en", "s", 8) for i in range(30)], schema
+    ).write.mode("append").parquet(src)
+    streaming_training_shards(spark, src, base, ckpt).awaitTermination(60)
+    data = spark.read.parquet(f"{base}/data")
+    assert data.count() == 80
+    assert data.select("doc_id").distinct().count() == 80
+    m = shard_manifest_from_stream(spark, base)
+    total = m.agg(F.sum("n_docs").alias("n")).collect()[0].n
+    assert total == 80
