@@ -195,3 +195,149 @@ def suffix_array_dup_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# longest duplicated span via binary-lifted LCP descent
+
+SA_LCP_CAP = 16  # exact span lengths up to this; flag when the cap binds
+_LCP_LEVELS = (16, 8, 4, 2, 1)  # descent order; sums to any value 0..15, or 16
+
+
+def _gram_hash_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, lvl, pos, h): full-md5 hash of the lvl-token gram at every
+    in-document position, for each power-of-two level. Five staged per-doc
+    HOF projections + one explode — scan-side, no shuffle."""
+    toks = docs.select("doc_id", tokens_col().alias("t"))
+    pieces = []
+    for lvl in _LCP_LEVELS:
+        pieces.append(
+            toks.filter(F.size("t") >= lvl)
+            .select(
+                "doc_id",
+                F.lit(lvl).alias("lvl"),
+                F.posexplode(
+                    F.expr(
+                        f"transform(sequence(1, size(t) - {lvl - 1}),"
+                        f" i -> md5(concat_ws(' ', slice(t, i, {lvl}))))"
+                    )
+                ).alias("pos0", "h"),
+            )
+            .select("doc_id", "lvl", (F.col("pos0") + 1).alias("pos"), "h")
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "sa_longest_dup_span",
+    tags=("dedup", "beyond-reference"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS t FROM documents),
+lv AS (SELECT unnest(generate_series(1, {SA_LCP_CAP})) AS L),
+g AS (
+  SELECT doc_id, L,
+         unnest(list_transform(generate_series(1, len(t) - L + 1),
+                i -> array_to_string(t[i:i + L - 1], ' '))) AS gram
+  FROM t CROSS JOIN lv WHERE len(t) >= L
+),
+c AS (SELECT L, gram, count(*) AS n FROM g GROUP BY L, gram),
+d AS (
+  SELECT g.doc_id, max(g.L) AS mx
+  FROM g JOIN c ON c.L = g.L AND c.gram = g.gram
+  WHERE c.n >= 2 GROUP BY g.doc_id
+)
+SELECT t.doc_id,
+       CAST(COALESCE(mx, 0) AS BIGINT) AS max_dup_span,
+       COALESCE(mx, 0) >= {SA_LCP_CAP} AS cap_reached
+FROM t LEFT JOIN d ON d.doc_id = t.doc_id
+ORDER BY t.doc_id
+""",
+)
+def sa_longest_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The longest token span in each document that occurs at least twice
+    anywhere in the corpus (exact up to {SA_LCP_CAP} tokens, flagged when
+    the cap binds) — Lee et al.'s suffix-array dedup statistic, computed
+    FROM the suffix array: a position's longest duplicated prefix equals
+    its LCP with a suffix-array NEIGHBOR (the max-pairwise-LCP property),
+    and each neighbor LCP is resolved by binary-lifted descent — try
+    matching a 16-gram hash at the current offset, then 8, 4, 2, 1 —
+    five rounds of two hash-table joins each, never a token-by-token
+    walk. Unique per-document separators guarantee no LCP crosses a
+    document boundary, so the gram tables need only in-document entries.
+    The DuckDB oracle recomputes the same maxima by brute-force gram
+    counting at every width; the hash match certifies SA order, neighbor
+    pairing, and the descent at once.
+
+    Scale: gram tables are five scan-side projections (~5n rows); the
+    descent is 10 equi-joins on (doc, lvl, pos) keys over the
+    adjacent-pair set (n rows); everything else is the suffix array's
+    own round-dominated cost."""
+    docs = load_table(spark, sf_dir, "documents")
+    stream = corpus_token_stream(docs).localCheckpoint()
+    ranks = suffix_ranks(stream, spark)
+    real = stream.filter(F.col("pos") <= F.col("doc_len")).select(
+        "doc_id", "pos", "gpos"
+    )
+    sa = real.join(ranks, "gpos").select("doc_id", "pos", "rank")
+    a = sa.select(
+        F.col("rank").alias("rk"),
+        F.col("doc_id").alias("a_doc"),
+        F.col("pos").alias("a_pos"),
+    )
+    b = sa.select(
+        (F.col("rank") - 1).alias("rk"),
+        F.col("doc_id").alias("b_doc"),
+        F.col("pos").alias("b_pos"),
+    )
+    pairs = a.join(b, "rk").select("a_doc", "a_pos", "b_doc", "b_pos")
+    grams = _gram_hash_table(docs).localCheckpoint()
+    state = pairs.withColumn("acc", F.lit(0)).withColumn("done", F.lit(False))
+    for lvl in _LCP_LEVELS:
+        ga = grams.filter(F.col("lvl") == lvl).select(
+            F.col("doc_id").alias("a_doc"),
+            F.col("pos").alias("_qa"),
+            F.col("h").alias("_ha"),
+        )
+        gb = grams.filter(F.col("lvl") == lvl).select(
+            F.col("doc_id").alias("b_doc"),
+            F.col("pos").alias("_qb"),
+            F.col("h").alias("_hb"),
+        )
+        state = (
+            state.withColumn("_qa", F.col("a_pos") + F.col("acc"))
+            .withColumn("_qb", F.col("b_pos") + F.col("acc"))
+            .join(ga, ["a_doc", "_qa"], "left")
+            .join(gb, ["b_doc", "_qb"], "left")
+        )
+        matched = (
+            ~F.col("done")
+            & F.col("_ha").isNotNull()
+            & F.col("_hb").isNotNull()
+            & (F.col("_ha") == F.col("_hb"))
+        )
+        state = state.select(
+            "a_doc",
+            "a_pos",
+            "b_doc",
+            "b_pos",
+            F.when(matched, F.col("acc") + lvl).otherwise(F.col("acc")).alias("acc"),
+            # a 16-match means the true LCP may exceed the cap: stop there
+            (F.col("done") | (matched & F.lit(lvl == SA_LCP_CAP))).alias("done"),
+        )
+    lcps = state.select(
+        F.col("a_doc").alias("doc_id"), F.col("acc").alias("lcp")
+    ).unionByName(state.select(F.col("b_doc").alias("doc_id"), F.col("acc").alias("lcp")))
+    mx = lcps.groupBy("doc_id").agg(F.max("lcp").alias("mx"))
+    return (
+        docs.select("doc_id")
+        .join(mx, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("mx", F.lit(0)).cast("bigint").alias("max_dup_span"),
+            (F.coalesce("mx", F.lit(0)) >= SA_LCP_CAP).alias("cap_reached"),
+        )
+        .orderBy("doc_id")
+    )

@@ -47,3 +47,30 @@ def test_distributed_dense_rank_equals_global_window(spark):
     }
     want = {r.gpos: r.k + 1 for r in df.collect()}  # k is already dense 0..36
     assert got == want
+
+
+def test_longest_dup_span_exact_and_capped(spark, tmp_path):
+    from near_public_lakehouse_spark.queries import all_queries
+
+    shared10 = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"          # 10-token span
+    shared20 = " ".join(f"c{i}" for i in range(20))        # exceeds the cap
+    rows = [
+        (1, f"pre1 pre2 {shared10} tail1", "en", "s", 1),
+        (2, f"other {shared10} x y z", "en", "s", 1),
+        (3, f"{shared20} end", "en", "s", 1),
+        (4, f"lead {shared20}", "en", "s", 1),
+        (5, "all unique tokens here nothing repeats ever", "en", "s", 1),
+    ]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    got = {
+        r.doc_id: (r.max_dup_span, r.cap_reached)
+        for r in all_queries()["sa_longest_dup_span"].fn(spark, d).collect()
+    }
+    assert got[1] == (10, False)
+    assert got[2] == (10, False)
+    assert got[3] == (16, True)   # exact value >= cap reports the cap
+    assert got[4] == (16, True)
+    assert got[5][0] <= 1 and not got[5][1]  # stray single-token repeats at most
