@@ -757,3 +757,113 @@ def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch: bounded-memory counting, deterministic and verifiable
+
+CMS_W = 1024  # buckets per row
+CMS_D = 4  # hash rows
+CMS_TOP = 50  # report the sketch estimate for the top-N exact words
+
+_CMS_BUCKET = (
+    "('0x' || substr(md5('cms{d}:' || token), 1, 8))::BIGINT % " + str(CMS_W)
+)
+
+
+def _cms_oracle() -> str:
+    rows = []
+    for d in range(CMS_D):
+        b = _CMS_BUCKET.format(d=d)
+        rows.append(
+            f"SELECT {d} AS d, {b} AS bucket, CAST(sum(cnt) AS BIGINT) AS cell"
+            f" FROM freq GROUP BY {b}"
+        )
+    cells = " UNION ALL ".join(rows)
+    probes = " UNION ALL ".join(
+        f"SELECT token, cnt, {d} AS d, {_CMS_BUCKET.format(d=d)} AS bucket FROM top"
+        for d in range(CMS_D)
+    )
+    return f"""
+WITH tok AS (SELECT unnest({{toks}}) AS token FROM documents),
+freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+cells AS ({cells}),
+top AS (
+  SELECT token, cnt FROM freq ORDER BY cnt DESC, token LIMIT {CMS_TOP}
+),
+probes AS ({probes}),
+est AS (
+  SELECT token, min(cnt) AS exact_count, min(cell) AS cm_est
+  FROM probes JOIN cells USING (d, bucket)
+  GROUP BY token
+)
+SELECT token, CAST(exact_count AS BIGINT) AS exact_count,
+       CAST(cm_est AS BIGINT) AS cm_est,
+       CAST(cm_est - exact_count AS BIGINT) AS overestimate
+FROM est ORDER BY exact_count DESC, token
+"""
+
+
+@query(
+    "sketch_cms_word_counts",
+    tags=("text", "llm-pipeline", "sketch"),
+    oracle=_cms_oracle().format(toks=TOKENS_SQL),
+)
+def sketch_cms_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over the corpus
+    word counts, verified against exact: {CMS_D} md5-seeded hash rows x
+    {CMS_W} buckets, estimate = min over rows of the bucket sums, probed
+    at the top-{CMS_TOP} exact words. CM never underestimates (the
+    overestimate column is provably >= 0 — pinned) and cells merge by
+    ADDITION across shards/streams, which with the KMV minima and the
+    Misra-Gries counters completes the mergeable-sketch toolkit: counts
+    (CMS), distincts (KMV), heavy hitters (MG), every one deterministic
+    here and therefore driver-hash-checked end to end — the property
+    engine-native randomized sketches can't offer.
+
+    Plan: the sketch is built from the VOCAB-sized count table (one
+    explode + count shuffle), so the {CMS_D}x{CMS_W}-cell table costs
+    |vocab| extra rows of movement; at 100 TB build the cells directly
+    from the token stream with map-side partial sums — same cells, no
+    vocab table — which is the sketch's whole point."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens_col()).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+
+    def bucket(d):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"cms{d}:"), F.col("token"))), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % CMS_W
+        )
+
+    cells = None
+    for d in range(CMS_D):
+        c = freq.groupBy(bucket(d).alias("bucket")).agg(
+            F.sum("cnt").cast("bigint").alias("cell")
+        ).select(F.lit(d).alias("d"), "bucket", "cell")
+        cells = c if cells is None else cells.unionByName(c)
+    top = freq.orderBy(F.desc("cnt"), "token").limit(CMS_TOP)
+    probes = None
+    for d in range(CMS_D):
+        p = top.select(
+            "token", "cnt", F.lit(d).alias("d"), bucket(d).alias("bucket")
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    est = (
+        probes.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("token")
+        .agg(
+            F.min("cnt").cast("bigint").alias("exact_count"),
+            F.min("cell").cast("bigint").alias("cm_est"),
+        )
+    )
+    return est.select(
+        "token",
+        "exact_count",
+        "cm_est",
+        (F.col("cm_est") - F.col("exact_count")).cast("bigint").alias("overestimate"),
+    ).orderBy(F.desc("exact_count"), "token")
