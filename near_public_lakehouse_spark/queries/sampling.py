@@ -326,3 +326,105 @@ def mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis-Spirakis)
+
+WES_K = 25  # exact per-source quota
+WES_SEED = "wes-r6"
+
+# seeded uniform in (0,1) from the doc id — the shard_manifest trick
+_WES_U_SQL = (
+    f"((('0x' || substr(md5('{WES_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+    " % 1000000) + 0.5) / 1000000.0"
+)
+# quality weight, strictly positive (the quality_scores formula)
+_WES_W_SQL = f"""
+(least(1.0, len({TOKENS_SQL}) / 64.0) * 0.4
+ + len(list_distinct({TOKENS_SQL})) / len({TOKENS_SQL}) * 0.4
+ + (1.0 - len(list_filter({TOKENS_SQL}, x -> x IN
+     ('the', 'a', 'of', 'an', 'to', 'and', 'in'))) / len({TOKENS_SQL})) * 0.2)
+"""
+
+
+@query(
+    "weighted_sample_quality",
+    tags=("sampling", "llm-pipeline"),
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, source, {_WES_W_SQL} AS weight,
+         ln({_WES_U_SQL}) / {_WES_W_SQL} AS es_key
+  FROM documents
+),
+rk AS (
+  SELECT doc_id, source, weight, es_key,
+         row_number() OVER (PARTITION BY source ORDER BY es_key DESC, doc_id)
+           AS rnk
+  FROM keyed
+)
+SELECT doc_id, source, weight, es_key, CAST(rnk AS BIGINT) AS rnk
+FROM rk WHERE rnk <= {WES_K}
+ORDER BY source, rnk
+""",
+)
+def weighted_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exact per-source quota:
+    each document gets key ln(u) / w (u = seeded md5 uniform, w = its
+    quality score) and the top-{WES_K} keys per source are drawn — the
+    Efraimidis-Spirakis A-ES scheme (2006; ln(u)/w is the monotone form
+    of their u^(1/w) key), under which inclusion probability is
+    proportional to weight. Complements the rate-based samplers
+    (stratified_sample / quality_mixture_sample hit quotas only in
+    expectation) with an EXACT-size, quality-biased draw; the hash-
+    seeded u makes the sample identical under any partitioning, engine,
+    or rerun — so the whole randomized scheme is driver-hash-checked.
+
+    Plan: weights and keys are scan-side column arithmetic; one window
+    per source. At 100 TB per-source quotas become per-partition top-K
+    heaps + a K*P merge, the TakeOrderedAndProject shape per group."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n = F.size(toks).cast("double")
+    w_expr = (
+        F.least(F.lit(1.0), F.size(toks) / F.lit(64.0)) * 0.4
+        + (F.size(F.array_distinct(toks)) / n) * 0.4
+        + (
+            F.lit(1.0)
+            - F.size(
+                F.filter(
+                    toks,
+                    lambda x: x.isin("the", "a", "of", "an", "to", "and", "in"),
+                )
+            )
+            / n
+        )
+        * 0.2
+    )
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{WES_SEED}:"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 1000000
+        ).cast("double")
+        + 0.5
+    ) / 1000000.0
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        w_expr.alias("weight"),
+        (F.log(u) / w_expr).alias("es_key"),
+    )
+    win = Window.partitionBy("source").orderBy(F.desc("es_key"), "doc_id")
+    return (
+        keyed.withColumn("rnk", F.row_number().over(win).cast("bigint"))
+        .filter(F.col("rnk") <= WES_K)
+        .orderBy("source", "rnk")
+    )

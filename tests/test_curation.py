@@ -183,3 +183,23 @@ def test_rebalance_plan_conserves_token_budget(spark):
     for r in rows:
         if r.current_share < mean_share:
             assert r.rate > 1.0 and r.mode == "upsample", r
+
+
+def test_weighted_sample_quotas_and_determinism(spark):
+    from near_public_lakehouse_spark.queries.sampling import WES_K
+
+    q = all_queries()["weighted_sample_quality"].fn
+    rows = q(spark, SF_DIR).collect()
+    again = q(spark, SF_DIR).collect()
+    assert rows == again  # seeded hash, not an RNG
+    per_source = {}
+    for r in rows:
+        per_source.setdefault(r.source, []).append(r)
+        assert r.weight > 0 and r.es_key < 0  # ln(u)/w with u in (0,1)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    counts = {r.source: r.n for r in docs.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    for s, drawn in per_source.items():
+        assert len(drawn) == min(WES_K, counts[s]), s  # exact quota
+        assert [r.rnk for r in sorted(drawn, key=lambda x: x.rnk)] == list(
+            range(1, len(drawn) + 1)
+        )
