@@ -187,6 +187,25 @@ def _marker_sql(lang: str) -> str:
     return f"len(list_filter({TOKENS_SQL}, x -> x IN ({inlist})))"
 
 
+def predicted_lang_col():
+    """The marker-ladder prediction as a reusable column (shared by
+    language_id and the per-source confusion audit)."""
+    toks = tokens_col()
+
+    def score(lang: str):
+        return F.size(F.filter(toks, lambda x: x.isin(*LANG_MARKERS[lang])))
+
+    en, fr, es, de, zh = (score(lang) for lang in ("en", "fr", "es", "de", "zh"))
+    return (
+        F.when((en >= F.greatest(fr, es, de, zh)) & (en > 0), "en")
+        .when((fr >= F.greatest(es, de, zh)) & (fr > 0), "fr")
+        .when((es >= F.greatest(de, zh)) & (es > 0), "es")
+        .when((de >= zh) & (de > 0), "de")
+        .when(zh > 0, "zh")
+        .otherwise("und")
+    )
+
+
 @query(
     "language_id",
     tags=("text",),
@@ -214,22 +233,10 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     char-n-gram profiles; the operator shape (per-row array HOF scoring,
     no shuffle) is the point."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col()
-
-    def score(lang: str):
-        return F.size(F.filter(toks, lambda x: x.isin(*LANG_MARKERS[lang])))
-
-    en, fr, es, de, zh = (score(lang) for lang in ("en", "fr", "es", "de", "zh"))
-    pred = (
-        F.when((en >= F.greatest(fr, es, de, zh)) & (en > 0), "en")
-        .when((fr >= F.greatest(es, de, zh)) & (fr > 0), "fr")
-        .when((es >= F.greatest(de, zh)) & (es > 0), "es")
-        .when((de >= zh) & (de > 0), "de")
-        .when(zh > 0, "zh")
-        .otherwise("und")
-    )
     return docs.select(
-        "doc_id", F.col("lang").alias("labeled_lang"), pred.alias("predicted_lang")
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        predicted_lang_col().alias("predicted_lang"),
     ).orderBy("doc_id")
 
 
@@ -1125,4 +1132,51 @@ def bigram_pmi_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
         .orderBy(F.desc("pmi"), "w1", "w2")
+    )
+
+
+_LANG_PRED_SQL = f"""
+CASE
+  WHEN {_marker_sql("en")} >= greatest({_marker_sql("fr")}, {_marker_sql("es")},
+       {_marker_sql("de")}, {_marker_sql("zh")}) AND {_marker_sql("en")} > 0 THEN 'en'
+  WHEN {_marker_sql("fr")} >= greatest({_marker_sql("es")}, {_marker_sql("de")},
+       {_marker_sql("zh")}) AND {_marker_sql("fr")} > 0 THEN 'fr'
+  WHEN {_marker_sql("es")} >= greatest({_marker_sql("de")}, {_marker_sql("zh")})
+       AND {_marker_sql("es")} > 0 THEN 'es'
+  WHEN {_marker_sql("de")} >= {_marker_sql("zh")} AND {_marker_sql("de")} > 0 THEN 'de'
+  WHEN {_marker_sql("zh")} > 0 THEN 'zh'
+  ELSE 'und'
+END
+"""
+
+
+@query(
+    "language_confusion_by_source",
+    tags=("text", "quality", "llm-pipeline"),
+    oracle=f"""
+SELECT source, lang AS labeled_lang, {_LANG_PRED_SQL} AS predicted_lang,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY source, lang, {_LANG_PRED_SQL}
+ORDER BY source, labeled_lang, predicted_lang
+""",
+)
+def language_confusion_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The language-ID confusion matrix per source — the audit a curation
+    team reads before trusting the classifier on a new source (a source
+    whose labels disagree with the marker prediction is either mislabeled
+    upstream or out of the classifier's domain; both mean its documents
+    need review before the language filter fires). Per-row prediction is
+    the shared marker-ladder column; one aggregation over a key space
+    bounded by |sources| x |langs|^2, map-side collapsed."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            F.col("lang").alias("labeled_lang"),
+            predicted_lang_col().alias("predicted_lang"),
+        )
+        .groupBy("source", "labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("source", "labeled_lang", "predicted_lang")
     )
