@@ -383,7 +383,13 @@ def weighted_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: weights and keys are scan-side column arithmetic; one window
     per source. At 100 TB per-source quotas become per-partition top-K
     heaps + a K*P merge, the TakeOrderedAndProject shape per group."""
-    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample_frame(load_table(spark, sf_dir, "documents"))
+
+
+def weighted_sample_frame(docs: DataFrame) -> DataFrame:
+    """Core of weighted_sample_quality over any (doc_id, source, text)
+    frame — shared with the streaming twin so the surfaces cannot
+    drift."""
     toks = tokens_col()
     n = F.size(toks).cast("double")
     w_expr = (

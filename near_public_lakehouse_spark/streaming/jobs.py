@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 ROCKSDB_CONF = {
@@ -1372,6 +1372,63 @@ def streaming_winnowing(
             )
             .write.mode("overwrite")
             .parquet(f"{index_path}/fps/batch_id={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def weighted_sample_from_state(spark: SparkSession, index_path: str) -> DataFrame:
+    """The exact corpus-so-far weighted sample: fold every batch's winner
+    partials and re-rank — identical to the batch query over the union,
+    because a global top-K by key is always contained in the union of
+    per-batch top-Ks (bottom-k sketches merge exactly)."""
+    from near_public_lakehouse_spark.queries.sampling import WES_K
+
+    parts = spark.read.option("basePath", f"{index_path}/winners").parquet(
+        f"{index_path}/winners/batch_id=*"
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("es_key"), "doc_id")
+    return (
+        parts.select("doc_id", "source", "weight", "es_key")
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= WES_K)
+        .orderBy("source", "rnk")
+    )
+
+
+def streaming_weighted_sample(
+    spark: SparkSession,
+    docs_path: str,
+    index_path: str,
+    checkpoint: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming twin of `weighted_sample_quality`. UNLIKE the
+    immutable-decision twins (mixture, DSIR), an exact-quota sample's
+    membership MUST be displaceable — a stronger late arrival belongs in
+    the sample and some earlier winner leaves. The A-ES key makes that
+    correct to maintain incrementally: keys are pure per-document
+    functions, and per-source top-K partials merge exactly (the global
+    top-K lives inside the union of per-batch top-Ks), so the folded
+    state always equals the batch query over the corpus seen so far —
+    no decision log, no rescoring, state bounded by K x sources x
+    batches before compaction (re-fold partials into one dir)."""
+    from near_public_lakehouse_spark.queries.sampling import weighted_sample_frame
+
+    schema = spark.read.parquet(docs_path).schema
+    r = spark.readStream
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = r.schema(schema).parquet(_stream_path(docs_path))
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        weighted_sample_frame(batch_df).drop("rnk").write.mode("overwrite").parquet(
+            f"{index_path}/winners/batch_id={batch_id}"
         )
 
     return (
