@@ -320,3 +320,100 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in pieces[1:]:
         out = out.unionByName(p)
     return out.orderBy("tbl", "col")
+
+
+# ---------------------------------------------------------------------------
+# exact quantile selection by histogram refinement — no sort, ever
+
+QSEL_PCTS = (0.25, 0.5, 0.9)
+QSEL_BUCKETS = 4096
+QSEL_COLLECT_MAX = 4096  # rows the final TakeOrdered may materialize
+
+
+def kth_smallest(df: DataFrame, col: str, k: int) -> float:
+    """Exact k-th smallest (1-based) of a numeric column by histogram
+    refinement: count passes narrow a [lo, hi] value range until the
+    in-range population fits a bounded TakeOrdered, then select directly.
+    Every driver read is bounded ({QSEL_BUCKETS} histogram rows or
+    {QSEL_COLLECT_MAX} final rows); the data is NEVER globally sorted —
+    the 100 TB shape for exact order statistics, vs percentile()'s
+    per-group sorted-values requirement."""
+    lo, hi, n_in = (
+        df.agg(
+            F.min(col).alias("lo"), F.max(col).alias("hi"), F.count(col).alias("n")
+        ).collect()[0]
+    )
+    assert 1 <= k <= n_in, (k, n_in)
+    rank = k  # rank within the current [lo, hi] slice
+    cur = df.select(F.col(col).alias("v")).filter(F.col("v").isNotNull())
+    while True:
+        if hi == lo:
+            return float(lo)
+        cnt = cur.count()
+        if cnt <= QSEL_COLLECT_MAX:
+            rows = cur.orderBy("v").limit(rank).collect()  # TakeOrdered, bounded
+            return float(rows[-1].v)
+        width = (hi - lo) / QSEL_BUCKETS
+        b = F.least(
+            F.lit(QSEL_BUCKETS - 1),
+            F.floor((F.col("v") - F.lit(lo)) / F.lit(width)).cast("int"),
+        )
+        hist = {
+            r.b: r.c
+            for r in cur.groupBy(b.alias("b")).agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        acc = 0
+        for bi in range(QSEL_BUCKETS):
+            c = hist.get(bi, 0)
+            if acc + c >= rank:
+                rank -= acc
+                new_lo = lo + bi * width
+                new_hi = hi if bi == QSEL_BUCKETS - 1 else lo + (bi + 1) * width
+                # keep the half-open [new_lo, new_hi) slice, except the
+                # last bucket which is closed at hi
+                cond = (F.col("v") >= new_lo) & (
+                    (F.col("v") <= new_hi) if bi == QSEL_BUCKETS - 1 else (F.col("v") < new_hi)
+                )
+                cur = cur.filter(cond)
+                lo, hi = new_lo, new_hi
+                break
+            acc += c
+
+
+def _qsel_oracle() -> str:
+    parts = []
+    for p in QSEL_PCTS:
+        parts.append(
+            f"SELECT {p} AS pct,"
+            f" CAST(greatest(1, CAST(ceil({p} * (SELECT count(l_extendedprice) FROM lineitem)) AS BIGINT)) AS BIGINT) AS k,"
+            f" (SELECT l_extendedprice FROM lineitem WHERE l_extendedprice IS NOT NULL"
+            f"  ORDER BY l_extendedprice"
+            f"  LIMIT 1 OFFSET greatest(1, CAST(ceil({p} * (SELECT count(l_extendedprice) FROM lineitem)) AS BIGINT)) - 1)"
+            f" AS value"
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY pct"
+
+
+@query("quantile_select_exact", tags=("stats",), oracle=_qsel_oracle())
+def quantile_select_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT order statistics of l_extendedprice (p25/p50/p90 as the k-th
+    smallest, k = ceil(p*n)) computed WITHOUT sorting the data: histogram
+    refinement narrows the value range with counting passes until a
+    bounded TakeOrdered finishes the selection — 2-3 passes in practice,
+    every driver read bounded. This is the scale path
+    `quantity_percentiles` documents as a trade-off: that operator's
+    interpolating percentile() needs per-group sorted values and at
+    100 TB degrades to approx_percentile, while selection-by-counting
+    stays EXACT at any size. The oracle selects the same k-th element by
+    ORDER BY ... OFFSET — two unrelated algorithms, one hash."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.agg(F.count("l_extendedprice").alias("n")).collect()[0].n
+    rows = []
+    for p in QSEL_PCTS:
+        import math
+
+        k = max(1, math.ceil(p * n))
+        rows.append((p, k, kth_smallest(li, "l_extendedprice", k)))
+    return spark.createDataFrame(rows, "pct double, k bigint, value double").orderBy(
+        "pct"
+    )
