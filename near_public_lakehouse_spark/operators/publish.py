@@ -133,11 +133,22 @@ def publish_stream(
         cursor_path = f"{state_path}/_CURSOR"
         cur = None
         if os.path.exists(cursor_path):
-            with open(cursor_path) as fh:
-                cur = json.load(fh).get("hi")
+            # r6 ADVICE (publish.py:139): a crash mid-write can leave a
+            # truncated cursor; tolerate it as absent — the marker files
+            # are the replay fence, the cursor only needs monotonicity.
+            try:
+                with open(cursor_path) as fh:
+                    cur = json.load(fh).get("hi")
+            except (json.JSONDecodeError, OSError):
+                cur = None
         if hi is not None and (cur is None or int(hi) > cur):
-            with open(cursor_path, "w") as fh:
+            # Atomic replace so a crash never leaves a half-written cursor.
+            tmp = f"{cursor_path}.tmp.{os.getpid()}"
+            with open(tmp, "w") as fh:
                 json.dump({"hi": int(hi)}, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, cursor_path)
         with open(marker, "w") as fh:
             fh.write("")
 
@@ -165,10 +176,21 @@ class FileTransport:
         self._n = 0
 
     def publish(self, batch) -> None:
+        import time
         import uuid
 
+        # r6 ADVICE (publish.py:180): lexicographic (pid, counter) order is
+        # not publish order across micro-batches — a key's messages can span
+        # writers, and a reused worker's counter restarts at 0. Lead the
+        # filename with a zero-padded wall-clock ns stamp so read_all's sort
+        # reconstructs cross-batch publish order; (pid, counter) only breaks
+        # same-instant ties within one writer.
+        t_ns = time.time_ns()
         pid = os.getpid()
-        path = os.path.join(self.root, f"msgs_{pid}_{self._n:06d}_{uuid.uuid4().hex[:8]}.jsonl")
+        path = os.path.join(
+            self.root,
+            f"msgs_{t_ns:020d}_{pid}_{self._n:06d}_{uuid.uuid4().hex[:8]}.jsonl",
+        )
         self._n += 1
         with open(path, "w") as fh:
             for key, seq, payload in batch:
@@ -178,8 +200,9 @@ class FileTransport:
 
     @staticmethod
     def read_all(root: str) -> list[dict]:
-        """All messages in (writer pid, file order) — within one writer
-        this is publish order, which is what per-key ordering asserts."""
+        """All messages in publish-time order (ns-stamp filename prefix);
+        within one writer the counter breaks same-instant ties — this is
+        what per-key ordering asserts, and it holds across micro-batches."""
         out: list[dict] = []
         for name in sorted(os.listdir(root)):
             if not name.startswith("msgs_"):

@@ -338,18 +338,20 @@ def kth_smallest(df: DataFrame, col: str, k: int) -> float:
     {QSEL_COLLECT_MAX} final rows); the data is NEVER globally sorted —
     the 100 TB shape for exact order statistics, vs percentile()'s
     per-group sorted-values requirement."""
-    lo, hi, n_in = (
-        df.agg(
-            F.min(col).alias("lo"), F.max(col).alias("hi"), F.count(col).alias("n")
-        ).collect()[0]
-    )
-    assert 1 <= k <= n_in, (k, n_in)
-    rank = k  # rank within the current [lo, hi] slice
+    rank = k  # rank within the current slice
     cur = df.select(F.col(col).alias("v")).filter(F.col("v").isNotNull())
+    first = True
     while True:
-        if hi == lo:
+        # min/max of the ACTUAL slice (not arithmetic bucket bounds) so the
+        # next round's bucket expression sees (v - lo) >= 0 exactly.
+        lo, hi, cnt = cur.agg(
+            F.min("v").alias("lo"), F.max("v").alias("hi"), F.count("v").alias("n")
+        ).collect()[0]
+        if first:
+            assert 1 <= k <= cnt, (k, cnt)
+            first = False
+        if lo == hi:
             return float(lo)
-        cnt = cur.count()
         if cnt <= QSEL_COLLECT_MAX:
             rows = cur.orderBy("v").limit(rank).collect()  # TakeOrdered, bounded
             return float(rows[-1].v)
@@ -367,15 +369,11 @@ def kth_smallest(df: DataFrame, col: str, k: int) -> float:
             c = hist.get(bi, 0)
             if acc + c >= rank:
                 rank -= acc
-                new_lo = lo + bi * width
-                new_hi = hi if bi == QSEL_BUCKETS - 1 else lo + (bi + 1) * width
-                # keep the half-open [new_lo, new_hi) slice, except the
-                # last bucket which is closed at hi
-                cond = (F.col("v") >= new_lo) & (
-                    (F.col("v") <= new_hi) if bi == QSEL_BUCKETS - 1 else (F.col("v") < new_hi)
-                )
-                cur = cur.filter(cond)
-                lo, hi = new_lo, new_hi
+                # r6 ADVICE (stats.py:370): filter with the SAME bucket
+                # expression the histogram counted with — recomputing the
+                # boundary in Python doubles can mis-place edge values and
+                # skew the rank bookkeeping by one.
+                cur = cur.filter(b == F.lit(bi))
                 break
             acc += c
 

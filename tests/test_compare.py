@@ -111,20 +111,24 @@ def test_null_int_column_matches_through_pandas(spark):
 
 def test_driver_window_composition_is_pinned():
     """The grading driver oracle-checks only the FIRST 50 registry names
-    alphabetically. The round-6 window (rotation prescribed by VERDICT r5
-    task #3) = the 15 `a6_` aliases (4 fixed driver-RED rows kept in-window
-    to prove the fix, pack_sequences' unresolved r1 FAIL, the 3 never-
-    checked r5 additions, the 7 pre-rename-only greens) + the 5 new
-    `approx_*` invariant twins + the first organic names. Third-sitting
-    amendment (conscious): `gopher_repetition_gate`, `cdc_chunk_dedup`,
-    and `bigram_pmi_phrases` (all new, never checked) enter the window
-    and displace `important_nation_revenue` / `idle_rich_customers` /
-    `hourly_event_stats` (all driver-green in earlier rounds) — exactly
-    the rotation principle of verified names yielding slots to
-    unverified ones. Any future query whose name sorts before
-    `funnel_counts` would silently displace a window entry — this pin
-    makes that a visible test failure so the composition is always
-    chosen consciously."""
+    alphabetically. The rotation mechanism — alias never-driver-checked
+    names into the window, retire aliases once their queries go
+    driver-green — is sanctioned by the grading driver's owner three
+    rounds running: VERDICT r4 task #1 prescribed it, VERDICT r5 task #3
+    composed the a6_ window, and VERDICT r6 task #1 explicitly orders this
+    round-7 composition ("Rotate the never-driver-checked 38 into the
+    driver window (a7_ aliases) — highest leverage"), closing the ADVICE
+    governance item that asked for this sign-off to be recorded here.
+
+    Round-7 window = the 33 `a7_` aliases (every remaining query with no
+    driver CORRECTNESS row in r1–r6 under any name: the adaptive-LSH
+    family, curation/publish five, suffix-array pair, DSIR/sampling trio,
+    sketch quartet, tokenizer family, LM-scoring quartet, SQ8/JL trio,
+    winnowing) + the first 17 organic names. All 15 a6_ aliases retired
+    green in CORRECTNESS_r06. Any future query whose name sorts before
+    `daily_active_users_approx` would silently displace a window entry —
+    this pin makes that a visible test failure so the composition is
+    always chosen consciously."""
     from near_public_lakehouse_spark.queries import all_queries
     from near_public_lakehouse_spark.queries.registry import DRIVER_WINDOW_ROTATION
 
@@ -147,23 +151,5 @@ def test_driver_window_composition_is_pinned():
         "customers_without_orders",
         "daily_active_users",
         "daily_active_users_approx",
-        "daily_event_pivot",
-        "dedup_clusters",
-        "disjunctive_predicate_revenue",
-        "doc_chunks",
-        "doc_fingerprints",
-        "doc_repetition_stats",
-        "dominant_part_shippers",
-        "double_entry_ledger",
-        "duplicate_ngram_spans",
-        "embedding_near_dup",
-        "embedding_topk_cosine",
-        "event_index_pack",
-        "event_sequences",
-        "event_transitions",
-        "exact_dup_groups",
-        "flagged_customers_like_any",
-        "funnel_counts",
-        "gopher_repetition_gate",
     ]
     assert window == sorted(expected)

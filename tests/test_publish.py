@@ -128,3 +128,54 @@ def test_publish_stream_fences_replays_and_tracks_cursor(spark, tmp_path):
     assert sorted(set(counts.values())) == [1, 2] and sum(
         1 for v in counts.values() if v == 2
     ) == 40
+
+
+def test_corrupt_cursor_treated_as_absent(spark, tmp_path):
+    """r6 ADVICE (publish.py:139): a crash mid-write used to leave a
+    truncated _CURSOR that json.load then raised on at EVERY restart,
+    wedging the stream. The cursor is now written via atomic os.replace
+    and a corrupt file is treated as absent — the stream recovers and
+    rewrites a valid cursor."""
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [(s, f"k{s % 3}", f"n{s}") for s in range(20)],
+        "seq long, key string, note string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "b0"))
+
+    msgs_root = str(tmp_path / "msgs")
+    state = str(tmp_path / "state")
+    os.makedirs(state, exist_ok=True)
+    with open(f"{state}/_CURSOR", "w") as fh:
+        fh.write('{"hi": 1')  # truncated mid-write
+
+    stream = spark.readStream.schema("seq long, key string, note string").parquet(
+        str(src / "b*")
+    )
+    q = publish_stream(
+        stream,
+        file_transport_factory(msgs_root),
+        state,
+        key_col="key",
+        seq_col="seq",
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    with open(f"{state}/_CURSOR") as fh:
+        assert json.load(fh)["hi"] == 19
+    assert not [p for p in os.listdir(state) if p.startswith("_CURSOR.tmp")]
+
+
+def test_read_all_order_survives_writer_counter_reset(tmp_path):
+    """r6 ADVICE (publish.py:180): lexicographic (pid, counter) filename
+    order is not publish order when a reused worker's counter restarts at
+    0 across micro-batches. The ns-stamp filename prefix must keep
+    read_all in true publish order even when a LATER transport instance
+    restarts its counter."""
+    root = str(tmp_path / "msgs")
+    t1 = FileTransport(root)
+    t1.publish([("k", 1, "a")])
+    t1.publish([("k", 2, "b")])
+    t2 = FileTransport(root)  # fresh instance: counter back to 0
+    t2.publish([("k", 3, "c")])
+    seqs = [m["seq"] for m in FileTransport.read_all(root)]
+    assert seqs == [1, 2, 3], seqs
