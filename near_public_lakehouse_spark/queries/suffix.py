@@ -67,17 +67,50 @@ def distributed_dense_rank(df: DataFrame, key_cols: list[str], out: str = "rank"
     )
 
 
+def distributed_exclusive_cumsum(
+    df: DataFrame, key_cols: list[str], val_col: str, out: str = "offset"
+) -> DataFrame:
+    """Global exclusive running sum of ``val_col`` in ``key_cols`` order
+    without a single-partition window — the cumsum twin of
+    `distributed_dense_rank`: range-repartition on the keys, local
+    exclusive cumsum within each partition, then shift by broadcast
+    per-partition totals. Driver reads one row per partition."""
+    parted = df.repartitionByRange(_SA_PARTS, *key_cols).sortWithinPartitions(*key_cols)
+    w = (
+        Window.partitionBy(F.spark_partition_id())
+        .orderBy(*key_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = (
+        parted.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lsum", F.coalesce(F.sum(val_col).over(w), F.lit(0)))
+        .localCheckpoint()
+    )
+    totals = (
+        local.groupBy("_pid").agg(F.sum(val_col).alias("_n")).orderBy("_pid").collect()
+    )
+    offsets, acc = {}, 0
+    for r in totals:
+        offsets[r._pid] = acc
+        acc += r._n
+    if not offsets:  # empty input: nothing to shift
+        return local.withColumn(out, F.col("_lsum")).drop("_pid", "_lsum")
+    omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    return local.withColumn(out, F.col("_lsum") + omap[F.col("_pid")]).drop(
+        "_pid", "_lsum"
+    )
+
+
 def corpus_token_stream(docs: DataFrame) -> DataFrame:
     """(doc_id, pos, token, doc_len, gpos): every token of every document
     plus one unique separator token per document, with corpus-global
-    positions. Doc offsets come from a cumulative sum over the bounded
-    per-doc length table (|docs| rows; at extreme scale reuse the
-    two-pass rank pattern for the cumsum as well)."""
+    positions. Doc offsets come from the two-pass distributed cumsum over
+    the per-doc length table — never a single-partition global window
+    (VERDICT r6/r7 task #3)."""
     toks = docs.select("doc_id", tokens_col().alias("t"))
     lens = toks.select("doc_id", (F.size("t") + 1).alias("slot_len"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = lens.select(
-        "doc_id", F.coalesce(F.sum("slot_len").over(w), F.lit(0)).alias("offset")
+    offsets = distributed_exclusive_cumsum(lens, ["doc_id"], "slot_len").select(
+        "doc_id", "offset"
     )
     stream = (
         toks.select(

@@ -60,6 +60,33 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def ensure_vendored_protobuf() -> None:
+    """Make `google.protobuf` importable from the repo's vendored mini
+    runtime (vendor/google/protobuf — public wire-format reimplementation)
+    when no real distribution exists: transformWithStateInPandas workers
+    need it (pyspark/sql/streaming/proto). Must run BEFORE the JVM
+    launches so PYTHONPATH propagates to Python workers; a real installed
+    protobuf always wins (the vendor path is appended, not prepended)."""
+    import sys
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        return
+    except ImportError:
+        pass
+    vendor = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "vendor")
+    if not os.path.isdir(os.path.join(vendor, "google", "protobuf")):
+        return
+    if vendor not in sys.path:
+        sys.path.append(vendor)
+    existing = os.environ.get("PYTHONPATH", "")
+    if vendor not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{existing}{os.pathsep}{vendor}" if existing else vendor
+        )
+
+
 def get_spark(
     app_name: str = "near-public-lakehouse-spark",
     cpus: int | str | None = None,
@@ -72,6 +99,7 @@ def get_spark(
     shape). On a real cluster the same code runs unchanged — only
     master/shuffle sizing differ.
     """
+    ensure_vendored_protobuf()
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or 32
     shuffle = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", 2 * int(cpus)))
     import tempfile

@@ -62,9 +62,27 @@ class Pipeline:
     def _sidecar(self, name: str) -> str:
         return os.path.join(self.out_dir, name + ".schema.json")
 
-    def _save_schema(self, name: str, df: DataFrame) -> None:
-        with open(self._sidecar(name), "w") as f:
-            f.write(df.schema.json())
+    def _save_schema(self, name: str, df: DataFrame, merge: bool = False) -> None:
+        """Write the schema sidecar. With `merge=True` (incremental mode)
+        the new schema UNIONS with the existing sidecar — T8 field
+        addition: a column added mid-stream widens the sidecar, and
+        reads of pre-addition parquet files (which lack the column)
+        null-backfill through the union schema; a column that disappears
+        stays in the sidecar (drift-as-nulls, never a drop)."""
+        schema = df.schema
+        sidecar = self._sidecar(name)
+        if merge and os.path.exists(sidecar):
+            import json
+
+            from pyspark.sql.types import StructType
+
+            from near_public_lakehouse_spark.streaming.evolution import merge_schemas
+
+            with open(sidecar) as f:
+                prior = StructType.fromJson(json.loads(f.read()))
+            schema = merge_schemas(prior, schema)
+        with open(sidecar, "w") as f:
+            f.write(schema.json())
 
     def _topo_order(self) -> list[TableDef]:
         order: list[TableDef] = []
@@ -164,7 +182,7 @@ class Pipeline:
                 else:
                     inputs[d] = self.read(d)
             df = t.build(self.spark, inputs)
-            self._save_schema(t.name, df)
+            self._save_schema(t.name, df, merge=True)
             ckpt = os.path.join(checkpoint_dir, t.name)
             if not df.isStreaming:
                 # No streamable dep: batch rebuild (stateful nodes still go

@@ -454,3 +454,66 @@ def test_pmi_unigram_tables_broadcast_onto_pairs(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_adaptive_eval_reattaches_per_doc_state_without_broadcast(spark):
+    """VERDICT r6/r7 task #2 'done' criterion: the eval twins' per-doc
+    reattachment joins (signatures onto superset pairs, token sets onto
+    truth pairs) are plain shuffle hash joins — an O(corpus) broadcast
+    is the first executor OOM at 100 TB. Only the per-SOURCE cfg table
+    (bounded rows) may broadcast. Asserted with auto-broadcast disabled
+    so explicit F.broadcast hints are the only possible source of
+    BroadcastHashJoin in the plan."""
+    from near_public_lakehouse_spark.queries.adaptive_lsh import (
+        _scored_superset,
+        _superset_pairs,
+        _truth_within,
+    )
+    from near_public_lakehouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sup = _superset_pairs(docs)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        truth_plan = _plan(_truth_within(sup, docs))
+        assert "BroadcastHashJoin" not in truth_plan, truth_plan
+        scored_plan = _plan(_scored_superset(sup, docs))
+        # the only broadcasts are the bounded per-source cfg table (once
+        # per pair side, keyed on `source`); the per-doc reattachment
+        # joins on doc_a/doc_b are never broadcast
+        bhj = [l for l in scored_plan.splitlines() if "BroadcastHashJoin" in l]
+        assert len(bhj) == 2, scored_plan
+        for line in bhj:
+            assert "source" in line and "doc_" not in line, line
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_suffix_offsets_have_no_single_partition_window(spark):
+    """VERDICT r6/r7 task #3 'done' criterion: the corpus-position offset
+    cumsum uses the two-pass partial-sum pattern, never an unpartitioned
+    Window.orderBy (which serializes the whole corpus through one task).
+    A regression to the global window would reappear in this plan as an
+    'Exchange SinglePartition' feeding a Window."""
+    from near_public_lakehouse_spark.queries.suffix import (
+        corpus_token_stream,
+        distributed_exclusive_cumsum,
+    )
+    from near_public_lakehouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(corpus_token_stream(docs))
+    assert "SinglePartition" not in plan, plan
+
+    # and the helper's running sum is the true global exclusive cumsum
+    lens = docs.selectExpr("doc_id", "length(text) AS v")
+    got = {
+        r.doc_id: r.offset
+        for r in distributed_exclusive_cumsum(lens, ["doc_id"], "v").collect()
+    }
+    rows = sorted(lens.collect(), key=lambda r: r.doc_id)
+    acc = 0
+    for r in rows:
+        assert got[r.doc_id] == acc, (r.doc_id, got[r.doc_id], acc)
+        acc += r.v

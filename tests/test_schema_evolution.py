@@ -1,0 +1,139 @@
+"""T8 field-addition propagation (VERDICT r7 task #7): a field added to a
+live stream's input mid-run must survive into the sink and read back
+after a restart — the reference runs its warehouse writer with
+`allowFieldAddition` / `allowFieldRelaxation` (NB/BQ Writer
+Stream.py:27-28); the repo's historical policy handled only drift-as-
+nulls (removed fields), silently dropping additions at ingest."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from near_public_lakehouse_spark.streaming.evolution import (
+    merge_schemas,
+    probe_json_schema,
+    read_json_evolving,
+)
+
+
+def _s(*fields) -> StructType:
+    return StructType([StructField(n, t, True) for n, t in fields])
+
+
+class TestMergeSchemas:
+    def test_addition_appends_nullable(self):
+        out = merge_schemas(
+            _s(("a", LongType()), ("b", StringType())),
+            _s(("a", LongType()), ("fee", DoubleType())),
+        )
+        assert [f.name for f in out.fields] == ["a", "b", "fee"]
+        assert out["fee"].nullable
+
+    def test_removed_field_is_kept_not_dropped(self):
+        out = merge_schemas(_s(("a", LongType()), ("b", StringType())), _s(("a", LongType())))
+        assert [f.name for f in out.fields] == ["a", "b"]
+
+    def test_nested_struct_addition(self):
+        out = merge_schemas(
+            _s(("meta", _s(("x", LongType())))),
+            _s(("meta", _s(("x", LongType()), ("y", StringType())))),
+        )
+        assert [f.name for f in out["meta"].dataType.fields] == ["x", "y"]
+
+    def test_numeric_relaxation_widens(self):
+        out = merge_schemas(
+            _s(("n", IntegerType()), ("v", DoubleType())),
+            _s(("n", LongType()), ("v", IntegerType())),
+        )
+        assert out["n"].dataType == LongType()
+        assert out["v"].dataType == DoubleType()
+
+    def test_array_element_widening(self):
+        out = merge_schemas(
+            _s(("xs", ArrayType(IntegerType()))), _s(("xs", ArrayType(LongType())))
+        )
+        assert out["xs"].dataType.elementType == LongType()
+
+    def test_irreconcilable_conflict_raises(self):
+        with pytest.raises(ValueError, match="irreconcilable"):
+            merge_schemas(_s(("a", StringType())), _s(("a", LongType())))
+
+
+def test_probe_is_bounded_and_reads_newest(spark, tmp_path):
+    root = str(tmp_path / "land")
+    os.makedirs(root)
+    for i in range(5):
+        with open(os.path.join(root, f"f{i}.json"), "w") as fh:
+            fh.write(json.dumps({"a": i}) + "\n")
+        os.utime(os.path.join(root, f"f{i}.json"), (1000 + i, 1000 + i))
+    with open(os.path.join(root, "f9.json"), "w") as fh:
+        fh.write(json.dumps({"a": 9, "fee": 0.5}) + "\n")
+    os.utime(os.path.join(root, "f9.json"), (2000, 2000))
+    schema = probe_json_schema(spark, root, probe_files=1)
+    assert set(schema.fieldNames()) == {"a", "fee"}  # newest file carries it
+
+
+def test_field_added_mid_stream_reads_back_post_restart(spark, tmp_path):
+    """The full T8 loop: declared-schema stream drains batch 0; a new
+    field appears in batch 1's files; the pipeline re-runs (restart, same
+    checkpoint) with the evolving source; the sink's sidecar widens and
+    the table reads back the new column — nulls backfilled for rows that
+    predate the addition."""
+    from near_public_lakehouse_spark.streaming.runner import Pipeline
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(land)
+    os.makedirs(out)
+    declared = _s(("event_id", LongType()), ("value", DoubleType()))
+
+    with open(os.path.join(land, "b0.json"), "w") as fh:
+        for i in range(3):
+            fh.write(json.dumps({"event_id": i, "value": float(i)}) + "\n")
+
+    pipe = Pipeline(spark, out)
+
+    @pipe.table("events", deps=["raw"], partition_by=None)
+    def _events(s, inputs):
+        return inputs["raw"].withColumn("doubled", F.col("value") * 2)
+
+    def src(s, streaming):
+        return read_json_evolving(s, land, declared, streaming=streaming)
+
+    pipe.run_incremental({"raw": src}, ckpt)
+    assert pipe.read("events").count() == 3
+
+    # mid-stream drift: the writer starts emitting a `fee` field
+    with open(os.path.join(land, "b1.json"), "w") as fh:
+        for i in range(3, 6):
+            fh.write(
+                json.dumps({"event_id": i, "value": float(i), "fee": i * 0.1}) + "\n"
+            )
+
+    pipe.run_incremental({"raw": src}, ckpt)  # restart, same checkpoint
+    got = pipe.read("events")
+    assert "fee" in got.columns
+    rows = {r.event_id: r for r in got.collect()}
+    assert len(rows) == 6  # checkpoint replayed nothing, b1 appended
+    for i in range(3):
+        assert rows[i].fee is None  # pre-addition rows null-backfill
+    for i in range(3, 6):
+        assert rows[i].fee == pytest.approx(i * 0.1)
+    # the sidecar now declares the union schema durably
+    with open(os.path.join(out, "events.schema.json")) as fh:
+        side = StructType.fromJson(json.load(fh))
+    assert "fee" in side.fieldNames()

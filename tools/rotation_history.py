@@ -1,0 +1,47 @@
+#!/usr/bin/env python
+"""Regenerate ROTATION_HISTORY.json — the machine-readable record of the
+driver-window rotation aliases (rounds 5-7), so the alias-adjusted union
+of CORRECTNESS_r*.json files can be computed without reading prose.
+
+Source of truth is the CORRECTNESS files themselves: every aN_-prefixed
+key that ever appeared in a driver record is an alias of the organic name
+obtained by stripping the prefix (the only renaming rule ever used; see
+`queries/registry.py::_ALIAS_RE`). Run from the repo root:
+
+    python tools/rotation_history.py
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+ALIAS_RE = re.compile(r"^(a\d+)_(.+)$")
+REPO = Path(__file__).resolve().parent.parent
+
+
+def main() -> None:
+    rounds: dict[str, dict[str, str]] = {}
+    for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        rnd = path.stem.split("_")[-1]  # r05, r06, ...
+        aliases = {
+            key: m.group(2)
+            for key in json.loads(path.read_text())
+            if (m := ALIAS_RE.match(key))
+        }
+        if aliases:
+            rounds[rnd] = dict(sorted(aliases.items()))
+    out = {
+        "rule": "a<N>_<name> is an alias of <name>; union coverage across "
+        "rounds is computed alias-adjusted (strip the a<N>_ prefix)",
+        "retired_in": "r08 (all aliases driver-green by CORRECTNESS_r07; "
+        "queries register under organic names from round 8 on)",
+        "rounds": rounds,
+    }
+    (REPO / "ROTATION_HISTORY.json").write_text(json.dumps(out, indent=1) + "\n")
+    print(f"wrote ROTATION_HISTORY.json: {sum(len(v) for v in rounds.values())} aliases over {len(rounds)} rounds")
+
+
+if __name__ == "__main__":
+    main()
