@@ -85,31 +85,19 @@ ORDER BY qid, rnk
 """
 
 
-@query(
-    "retrieval_bm25_topk",
-    tags=("retrieval", "text", "beyond-reference"),
-    oracle=_BM25_ORACLE,
-)
-def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 top-{TOP_K} documents for ten corpus-derived two-term
-    queries: inverted-index postings (one shuffle), vocabulary-bounded
-    document frequencies, a broadcast 20-term query workload, and
-    per-query Window top-k. idf uses the standard
-    ln((N - df + 0.5)/(df + 0.5) + 1) form (always positive); tf
-    saturation and length normalization use k1={BM25_K1}, b={BM25_B}."""
-    docs = load_table(spark, sf_dir, "documents")
+def _index(docs: DataFrame):
+    """Shared inverted-index build: (dl, stats, tf, dfreq, qterms).
+    One shuffle for the postings, a vocabulary-bounded second aggregate
+    for dfs, and the distributed top-30 frequency head paired into ten
+    two-term queries (row_number only over the LIMIT-bounded 30 rows)."""
     t = docs.select("doc_id", tokens_col().alias("t"))
     dl = t.select("doc_id", F.size("t").alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
     tok = t.select("doc_id", F.explode("t").alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("token").agg(
         F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total")
     )
-    # distributed top-30 (TakeOrderedAndProject), THEN a row_number over
-    # the bounded 30-row result — never a vocabulary-wide window
     head = dfreq.orderBy(F.col("total").desc(), "token").limit(
         HEAD_SKIP + N_QUERY_TERMS
     )
@@ -123,26 +111,225 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "df",
         )
     )
-    idf = F.log(
-        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
-    )
+    return dl, stats, tf, qterms
+
+
+def _bm25_scores(docs: DataFrame) -> DataFrame:
+    """(qid, doc_id, score): BM25 accumulation over postings matching a
+    query term — broadcast query workload, shuffle only the matching
+    postings slice, grouped on (qid, doc_id)."""
+    dl, stats, tf, qterms = _index(docs)
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
     norm = F.col("tf") + BM25_K1 * (
         1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
     )
-    scores = (
+    return (
         tf.join(F.broadcast(qterms), "token")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("qid", "doc_id")
         .agg(F.sum(idf * F.col("tf") * (BM25_K1 + 1) / norm).alias("score"))
     )
+
+
+def _ranked(scores: DataFrame, k: int) -> DataFrame:
+    """(qid, rnk, doc_id, score): deterministic per-query top-k — scores
+    rounded to 9 dp BEFORE ranking, doc_id tiebreak."""
     w_q = Window.partitionBy("qid").orderBy(
         F.round(F.col("score"), 9).desc(), F.col("doc_id")
     )
     return (
         scores.withColumn("score", F.round(F.col("score"), 9))
         .withColumn("rnk", F.row_number().over(w_q).cast("bigint"))
-        .filter(F.col("rnk") <= TOP_K)
+        .filter(F.col("rnk") <= k)
+    )
+
+
+@query(
+    "retrieval_bm25_topk",
+    tags=("retrieval", "text", "beyond-reference"),
+    oracle=_BM25_ORACLE,
+)
+def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-{TOP_K} documents for ten corpus-derived two-term
+    queries: inverted-index postings (one shuffle), vocabulary-bounded
+    document frequencies, a broadcast 20-term query workload, and
+    per-query Window top-k. idf uses the standard
+    ln((N - df + 0.5)/(df + 0.5) + 1) form (always positive); tf
+    saturation and length normalization use k1={BM25_K1}, b={BM25_B}."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        _ranked(_bm25_scores(docs), TOP_K)
         .select("qid", "rnk", "doc_id", "score")
+        .orderBy("qid", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: BM25 + TF-IDF-cosine lists fused by reciprocal rank
+
+RRF_K = 60  # standard RRF constant (Cormack et al. 2009)
+RRF_POOL = 20  # per-ranking candidate list depth
+COS_DP = 6  # cosine rounds coarser than BM25: its doc norms sum many
+# more terms, so cross-engine summation-order noise is larger
+
+_HYBRID_ORACLE = f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS t FROM documents),
+dl AS (SELECT doc_id, len(t) AS dl FROM t),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tok AS (SELECT doc_id, unnest(t) AS token FROM t),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+dfreq AS (SELECT token, count(*) AS df, sum(tf) AS total FROM tf GROUP BY token),
+head AS (
+  SELECT token, df, row_number() OVER (ORDER BY total DESC, token) AS r
+  FROM dfreq ORDER BY total DESC, token LIMIT {HEAD_SKIP + N_QUERY_TERMS}
+),
+qterms AS (
+  SELECT CAST((r - {HEAD_SKIP + 1}) // 2 AS INT) AS qid, token, df
+  FROM head WHERE r > {HEAD_SKIP}
+),
+bm AS (
+  SELECT q.qid, f.doc_id,
+         sum(ln((s.n_docs - q.df + 0.5) / (q.df + 0.5) + 1)
+             * f.tf * ({BM25_K1} + 1)
+             / (f.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl))
+         ) AS score
+  FROM qterms q JOIN tf f USING (token)
+  JOIN dl ON f.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY q.qid, f.doc_id
+),
+bm_rank AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 9) DESC, doc_id) AS rnk
+  FROM bm
+),
+w AS (
+  SELECT f.doc_id, f.token, f.tf * ln(CAST(s.n_docs AS DOUBLE) / d.df) AS w
+  FROM tf f JOIN dfreq d USING (token) CROSS JOIN stats s
+),
+dnorm AS (SELECT doc_id, sqrt(sum(w * w)) AS dn FROM w GROUP BY doc_id),
+qnorm AS (
+  SELECT qid, sqrt(sum(pow(ln(CAST(s.n_docs AS DOUBLE) / df), 2))) AS qn
+  FROM qterms CROSS JOIN stats s GROUP BY qid
+),
+coss AS (
+  SELECT q.qid, w.doc_id,
+         sum(w.w * ln(CAST(s.n_docs AS DOUBLE) / q.df))
+           / (max(dn.dn) * max(qn.qn)) AS score
+  FROM qterms q
+  JOIN w ON w.token = q.token
+  CROSS JOIN stats s
+  JOIN dnorm dn ON dn.doc_id = w.doc_id
+  JOIN qnorm qn ON qn.qid = q.qid
+  GROUP BY q.qid, w.doc_id
+),
+cos_rank AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, {COS_DP}) DESC, doc_id) AS rnk
+  FROM coss
+),
+pool AS (
+  SELECT qid, doc_id, 1.0 / ({RRF_K} + rnk) AS c
+  FROM bm_rank WHERE rnk <= {RRF_POOL}
+  UNION ALL
+  SELECT qid, doc_id, 1.0 / ({RRF_K} + rnk) AS c
+  FROM cos_rank WHERE rnk <= {RRF_POOL}
+),
+rrf AS (
+  SELECT qid, doc_id, round(sum(c), 9) AS rrf_score
+  FROM pool GROUP BY qid, doc_id
+),
+fin AS (
+  SELECT qid, doc_id, rrf_score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY rrf_score DESC, doc_id) AS rnk
+  FROM rrf
+)
+SELECT qid, CAST(rnk AS BIGINT) AS rnk, doc_id, rrf_score
+FROM fin WHERE rnk <= {TOP_K}
+ORDER BY qid, rnk
+"""
+
+
+@query(
+    "retrieval_hybrid_rrf",
+    tags=("retrieval", "text", "beyond-reference"),
+    oracle=_HYBRID_ORACLE,
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion: the same ten
+    corpus-derived queries scored by two independent rankers — Okapi
+    BM25 and TF-IDF cosine (full-vector document norms, idf-weighted
+    query vector) — each truncated to its top-{RRF_POOL}, fused as
+    sum(1/({RRF_K}+rank)) per document, top-{TOP_K} emitted per query.
+    RRF is the standard way production retrieval mixes sparse rankers
+    (and, with an ANN list, dense ones — `embedding_topk_cosine` /
+    `ivf_topk` produce exactly such a list) without score calibration:
+    only RANKS cross the fusion boundary.
+
+    Scale: both rankers reuse the same one-shuffle postings table; the
+    cosine doc norms are one extra O(postings) aggregate; fusion state
+    is 2x{RRF_POOL} rows per query. Determinism: each ranker's scores
+    round (9 dp BM25, {COS_DP} dp cosine — coarser because full-vector
+    norms accumulate more summation-order noise) before ranking with
+    doc_id tiebreaks, so the fused output depends on cross-engine-stable
+    ranks, never on raw float score equality."""
+    docs = load_table(spark, sf_dir, "documents")
+    dl, stats, tf, qterms = _index(docs)
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+
+    bm_rank = _ranked(_bm25_scores(docs), RRF_POOL).select("qid", "doc_id", "rnk")
+
+    n_docs = F.col("n_docs").cast("double")
+    w = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "token",
+            (F.col("tf") * F.log(n_docs / F.col("df"))).alias("w"),
+        )
+    )
+    dnorm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("dn"))
+    qnorm = (
+        qterms.crossJoin(F.broadcast(stats))
+        .groupBy("qid")
+        .agg(F.sqrt(F.sum(F.pow(F.log(n_docs / F.col("df")), 2))).alias("qn"))
+    )
+    coss = (
+        w.join(F.broadcast(qterms.select("qid", "token", "df")), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.sum(F.col("w") * F.log(n_docs / F.col("df"))).alias("dot"),
+        )
+        .join(dnorm, "doc_id")
+        .join(F.broadcast(qnorm), "qid")
+        .select(
+            "qid", "doc_id", (F.col("dot") / (F.col("dn") * F.col("qn"))).alias("score")
+        )
+    )
+    w_cos = Window.partitionBy("qid").orderBy(
+        F.round(F.col("score"), COS_DP).desc(), F.col("doc_id")
+    )
+    cos_rank = (
+        coss.withColumn("rnk", F.row_number().over(w_cos))
+        .filter(F.col("rnk") <= RRF_POOL)
+        .select("qid", "doc_id", "rnk")
+    )
+
+    pool = bm_rank.unionByName(cos_rank).select(
+        "qid", "doc_id", (F.lit(1.0) / (RRF_K + F.col("rnk"))).alias("c")
+    )
+    rrf = pool.groupBy("qid", "doc_id").agg(F.round(F.sum("c"), 9).alias("rrf_score"))
+    w_fin = Window.partitionBy("qid").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id")
+    )
+    return (
+        rrf.withColumn("rnk", F.row_number().over(w_fin).cast("bigint"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("qid", "rnk", "doc_id", "rrf_score")
         .orderBy("qid", "rnk")
     )

@@ -32,9 +32,27 @@ def _reader(spark: SparkSession, streaming: bool, max_files: int | None):
 
 
 def read_blocks(
-    spark: SparkSession, path: str, streaming: bool = False, max_files: int | None = None
+    spark: SparkSession,
+    path: str,
+    streaming: bool = False,
+    max_files: int | None = None,
+    evolve: bool = False,
 ) -> DataFrame:
-    """`*block.json` files -> bronze blocks (one row per block)."""
+    """`*block.json` files -> bronze blocks (one row per block).
+
+    ``evolve=True`` turns on field-addition propagation (Autoloader's
+    `schemaEvolutionMode addNewColumns` / the warehouse writer's
+    `allowFieldAddition`): the declared schema widens by the probed
+    on-disk schema before the read, so new JSON fields land as columns
+    instead of being dropped (streaming/evolution.py; T8)."""
+    if evolve:
+        from near_public_lakehouse_spark.streaming.evolution import read_json_evolving
+
+        configure_runtime(spark)
+        return read_json_evolving(
+            spark, path, BLOCK_SCHEMA, glob="*block.json",
+            streaming=streaming, max_files=max_files,
+        )
     return (
         _reader(spark, streaming, max_files)
         .format("json")
@@ -45,9 +63,22 @@ def read_blocks(
 
 
 def read_shards(
-    spark: SparkSession, path: str, streaming: bool = False, max_files: int | None = None
+    spark: SparkSession,
+    path: str,
+    streaming: bool = False,
+    max_files: int | None = None,
+    evolve: bool = False,
 ) -> DataFrame:
-    """`*shard*.json` files -> bronze chunks/shards (one row per shard)."""
+    """`*shard*.json` files -> bronze chunks/shards (one row per shard).
+    ``evolve=True``: see `read_blocks` — same T8 field-addition path."""
+    if evolve:
+        from near_public_lakehouse_spark.streaming.evolution import read_json_evolving
+
+        configure_runtime(spark)
+        return read_json_evolving(
+            spark, path, SHARD_SCHEMA, glob="*shard*.json",
+            streaming=streaming, max_files=max_files,
+        )
     return (
         _reader(spark, streaming, max_files)
         .format("json")

@@ -137,3 +137,44 @@ def test_field_added_mid_stream_reads_back_post_restart(spark, tmp_path):
     with open(os.path.join(out, "events.schema.json")) as fh:
         side = StructType.fromJson(json.load(fh))
     assert "fee" in side.fieldNames()
+
+
+def test_bronze_block_source_evolves_new_field(spark, tmp_path):
+    """S1+T8 together: the Autoloader-shaped bronze source with
+    `evolve=True` picks up a field the producer starts emitting (here a
+    `latest_protocol_version` on the block root), while the fixed-schema
+    path drops it — pinning both the new behavior and the old default."""
+    from near_public_lakehouse_spark.sources.fixtures import generate_fixtures
+    from near_public_lakehouse_spark.sources.json_stream import read_blocks
+
+    d = str(tmp_path / "raw")
+    generate_fixtures(d, n_blocks=4, n_shards=1)
+    # producer upgrade: new top-level field appears in the next block file
+    with open(os.path.join(d, f"{999:012d}.block.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "author": "v2.alice",
+                    "header": {
+                        "height": 999,
+                        "timestamp": 1_700_000_999_000_000_000,
+                        "hash": "h999",
+                        "prev_hash": "h998",
+                        "epoch_id": "e1",
+                        "total_supply": "1" + "0" * 33,
+                        "gas_price": "100000000",
+                    },
+                    "chunks": [],
+                    "latest_protocol_version": 73,
+                }
+            )
+        )
+
+    fixed = read_blocks(spark, d)
+    assert "latest_protocol_version" not in fixed.columns  # old default
+
+    evolved = read_blocks(spark, d, evolve=True)
+    assert "latest_protocol_version" in evolved.columns
+    rows = {r.author: r.latest_protocol_version for r in evolved.collect()}
+    assert rows["v2.alice"] == 73
+    assert sum(1 for v in rows.values() if v is None) == 4  # backfilled nulls
