@@ -333,3 +333,111 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "rnk", "doc_id", "rrf_score")
         .orderBy("qid", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# query-likelihood retrieval (Dirichlet smoothing) — the LM ranker
+
+QL_MU = 100.0  # Dirichlet pseudo-count; sized to this corpus's ~30-token
+# docs (the standard 2000-2500 default assumes full web documents and
+# would swamp the per-doc evidence here)
+
+_QL_ORACLE = f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS t FROM documents),
+dl AS (SELECT doc_id, len(t) AS dl FROM t),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tok AS (SELECT doc_id, unnest(t) AS token FROM t),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+dfreq AS (SELECT token, count(*) AS df, sum(tf) AS total FROM tf GROUP BY token),
+head AS (
+  SELECT token, df, row_number() OVER (ORDER BY total DESC, token) AS r
+  FROM dfreq ORDER BY total DESC, token LIMIT {HEAD_SKIP + N_QUERY_TERMS}
+),
+qterms AS (
+  SELECT CAST((r - {HEAD_SKIP + 1}) // 2 AS INT) AS qid, token
+  FROM head WHERE r > {HEAD_SKIP}
+),
+coll AS (SELECT CAST(sum(tf) AS DOUBLE) AS n_tokens FROM tf),
+ptc AS (
+  SELECT q.qid, q.token, d.total / c.n_tokens AS p_c
+  FROM qterms q JOIN dfreq d USING (token) CROSS JOIN coll c
+),
+cand AS (
+  SELECT DISTINCT q.qid, f.doc_id
+  FROM qterms q JOIN tf f USING (token)
+),
+scored AS (
+  SELECT c.qid, c.doc_id,
+         sum(ln((COALESCE(f.tf, 0) + {QL_MU} * p.p_c) / (dl.dl + {QL_MU}))) AS score
+  FROM cand c
+  JOIN ptc p ON p.qid = c.qid
+  LEFT JOIN tf f ON f.doc_id = c.doc_id AND f.token = p.token
+  JOIN dl ON dl.doc_id = c.doc_id
+  GROUP BY c.qid, c.doc_id
+),
+topk AS (
+  SELECT qid, doc_id, round(score, 9) AS score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 9) DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT qid, CAST(rnk AS BIGINT) AS rnk, doc_id, score
+FROM topk WHERE rnk <= {TOP_K}
+ORDER BY qid, rnk
+"""
+
+
+@query(
+    "retrieval_query_likelihood",
+    tags=("retrieval", "text", "beyond-reference"),
+    oracle=_QL_ORACLE,
+)
+def retrieval_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (the LM ranker that
+    completes the classic trio with BM25 and TF-IDF cosine):
+    score(d,q) = sum over query terms of
+    ln((tf + mu*p(t|C)) / (dl + mu)), mu={QL_MU}. Unlike BM25, ABSENT
+    query terms still contribute (the smoothed collection probability),
+    so candidates (docs matching >= 1 term) re-join the full per-query
+    term list with tf defaulting to 0 — the structural difference this
+    query exists to exercise. Collection stats p(t|C) live on the
+    broadcast 20-term workload; the candidate set, not the corpus, pays
+    the second join. Determinism: same round-9dp-before-rank rule."""
+    docs = load_table(spark, sf_dir, "documents")
+    dl, stats, tf, qterms = _index(docs)
+    dfreq = tf.groupBy("token").agg(F.sum("tf").alias("total"))
+    coll = tf.agg(F.sum("tf").cast("double").alias("n_tokens"))
+    ptc = (
+        qterms.select("qid", "token")
+        .join(dfreq, "token")
+        .crossJoin(F.broadcast(coll))
+        .select("qid", "token", (F.col("total") / F.col("n_tokens")).alias("p_c"))
+    )
+    cand = (
+        tf.join(F.broadcast(qterms.select("qid", "token")), "token")
+        .select("qid", "doc_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(F.broadcast(ptc), "qid")
+        .join(
+            tf.select("doc_id", "token", "tf"),
+            ["doc_id", "token"],
+            "left",
+        )
+        .join(dl, "doc_id")
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    (F.coalesce(F.col("tf"), F.lit(0)) + QL_MU * F.col("p_c"))
+                    / (F.col("dl") + QL_MU)
+                )
+            ).alias("score")
+        )
+    )
+    return (
+        _ranked(scored, TOP_K)
+        .select("qid", "rnk", "doc_id", "score")
+        .orderBy("qid", "rnk")
+    )
