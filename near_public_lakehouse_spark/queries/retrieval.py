@@ -255,6 +255,7 @@ ORDER BY qid, rnk
 
 @query(
     "retrieval_hybrid_rrf",
+    bench=True,
     tags=("retrieval", "text", "beyond-reference"),
     oracle=_HYBRID_ORACLE,
 )
@@ -439,5 +440,191 @@ def retrieval_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _ranked(scored, TOP_K)
         .select("qid", "rnk", "doc_id", "score")
+        .orderBy("qid", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dense + sparse hybrid: more-like-this over aligned documents/embeddings
+
+MLT_Q = 5  # query docs = doc_id < 5 (aligned with embeddings.vec_id)
+MLT_TERMS = 3  # distinctive terms per query doc for the sparse side
+MLT_POOL = 20
+
+_MLT_ORACLE = f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS t FROM documents),
+dl AS (SELECT doc_id, len(t) AS dl FROM t),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tok AS (SELECT doc_id, unnest(t) AS token FROM t),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+qw AS (
+  SELECT f.doc_id AS qid, f.token, d.df,
+         f.tf * ln(CAST(s.n_docs AS DOUBLE) / d.df) AS w
+  FROM tf f JOIN dfreq d USING (token) CROSS JOIN stats s
+  WHERE f.doc_id < {MLT_Q}
+),
+qsel AS (
+  SELECT qid, token, df,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(w, 9) DESC, token) AS r
+  FROM qw
+),
+qterms AS (SELECT qid, token, df FROM qsel WHERE r <= {MLT_TERMS}),
+bm AS (
+  SELECT q.qid, f.doc_id,
+         sum(ln((s.n_docs - q.df + 0.5) / (q.df + 0.5) + 1)
+             * f.tf * ({BM25_K1} + 1)
+             / (f.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl))
+         ) AS score
+  FROM qterms q JOIN tf f USING (token)
+  JOIN dl ON f.doc_id = dl.doc_id CROSS JOIN stats s
+  WHERE f.doc_id <> q.qid
+  GROUP BY q.qid, f.doc_id
+),
+bm_rank AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 9) DESC, doc_id) AS rnk
+  FROM bm
+),
+qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {MLT_Q}),
+prods AS (
+  SELECT qid, vec_id AS cid,
+         unnest(qe) AS qx, unnest(embedding) AS cx
+  FROM qv, embeddings
+  WHERE vec_id <> qid
+),
+dots AS (
+  SELECT qid, cid,
+         sum(CAST(CAST(qx AS DOUBLE) * CAST(cx AS DOUBLE) AS DECIMAL(30,15))) AS dot,
+         sum(CAST(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE) AS DECIMAL(30,15))) AS qnorm2,
+         sum(CAST(CAST(cx AS DOUBLE) * CAST(cx AS DOUBLE) AS DECIMAL(30,15))) AS cnorm2
+  FROM prods GROUP BY qid, cid
+),
+dense_rank_ AS (
+  SELECT qid, cid AS doc_id,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY CAST(dot AS DOUBLE)
+                    / (sqrt(CAST(qnorm2 AS DOUBLE)) * sqrt(CAST(cnorm2 AS DOUBLE))) DESC,
+                    cid) AS rnk
+  FROM dots
+),
+pool AS (
+  SELECT qid, doc_id, 1.0 / ({RRF_K} + rnk) AS c FROM bm_rank WHERE rnk <= {MLT_POOL}
+  UNION ALL
+  SELECT qid, doc_id, 1.0 / ({RRF_K} + rnk) AS c FROM dense_rank_ WHERE rnk <= {MLT_POOL}
+),
+rrf AS (
+  SELECT qid, doc_id, round(sum(c), 9) AS rrf_score FROM pool GROUP BY qid, doc_id
+),
+fin AS (
+  SELECT qid, doc_id, rrf_score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY rrf_score DESC, doc_id) AS rnk
+  FROM rrf
+)
+SELECT qid, CAST(rnk AS BIGINT) AS rnk, doc_id, rrf_score
+FROM fin WHERE rnk <= {TOP_K}
+ORDER BY qid, rnk
+"""
+
+
+@query(
+    "retrieval_mlt_hybrid",
+    tags=("retrieval", "similarity", "beyond-reference"),
+    oracle=_MLT_ORACLE,
+)
+def retrieval_mlt_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense+sparse more-like-this: for each of the first {MLT_Q} query
+    documents (documents.doc_id aligns 1:1 with embeddings.vec_id in the
+    testdata), fuse (a) BM25 over the query doc's top-{MLT_TERMS}
+    distinctive terms (tf*idf within the doc — the classic Lucene
+    MoreLikeThis term selection) with (b) exact embedding cosine, by
+    reciprocal rank over top-{MLT_POOL} pools. This is the
+    production-standard sparse+dense hybrid shape: the dense list would
+    come from `ivf_topk`/`ann_lsh_topk` at scale — exact cosine here
+    keeps the oracle exact.
+
+    Determinism: the sparse side rounds 9 dp before ranking; the dense
+    side needs NO rounding — dot products and norms are exact decimal
+    folds on both engines (the `embedding_topk_cosine` discipline), so
+    the derived cosines are bit-identical."""
+    from near_public_lakehouse_spark.queries.similarity import _dot_dec_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    dl, stats, tf, _ = _index(docs)
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+
+    n_docs = F.col("n_docs").cast("double")
+    qw = (
+        tf.filter(F.col("doc_id") < MLT_Q)
+        .join(dfreq, "token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("doc_id").alias("qid"),
+            "token",
+            "df",
+            (F.col("tf") * F.log(n_docs / F.col("df"))).alias("w"),
+        )
+    )
+    w_sel = Window.partitionBy("qid").orderBy(
+        F.round(F.col("w"), 9).desc(), F.col("token")
+    )
+    qterms = (
+        qw.withColumn("r", F.row_number().over(w_sel))
+        .filter(F.col("r") <= MLT_TERMS)
+        .select("qid", "token", "df")
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    norm = F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    bm = (
+        tf.join(F.broadcast(qterms), "token")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("qid", "doc_id")
+        .agg(F.sum(idf * F.col("tf") * (BM25_K1 + 1) / norm).alias("score"))
+    )
+    w_bm = Window.partitionBy("qid").orderBy(
+        F.round(F.col("score"), 9).desc(), F.col("doc_id")
+    )
+    bm_rank = (
+        bm.withColumn("rnk", F.row_number().over(w_bm))
+        .filter(F.col("rnk") <= MLT_POOL)
+        .select("qid", "doc_id", "rnk")
+    )
+
+    vnorm = F.sqrt(_dot_dec_col(F.col("embedding"), F.col("embedding")).cast("double"))
+    qv = emb.filter(F.col("vec_id") < MLT_Q).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), vnorm.alias("qn")
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("ce"), vnorm.alias("cn")
+    )
+    cosine = _dot_dec_col(F.col("qe"), F.col("ce")).cast("double") / (
+        F.col("qn") * F.col("cn")
+    )
+    w_dense = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("doc_id"))
+    dense_rank = (
+        cv.crossJoin(F.broadcast(qv))
+        .filter(F.col("doc_id") != F.col("qid"))
+        .select("qid", "doc_id", cosine.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w_dense))
+        .filter(F.col("rnk") <= MLT_POOL)
+        .select("qid", "doc_id", "rnk")
+    )
+
+    pool = bm_rank.unionByName(dense_rank).select(
+        "qid", "doc_id", (F.lit(1.0) / (RRF_K + F.col("rnk"))).alias("c")
+    )
+    rrf = pool.groupBy("qid", "doc_id").agg(F.round(F.sum("c"), 9).alias("rrf_score"))
+    w_fin = Window.partitionBy("qid").orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+    return (
+        rrf.withColumn("rnk", F.row_number().over(w_fin).cast("bigint"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("qid", "rnk", "doc_id", "rrf_score")
         .orderBy("qid", "rnk")
     )
