@@ -1,0 +1,141 @@
+"""Iterative graph analytics over the TPC-H-ish tables: weighted
+PageRank on the customer-supplier interaction graph.
+
+The near-dup machinery already exercises connected components (two
+engines, `queries/dedup.py`); this adds the other canonical iterative
+graph primitive, with a REAL cross-engine oracle: the DuckDB side
+unrolls the same {PR_ITERS} power iterations as generated CTE text
+(`_pr_iteration_sql`), so every intermediate rank vector — not just an
+invariant — is hash-compared. That makes this one of the few iterative
+algorithms in the registry with a full-value oracle rather than a
+rows-only twin.
+
+Graph: undirected bipartite customer<->supplier, edge weight = number
+of lineitems the pair transacted (lineitem x orders join). Every
+included node has degree >= 1 by construction, so the walk has no
+dangling mass.
+
+Scale design: one edge-build shuffle (groupBy pair), then {PR_ITERS}
+bounded rounds, each ONE join-aggregate shuffled on the edge source key
+— the standard Pregel/GraphX message-passing shape; rank state is
+O(nodes) and localCheckpointed per round to keep lineage flat. The only
+driver-side read is the node count (one scalar).
+
+Cross-engine determinism: ranks are rounded to 12 dp after EVERY
+iteration on both engines, so summation-order noise (different
+neighbor-contribution orders) cannot compound across rounds; the output
+then passes the driver's 6 dp float canonicalization with margin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from near_public_lakehouse_spark.queries.registry import query
+from near_public_lakehouse_spark.sources.tables import load_table
+
+PR_DAMPING = 0.85
+PR_ITERS = 10
+PR_DP = 12  # per-iteration rounding keeps both engines in lockstep
+
+
+def _pr_iteration_sql() -> str:
+    """r1..r{PR_ITERS} CTEs, each one power-iteration step over r(k-1)."""
+    steps = []
+    for k in range(1, PR_ITERS + 1):
+        steps.append(
+            f"""r{k} AS (
+  SELECT e.dst AS node,
+         round((1 - {PR_DAMPING}) / max(nn.n)
+               + {PR_DAMPING} * sum(e.w / d.deg * r.rank), {PR_DP}) AS rank
+  FROM edges e
+  JOIN deg d ON d.src = e.src
+  JOIN r{k - 1} r ON r.node = e.src
+  CROSS JOIN nn
+  GROUP BY e.dst
+)"""
+        )
+    return ",\n".join(steps)
+
+
+_PAGERANK_ORACLE = f"""
+WITH edges0 AS (
+  SELECT 'C' || o.o_custkey AS a, 'S' || l.l_suppkey AS b,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT a AS src, b AS dst, w FROM edges0
+  UNION ALL
+  SELECT b AS src, a AS dst, w FROM edges0
+),
+deg AS (SELECT src, sum(w) AS deg FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, round(1.0 / n, {PR_DP}) AS rank FROM nodes CROSS JOIN nn),
+{_pr_iteration_sql()}
+SELECT substr(node, 1, 1) AS node_type,
+       CAST(substr(node, 2) AS BIGINT) AS node_id,
+       rank AS pagerank
+FROM r{PR_ITERS}
+ORDER BY node_type, node_id
+"""
+
+
+@query(
+    "graph_pagerank",
+    tags=("graph", "iterative", "beyond-reference"),
+    oracle=_PAGERANK_ORACLE,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (damping {PR_DAMPING}, {PR_ITERS} iterations)
+    over the undirected customer-supplier graph — edge weight = lineitem
+    count per pair. Every iteration is one edge-partitioned
+    join-aggregate (Pregel message passing as a DataFrame op); the
+    DuckDB oracle unrolls the identical iterations, so the full rank
+    vector is value-checked, not just an invariant."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("b"),
+            "w",
+        )
+    )
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(F.sum("w").alias("deg"))
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    n = float(nodes.count())  # bounded driver scalar
+
+    rank = nodes.select("node", F.round(F.lit(1.0) / F.lit(n), PR_DP).alias("rank"))
+    contrib_src = edges.join(deg, "src")
+    for _ in range(PR_ITERS):
+        rank = (
+            contrib_src.join(rank.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(
+                F.round(
+                    F.lit((1 - PR_DAMPING) / n)
+                    + PR_DAMPING
+                    * F.sum(F.col("w") / F.col("deg") * F.col("rank")),
+                    PR_DP,
+                ).alias("rank")
+            )
+            .withColumnRenamed("dst", "node")
+            .localCheckpoint()
+        )
+    return rank.select(
+        F.substring("node", 1, 1).alias("node_type"),
+        F.expr("CAST(substring(node, 2) AS BIGINT)").alias("node_id"),
+        F.col("rank").alias("pagerank"),
+    ).orderBy("node_type", "node_id")
