@@ -139,3 +139,93 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(substring(node, 2) AS BIGINT)").alias("node_id"),
         F.col("rank").alias("pagerank"),
     ).orderBy("node_type", "node_id")
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distances — the min-plus twin of the PageRank iteration
+
+BFS_ITERS = 8
+BFS_SOURCE = "S1"  # supplier 1: present at every SF
+
+
+def _bfs_iteration_sql() -> str:
+    steps = []
+    for k in range(1, BFS_ITERS + 1):
+        steps.append(
+            f"""d{k} AS (
+  SELECT node, min(hops) AS hops FROM (
+    SELECT node, hops FROM d{k - 1}
+    UNION ALL
+    SELECT e.dst AS node, r.hops + 1 AS hops
+    FROM edges e JOIN d{k - 1} r ON r.node = e.src
+  ) GROUP BY node
+)"""
+        )
+    return ",\n".join(steps)
+
+
+_BFS_ORACLE = f"""
+WITH edges0 AS (
+  SELECT DISTINCT 'C' || o.o_custkey AS a, 'S' || l.l_suppkey AS b
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM edges0
+  UNION ALL
+  SELECT b AS src, a AS dst FROM edges0
+),
+d0 AS (SELECT '{BFS_SOURCE}' AS node, CAST(0 AS BIGINT) AS hops),
+{_bfs_iteration_sql()}
+SELECT substr(node, 1, 1) AS node_type,
+       CAST(substr(node, 2) AS BIGINT) AS node_id,
+       hops
+FROM d{BFS_ITERS}
+ORDER BY node_type, node_id
+"""
+
+
+@query(
+    "graph_bfs_hops",
+    tags=("graph", "iterative", "beyond-reference"),
+    oracle=_BFS_ORACLE,
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distance from supplier {BFS_SOURCE} to every reachable
+    node within {BFS_ITERS} hops on the undirected customer-supplier
+    graph — the min-plus (shortest-path) twin of the PageRank iteration:
+    each round expands the frontier by one edge join and folds with
+    min(hops), all-integer so the cross-engine check is exact with no
+    rounding discipline needed. The DuckDB oracle unrolls the identical
+    rounds. Frontier state is O(reached nodes); each round is one
+    edge-partitioned join-aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint()
+    )
+    dist = spark.createDataFrame([(BFS_SOURCE, 0)], "node string, hops bigint")
+    for _ in range(BFS_ITERS):
+        expanded = edges.join(
+            dist.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops"))
+        dist = (
+            dist.unionByName(expanded)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint()
+        )
+    return dist.select(
+        F.substring("node", 1, 1).alias("node_type"),
+        F.expr("CAST(substring(node, 2) AS BIGINT)").alias("node_id"),
+        "hops",
+    ).orderBy("node_type", "node_id")

@@ -122,13 +122,14 @@ def test_driver_window_composition_is_pinned():
     makes that a visible test failure so the composition is always
     chosen consciously.
 
-    Conscious r8 choice: `graph_pagerank` (new this round, full-value
-    unrolled-iteration oracle) sorts into the window and displaces
-    `language_confusion_by_source` from position 50 — acceptable because
-    the displaced query is already driver-green (CORRECTNESS_r07 under
-    `a7_`), while the newcomer gains fresh driver evidence. Every other
-    r8 addition (retrieval family) is deliberately named to sort OUTSIDE
-    the window so the remaining 49 stay the known-green set."""
+    Conscious r8 choice: the two graph queries (new this round, both
+    with full-value unrolled-iteration oracles) sort into the window and
+    displace `label_quality_audit` / `language_confusion_by_source` from
+    positions 49-50 — acceptable because both displaced queries are
+    already driver-green (CORRECTNESS_r07 under `a7_`), while the
+    newcomers gain fresh driver evidence. Every other r8 addition (the
+    retrieval family) is deliberately named to sort OUTSIDE the window
+    so the remaining 48 stay the known-green set."""
     from near_public_lakehouse_spark.queries import all_queries
     from near_public_lakehouse_spark.queries.registry import DRIVER_WINDOW_ROTATION
 
@@ -172,6 +173,7 @@ def test_driver_window_composition_is_pinned():
         "frequent_ngram_mining",
         "funnel_counts",
         "gopher_repetition_gate",
+        "graph_bfs_hops",
         "graph_pagerank",
         "hourly_event_stats",
         "idle_rich_customers",
@@ -184,7 +186,6 @@ def test_driver_window_composition_is_pinned():
         "kmeans_clusters",
         "kmv_distinct_sketch",
         "label_centroids",
-        "label_quality_audit",
     ]
     assert window == expected
 
