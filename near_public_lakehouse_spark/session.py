@@ -66,18 +66,27 @@ def ensure_vendored_protobuf() -> None:
     when no real distribution exists: transformWithStateInPandas workers
     need it (pyspark/sql/streaming/proto). Must run BEFORE the JVM
     launches so PYTHONPATH propagates to Python workers; a real installed
-    protobuf always wins (the vendor path is appended, not prepended)."""
+    protobuf always wins (the vendor path is appended, not prepended).
+
+    The skip check looks at WHERE the importable module lives, not just
+    whether it imports: if this process can import it only because the
+    vendor dir is already on sys.path (pytest collection of
+    test_mini_protobuf.py does that), the PYTHONPATH export must still
+    happen or Spark-spawned Python workers — which inherit env, not
+    sys.path — crash on the import (the r8 in-suite-only tws failure)."""
+    import importlib.util
     import sys
 
-    try:
-        import google.protobuf  # noqa: F401
-
-        return
-    except ImportError:
-        pass
     vendor = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "vendor")
     if not os.path.isdir(os.path.join(vendor, "google", "protobuf")):
         return
+    try:
+        spec = importlib.util.find_spec("google.protobuf")
+    except ModuleNotFoundError:  # no `google` at all
+        spec = None
+    origin = getattr(spec, "origin", None) if spec else None
+    if origin and not os.path.abspath(origin).startswith(vendor + os.sep):
+        return  # a real protobuf distribution is installed; workers will find it
     if vendor not in sys.path:
         sys.path.append(vendor)
     existing = os.environ.get("PYTHONPATH", "")

@@ -138,3 +138,30 @@ class TestGeneratedMessages:
         )
         back = sm.StateResponseWithTimer.FromString(r.SerializeToString())
         assert [t.timestampMs for t in back.timer] == [1, 2]
+
+
+def test_ensure_vendored_protobuf_exports_env_despite_syspath_pollution():
+    """r8 in-suite-only tws failure: pytest collection of THIS file puts
+    the vendor dir on sys.path, which made the old importability check
+    short-circuit and skip the PYTHONPATH export — Spark-spawned Python
+    workers inherit env, not sys.path, so the tws driver worker crashed
+    on `google.protobuf` ONLY when the whole suite ran. The check must
+    key on where the module lives, not whether it imports here."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import sys, os;"
+        f"sys.path.append({VENDOR!r});"  # simulate collection pollution
+        "from near_public_lakehouse_spark.session import ensure_vendored_protobuf;"
+        "ensure_vendored_protobuf();"
+        "assert os.environ.get('PYTHONPATH', '').find('vendor') != -1, os.environ.get('PYTHONPATH')"
+    )
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    subprocess.run(
+        [sys.executable, "-c", code],
+        check=True,
+        env=env,
+        cwd=str(Path(__file__).resolve().parents[1]),
+    )
