@@ -229,3 +229,134 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(substring(node, 2) AS BIGINT)").alias("node_id"),
         "hops",
     ).orderBy("node_type", "node_id")
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities — the bipartite link-analysis twin
+
+HITS_ITERS = 8
+HITS_DP = 12
+_HITS_DEC = "DECIMAL(30,15)"
+
+
+def _hits_iteration_sql() -> str:
+    """h{k}/a{k} CTE pairs: decimal-exact neighbor sums (order-free, the
+    repo's dsum discipline) then max-normalization + rounding — every
+    intermediate is bit-identical across engines, so no noise compounds.
+    Normalization uses `max(s) OVER ()` so each CTE is referenced exactly
+    once: DuckDB INLINES CTE references, and a scalar-subquery max would
+    double-reference each round, exploding the unrolled plan (and the
+    parquet open count) exponentially."""
+    steps = []
+    for k in range(1, HITS_ITERS + 1):
+        steps.append(
+            f"""h{k}_raw AS (
+  SELECT e.cust AS node,
+         CAST(sum(CAST(e.w * a.score AS {_HITS_DEC})) AS DOUBLE) AS s
+  FROM edges e JOIN a{k - 1} a ON a.node = e.supp
+  GROUP BY e.cust
+),
+h{k} AS (
+  SELECT node, round(s / max(s) OVER (), {HITS_DP}) AS score FROM h{k}_raw
+),
+a{k}_raw AS (
+  SELECT e.supp AS node,
+         CAST(sum(CAST(e.w * h.score AS {_HITS_DEC})) AS DOUBLE) AS s
+  FROM edges e JOIN h{k} h ON h.node = e.cust
+  GROUP BY e.supp
+),
+a{k} AS (
+  SELECT node, round(s / max(s) OVER (), {HITS_DP}) AS score FROM a{k}_raw
+)"""
+        )
+    return ",\n".join(steps)
+
+
+_HITS_ORACLE = f"""
+WITH edges AS (
+  SELECT 'C' || o.o_custkey AS cust, 'S' || l.l_suppkey AS supp,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+a0 AS (SELECT DISTINCT supp AS node, CAST(1.0 AS DOUBLE) AS score FROM edges),
+{_hits_iteration_sql()}
+SELECT * FROM (
+  SELECT 'C' AS node_type, CAST(substr(node, 2) AS BIGINT) AS node_id,
+         score AS hub_or_auth
+  FROM h{HITS_ITERS}
+  UNION ALL
+  SELECT 'S' AS node_type, CAST(substr(node, 2) AS BIGINT) AS node_id,
+         score AS hub_or_auth
+  FROM a{HITS_ITERS}
+)
+ORDER BY node_type, node_id
+"""
+
+
+@query(
+    "link_analysis_hits",
+    tags=("graph", "iterative", "beyond-reference"),
+    oracle=_HITS_ORACLE,
+)
+def link_analysis_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities on the customer->supplier bipartite graph
+    (customers are hubs, suppliers authorities; edge weight = lineitem
+    count), {HITS_ITERS} iterations. Two determinism tools make the full
+    score vector oracle-checkable: neighbor sums use the repo's
+    decimal-exact dsum discipline (order-free, engine-identical — plain
+    double sums would drift by summation order), and each round
+    normalizes by the MAX score (an order-free reduction, unlike an L2
+    norm whose sum-of-squares would reintroduce float noise). The DuckDB
+    oracle unrolls the identical rounds. Each half-iteration is one
+    edge-partitioned join-aggregate; score state is O(nodes)."""
+    from near_public_lakehouse_spark.functions.numeric import dsum
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("cust"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("supp"),
+            "w",
+        )
+        .localCheckpoint()
+    )
+
+    def _norm_round(raw: DataFrame) -> DataFrame:
+        mx = raw.agg(F.max("s").alias("mx"))
+        return raw.crossJoin(F.broadcast(mx)).select(
+            "node", F.round(F.col("s") / F.col("mx"), HITS_DP).alias("score")
+        )
+
+    auth = edges.select(F.col("supp").alias("node")).distinct().select(
+        "node", F.lit(1.0).alias("score")
+    )
+    for _ in range(HITS_ITERS):
+        hub = _norm_round(
+            edges.join(auth.withColumnRenamed("node", "supp"), "supp")
+            .groupBy("cust")
+            .agg(dsum(F.col("w") * F.col("score"), scale=15, precision=30).alias("s"))
+            .withColumnRenamed("cust", "node")
+        ).localCheckpoint()
+        auth = _norm_round(
+            edges.join(hub.withColumnRenamed("node", "cust"), "cust")
+            .groupBy("supp")
+            .agg(dsum(F.col("w") * F.col("score"), scale=15, precision=30).alias("s"))
+            .withColumnRenamed("supp", "node")
+        ).localCheckpoint()
+    out = hub.select(
+        F.lit("C").alias("node_type"),
+        F.expr("CAST(substring(node, 2) AS BIGINT)").alias("node_id"),
+        F.col("score").alias("hub_or_auth"),
+    ).unionByName(
+        auth.select(
+            F.lit("S").alias("node_type"),
+            F.expr("CAST(substring(node, 2) AS BIGINT)").alias("node_id"),
+            F.col("score").alias("hub_or_auth"),
+        )
+    )
+    return out.orderBy("node_type", "node_id")

@@ -31,3 +31,13 @@ def test_bfs_hops_shape(spark):
         assert h % 2 == (0 if t == "S" else 1), (t, h)
     # frontier monotonicity: some customer at hop 1 exists
     assert any(h == 1 for (t, _), h in by_node.items() if t == "C")
+
+
+def test_hits_scores_normalized_and_bipartite(spark):
+    rows = REGISTRY["link_analysis_hits"].fn(spark, SF_DIR).collect()
+    hubs = [r.hub_or_auth for r in rows if r.node_type == "C"]
+    auths = [r.hub_or_auth for r in rows if r.node_type == "S"]
+    assert hubs and auths
+    # max-normalization: both vectors top out at exactly 1.0
+    assert max(hubs) == 1.0 and max(auths) == 1.0
+    assert all(0 < v <= 1.0 for v in hubs + auths)
