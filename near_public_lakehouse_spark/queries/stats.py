@@ -415,3 +415,89 @@ def quantile_select_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "pct double, k bigint, value double").orderBy(
         "pct"
     )
+
+
+# ---------------------------------------------------------------------------
+# robust outlier gate: median/MAD modified z-score (Iglewicz-Hoaglin)
+
+MAD_Z_CUT = 3.5  # the standard modified-z threshold
+MAD_CONSISTENCY = 0.6745  # Phi^-1(0.75): scales MAD to sigma-equivalent
+
+
+@query(
+    "quality_outliers_mad",
+    tags=("text", "llm-pipeline", "quality"),
+    oracle=f"""
+WITH med AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars) AS med
+  FROM documents GROUP BY source
+),
+dev AS (
+  SELECT d.source, d.doc_id, d.n_chars, m.med, m.n_docs,
+         abs(d.n_chars - m.med) AS adev
+  FROM documents d JOIN med m USING (source)
+),
+mad AS (
+  SELECT source,
+         percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+  FROM dev GROUP BY source
+),
+z AS (
+  SELECT v.source, v.n_docs, v.med, m.mad,
+         CASE WHEN m.mad > 0
+              THEN abs({MAD_CONSISTENCY} * (v.n_chars - v.med) / m.mad)
+              ELSE 0 END AS mz
+  FROM dev v JOIN mad m USING (source)
+)
+SELECT source,
+       max(n_docs) AS n_docs,
+       CAST(count(*) FILTER (mz > {MAD_Z_CUT}) AS BIGINT) AS n_outliers,
+       round(max(med), 6) AS median_chars,
+       round(max(mad), 6) AS mad_chars
+FROM z GROUP BY source ORDER BY source
+""",
+)
+def quality_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source length-outlier gate: modified z-score
+    |{MAD_CONSISTENCY}*(x - median)/MAD| > {MAD_Z_CUT} (Iglewicz-Hoaglin)
+    over `n_chars` — the outlier filter a curation pipeline runs where
+    mean/stddev would be dragged by the very outliers it hunts. Exact
+    interpolated medians via `percentile` on both engines (identical
+    interpolation arithmetic -> deterministic); zero-MAD sources
+    (constant length) flag nothing rather than dividing by zero.
+
+    Scale: two per-source exact percentiles — group-bounded sorts here;
+    at 100 TB swap `percentile` for `approx_percentile` and keep the
+    identical downstream (the modified-z is threshold-insensitive to
+    small quantile error at |z|=3.5)."""
+    docs = load_table(spark, sf_dir, "documents")
+    med = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("percentile(n_chars, 0.5)").alias("med"),
+    )
+    dev = docs.join(med, "source").select(
+        "source",
+        "n_docs",
+        "med",
+        "n_chars",
+        F.abs(F.col("n_chars") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("source").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    mz = F.when(
+        F.col("mad") > 0,
+        F.abs(MAD_CONSISTENCY * (F.col("n_chars") - F.col("med")) / F.col("mad")),
+    ).otherwise(F.lit(0.0))
+    return (
+        dev.join(mad, "source")
+        .select("source", "n_docs", "med", "mad", mz.alias("mz"))
+        .groupBy("source")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.sum((F.col("mz") > MAD_Z_CUT).cast("long")).cast("bigint").alias("n_outliers"),
+            F.round(F.max("med"), 6).alias("median_chars"),
+            F.round(F.max("mad"), 6).alias("mad_chars"),
+        )
+        .orderBy("source")
+    )
