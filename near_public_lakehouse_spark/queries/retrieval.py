@@ -628,3 +628,63 @@ def retrieval_mlt_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "rnk", "doc_id", "rrf_score")
         .orderBy("qid", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# per-document keyword extraction (tf-idf top terms) — doc tagging
+
+KW_PER_DOC = 3
+
+
+@query(
+    "keyword_extraction_tfidf",
+    tags=("retrieval", "text", "llm-pipeline"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS token FROM t),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM t),
+w AS (
+  SELECT f.doc_id, f.token,
+         f.tf * ln(nn.n_docs / d.df) AS w
+  FROM tf f JOIN dfreq d USING (token) CROSS JOIN nn
+),
+ranked AS (
+  SELECT doc_id, token, round(w, 9) AS weight,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY round(w, 9) DESC, token) AS rnk
+  FROM w
+)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, token AS keyword, weight
+FROM ranked WHERE rnk <= {KW_PER_DOC}
+ORDER BY doc_id, rnk
+""",
+)
+def keyword_extraction_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{KW_PER_DOC} distinctive terms per document by tf*ln(N/df) —
+    the doc-tagging op (Lucene MoreLikeThis term selection, applied
+    corpus-wide; `retrieval_mlt_hybrid` uses the same selection for its
+    query docs only). One postings shuffle + a vocabulary-bounded df
+    aggregate + a per-doc window (partitioned on doc_id, never global).
+    Determinism: weights round 9 dp before ranking, token tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    _, stats, tf, _ = _index(docs)
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = F.col("n_docs").cast("double")
+    w = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "doc_id",
+            "token",
+            F.round(F.col("tf") * F.log(n_docs / F.col("df")), 9).alias("weight"),
+        )
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(F.col("weight").desc(), F.col("token"))
+    return (
+        w.withColumn("rnk", F.row_number().over(w_doc).cast("bigint"))
+        .filter(F.col("rnk") <= KW_PER_DOC)
+        .select("doc_id", "rnk", F.col("token").alias("keyword"), "weight")
+        .orderBy("doc_id", "rnk")
+    )

@@ -122,14 +122,17 @@ def test_driver_window_composition_is_pinned():
     makes that a visible test failure so the composition is always
     chosen consciously.
 
-    Conscious r8 choice: the two graph queries (new this round, both
-    with full-value unrolled-iteration oracles) sort into the window and
-    displace `label_quality_audit` / `language_confusion_by_source` from
-    positions 49-50 — acceptable because both displaced queries are
-    already driver-green (CORRECTNESS_r07 under `a7_`), while the
-    newcomers gain fresh driver evidence. Every other r8 addition (the
-    retrieval family) is deliberately named to sort OUTSIDE the window
-    so the remaining 48 stay the known-green set."""
+    Conscious r8 choice: three newcomers (the two graph queries with
+    full-value unrolled-iteration oracles, and keyword_extraction_tfidf)
+    sort into the window, displacing `label_centroids` /
+    `label_quality_audit` / `language_confusion_by_source` from positions
+    48-50 — acceptable because every displaced query is already
+    driver-green in a prior round, while the newcomers gain fresh driver
+    evidence; every in-window newcomer was verified with the exact
+    hostile-session driver harness at sf0.01 before landing. The other
+    r8 additions (retrieval family, HITS, MAD gate) are deliberately
+    named to sort OUTSIDE the window so the remaining 47 stay the
+    known-green set."""
     from near_public_lakehouse_spark.queries import all_queries
     from near_public_lakehouse_spark.queries.registry import DRIVER_WINDOW_ROTATION
 
@@ -183,9 +186,9 @@ def test_driver_window_composition_is_pinned():
         "ivf_topk",
         "jl_projection_topk",
         "json_object_keys_explode",
+        "keyword_extraction_tfidf",
         "kmeans_clusters",
         "kmv_distinct_sketch",
-        "label_centroids",
     ]
     assert window == expected
 
