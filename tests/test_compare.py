@@ -122,23 +122,35 @@ def test_driver_window_composition_is_pinned():
     makes that a visible test failure so the composition is always
     chosen consciously.
 
-    Conscious r8 choice: three newcomers (the two graph queries with
-    full-value unrolled-iteration oracles, and keyword_extraction_tfidf)
-    sort into the window, displacing `label_centroids` /
-    `label_quality_audit` / `language_confusion_by_source` from positions
-    48-50 — acceptable because every displaced query is already
-    driver-green in a prior round, while the newcomers gain fresh driver
-    evidence; every in-window newcomer was verified with the exact
-    hostile-session driver harness at sf0.01 before landing. The other
-    r8 additions (retrieval family, HITS, MAD gate) are deliberately
-    named to sort OUTSIDE the window so the remaining 47 stay the
-    known-green set."""
+    Round 9 RE-ACTIVATES the rotation per VERDICT r8 task #1: the six
+    r7/r8 additions that had never received a driver CORRECTNESS row
+    (retrieval_bm25_topk / retrieval_hybrid_rrf / retrieval_mlt_hybrid /
+    retrieval_query_likelihood / link_analysis_hits /
+    quality_outliers_mad — all judge-verified green at sf0.01, but named
+    outside the window) rotate in under a9_ aliases. They displace
+    window positions 45-50 (ivf_topk, jl_projection_topk,
+    json_object_keys_explode, keyword_extraction_tfidf, kmeans_clusters,
+    kmv_distinct_sketch), every one of which is driver-green in
+    CORRECTNESS_r08 — evidence conversion, not loss."""
     from near_public_lakehouse_spark.queries import all_queries
     from near_public_lakehouse_spark.queries.registry import DRIVER_WINDOW_ROTATION
 
-    assert DRIVER_WINDOW_ROTATION == {}  # r8: rotation retired
+    assert DRIVER_WINDOW_ROTATION == {
+        "link_analysis_hits": "a9_link_analysis_hits",
+        "quality_outliers_mad": "a9_quality_outliers_mad",
+        "retrieval_bm25_topk": "a9_retrieval_bm25_topk",
+        "retrieval_hybrid_rrf": "a9_retrieval_hybrid_rrf",
+        "retrieval_mlt_hybrid": "a9_retrieval_mlt_hybrid",
+        "retrieval_query_likelihood": "a9_retrieval_query_likelihood",
+    }
     window = sorted(all_queries())[:50]
     expected = [
+        "a9_link_analysis_hits",
+        "a9_quality_outliers_mad",
+        "a9_retrieval_bm25_topk",
+        "a9_retrieval_hybrid_rrf",
+        "a9_retrieval_mlt_hybrid",
+        "a9_retrieval_query_likelihood",
         "ann_lsh_topk",
         "approx_ann_lsh_recall",
         "approx_dau_error",
@@ -183,12 +195,6 @@ def test_driver_window_composition_is_pinned():
         "important_nation_revenue",
         "incremental_dedup",
         "intersect_except_customers",
-        "ivf_topk",
-        "jl_projection_topk",
-        "json_object_keys_explode",
-        "keyword_extraction_tfidf",
-        "kmeans_clusters",
-        "kmv_distinct_sketch",
     ]
     assert window == expected
 

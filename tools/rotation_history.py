@@ -37,6 +37,9 @@ def main() -> None:
         "rounds is computed alias-adjusted (strip the a<N>_ prefix)",
         "retired_in": "r08 (all aliases driver-green by CORRECTNESS_r07; "
         "queries register under organic names from round 8 on)",
+        "reactivated_in": "r09 (VERDICT r8 task #1: the six never-driver-"
+        "checked r7/r8 queries — retrieval x4, link_analysis_hits, "
+        "quality_outliers_mad — rotate into the window under a9_ aliases)",
         "rounds": rounds,
     }
     (REPO / "ROTATION_HISTORY.json").write_text(json.dumps(out, indent=1) + "\n")
