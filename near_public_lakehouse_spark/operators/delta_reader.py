@@ -146,10 +146,15 @@ class DeltaLogReader:
             return None, []
         with open(pointer) as fh:
             meta = json.load(fh)
-        if not isinstance(meta, dict) or not isinstance(meta.get("version"), int):
+        if not isinstance(meta, dict) or type(meta.get("version")) is not int:
             raise DeltaProtocolError(f"malformed _last_checkpoint: {meta!r}")
         v = meta["version"]
         parts = meta.get("parts")
+        # r8 ADVICE: a corrupt pointer with a non-int / non-positive `parts`
+        # must take the documented corruption path, not a raw TypeError
+        # from range()/format().
+        if parts is not None and (type(parts) is not int or parts < 1):
+            raise DeltaProtocolError(f"malformed _last_checkpoint: {meta!r}")
         if parts:
             files = [
                 os.path.join(
@@ -168,20 +173,30 @@ class DeltaLogReader:
         return v, files
 
     @staticmethod
-    def _from_arrow(value):
-        """Normalize pyarrow .to_pylist() output to plain JSON shapes:
-        map types surface as lists of (key, value) tuples -> dicts; None
-        struct fields (absent optionals like add.stats) are dropped."""
-        if isinstance(value, list) and value and all(
-            isinstance(x, tuple) and len(x) == 2 for x in value
-        ):
-            return {k: DeltaLogReader._from_arrow(v) for k, v in value}
-        if isinstance(value, dict):
+    def _from_arrow(value, typ):
+        """Normalize pyarrow .to_pylist() output to plain JSON shapes,
+        SCHEMA-AWARE (r8 ADVICE): map types surface as lists of
+        (key, value) tuples -> dicts, and the arrow type — not the value
+        shape — decides, so an EMPTY map (e.g. add.partitionValues or
+        metaData.configuration on an unpartitioned table) becomes {},
+        byte-equal to the JSON-replay snapshot, never []. None struct
+        fields (absent optionals like add.stats) are dropped."""
+        import pyarrow as pa
+
+        if value is None:
+            return None
+        if pa.types.is_map(typ):
             return {
-                k: DeltaLogReader._from_arrow(v)
-                for k, v in value.items()
-                if v is not None
+                k: DeltaLogReader._from_arrow(v, typ.item_type) for k, v in value
             }
+        if pa.types.is_struct(typ):
+            return {
+                f.name: DeltaLogReader._from_arrow(value.get(f.name), f.type)
+                for f in typ
+                if value.get(f.name) is not None
+            }
+        if pa.types.is_list(typ) or pa.types.is_large_list(typ):
+            return [DeltaLogReader._from_arrow(v, typ.value_type) for v in value]
         return value
 
     def _checkpoint_actions(self):
@@ -189,7 +204,9 @@ class DeltaLogReader:
         import pyarrow.parquet as pq
 
         for path in self._checkpoint_files:
-            for row in pq.read_table(path).to_pylist():
+            table = pq.read_table(path)
+            schema = table.schema
+            for row in table.to_pylist():
                 present = [
                     (k, v) for k, v in row.items() if v is not None
                 ]
@@ -203,7 +220,7 @@ class DeltaLogReader:
                     raise DeltaProtocolError(
                         f"{os.path.basename(path)}: unknown action {key!r}"
                     )
-                yield key, self._from_arrow(body)
+                yield key, self._from_arrow(body, schema.field(key).type)
 
     def _actions(self, version: int):
         path = os.path.join(self._log_dir, f"{version:020d}.json")

@@ -115,17 +115,27 @@ def probe_json_schema(
     Returns None when nothing matches yet."""
     import fnmatch
 
-    names = []
+    # Capture mtime DURING the walk (r8 ADVICE): sorting with
+    # key=os.path.getmtime after the fact is a TOCTOU on a live landing
+    # zone — a file deleted between listing and sort would raise
+    # FileNotFoundError and kill the stream start. Files that vanish
+    # mid-walk are simply skipped.
+    names: list[tuple[float, str]] = []
     for root, _dirs, files in os.walk(path):
         for n in files:
             if n.startswith(("_", ".")):
                 continue
             if glob is None or fnmatch.fnmatch(n, glob):
-                names.append(os.path.join(root, n))
+                full = os.path.join(root, n)
+                try:
+                    mtime = os.stat(full).st_mtime
+                except OSError:
+                    continue
+                names.append((mtime, full))
     if not names:
         return None
-    names.sort(key=os.path.getmtime)
-    sample = names[-probe_files:]
+    names.sort()
+    sample = [p for _, p in names[-probe_files:]]
     return spark.read.format("json").load(sample).schema
 
 

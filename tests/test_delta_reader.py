@@ -148,6 +148,26 @@ def test_checkpoint_replay_equals_full_json_replay(aged_table):
         assert a.paths == b.paths, f"version {v}"
         assert a.schema == b.schema
         assert a.txns == b.txns
+        # r8 ADVICE: full action-body equality, not just paths/schema/txns —
+        # the parquet round-trip must not turn empty maps (partitionValues,
+        # configuration) into [] or otherwise reshape the add bodies.
+        assert a.files == b.files, f"version {v}"
+        for body in a.files.values():
+            assert isinstance(body.get("partitionValues", {}), dict)
+
+
+def test_malformed_pointer_parts_is_corruption(aged_table):
+    """r8 ADVICE: a corrupt _last_checkpoint with non-int `parts` must
+    raise DeltaProtocolError, not a raw TypeError from range()/format()."""
+    log = os.path.join(aged_table, "_delta_log")
+    pointer = os.path.join(log, "_last_checkpoint")
+    with open(pointer) as fh:
+        meta = json.load(fh)
+    for bad in ("3", 2.5, 0, -1, True):
+        with open(pointer, "w") as fh:
+            json.dump({**meta, "parts": bad}, fh)
+        with pytest.raises(DeltaProtocolError, match="malformed"):
+            DeltaLogReader(aged_table)
 
 
 def test_checkpoint_reads_after_aged_json_cleanup(spark, aged_table):

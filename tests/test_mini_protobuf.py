@@ -139,6 +139,34 @@ class TestGeneratedMessages:
         back = sm.StateResponseWithTimer.FromString(r.SerializeToString())
         assert [t.timestampMs for t in back.timer] == [1, 2]
 
+    def test_in_place_nested_mutation_persists(self, sm):
+        """r8 ADVICE (high): PySpark's stateful_processor_api_client sets
+        state TTL via in-place nested mutation — `cmd.ttl.durationMs = n`.
+        The old __getattr__ returned a throwaway default view for unset
+        singular message fields, so the mutation was silently dropped and
+        TTL silently disabled (unbounded state growth). Pin the full
+        client pattern: mutate through the lazily-materialized child,
+        round-trip the wire bytes, presence survives."""
+        cmd = sm.StateCallCommand()
+        cmd.ttl.durationMs = 60_000
+        assert cmd.HasField("ttl")
+        back = sm.StateCallCommand.FromString(cmd.SerializeToString())
+        assert back.HasField("ttl")
+        assert back.ttl.durationMs == 60_000
+
+    def test_read_only_nested_access_keeps_absence(self, sm):
+        """The flip side of lazy materialization: merely READING an unset
+        child must not fabricate presence — no HasField flip, no bytes on
+        the wire, and a oneof stays unset."""
+        cmd = sm.StateCallCommand()
+        assert cmd.ttl.durationMs == 0  # default view
+        assert not cmd.HasField("ttl")
+        assert cmd.SerializeToString() == b""
+        req = sm.StateRequest()
+        assert req.statefulProcessorCall.setHandleState.state == 0
+        assert req.WhichOneof("method") is None
+        assert req.SerializeToString() == b""
+
 
 def test_ensure_vendored_protobuf_exports_env_despite_syspath_pollution():
     """r8 in-suite-only tws failure: pytest collection of THIS file puts
