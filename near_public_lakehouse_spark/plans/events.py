@@ -36,6 +36,9 @@ def event_logs(outcome_logs: DataFrame) -> DataFrame:
         F.col("event").isNotNull() & F.col("event.standard").isNotNull()
     ).select(
         *_BLOCK_CTX,
+        "chunk_hash",
+        "shard_id",
+        "status",
         "receipt_id",
         "executor_account_id",
         "index_in_execution_outcome_logs",
@@ -64,6 +67,10 @@ def silver_execution_outcome_ft_event_logs(parsed_events: DataFrame) -> DataFram
     DECIMAL(38,0), negation included (the u128 rule)."""
     ft = parsed_events.filter(F.col("standard") == "nep141").select(
         *_BLOCK_CTX,
+        "chunk_hash",
+        "shard_id",
+        "standard",
+        "status",
         "receipt_id",
         "executor_account_id",
         "event",
@@ -98,6 +105,11 @@ def silver_execution_outcome_ft_event_logs(parsed_events: DataFrame) -> DataFram
     )
     exploded = ft.select(
         *_BLOCK_CTX,
+        "chunk_hash",
+        "shard_id",
+        "standard",
+        "status",
+        F.col("d.memo").alias("event_memo"),
         "receipt_id",
         F.col("executor_account_id").alias("contract_account_id"),
         "event",
@@ -110,6 +122,14 @@ def silver_execution_outcome_ft_event_logs(parsed_events: DataFrame) -> DataFram
     rn = F.row_number().over(w) - 1
     return exploded.select(
         *_BLOCK_CTX,
+        "chunk_hash",
+        "shard_id",
+        "standard",
+        # reference FT and NFT events.py:56,98: FT rows carry the literal
+        # 'near' token_id (the contract is the denomination)
+        F.lit("near").alias("token_id"),
+        "status",
+        "event_memo",
         _event_index(F.lit(0), 1, rn).alias("event_index"),
         "receipt_id",
         "contract_account_id",
@@ -125,6 +145,10 @@ def silver_execution_outcome_nft_event_logs(parsed_events: DataFrame) -> DataFra
     events.py:112-141."""
     nft = parsed_events.filter(F.col("standard") == "nep171").select(
         *_BLOCK_CTX,
+        "chunk_hash",
+        "shard_id",
+        "standard",
+        "status",
         "receipt_id",
         F.col("executor_account_id").alias("contract_account_id"),
         "event",
@@ -132,6 +156,12 @@ def silver_execution_outcome_nft_event_logs(parsed_events: DataFrame) -> DataFra
     )
     tokens = nft.select(
         *_BLOCK_CTX,
+        "chunk_hash",
+        "shard_id",
+        "standard",
+        "status",
+        F.col("d.memo").alias("event_memo"),
+        F.col("d.authorized_id").alias("authorized_account_id"),
         "receipt_id",
         "contract_account_id",
         "event",
@@ -144,6 +174,12 @@ def silver_execution_outcome_nft_event_logs(parsed_events: DataFrame) -> DataFra
     rn = F.row_number().over(w) - 1
     return tokens.select(
         *_BLOCK_CTX,
+        "chunk_hash",
+        "shard_id",
+        "standard",
+        "status",
+        "event_memo",
+        "authorized_account_id",
         _event_index(F.lit(0), 2, rn).alias("event_index"),
         "receipt_id",
         "contract_account_id",

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from near_public_lakehouse_spark.operators.scd import apply_changes, latest_by
 from near_public_lakehouse_spark.plans import events as ev
+from near_public_lakehouse_spark.plans import public as pub
 from near_public_lakehouse_spark.plans import scd_tables as scd_feeds
 from near_public_lakehouse_spark.plans import silver as sv
 from near_public_lakehouse_spark.plans import testnet as tn
@@ -29,7 +30,27 @@ def _scd_apply(keys: list[str], sequence_by: str, ignore_null_updates: bool = Fa
     return apply
 
 
-def build_pipeline(spark: SparkSession, out_dir: str) -> Pipeline:
+def _public_apply(table: str):
+    """Publish-side apply: insert-only MERGE on the table's natural key —
+    the reference's `WHEN NOT MATCHED THEN INSERT *` (NB NEAR Public
+    Datasets.py). In run_batch the runner full-refreshes into a fresh
+    path; in run_incremental this folds new rows into the published
+    table idempotently."""
+
+    def apply(spark: SparkSession, updates: DataFrame, path: str) -> None:
+        from near_public_lakehouse_spark.operators.merge import merge_upsert
+
+        keys, part = pub.PUBLIC_TABLE_KEYS[table]
+        merge_upsert(
+            spark, path, updates, keys, partition_col=part, when_matched_update=False
+        )
+
+    return apply
+
+
+def build_pipeline(
+    spark: SparkSession, out_dir: str, processed_time: str | None = None
+) -> Pipeline:
     p = Pipeline(spark, out_dir)
     t = p.table
 
@@ -198,6 +219,78 @@ def build_pipeline(spark: SparkSession, out_dir: str) -> Pipeline:
     )
     def _oc_events(spark, i):
         return scd_feeds.execution_outcome_events_changes(i["parsed_event_logs"])
+
+    # --- published public_lakehouse consumer tables (NB NEAR Public
+    # Datasets.py; VERDICT r8 task #2) -------------------------------------
+    # The hour-truncated publish stamp the reference computes at :38-43.
+    if processed_time is None:
+        from datetime import datetime
+
+        processed_time = datetime.now().replace(
+            minute=0, second=0, microsecond=0
+        ).strftime("%Y-%m-%d %H:%M:%S")
+
+    @t(
+        "public_block_chunks",
+        ["silver_chunks", "silver_blocks"],
+        partition_by="date",
+        apply=_public_apply("block_chunks"),
+    )
+    def _pub_block_chunks(spark, i):
+        return pub.public_block_chunks(
+            i["silver_chunks"], i["silver_blocks"], processed_time
+        )
+
+    @t(
+        "public_actions",
+        [
+            "silver_action_receipt_actions",
+            "silver_receipts",
+            "silver_receipt_originated_from_transaction",
+            "silver_execution_outcomes",
+            "silver_transactions",
+            "silver_blocks",
+        ],
+        apply=_public_apply("actions"),
+    )
+    def _pub_actions(spark, i):
+        return pub.public_actions(
+            i["silver_action_receipt_actions"],
+            i["silver_receipts"],
+            i["silver_receipt_originated_from_transaction"],
+            i["silver_execution_outcomes"],
+            i["silver_transactions"],
+            i["silver_blocks"],
+            processed_time,
+        )
+
+    @t(
+        "public_logs",
+        ["silver_execution_outcome_logs"],
+        apply=_public_apply("logs"),
+    )
+    def _pub_logs(spark, i):
+        return pub.public_logs(i["silver_execution_outcome_logs"], processed_time)
+
+    @t(
+        "public_ft_transfers",
+        ["silver_execution_outcome_ft_event_logs"],
+        apply=_public_apply("ft_transfers"),
+    )
+    def _pub_ft(spark, i):
+        return pub.public_ft_transfers(
+            i["silver_execution_outcome_ft_event_logs"], processed_time
+        )
+
+    @t(
+        "public_nft_transfers",
+        ["silver_execution_outcome_nft_event_logs"],
+        apply=_public_apply("nft_transfers"),
+    )
+    def _pub_nft(spark, i):
+        return pub.public_nft_transfers(
+            i["silver_execution_outcome_nft_event_logs"], processed_time
+        )
 
     return p
 

@@ -56,7 +56,7 @@ _ACTION_KINDS = [
     ("AddKey", "ADD_KEY"),
     ("DeleteKey", "DELETE_KEY"),
     ("DeleteAccount", "DELETE_ACCOUNT"),
-    ("Delegate", "DELEGATE"),
+    ("Delegate", "DELEGATE_ACTION"),  # reference enum value (Mainnet.sql:221,569)
     ("FunctionCall", "FUNCTION_CALL"),
 ]
 
@@ -107,6 +107,7 @@ def silver_chunks(shards: DataFrame, s_blocks: DataFrame, run_ts=None) -> DataFr
     ch = F.col("chunk.header")
     c = shards.select(
         ch["chunk_hash"].alias("chunk_hash"),
+        ch["signature"].alias("signature"),
         ch["shard_id"].cast("bigint").alias("shard_id"),
         ch["prev_block_hash"].alias("chunk_prev_block_hash"),
         ch["gas_limit"].cast("bigint").alias("gas_limit"),
@@ -133,6 +134,7 @@ def silver_chunks(shards: DataFrame, s_blocks: DataFrame, run_ts=None) -> DataFr
         "block_height",
         "block_hash",
         "chunk_hash",
+        "signature",
         "shard_id",
         "gas_limit",
         "gas_used",
@@ -255,12 +257,14 @@ def silver_execution_outcomes(shards: DataFrame, s_blocks: DataFrame, run_ts=Non
     ctx = _shard_block_ctx(shards, s_blocks)
     exploded = ctx.select(
         *_BLOCK_CTX,
+        F.col("chunk.header.chunk_hash").alias("chunk_hash"),
         F.col("chunk.header.shard_id").alias("shard_id"),
         F.posexplode("receipt_execution_outcomes").alias("index_in_chunk", "oc_json"),
     ).withColumn("oc", F.from_json("oc_json", EXECUTION_OUTCOME_DDL))
     o = F.col("oc.execution_outcome.outcome")
     return exploded.select(
         *_BLOCK_CTX,
+        "chunk_hash",
         "shard_id",
         "index_in_chunk",
         F.col("oc.execution_outcome.id").alias("receipt_id"),
@@ -278,6 +282,8 @@ def silver_execution_outcome_logs(outcomes: DataFrame, run_ts=None) -> DataFrame
     """posexplode(outcome.logs) — Mainnet.sql:341-379."""
     return outcomes.select(
         *_BLOCK_CTX,
+        "chunk_hash",
+        "shard_id",
         "receipt_id",
         "executor_account_id",
         "status",

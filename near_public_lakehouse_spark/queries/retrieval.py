@@ -85,24 +85,26 @@ ORDER BY qid, rnk
 """
 
 
-def _index(docs: DataFrame):
-    """Shared inverted-index build: (dl, stats, tf, dfreq, qterms).
-    One shuffle for the postings, a vocabulary-bounded second aggregate
-    for dfs, and the distributed top-30 frequency head paired into ten
-    two-term queries (row_number only over the LIMIT-bounded 30 rows)."""
+def _postings(docs: DataFrame) -> DataFrame:
+    """(doc_id, token, tf): the inverted-index postings — ONE shuffle on
+    (doc_id, token). Shared verbatim by the batch index build and the
+    streaming indexer's per-batch partials (a document lives in exactly
+    one micro-batch, so per-batch postings union losslessly)."""
     t = docs.select("doc_id", tokens_col().alias("t"))
-    dl = t.select("doc_id", F.size("t").alias("dl"))
-    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
     tok = t.select("doc_id", F.explode("t").alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("token").agg(
-        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total")
-    )
+    return tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def _qterms(dfreq: DataFrame) -> DataFrame:
+    """Derive the deterministic query workload from document frequencies:
+    distributed top-(10+20) by total term mass (LIMIT bounds the only
+    single-partition window to 30 rows), skip the stopword-like head,
+    pair ranks 11..30 into ten two-term queries."""
     head = dfreq.orderBy(F.col("total").desc(), "token").limit(
         HEAD_SKIP + N_QUERY_TERMS
     )
     w_head = Window.orderBy(F.col("total").desc(), "token")
-    qterms = (
+    return (
         head.withColumn("r", F.row_number().over(w_head))
         .filter(F.col("r") > HEAD_SKIP)
         .select(
@@ -111,14 +113,43 @@ def _index(docs: DataFrame):
             "df",
         )
     )
-    return dl, stats, tf, qterms
 
 
-def _bm25_scores(docs: DataFrame) -> DataFrame:
+def _index_from_postings(tf: DataFrame, stats: DataFrame):
+    """(dl, stats, tf, qterms) from an already-built postings table —
+    the streaming path folds per-batch postings partials and re-enters
+    here, so batch and incremental BM25 share every scoring frame.
+    `dl` re-derives as sum(tf) per doc (exact: postings partition a
+    document's tokens); `stats` must come from the caller because
+    zero-token documents have no postings rows yet still count in
+    n_docs/avgdl."""
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("dl"))
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total")
+    )
+    return dl, stats, tf, _qterms(dfreq)
+
+
+def _index(docs: DataFrame):
+    """Shared inverted-index build: (dl, stats, tf, qterms).
+    One shuffle for the postings, a vocabulary-bounded second aggregate
+    for dfs, and the distributed top-30 frequency head paired into ten
+    two-term queries (row_number only over the LIMIT-bounded 30 rows)."""
+    t = docs.select("doc_id", tokens_col().alias("t"))
+    dl = t.select("doc_id", F.size("t").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = _postings(docs)
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total")
+    )
+    return dl, stats, tf, _qterms(dfreq)
+
+
+def _score(tf: DataFrame, dl: DataFrame, stats: DataFrame, qterms: DataFrame) -> DataFrame:
     """(qid, doc_id, score): BM25 accumulation over postings matching a
     query term — broadcast query workload, shuffle only the matching
-    postings slice, grouped on (qid, doc_id)."""
-    dl, stats, tf, qterms = _index(docs)
+    postings slice, grouped on (qid, doc_id). Shared by the batch query
+    and the streaming-index fold (parity pinned in tests)."""
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
     norm = F.col("tf") + BM25_K1 * (
         1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
@@ -130,6 +161,11 @@ def _bm25_scores(docs: DataFrame) -> DataFrame:
         .groupBy("qid", "doc_id")
         .agg(F.sum(idf * F.col("tf") * (BM25_K1 + 1) / norm).alias("score"))
     )
+
+
+def _bm25_scores(docs: DataFrame) -> DataFrame:
+    dl, stats, tf, qterms = _index(docs)
+    return _score(tf, dl, stats, qterms)
 
 
 def _ranked(scores: DataFrame, k: int) -> DataFrame:

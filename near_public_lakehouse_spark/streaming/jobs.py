@@ -1437,3 +1437,94 @@ def streaming_weighted_sample(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_retrieval_index(
+    spark: SparkSession,
+    docs_path: str,
+    index_path: str,
+    checkpoint: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming twin of the retrieval family's inverted-index build
+    (VERDICT r8 task #3): postings + document-length statistics
+    maintained incrementally over a document stream. Each trigger builds
+    ITS documents' postings with the batch query's own `_postings` frame
+    (tokenization is a pure per-document function, so arrival order
+    cannot change any posting) and writes two replay-idempotent
+    batch_id-dir partials:
+
+    - {index_path}/postings/batch_id=N  (doc_id, token, tf) — a document
+      lives in exactly one micro-batch, so per-batch postings UNION
+      losslessly (the streaming-CDC disjointness argument verbatim);
+    - {index_path}/docstats/batch_id=N  (n_docs, sum_dl) — additive
+      1-row partials, needed separately because zero-token documents
+      have no postings rows yet still count in n_docs/avgdl.
+
+    BM25 over the folded state (`bm25_topk_from_state`) equals the batch
+    `retrieval_bm25_topk` on the corpus seen so far — parity pinned in
+    tests. Compaction: fold postings dirs into one (doc_id-keyed rows
+    are already final; no re-aggregation needed) and docstats by sum.
+    """
+    from near_public_lakehouse_spark.queries.retrieval import _postings
+    from near_public_lakehouse_spark.queries.text import tokens_col
+
+    schema = spark.read.parquet(docs_path).schema
+    r = spark.readStream
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = r.schema(schema).parquet(_stream_path(docs_path))
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        _postings(batch_df).write.mode("overwrite").parquet(
+            f"{index_path}/postings/batch_id={batch_id}"
+        )
+        (
+            batch_df.select(F.size(tokens_col()).alias("dl"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("dl").cast("bigint").alias("sum_dl"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{index_path}/docstats/batch_id={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def bm25_topk_from_state(spark: SparkSession, index_path: str, k: int | None = None) -> DataFrame:
+    """BM25 top-k over everything the streaming retrieval indexer has
+    seen — re-enters the batch query's OWN scoring frames
+    (`_index_from_postings` + `_score` + `_ranked`), so the fold equals
+    `retrieval_bm25_topk` on the corpus so far by construction:
+    - folded stats: exact integer sums, then ONE double division —
+      the same sum/count arithmetic Spark's avg() performs batch-side;
+    - document frequencies / query workload re-derive from the folded
+      postings with the shared `_qterms` frame (integer-exact, so the
+      workload is identical);
+    - scoring expressions are literally the same Column objects."""
+    from near_public_lakehouse_spark.queries import retrieval as R
+
+    tf = (
+        spark.read.option("basePath", f"{index_path}/postings")
+        .parquet(f"{index_path}/postings/batch_id=*")
+        .drop("batch_id")
+    )
+    ds = spark.read.option("basePath", f"{index_path}/docstats").parquet(
+        f"{index_path}/docstats/batch_id=*"
+    )
+    stats = ds.agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        (F.sum("sum_dl").cast("double") / F.sum("n_docs")).alias("avgdl"),
+    )
+    dl, stats, tf, qterms = R._index_from_postings(tf, stats)
+    return (
+        R._ranked(R._score(tf, dl, stats, qterms), k or R.TOP_K)
+        .select("qid", "rnk", "doc_id", "score")
+        .orderBy("qid", "rnk")
+    )

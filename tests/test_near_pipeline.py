@@ -69,7 +69,7 @@ def test_transaction_actions_cover_all_kinds(pipe):
         "ADD_KEY",
         "DELETE_KEY",
         "DELETE_ACCOUNT",
-        "DELEGATE",
+        "DELEGATE_ACTION",
         "FUNCTION_CALL",
     } <= kinds
     assert a.filter(F.col("is_delegate_action")).count() > 0
