@@ -118,10 +118,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = float(nodes.count())  # bounded driver scalar
 
     rank = nodes.select("node", F.round(F.lit(1.0) / F.lit(n), PR_DP).alias("rank"))
-    contrib_src = edges.join(deg, "src")
-    for _ in range(PR_ITERS):
+    return _pr_output(_pr_rounds(edges.join(deg, "src"), rank, n))
+
+
+def _pr_rounds(
+    contrib: DataFrame, rank: DataFrame, n: float, iters: int = PR_ITERS
+) -> DataFrame:
+    """The PageRank power-iteration loop, shared by the ad-hoc registry
+    query and the bucketed production path: each round is ONE
+    join-aggregate over `contrib` (src, dst, w, deg), rank state
+    localCheckpointed to keep lineage flat."""
+    for _ in range(iters):
         rank = (
-            contrib_src.join(rank.withColumnRenamed("node", "src"), "src")
+            contrib.join(rank.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
             .agg(
                 F.round(
@@ -134,6 +143,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumnRenamed("dst", "node")
             .localCheckpoint()
         )
+    return rank
+
+
+def _pr_output(rank: DataFrame) -> DataFrame:
     return rank.select(
         F.substring("node", 1, 1).alias("node_type"),
         F.expr("CAST(substring(node, 2) AS BIGINT)").alias("node_id"),
@@ -214,7 +227,13 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     dist = spark.createDataFrame([(BFS_SOURCE, 0)], "node string, hops bigint")
-    for _ in range(BFS_ITERS):
+    return _bfs_output(_bfs_rounds(edges, dist))
+
+
+def _bfs_rounds(edges: DataFrame, dist: DataFrame, iters: int = BFS_ITERS) -> DataFrame:
+    """The min-plus frontier-expansion loop, shared by the registry query
+    and the bucketed path: each round one edge join + min-fold."""
+    for _ in range(iters):
         expanded = edges.join(
             dist.withColumnRenamed("node", "src"), "src"
         ).select(F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops"))
@@ -224,6 +243,10 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("hops").alias("hops"))
             .localCheckpoint()
         )
+    return dist
+
+
+def _bfs_output(dist: DataFrame) -> DataFrame:
     return dist.select(
         F.substring("node", 1, 1).alias("node_type"),
         F.expr("CAST(substring(node, 2) AS BIGINT)").alias("node_id"),
@@ -326,28 +349,48 @@ def link_analysis_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
 
+    auth = edges.select(F.col("supp").alias("node")).distinct().select(
+        "node", F.lit(1.0).alias("score")
+    )
+    return _hits_output(*_hits_rounds(edges, edges, auth))
+
+
+def _hits_rounds(
+    edges_by_supp: DataFrame,
+    edges_by_cust: DataFrame,
+    auth: DataFrame,
+    iters: int = HITS_ITERS,
+) -> tuple[DataFrame, DataFrame]:
+    """The alternating hub/authority half-iterations, shared by the
+    registry query (one edge frame both ways) and the bucketed path
+    (one layout per join side — the half-iterations join on DIFFERENT
+    keys, so each needs its own co-located layout)."""
+    from near_public_lakehouse_spark.functions.numeric import dsum
+
     def _norm_round(raw: DataFrame) -> DataFrame:
         mx = raw.agg(F.max("s").alias("mx"))
         return raw.crossJoin(F.broadcast(mx)).select(
             "node", F.round(F.col("s") / F.col("mx"), HITS_DP).alias("score")
         )
 
-    auth = edges.select(F.col("supp").alias("node")).distinct().select(
-        "node", F.lit(1.0).alias("score")
-    )
-    for _ in range(HITS_ITERS):
+    hub = None
+    for _ in range(iters):
         hub = _norm_round(
-            edges.join(auth.withColumnRenamed("node", "supp"), "supp")
+            edges_by_supp.join(auth.withColumnRenamed("node", "supp"), "supp")
             .groupBy("cust")
             .agg(dsum(F.col("w") * F.col("score"), scale=15, precision=30).alias("s"))
             .withColumnRenamed("cust", "node")
         ).localCheckpoint()
         auth = _norm_round(
-            edges.join(hub.withColumnRenamed("node", "cust"), "cust")
+            edges_by_cust.join(hub.withColumnRenamed("node", "cust"), "cust")
             .groupBy("supp")
             .agg(dsum(F.col("w") * F.col("score"), scale=15, precision=30).alias("s"))
             .withColumnRenamed("supp", "node")
         ).localCheckpoint()
+    return hub, auth
+
+
+def _hits_output(hub: DataFrame, auth: DataFrame) -> DataFrame:
     out = hub.select(
         F.lit("C").alias("node_type"),
         F.expr("CAST(substring(node, 2) AS BIGINT)").alias("node_id"),
@@ -360,3 +403,95 @@ def link_analysis_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("node_type", "node_id")
+
+
+# ---------------------------------------------------------------------------
+# bucketed production path (VERDICT r8 task #4): the one-time edge shuffle
+# is paid at WRITE time; every iteration's big-side join then reads a
+# co-located bucketed scan with NO Exchange. Only the O(nodes) rank/score
+# state and the post-aggregate partials move per round — at 100 TB the
+# edge table (the 100x bigger side) never reshuffles again. Kept OUT of
+# the registry queries themselves: a driver correctness run must stay a
+# read-only one-shot (and a one-shot can't amortize a bucket write);
+# production iterative jobs call bucket_graph_edges once, then the
+# *_from_bucketed variants every run. Parity with the registry queries
+# and the zero-Exchange plan are pinned in tests/test_plan_shapes.py.
+
+GRAPH_BUCKETS = 32
+
+
+def bucket_graph_edges(
+    spark: SparkSession, sf_dir: str, prefix: str = "graph_bkt", n_buckets: int = GRAPH_BUCKETS
+) -> dict[str, str]:
+    """One-time bucketed layouts for the graph family:
+
+    - {prefix}_by_src  (src, dst, w, deg): the undirected weighted edge
+      list with out-degree folded in, bucketed+sorted by src — serves
+      PageRank (contrib join) and BFS (frontier expansion; the (src,dst)
+      set of the weighted list IS the distinct pair set).
+    - {prefix}_bi_by_supp / {prefix}_bi_by_cust  (cust, supp, w): the
+      bipartite list in both layouts — HITS half-iterations join on
+      supp then cust, so co-location needs one layout per key (the
+      DataFrame analog of GraphX's edge replication).
+    """
+    from near_public_lakehouse_spark.operators.bucketing import write_bucketed
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    bi = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("cust"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("supp"),
+            "w",
+        )
+    )
+    pairs = bi.select(F.col("cust").alias("a"), F.col("supp").alias("b"), "w")
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w").unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    )
+    deg = edges.groupBy("src").agg(F.sum("w").alias("deg"))
+    tables = {
+        "by_src": f"{prefix}_by_src",
+        "bi_by_supp": f"{prefix}_bi_by_supp",
+        "bi_by_cust": f"{prefix}_bi_by_cust",
+    }
+    write_bucketed(edges.join(deg, "src"), tables["by_src"], ["src"], n_buckets)
+    write_bucketed(bi, tables["bi_by_supp"], ["supp"], n_buckets)
+    write_bucketed(bi, tables["bi_by_cust"], ["cust"], n_buckets)
+    return tables
+
+
+def pagerank_from_bucketed(spark: SparkSession, by_src_table: str) -> DataFrame:
+    """`graph_pagerank` over the pre-bucketed edge layout: identical
+    iteration frames (`_pr_rounds`), but every round's edge-side join and
+    the node/degree derivations read co-located buckets with no Exchange."""
+    contrib = spark.table(by_src_table)
+    nodes = contrib.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    n = float(nodes.count())
+    rank = nodes.select("node", F.round(F.lit(1.0) / F.lit(n), PR_DP).alias("rank"))
+    return _pr_output(_pr_rounds(contrib, rank, n))
+
+
+def bfs_from_bucketed(spark: SparkSession, by_src_table: str) -> DataFrame:
+    """`graph_bfs_hops` over the pre-bucketed edge layout — same
+    `_bfs_rounds` frames, exchange-free edge side per round."""
+    edges = spark.table(by_src_table).select("src", "dst")
+    dist = spark.createDataFrame([(BFS_SOURCE, 0)], "node string, hops bigint")
+    return _bfs_output(_bfs_rounds(edges, dist))
+
+
+def hits_from_bucketed(
+    spark: SparkSession, bi_by_supp_table: str, bi_by_cust_table: str
+) -> DataFrame:
+    """`link_analysis_hits` over the two pre-bucketed bipartite layouts —
+    same `_hits_rounds` frames, each half-iteration's edge side co-located
+    with its join key."""
+    e_supp = spark.table(bi_by_supp_table)
+    e_cust = spark.table(bi_by_cust_table)
+    auth = e_supp.select(F.col("supp").alias("node")).distinct().select(
+        "node", F.lit(1.0).alias("score")
+    )
+    return _hits_output(*_hits_rounds(e_supp, e_cust, auth))

@@ -517,3 +517,81 @@ def test_suffix_offsets_have_no_single_partition_window(spark):
     for r in rows:
         assert got[r.doc_id] == acc, (r.doc_id, got[r.doc_id], acc)
         acc += r.v
+
+
+def test_bucketed_graph_iteration_is_edge_exchange_free(spark):
+    """VERDICT r8 task #4: with the graph edge list pre-bucketed by the
+    iteration join key, a PageRank round's physical plan contains EXACTLY
+    one Exchange — the O(nodes) post-aggregate partial-sum exchange on
+    dst. The edge scan itself is `Bucketed: true` and feeds the
+    SortMergeJoin with no shuffle; at 100 TB the 100x-bigger edge table
+    never moves again after the one-time bucketed write."""
+    from pyspark.sql import functions as F
+
+    from near_public_lakehouse_spark.queries import graph as G
+
+    for t in ("pin_gb_by_src", "pin_gb_bi_by_supp", "pin_gb_bi_by_cust"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    tables = G.bucket_graph_edges(spark, SF_DIR, prefix="pin_gb", n_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        contrib = spark.table(tables["by_src"])
+        nodes = contrib.select(F.col("src").alias("node")).distinct()
+        n = float(nodes.count())
+        rank = nodes.select(
+            "node", F.round(F.lit(1.0) / F.lit(n), G.PR_DP).alias("rank")
+        )
+        one_round = (
+            contrib.join(rank.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("w") / F.col("deg") * F.col("rank")).alias("rank"))
+        )
+        plan = _plan(one_round)
+        assert plan.count("Exchange") == 1, plan
+        assert "Bucketed: true" in plan, plan
+        assert "SortMergeJoin" in plan, plan
+
+        # contrast: the same round over plain (unbucketed) edges shuffles
+        # the edge side too
+        flat = contrib.localCheckpoint()
+        flat_round = (
+            flat.join(rank.localCheckpoint().withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("w") / F.col("deg") * F.col("rank")).alias("rank"))
+        )
+        assert _plan(flat_round).count("Exchange") >= 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_graph_results_match_registry_queries(spark):
+    """Hashes unchanged: the bucketed variants re-enter the registry
+    queries' own iteration frames, so PageRank / BFS / HITS outputs are
+    row-identical to the ad-hoc registry answers."""
+    from near_public_lakehouse_spark.queries import all_queries
+    from near_public_lakehouse_spark.queries import graph as G
+
+    reg = all_queries()
+    for t in ("par_gb_by_src", "par_gb_bi_by_supp", "par_gb_bi_by_cust"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    tables = G.bucket_graph_edges(spark, SF_DIR, prefix="par_gb", n_buckets=8)
+    try:
+        got_pr = G.pagerank_from_bucketed(spark, tables["by_src"]).collect()
+        want_pr = reg["graph_pagerank"].fn(spark, SF_DIR).collect()
+        assert got_pr == want_pr and len(got_pr) > 0
+
+        got_bfs = G.bfs_from_bucketed(spark, tables["by_src"]).collect()
+        want_bfs = reg["graph_bfs_hops"].fn(spark, SF_DIR).collect()
+        assert got_bfs == want_bfs and len(got_bfs) > 0
+
+        got_hits = G.hits_from_bucketed(
+            spark, tables["bi_by_supp"], tables["bi_by_cust"]
+        ).collect()
+        want_hits = reg["a9_link_analysis_hits"].fn(spark, SF_DIR).collect()
+        assert got_hits == want_hits and len(got_hits) > 0
+    finally:
+        for t in tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
