@@ -30,10 +30,55 @@ from near_public_lakehouse_spark.queries import all_queries  # noqa: E402
 from near_public_lakehouse_spark.session import get_spark  # noqa: E402
 
 
+def _stage_snapshot(spark) -> dict[int, dict]:
+    """stageId -> metrics from the UI REST API. Stage-level evidence makes
+    the next environmental bench anomaly diagnosable from data (shuffle
+    bytes / task time don't lie about machine contention) instead of
+    re-run arbitration — VERDICT r8 task #6. Returns {} when the UI is
+    unavailable; the bench JSON contract is unchanged either way."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return {}
+    app_id = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app_id}/stages", timeout=5
+        ) as resp:
+            stages = json.loads(resp.read())
+    except Exception:
+        return {}
+    out: dict[int, dict] = {}
+    for st in stages:
+        out[st["stageId"]] = {
+            "task_time_ms": st.get("executorRunTime", 0),
+            "shuffle_read_bytes": st.get("shuffleReadBytes", 0),
+            "shuffle_write_bytes": st.get("shuffleWriteBytes", 0),
+            "input_bytes": st.get("inputBytes", 0),
+            "n_tasks": st.get("numTasks", 0),
+        }
+    return out
+
+
+def _diff_stages(before: dict[int, dict], after: dict[int, dict]) -> dict:
+    new = [after[sid] for sid in after.keys() - before.keys()]
+    return {
+        "n_stages": len(new),
+        "task_time_ms": sum(s["task_time_ms"] for s in new),
+        "shuffle_read_mb": round(sum(s["shuffle_read_bytes"] for s in new) / 2**20, 2),
+        "shuffle_write_mb": round(sum(s["shuffle_write_bytes"] for s in new) / 2**20, 2),
+        "input_mb": round(sum(s["input_bytes"] for s in new) / 2**20, 2),
+        "n_tasks": sum(s["n_tasks"] for s in new),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    spark = get_spark(app_name="bench")
+    # The UI (REST status API) is the stage-metrics source; the engine
+    # default keeps it off, bench turns it on for evidence.
+    spark = get_spark(app_name="bench", extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = {n: q for n, q in sorted(all_queries().items()) if q.bench}
@@ -42,16 +87,24 @@ def main() -> None:
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     runs: dict[str, list[float]] = {}
+    stage_metrics: dict[str, dict] = {}
     # Round-robin over the query set (run 1 of all, then run 2 of all...)
     # so per-query repeats are spread across the session's warmup curve
     # instead of all landing in the same thermal/JIT state back to back.
-    for _ in range(n_runs):
+    for run_i in range(n_runs):
         for name, q in queries.items():
+            before = _stage_snapshot(spark) if run_i == n_runs - 1 else {}
             t0 = time.perf_counter()
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.setdefault(name, []).append(
                 round(time.perf_counter() - t0, 3)
             )
+            if run_i == n_runs - 1:
+                # Stage metrics from the LAST (warmest) run of each query:
+                # new stage ids since the pre-run snapshot are this run's.
+                after = _stage_snapshot(spark)
+                if after:
+                    stage_metrics[name] = _diff_stages(before, after)
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)
@@ -84,6 +137,7 @@ def main() -> None:
                 "queries": timings,
                 "spread": {n: [min(xs), max(xs)] for n, xs in runs.items()},
                 "runs": runs,
+                "stage_metrics": stage_metrics,
                 "sf": sf,
             }
         )
