@@ -277,3 +277,68 @@ def test_trailing_fence_bounds_the_window(pipe, spark):
     fenced = public_logs(all_rows, PROCESSED, as_of=dates[-1])
     got = {str(r.block_date) for r in fenced.select("block_date").distinct().collect()}
     assert got == {d for d in dates if d >= dates[-2]}  # 1-day trailing window
+
+
+# --- circulating_supply / near_balances --------------------------------------
+
+
+def test_circulating_supply_projection_ns_exact(spark):
+    """The published timestamp converts ns -> µs by exact integer
+    floordiv (never `/` on ns BIGINTs); hash/height resolve via the
+    silver_blocks equi-join."""
+    from near_public_lakehouse_spark.plans.public import public_circulating_supply
+
+    ns = 1_709_251_200_123_456_789  # sub-µs tail must truncate, not round
+    gold = spark.createDataFrame(
+        [("2024-03-01", 1000, str(10**33), str(2 * 10**32), str(8 * 10**32), 2, 0)],
+        "block_date string, block_height long, total_supply string, "
+        "total_locked_supply string, circulating_supply string, "
+        "n_lockups long, n_errors long",
+    ).withColumn("block_date", F.col("block_date").cast("date"))
+    blocks = spark.createDataFrame(
+        [(1000, "BLKHASH", ns), (1001, "OTHER", ns + 10**9)],
+        "block_height long, block_hash string, block_timestamp long",
+    )
+    rows = public_circulating_supply(gold, blocks, PROCESSED).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.computed_at_block_hash == "BLKHASH"
+    assert r.computed_at_block_height == 1000
+    assert r.circulating_tokens_supply == str(8 * 10**32)
+    assert r.total_tokens_supply == str(10**33)
+    import datetime
+
+    micros = ns // 1_000
+    want = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc) + datetime.timedelta(
+        microseconds=micros
+    )
+    assert r.computed_at_block_timestamp.replace(tzinfo=datetime.timezone.utc) == want
+
+
+def test_near_balances_projection_types(spark):
+    """Published snapshot: typed epoch keys, exact yocto STRINGS kept,
+    display-only nonstaked_balance dropped."""
+    from near_public_lakehouse_spark.plans.public import public_near_balances
+
+    YOCTO = 10**24
+    daily = spark.createDataFrame(
+        [
+            (
+                "2024-01-02", 2, "whale.near", 15000.0, str(15_000 * YOCTO), 120,
+                str(YOCTO), str(2 * YOCTO), str(3 * YOCTO),
+                "whale-lock.near", str(4 * YOCTO), str(5 * YOCTO), str(6 * YOCTO),
+            )
+        ],
+        "epoch_date string, epoch_block_height int, account_id string, "
+        "liquid double, nonstaked_balance string, storage_usage long, "
+        "unstaked_not_liquid string, staked string, reward string, "
+        "lockup_account_id string, lockup_unstaked_not_liquid string, "
+        "lockup_staked string, lockup_reward string",
+    )
+    out = public_near_balances(daily, PROCESSED)
+    assert "nonstaked_balance" not in out.columns
+    assert dict(out.dtypes)["epoch_date"] == "date"
+    assert dict(out.dtypes)["epoch_block_height"] == "bigint"
+    r = out.collect()[0]
+    assert r.staked == str(2 * YOCTO) and r.lockup_reward == str(6 * YOCTO)
+    assert str(r._processed_time) == PROCESSED
