@@ -877,3 +877,116 @@ def mixture_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# training-sequence packing (concat-and-chunk)
+
+PACK_SEQ_LEN = 256
+
+_PACK_CONTRIB_SQL = f"""
+t AS (SELECT doc_id, len({TOKENS_SQL}) AS n_tok FROM documents),
+c AS (
+  SELECT doc_id, n_tok,
+         CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+  FROM t
+),
+spans AS (SELECT * FROM c WHERE n_tok > 0),
+contrib AS (
+  SELECT doc_id, start, n_tok,
+         unnest(range(start // {PACK_SEQ_LEN},
+                      (start + n_tok - 1) // {PACK_SEQ_LEN} + 1)) AS seq_id
+  FROM spans
+),
+packed AS (
+  SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+         CAST(least(start + n_tok, (seq_id + 1) * {PACK_SEQ_LEN})
+              - greatest(start, seq_id * {PACK_SEQ_LEN}) AS BIGINT) AS n_tokens
+  FROM contrib
+)"""
+
+
+def _packing_frame(docs: DataFrame) -> DataFrame:
+    """(seq_id, doc_id, n_tokens): GPT-style concat-and-chunk packing —
+    documents concatenate in doc_id order into one global token stream
+    cut every PACK_SEQ_LEN tokens; each row is one document's token
+    contribution to one training sequence. Doc offsets come from the
+    two-pass distributed cumsum (range-partition + local window +
+    broadcast partition totals) — NEVER a single-partition global
+    window; the per-doc seq range explode is a bounded F.sequence
+    (1 + n_tok/SEQ_LEN elements)."""
+    from near_public_lakehouse_spark.queries.suffix import (
+        distributed_exclusive_cumsum,
+    )
+
+    lens = docs.select("doc_id", F.size(tokens_col()).cast("bigint").alias("n_tok"))
+    spans = distributed_exclusive_cumsum(lens, ["doc_id"], "n_tok", out="start").filter(
+        F.col("n_tok") > 0
+    )
+    L = PACK_SEQ_LEN
+    first = F.expr(f"CAST(start DIV {L} AS BIGINT)")
+    last = F.expr(f"CAST((start + n_tok - 1) DIV {L} AS BIGINT)")
+    contrib = spans.select(
+        "doc_id", "start", "n_tok", F.explode(F.sequence(first, last)).alias("seq_id")
+    )
+    lo = F.greatest(F.col("start"), F.col("seq_id") * L)
+    hi = F.least(F.col("start") + F.col("n_tok"), (F.col("seq_id") + 1) * L)
+    return contrib.select(
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        "doc_id",
+        (hi - lo).cast("bigint").alias("n_tokens"),
+    )
+
+
+@query(
+    "training_sequence_packing",
+    tags=("text", "llm-pipeline", "packing"),
+    oracle=f"""
+WITH {_PACK_CONTRIB_SQL}
+SELECT seq_id, doc_id, n_tokens FROM packed
+ORDER BY seq_id, doc_id
+""",
+)
+def training_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk training-sequence packing (the GPT-style
+    pretraining batcher): the corpus token stream in doc_id order is cut
+    into fixed {PACK_SEQ_LEN}-token sequences; output maps every
+    (sequence, document) overlap with its token contribution — what a
+    dataloader needs to slice documents into batches without
+    materializing the token stream itself. Exact-integer everywhere, so
+    the cross-engine check is hash-exact. Beyond-reference LLM-pipeline
+    surface (assignment brief)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _packing_frame(docs).orderBy("seq_id", "doc_id")
+
+
+@query(
+    "training_packing_stats",
+    tags=("text", "llm-pipeline", "packing"),
+    oracle=f"""
+WITH {_PACK_CONTRIB_SQL}
+SELECT seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       sum(n_tokens) = {PACK_SEQ_LEN} AS is_full
+FROM packed
+GROUP BY seq_id
+ORDER BY seq_id
+""",
+)
+def training_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sequence packing rollup: document count, token fill, fullness.
+    Invariant (pinned in tests): every sequence except possibly the last
+    is exactly full — the packing loses no tokens and pads nothing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        _packing_frame(docs)
+        .groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            (F.sum("n_tokens") == PACK_SEQ_LEN).alias("is_full"),
+        )
+        .orderBy("seq_id")
+    )

@@ -203,3 +203,37 @@ def test_weighted_sample_quotas_and_determinism(spark):
         assert [r.rnk for r in sorted(drawn, key=lambda x: x.rnk)] == list(
             range(1, len(drawn) + 1)
         )
+
+
+def test_sequence_packing_invariants(spark):
+    """Concat-and-chunk packing: token-conserving, gap-free, every
+    sequence except possibly the last exactly full, and no
+    single-partition global window in the plan."""
+    from tests.conftest import SF_DIR
+
+    from near_public_lakehouse_spark.queries import all_queries
+    from near_public_lakehouse_spark.queries.curation import PACK_SEQ_LEN
+
+    reg = all_queries()
+    stats = reg["training_packing_stats"].fn(spark, SF_DIR).collect()
+    assert stats, "no sequences packed"
+    seq_ids = [r.seq_id for r in stats]
+    assert seq_ids == list(range(len(seq_ids)))  # gap-free chunk ids
+    for r in stats[:-1]:
+        assert r.n_tokens == PACK_SEQ_LEN and r.is_full
+    assert 0 < stats[-1].n_tokens <= PACK_SEQ_LEN
+
+    packed = reg["training_sequence_packing"].fn(spark, SF_DIR)
+    total_packed = packed.groupBy().sum("n_tokens").collect()[0][0]
+    from near_public_lakehouse_spark.queries.text import tokens_col
+    from near_public_lakehouse_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_DIR, "documents")
+    total_tokens = docs.select(
+        F.sum(F.size(tokens_col()).cast("bigint"))
+    ).collect()[0][0]
+    assert total_packed == total_tokens  # nothing lost, nothing padded
+
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
