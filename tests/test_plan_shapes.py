@@ -595,3 +595,31 @@ def test_bucketed_graph_results_match_registry_queries(spark):
     finally:
         for t in tables.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_public_table_fence_prunes_partitions(spark, tmp_path):
+    """The public-table trailing window (block_date >= as_of - N days)
+    must land in PartitionFilters — at 100 TB the daily publish reads
+    only the trailing day partitions, never the table history."""
+    from near_public_lakehouse_spark.plans import public as pub
+
+    df = spark.createDataFrame(
+        [("2024-03-01", "a"), ("2024-03-03", "b")],
+        "block_date string, log string",
+    ).withColumn("block_date", F.col("block_date").cast("date"))
+    path = str(tmp_path / "logs")
+    df.selectExpr(
+        "block_date", "1L AS block_height",
+        "CAST('2024-03-01' AS TIMESTAMP) AS block_timestamp_utc",
+        "'SUCCESS_VALUE' AS status", "'x.near' AS executor_account_id",
+        "'R1' AS receipt_id", "0L AS index_in_execution_outcome_logs", "log",
+    ).write.partitionBy("block_date").parquet(path)
+    fenced = pub.public_logs(
+        spark.read.parquet(path), "2024-03-05 07:00:00", as_of="2024-03-03"
+    )
+    plan = _plan(fenced)
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[[^\]]*\]", plan).group(0)
+    assert "block_date" in pf and ">= 2024-03-02" in pf, pf
