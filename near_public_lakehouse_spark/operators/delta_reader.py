@@ -15,9 +15,10 @@ validates shapes strictly rather than trusting the writer:
 - action reconciliation: latest `metaData` wins; `add` puts a path into
   the snapshot (last add wins for a re-added path); `remove` tombstones
   it; `txn` tracks the latest version per appId;
-- protocol gating: `minReaderVersion` > 1 (column mapping, deletion
-  vectors, v2 checkpoints...) raises — reading on anyway could silently
-  return wrong rows, which is exactly what a real reader must not do;
+- protocol gating: reader versions beyond what this reader implements
+  (v1/v2, v3 only with readerFeatures ⊆ {columnMapping}) raise —
+  reading on anyway could silently return wrong rows, which is exactly
+  what a real reader must not do;
 - strict field checks: every `add` must carry path/partitionValues/size/
   modificationTime/dataChange per the spec's required-field table; an
   unknown action key raises instead of being skipped.
@@ -42,10 +43,18 @@ travel BEFORE the checkpoint still requires the JSON commits from
 version 0 and raises if they are gone. Checkpoint rows must have exactly
 one non-null action column per the spec; violations raise.
 
+Column mapping (round 9): reader versions 2 and 3-with-readerFeatures
+⊆ {columnMapping} are accepted; `to_df` resolves NAME-mode mapping by
+building the physical parquet schema from each field's
+`delta.columnMapping.physicalName` metadata (recursively through
+structs/arrays/maps) and projecting back to logical names — so tables
+rewritten under `delta.columnMapping.mode = name` (the mode modern
+writers set on column rename/drop) read correctly. ID-mode matching
+(parquet field ids) raises explicitly.
+
 Out of scope, mirroring the writer's documented floor: deletion
-vectors, column mapping, partition-column reconstitution beyond
-verbatim passthrough, v2/sidecar checkpoints (minReaderVersion > 1
-raises before they could matter).
+vectors, ID-mode column mapping, partition-column reconstitution beyond
+verbatim passthrough, v2/sidecar checkpoints.
 """
 
 from __future__ import annotations
@@ -57,7 +66,10 @@ from dataclasses import dataclass, field
 _LOG = "_delta_log"
 _KNOWN_ACTIONS = {"protocol", "metaData", "add", "remove", "txn", "commitInfo", "cdc"}
 _ADD_REQUIRED = {"path", "partitionValues", "size", "modificationTime", "dataChange"}
-_MAX_READER_VERSION = 1
+# reader v1 = base; v2 = column mapping; v3 = table features, gated on the
+# explicit readerFeatures list (PROTOCOL.md "Reader Requirements")
+_SUPPORTED_READER_FEATURES = {"columnMapping"}
+_MAX_READER_VERSION = 3
 
 
 class DeltaProtocolError(RuntimeError):
@@ -72,6 +84,7 @@ class DeltaSnapshot:
     files: dict[str, dict] = field(default_factory=dict)  # path -> add action
     txns: dict[str, int] = field(default_factory=dict)
     protocol: dict | None = None
+    configuration: dict = field(default_factory=dict)  # latest metaData configuration
 
     @property
     def paths(self) -> set[str]:
@@ -271,11 +284,24 @@ class DeltaLogReader:
     def _apply(self, snap: DeltaSnapshot, key: str, body: dict) -> None:
         if key == "protocol":
             snap.protocol = body
-            if body.get("minReaderVersion", 1) > _MAX_READER_VERSION:
+            mrv = body.get("minReaderVersion", 1)
+            if mrv > _MAX_READER_VERSION:
                 raise DeltaProtocolError(
-                    f"needs reader version {body['minReaderVersion']}, "
+                    f"needs reader version {mrv}, "
                     f"this reader supports {_MAX_READER_VERSION}"
                 )
+            if mrv == 3:
+                if "readerFeatures" not in body:
+                    raise DeltaProtocolError(
+                        "reader version 3 requires an explicit readerFeatures "
+                        "list (PROTOCOL.md table features); refusing to guess"
+                    )
+                unsupported = set(body["readerFeatures"]) - _SUPPORTED_READER_FEATURES
+                if unsupported:
+                    raise DeltaProtocolError(
+                        f"unsupported reader features {sorted(unsupported)}; "
+                        f"this reader supports {sorted(_SUPPORTED_READER_FEATURES)}"
+                    )
         elif key == "metaData":
             fmt = body.get("format", {})
             if fmt.get("provider") != "parquet":
@@ -284,6 +310,7 @@ class DeltaLogReader:
                 )
             snap.schema = json.loads(body["schemaString"])
             snap.partition_columns = list(body.get("partitionColumns", []))
+            snap.configuration = dict(body.get("configuration") or {})
         elif key == "add":
             missing = _ADD_REQUIRED - set(body)
             if missing:
@@ -300,12 +327,97 @@ class DeltaLogReader:
     def to_df(self, spark, version: int | None = None):
         """The data-access path an external engine takes: read exactly the
         snapshot's parquet file list. Empty snapshot -> empty DataFrame
-        with the declared schema."""
+        with the declared schema. NAME-mode column mapping resolves the
+        physical parquet names from field metadata and projects back to
+        logical names; ID mode raises (documented floor)."""
         from pyspark.sql.types import StructType
 
         snap = self.snapshot(version)
         schema = StructType.fromJson(snap.schema)
+        mode = snap.configuration.get("delta.columnMapping.mode", "none")
+        if mode not in ("none", "", "name"):
+            raise DeltaProtocolError(
+                f"column mapping mode {mode!r} not supported (name/none only)"
+            )
         paths = [os.path.join(self.table_dir, p) for p in sorted(snap.paths)]
         if not paths:
             return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(*paths)
+        if mode != "name":
+            return spark.read.schema(schema).parquet(*paths)
+        from pyspark.sql import functions as F
+
+        phys = _physical_schema(schema)
+        df = spark.read.schema(phys).parquet(*paths)
+        return df.select(
+            [
+                _to_logical(F.col(pf.name), pf.dataType, lf.dataType).alias(lf.name)
+                for pf, lf in zip(phys.fields, schema.fields)
+            ]
+        )
+
+
+# --- column mapping (NAME mode) ---------------------------------------------
+
+
+def _physical_schema(schema):
+    """The parquet-side schema of a NAME-mode column-mapped table: every
+    field renamed to its `delta.columnMapping.physicalName` metadata,
+    recursively through structs/arrays/maps (PROTOCOL.md "Column
+    Mapping"). A field without the metadata keeps its logical name (the
+    pre-mapping columns of an upgraded table)."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    def walk(dt):
+        if isinstance(dt, StructType):
+            return StructType(
+                [
+                    StructField(
+                        (f.metadata or {}).get(
+                            "delta.columnMapping.physicalName", f.name
+                        ),
+                        walk(f.dataType),
+                        f.nullable,
+                    )
+                    for f in dt.fields
+                ]
+            )
+        if isinstance(dt, ArrayType):
+            return ArrayType(walk(dt.elementType), dt.containsNull)
+        if isinstance(dt, MapType):
+            return MapType(walk(dt.keyType), walk(dt.valueType), dt.valueContainsNull)
+        return dt
+
+    return walk(schema)
+
+
+def _to_logical(col, phys_dt, log_dt):
+    """Project a physical-named column back to its logical shape —
+    recursive struct rebuild with a null guard (F.struct over a null
+    struct would fabricate a struct of nulls), element-wise transform
+    for arrays, key/value rebuild for maps."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(log_dt, StructType):
+        inner = F.struct(
+            *[
+                _to_logical(col[pf.name], pf.dataType, lf.dataType).alias(lf.name)
+                for pf, lf in zip(phys_dt.fields, log_dt.fields)
+            ]
+        )
+        return F.when(col.isNotNull(), inner).otherwise(F.lit(None).cast(log_dt))
+    if isinstance(log_dt, ArrayType):
+        return F.transform(
+            col, lambda x: _to_logical(x, phys_dt.elementType, log_dt.elementType)
+        )
+    if isinstance(log_dt, MapType):
+        return F.map_from_arrays(
+            F.transform(
+                F.map_keys(col), lambda k: _to_logical(k, phys_dt.keyType, log_dt.keyType)
+            ),
+            F.transform(
+                F.map_values(col),
+                lambda v: _to_logical(v, phys_dt.valueType, log_dt.valueType),
+            ),
+        )
+    return col

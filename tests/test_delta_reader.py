@@ -213,3 +213,119 @@ def test_pointer_to_missing_checkpoint_is_corruption(aged_table):
     os.remove(os.path.join(log, f"{20:020d}.checkpoint.parquet"))
     with pytest.raises(DeltaProtocolError, match="missing"):
         DeltaLogReader(aged_table)
+
+
+# ---------------------------------------------------------------------------
+# column mapping, NAME mode (round 9)
+
+
+def _mapped_table(spark, tmp_path) -> str:
+    """A NAME-mode column-mapped table as a modern external writer lays it
+    out: parquet columns carry physical `col-<n>` names (including inside
+    a nested struct and an array of structs); the logical names live only
+    in schemaString field metadata."""
+    d = str(tmp_path / "mapped")
+    os.makedirs(os.path.join(d, "_delta_log"))
+    data = spark.createDataFrame(
+        [(1, ("alice", 30), [("x", 1)]), (2, (None, 40), []), (3, None, None)],
+        "`col-1` long, `col-2` struct<`col-3`: string, `col-4`: long>, "
+        "`col-5` array<struct<`col-6`: string, `col-7`: long>>",
+    )
+    data.coalesce(1).write.parquet(d + "/data")
+    part = [f for f in os.listdir(d + "/data") if f.endswith(".parquet")][0]
+    os.rename(os.path.join(d, "data", part), os.path.join(d, "part-0.parquet"))
+
+    def fld(name, typ, phys, fid):
+        return {
+            "name": name, "type": typ, "nullable": True,
+            "metadata": {
+                "delta.columnMapping.physicalName": phys,
+                "delta.columnMapping.id": fid,
+            },
+        }
+
+    schema = {
+        "type": "struct",
+        "fields": [
+            fld("id", "long", "col-1", 1),
+            fld(
+                "person",
+                {"type": "struct", "fields": [
+                    fld("name", "string", "col-3", 3),
+                    fld("age", "long", "col-4", 4),
+                ]},
+                "col-2", 2,
+            ),
+            fld(
+                "tags",
+                {"type": "array", "containsNull": True,
+                 "elementType": {"type": "struct", "fields": [
+                     fld("key", "string", "col-6", 6),
+                     fld("n", "long", "col-7", 7),
+                 ]}},
+                "col-5", 5,
+            ),
+        ],
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "t-mapped", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema), "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "7"},
+            "createdTime": 0,
+        }},
+        {"add": {"path": "part-0.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(os.path.join(d, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    return d
+
+
+def test_column_mapping_name_mode_reads_logical_names(spark, tmp_path):
+    d = _mapped_table(spark, tmp_path)
+    r = DeltaLogReader(d)
+    df = r.to_df(spark)
+    assert df.columns == ["id", "person", "tags"]
+    rows = {x.id: x for x in df.collect()}
+    assert rows[1].person.name == "alice" and rows[1].person.age == 30
+    assert rows[1].tags[0].key == "x" and rows[1].tags[0].n == 1
+    assert rows[2].person.name is None and rows[2].person.age == 40
+    assert rows[2].tags == []
+    assert rows[3].person is None and rows[3].tags is None  # null guard
+
+
+def test_column_mapping_reader_v3_feature_gating(spark, tmp_path):
+    d = _mapped_table(spark, tmp_path)
+    log = os.path.join(d, "_delta_log", f"{0:020d}.json")
+    lines = open(log).read().strip().splitlines()
+    # v3 + columnMapping feature: accepted
+    lines[0] = json.dumps({"protocol": {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["columnMapping"], "writerFeatures": ["columnMapping"],
+    }})
+    open(log, "w").write("\n".join(lines) + "\n")
+    assert DeltaLogReader(d).to_df(spark).count() == 3
+    # v3 + a feature we cannot honor: refuse loudly
+    lines[0] = json.dumps({"protocol": {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["columnMapping", "deletionVectors"],
+    }})
+    open(log, "w").write("\n".join(lines) + "\n")
+    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
+        DeltaLogReader(d).snapshot()
+
+
+def test_column_mapping_id_mode_refuses(spark, tmp_path):
+    d = _mapped_table(spark, tmp_path)
+    log = os.path.join(d, "_delta_log", f"{0:020d}.json")
+    lines = open(log).read().strip().splitlines()
+    meta = json.loads(lines[1])
+    meta["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+    lines[1] = json.dumps(meta)
+    open(log, "w").write("\n".join(lines) + "\n")
+    r = DeltaLogReader(d)
+    with pytest.raises(DeltaProtocolError, match="column mapping mode"):
+        r.to_df(spark)
