@@ -16,7 +16,7 @@ validates shapes strictly rather than trusting the writer:
   the snapshot (last add wins for a re-added path); `remove` tombstones
   it; `txn` tracks the latest version per appId;
 - protocol gating: reader versions beyond what this reader implements
-  (v1/v2, v3 only with readerFeatures ⊆ {columnMapping}) raise —
+  (v1/v2, v3 only with readerFeatures ⊆ {columnMapping, deletionVectors}) raise —
   reading on anyway could silently return wrong rows, which is exactly
   what a real reader must not do;
 - strict field checks: every `add` must carry path/partitionValues/size/
@@ -52,9 +52,18 @@ rewritten under `delta.columnMapping.mode = name` (the mode modern
 writers set on column rename/drop) read correctly. ID-mode matching
 (parquet field ids) raises explicitly.
 
-Out of scope, mirroring the writer's documented floor: deletion
-vectors, ID-mode column mapping, partition-column reconstitution beyond
-verbatim passthrough, v2/sidecar checkpoints.
+Deletion vectors (round 9): `add.deletionVector` descriptors are
+honored — inline ('i', Z85 text), UUID-relative ('u') and absolute
+('p') storage; the DV file frame (version byte, BE length + bitmap +
+CRC-32 at `offset`) and the RoaringBitmapArray portable bitmap
+(array/bitmap/run containers) are decoded from the public specs, and
+`to_df` anti-joins the deleted (file, row_index) pairs against
+parquet's `_metadata` row identity. `num_records` nets out DV
+cardinality. Reader v3 + readerFeatures ["deletionVectors"] accepted.
+
+Out of scope, mirroring the writer's documented floor: ID-mode column
+mapping, partition-column reconstitution beyond verbatim passthrough,
+v2/sidecar checkpoints.
 """
 
 from __future__ import annotations
@@ -68,7 +77,7 @@ _KNOWN_ACTIONS = {"protocol", "metaData", "add", "remove", "txn", "commitInfo", 
 _ADD_REQUIRED = {"path", "partitionValues", "size", "modificationTime", "dataChange"}
 # reader v1 = base; v2 = column mapping; v3 = table features, gated on the
 # explicit readerFeatures list (PROTOCOL.md "Reader Requirements")
-_SUPPORTED_READER_FEATURES = {"columnMapping"}
+_SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors"}
 _MAX_READER_VERSION = 3
 
 
@@ -91,7 +100,8 @@ class DeltaSnapshot:
         return set(self.files)
 
     def num_records(self) -> int | None:
-        """Sum of add.stats numRecords, or None if any file lacks stats."""
+        """Sum of add.stats numRecords net of deletion-vector cardinality,
+        or None if any file lacks stats."""
         total = 0
         for a in self.files.values():
             st = a.get("stats")
@@ -100,7 +110,7 @@ class DeltaSnapshot:
             n = json.loads(st).get("numRecords")
             if n is None:
                 return None
-            total += n
+            total += n - (a.get("deletionVector") or {}).get("cardinality", 0)
         return total
 
 
@@ -342,12 +352,50 @@ class DeltaLogReader:
         paths = [os.path.join(self.table_dir, p) for p in sorted(snap.paths)]
         if not paths:
             return spark.createDataFrame([], schema)
-        if mode != "name":
-            return spark.read.schema(schema).parquet(*paths)
         from pyspark.sql import functions as F
 
-        phys = _physical_schema(schema)
-        df = spark.read.schema(phys).parquet(*paths)
+        read_schema = _physical_schema(schema) if mode == "name" else schema
+        df = spark.read.schema(read_schema).parquet(*paths)
+
+        dv_files = {
+            p: a["deletionVector"]
+            for p, a in snap.files.items()
+            if a.get("deletionVector")
+        }
+        if dv_files:
+            # Resolve every DV to (absolute file, row index) and anti-join
+            # against parquet's _metadata row identity. The bitmaps are
+            # metadata-sized driver reads (like the log itself); a real
+            # engine pushes this filter into the scan — same semantics.
+            pairs = []
+            for rel, dv in dv_files.items():
+                rows = dv_deleted_rows(self.table_dir, dv)
+                if len(rows) != dv.get("cardinality", len(rows)):
+                    raise DeltaProtocolError(
+                        f"deletion vector for {rel}: bitmap cardinality "
+                        f"{len(rows)} != descriptor {dv.get('cardinality')}"
+                    )
+                ap = os.path.abspath(os.path.join(self.table_dir, rel))
+                pairs.extend((ap, int(r)) for r in sorted(rows))
+            tagged = df.select(
+                "*",
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/").alias(
+                    "__dv_f"
+                ),
+                F.col("_metadata.row_index").alias("__dv_r"),
+            )
+            if pairs:
+                deleted = spark.createDataFrame(pairs, "f string, r long")
+                tagged = tagged.join(
+                    deleted,
+                    (F.col("__dv_f") == F.col("f")) & (F.col("__dv_r") == F.col("r")),
+                    "left_anti",
+                )
+            df = tagged.drop("__dv_f", "__dv_r")
+
+        if mode != "name":
+            return df
+        phys = read_schema
         return df.select(
             [
                 _to_logical(F.col(pf.name), pf.dataType, lf.dataType).alias(lf.name)
@@ -421,3 +469,163 @@ def _to_logical(col, phys_dt, log_dt):
             ),
         )
     return col
+
+
+# --- deletion vectors --------------------------------------------------------
+# PROTOCOL.md "Deletion Vectors": an `add` may carry a deletionVector
+# descriptor {storageType, pathOrInlineDv, offset?, sizeInBytes,
+# cardinality} marking row indices of the parquet file as deleted.
+# Everything below implements the PUBLIC specs from scratch:
+# - Z85 text encoding (ZeroMQ spec 32/Z85) for inline DVs and UUID paths;
+# - the on-disk DV file frame (1-byte format version; at `offset` a
+#   4-byte big-endian length, the bitmap bytes, then a 4-byte big-endian
+#   CRC-32 of the bitmap bytes);
+# - the RoaringBitmapArray "portable" layout (4-byte LE magic 1681511377,
+#   8-byte LE bitmap count, then per 32-bit bucket: 4-byte LE key +
+#   a standard-portable 32-bit Roaring bitmap per RoaringFormatSpec —
+#   array, bitmap and run containers all supported).
+# The container has no delta-spark to cross-check bytes against, so the
+# test-side serializer is written independently from the same specs
+# (mirror-image of the delta_export/delta_reader discipline).
+
+_Z85_ALPHABET = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INDEX = {c: i for i, c in enumerate(_Z85_ALPHABET)}
+_DV_MAGIC = 1681511377
+
+
+def z85_decode(text: str) -> bytes:
+    """ZeroMQ Z85 (spec 32): 5 chars -> 4 bytes, big-endian base-85."""
+    if len(text) % 5:
+        raise DeltaProtocolError(f"z85 length {len(text)} not a multiple of 5")
+    out = bytearray()
+    for i in range(0, len(text), 5):
+        acc = 0
+        for ch in text[i : i + 5]:
+            if ch not in _Z85_INDEX:
+                raise DeltaProtocolError(f"invalid z85 character {ch!r}")
+            acc = acc * 85 + _Z85_INDEX[ch]
+        if acc > 0xFFFFFFFF:
+            raise DeltaProtocolError("z85 group overflows 32 bits")
+        out += acc.to_bytes(4, "big")
+    return bytes(out)
+
+
+def _roaring32_portable(buf: bytes, pos: int) -> tuple[set[int], int]:
+    """One standard-portable 32-bit Roaring bitmap starting at `pos`;
+    returns (values, next_pos). RoaringFormatSpec: cookie 12346 (no run
+    containers, container count in the next u32, offset header always
+    present) or 12347 (run containers, count packed into the cookie's
+    upper 16 bits, run-marker bitset, offset header only when >= 4
+    containers)."""
+    import struct
+
+    (cookie,) = struct.unpack_from("<I", buf, pos)
+    pos += 4
+    has_runs = (cookie & 0xFFFF) == 12347
+    if has_runs:
+        n = (cookie >> 16) + 1
+        runbits = buf[pos : pos + (n + 7) // 8]
+        pos += (n + 7) // 8
+    elif cookie == 12346:
+        (n,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        runbits = b""
+    else:
+        raise DeltaProtocolError(f"unknown roaring cookie {cookie}")
+    headers = []
+    for i in range(n):
+        key, card_m1 = struct.unpack_from("<HH", buf, pos)
+        pos += 4
+        headers.append((key, card_m1 + 1))
+    if not has_runs or n >= 4:
+        pos += 4 * n  # offset header (we parse sequentially)
+    values: set[int] = set()
+    for i, (key, card) in enumerate(headers):
+        base = key << 16
+        is_run = bool(runbits[i // 8] & (1 << (i % 8))) if has_runs else False
+        if is_run:
+            (n_runs,) = struct.unpack_from("<H", buf, pos)
+            pos += 2
+            for _ in range(n_runs):
+                start, length = struct.unpack_from("<HH", buf, pos)
+                pos += 4
+                values.update(base + v for v in range(start, start + length + 1))
+        elif card <= 4096:
+            vals = struct.unpack_from(f"<{card}H", buf, pos)
+            pos += 2 * card
+            values.update(base + v for v in vals)
+        else:  # bitmap container: 2^16 bits = 8 KiB
+            chunk = buf[pos : pos + 8192]
+            pos += 8192
+            for byte_i, b in enumerate(chunk):
+                while b:
+                    low = b & -b
+                    values.add(base + byte_i * 8 + low.bit_length() - 1)
+                    b ^= low
+    return values, pos
+
+
+def roaring64_decode(buf: bytes) -> set[int]:
+    """RoaringBitmapArray portable: LE magic, u64 LE bucket count, then
+    per bucket a u32 LE high-key + one 32-bit portable bitmap."""
+    import struct
+
+    (magic,) = struct.unpack_from("<i", buf, 0)
+    if magic != _DV_MAGIC:
+        raise DeltaProtocolError(f"bad deletion-vector magic {magic}")
+    (n_buckets,) = struct.unpack_from("<Q", buf, 4)
+    pos = 12
+    out: set[int] = set()
+    for _ in range(n_buckets):
+        (high,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        vals, pos = _roaring32_portable(buf, pos)
+        out.update((high << 32) | v for v in vals)
+    return out
+
+
+def dv_deleted_rows(table_dir: str, dv: dict) -> set[int]:
+    """Resolve one deletionVector descriptor to its deleted row indices.
+    storageType: 'i' inline (pathOrInlineDv = Z85 of the bitmap bytes),
+    'u' relative file (optional directory prefix + Z85 of a 16-byte
+    UUID -> deletion_vector_<uuid>.bin under the table root), 'p'
+    absolute path. File frame: version byte 1 at offset 0; the bitmap
+    at `offset` as [u32 BE length][bytes][u32 BE crc32]."""
+    import struct
+    import uuid as _uuid
+    import zlib
+
+    st = dv.get("storageType")
+    if st == "i":
+        data = z85_decode(dv["pathOrInlineDv"])
+        if len(data) < dv.get("sizeInBytes", 0):
+            raise DeltaProtocolError("inline deletion vector shorter than sizeInBytes")
+        return roaring64_decode(data[: dv["sizeInBytes"]])
+    if st == "u":
+        enc = dv["pathOrInlineDv"]
+        prefix, tail = enc[:-20], enc[-20:]
+        u = _uuid.UUID(bytes=z85_decode(tail))
+        rel = os.path.join(prefix, f"deletion_vector_{u}.bin") if prefix else f"deletion_vector_{u}.bin"
+        path = os.path.join(table_dir, rel)
+    elif st == "p":
+        path = dv["pathOrInlineDv"]
+    else:
+        raise DeltaProtocolError(f"unknown deletionVector storageType {st!r}")
+    with open(path, "rb") as fh:
+        blob = fh.read()
+    if not blob or blob[0] != 1:
+        raise DeltaProtocolError(f"unsupported deletion-vector file version {blob[:1]!r}")
+    off = dv.get("offset", 1)
+    (size,) = struct.unpack_from(">I", blob, off)
+    if size != dv["sizeInBytes"]:
+        raise DeltaProtocolError(
+            f"deletion vector size mismatch: frame {size} vs descriptor {dv['sizeInBytes']}"
+        )
+    data = blob[off + 4 : off + 4 + size]
+    (crc,) = struct.unpack_from(">I", blob, off + 4 + size)
+    if crc != zlib.crc32(data) & 0xFFFFFFFF:
+        raise DeltaProtocolError("deletion vector checksum mismatch")
+    return roaring64_decode(data)

@@ -311,10 +311,10 @@ def test_column_mapping_reader_v3_feature_gating(spark, tmp_path):
     # v3 + a feature we cannot honor: refuse loudly
     lines[0] = json.dumps({"protocol": {
         "minReaderVersion": 3, "minWriterVersion": 7,
-        "readerFeatures": ["columnMapping", "deletionVectors"],
+        "readerFeatures": ["columnMapping", "v2Checkpoint"],
     }})
     open(log, "w").write("\n".join(lines) + "\n")
-    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
+    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
         DeltaLogReader(d).snapshot()
 
 
@@ -329,3 +329,207 @@ def test_column_mapping_id_mode_refuses(spark, tmp_path):
     r = DeltaLogReader(d)
     with pytest.raises(DeltaProtocolError, match="column mapping mode"):
         r.to_df(spark)
+
+
+# ---------------------------------------------------------------------------
+# deletion vectors (round 9)
+#
+# The serializers below are written in THIS test directly from the public
+# specs (ZeroMQ spec 32 for Z85, RoaringFormatSpec for the 32-bit portable
+# bitmap, PROTOCOL.md for the DV frame) — independent of the reader's
+# decoders, so agreement is two implementations of the spec meeting.
+
+import struct
+import zlib
+
+from near_public_lakehouse_spark.operators.delta_reader import (
+    dv_deleted_rows,
+    roaring64_decode,
+    z85_decode,
+)
+
+_Z85 = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+
+
+def _z85_encode(b: bytes) -> str:
+    out = []
+    for i in range(0, len(b), 4):
+        acc = int.from_bytes(b[i : i + 4], "big")
+        s = ""
+        for _ in range(5):
+            s = _Z85[acc % 85] + s
+            acc //= 85
+        out.append(s)
+    return "".join(out)
+
+
+def _ser32_arrays(values: set[int]) -> bytes:
+    """Standard-portable 32-bit roaring, array containers only
+    (cookie 12346, offset header present)."""
+    by_key: dict[int, list[int]] = {}
+    for v in sorted(values):
+        by_key.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(by_key)
+    n = len(keys)
+    out = struct.pack("<II", 12346, n)
+    for k in keys:
+        out += struct.pack("<HH", k, len(by_key[k]) - 1)
+    base = 4 + 4 + 4 * n + 4 * n
+    off = base
+    for k in keys:
+        out += struct.pack("<I", off)  # byte offset of this container's start
+        off += len(by_key[k]) * 2
+    for k in keys:
+        out += struct.pack(f"<{len(by_key[k])}H", *by_key[k])
+    return out
+
+
+def _ser64(values: set[int]) -> bytes:
+    by_high: dict[int, set[int]] = {}
+    for v in sorted(values):
+        by_high.setdefault(v >> 32, set()).add(v & 0xFFFFFFFF)
+    out = struct.pack("<iQ", 1681511377, len(by_high))
+    for high in sorted(by_high):
+        out += struct.pack("<I", high) + _ser32_arrays(by_high[high])
+    return out
+
+
+def _dv_file(dir_, bitmap: bytes, uuid_hex: str, prefix: str = "") -> dict:
+    """Write a DV file the way an external writer lays it out and return
+    the add-action descriptor pointing at it ('u' storage)."""
+    import uuid as _uuid
+
+    u = _uuid.UUID(uuid_hex)
+    rel = os.path.join(prefix, f"deletion_vector_{u}.bin") if prefix else f"deletion_vector_{u}.bin"
+    full = os.path.join(dir_, rel)
+    os.makedirs(os.path.dirname(full), exist_ok=True)
+    frame = b"\x01" + struct.pack(">I", len(bitmap)) + bitmap + struct.pack(
+        ">I", zlib.crc32(bitmap) & 0xFFFFFFFF
+    )
+    with open(full, "wb") as fh:
+        fh.write(frame)
+    return {
+        "storageType": "u",
+        "pathOrInlineDv": prefix + _z85_encode(u.bytes),
+        "offset": 1,
+        "sizeInBytes": len(bitmap),
+        "cardinality": len(roaring64_decode(bitmap)),
+    }
+
+
+def test_z85_spec_vector():
+    """The ZeroMQ spec-32 reference vector pins the alphabet/ordering."""
+    assert _z85_encode(bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])) == "HelloWorld"
+    assert z85_decode("HelloWorld") == bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+
+
+def test_roaring_decode_array_bitmap_and_run_containers():
+    # array containers across 32-bit buckets and 16-bit keys
+    vals = {0, 1, 5, 70000, (3 << 32) | 7, (3 << 32) | 65536}
+    assert roaring64_decode(_ser64(vals)) == vals
+
+    # bitmap container: cardinality > 4096 forces the 8 KiB form
+    dense = set(range(0, 10000, 2))
+    payload = bytearray(struct.pack("<II", 12346, 1))
+    payload += struct.pack("<HH", 0, len([v for v in dense if v < 65536]) - 1)
+    payload += struct.pack("<I", 0)
+    bits = bytearray(8192)
+    for v in dense:
+        bits[v // 8] |= 1 << (v % 8)
+    payload += bits
+    buf = struct.pack("<iQI", 1681511377, 1, 0) + bytes(payload)
+    assert roaring64_decode(buf) == dense
+
+    # run container: cookie 12347, one run [10, 14]
+    rc = struct.pack("<I", 12347 | (0 << 16))  # 1 container
+    rc += b"\x01"  # run bitset: container 0 is a run
+    rc += struct.pack("<HH", 0, 4)  # key 0, cardinality-1 = 4
+    rc += struct.pack("<H", 1) + struct.pack("<HH", 10, 4)
+    buf = struct.pack("<iQI", 1681511377, 1, 0) + rc
+    assert roaring64_decode(buf) == {10, 11, 12, 13, 14}
+
+
+@pytest.fixture()
+def dv_table(spark, tmp_path):
+    """A plain (unmapped) table whose single data file carries a DV
+    deleting row indices {1, 3}: reader v3 + deletionVectors feature."""
+    d = str(tmp_path / "dvt")
+    os.makedirs(os.path.join(d, "_delta_log"))
+    spark.createDataFrame(
+        [(i, f"r{i}") for i in range(6)], "k long, v string"
+    ).coalesce(1).write.parquet(d + "/data")
+    part = [f for f in os.listdir(d + "/data") if f.endswith(".parquet")][0]
+    os.rename(os.path.join(d, "data", part), os.path.join(d, "part-0.parquet"))
+    dv = _dv_file(d, _ser64({1, 3}), "00112233-4455-6677-8899-aabbccddeeff", prefix="ab")
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+    ]}
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": "t-dv", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": json.dumps(schema), "partitionColumns": [],
+                      "configuration": {"delta.enableDeletionVectors": "true"},
+                      "createdTime": 0}},
+        {"add": {"path": "part-0.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "stats": json.dumps({"numRecords": 6}),
+                 "deletionVector": dv}},
+    ]
+    with open(os.path.join(d, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    return d
+
+
+def test_deletion_vector_rows_filtered(spark, dv_table):
+    r = DeltaLogReader(dv_table)
+    df = r.to_df(spark)
+    assert df.columns == ["k", "v"]
+    assert {x.k for x in df.collect()} == {0, 2, 4, 5}
+    assert r.snapshot().num_records() == 4  # stats net of DV cardinality
+
+
+def test_deletion_vector_inline_storage(spark, dv_table):
+    """Same bitmap shipped inline ('i' storage, Z85 text) — identical rows."""
+    log = os.path.join(dv_table, "_delta_log", f"{0:020d}.json")
+    lines = open(log).read().strip().splitlines()
+    add = json.loads(lines[2])
+    bitmap = _ser64({0, 5})
+    add["add"]["deletionVector"] = {
+        "storageType": "i",
+        "pathOrInlineDv": _z85_encode(bitmap + b"\x00" * (-len(bitmap) % 4)),
+        "sizeInBytes": len(bitmap),
+        "cardinality": 2,
+    }
+    lines[2] = json.dumps(add)
+    open(log, "w").write("\n".join(lines) + "\n")
+    assert {x.k for x in DeltaLogReader(dv_table).to_df(spark).collect()} == {1, 2, 3, 4}
+
+
+def test_deletion_vector_corruption_refused(spark, dv_table):
+    """A flipped bitmap byte fails the frame CRC; a lying cardinality
+    fails the descriptor cross-check."""
+    import glob
+
+    (dv_path,) = glob.glob(os.path.join(dv_table, "ab", "deletion_vector_*.bin"))
+    blob = bytearray(open(dv_path, "rb").read())
+    blob[6] ^= 0xFF
+    open(dv_path, "wb").write(bytes(blob))
+    with pytest.raises(DeltaProtocolError, match="checksum"):
+        DeltaLogReader(dv_table).to_df(spark)
+    blob[6] ^= 0xFF
+    open(dv_path, "wb").write(bytes(blob))
+
+    log = os.path.join(dv_table, "_delta_log", f"{0:020d}.json")
+    lines = open(log).read().strip().splitlines()
+    add = json.loads(lines[2])
+    add["add"]["deletionVector"]["cardinality"] = 5
+    lines[2] = json.dumps(add)
+    open(log, "w").write("\n".join(lines) + "\n")
+    with pytest.raises(DeltaProtocolError, match="cardinality"):
+        DeltaLogReader(dv_table).to_df(spark)
