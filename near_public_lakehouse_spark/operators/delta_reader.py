@@ -61,9 +61,15 @@ CRC-32 at `offset`) and the RoaringBitmapArray portable bitmap
 parquet's `_metadata` row identity. `num_records` nets out DV
 cardinality. Reader v3 + readerFeatures ["deletionVectors"] accepted.
 
+Partition-column reconstitution (round 9): columns listed in
+partitionColumns are never read from data files — per-file values come
+from add.partitionValues (spec string serialization, cast to the
+declared types, nulls honored), attached by a bounded one-row-per-file
+broadcast on parquet _metadata file identity; composes with DVs and
+NAME mapping (physical partitionValues keys).
+
 Out of scope, mirroring the writer's documented floor: ID-mode column
-mapping, partition-column reconstitution beyond verbatim passthrough,
-v2/sidecar checkpoints.
+mapping, v2/sidecar checkpoints.
 """
 
 from __future__ import annotations
@@ -337,9 +343,12 @@ class DeltaLogReader:
     def to_df(self, spark, version: int | None = None):
         """The data-access path an external engine takes: read exactly the
         snapshot's parquet file list. Empty snapshot -> empty DataFrame
-        with the declared schema. NAME-mode column mapping resolves the
-        physical parquet names from field metadata and projects back to
-        logical names; ID mode raises (documented floor)."""
+        with the declared schema. Composes, in order: partition-column
+        RECONSTITUTION (per PROTOCOL.md, data files do not store columns
+        listed in partitionColumns — values come from add.partitionValues,
+        cast per the Partition Value Serialization rules), deletion-vector
+        row filtering, and NAME-mode column-mapping projection back to
+        logical names (ID mode raises — documented floor)."""
         from pyspark.sql.types import StructType
 
         snap = self.snapshot(version)
@@ -353,9 +362,30 @@ class DeltaLogReader:
         if not paths:
             return spark.createDataFrame([], schema)
         from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType as _ST
 
-        read_schema = _physical_schema(schema) if mode == "name" else schema
+        fields_by_name = {f.name: f for f in schema.fields}
+        pnames = list(snap.partition_columns)
+        missing = [c for c in pnames if c not in fields_by_name]
+        if missing:
+            raise DeltaProtocolError(
+                f"partitionColumns {missing} not present in the table schema"
+            )
+        data_schema = _ST([f for f in schema.fields if f.name not in pnames])
+        read_schema = _physical_schema(data_schema) if mode == "name" else data_schema
         df = spark.read.schema(read_schema).parquet(*paths)
+
+        need_meta = bool(pnames) or any(
+            a.get("deletionVector") for a in snap.files.values()
+        )
+        if need_meta:
+            df = df.select(
+                "*",
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/").alias(
+                    "__df_file"
+                ),
+                F.col("_metadata.row_index").alias("__df_row"),
+            )
 
         dv_files = {
             p: a["deletionVector"]
@@ -377,31 +407,69 @@ class DeltaLogReader:
                     )
                 ap = os.path.abspath(os.path.join(self.table_dir, rel))
                 pairs.extend((ap, int(r)) for r in sorted(rows))
-            tagged = df.select(
-                "*",
-                F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/").alias(
-                    "__dv_f"
-                ),
-                F.col("_metadata.row_index").alias("__dv_r"),
-            )
             if pairs:
                 deleted = spark.createDataFrame(pairs, "f string, r long")
-                tagged = tagged.join(
+                df = df.join(
                     deleted,
-                    (F.col("__dv_f") == F.col("f")) & (F.col("__dv_r") == F.col("r")),
+                    (F.col("__df_file") == F.col("f"))
+                    & (F.col("__df_row") == F.col("r")),
                     "left_anti",
                 )
-            df = tagged.drop("__dv_f", "__dv_r")
 
-        if mode != "name":
-            return df
-        phys = read_schema
-        return df.select(
-            [
-                _to_logical(F.col(pf.name), pf.dataType, lf.dataType).alias(lf.name)
-                for pf, lf in zip(phys.fields, schema.fields)
+        if pnames:
+            # per-file partition values: a bounded (one row per add action)
+            # broadcast joined on file identity, cast from the spec's
+            # string serialization to the declared column types. Under
+            # NAME mapping, partitionValues keys are PHYSICAL names.
+            def pv_key(c: str) -> str:
+                f = fields_by_name[c]
+                if mode == "name":
+                    return (f.metadata or {}).get(
+                        "delta.columnMapping.physicalName", f.name
+                    )
+                return f.name
+
+            rows = [
+                tuple(
+                    [os.path.abspath(os.path.join(self.table_dir, rel))]
+                    + [
+                        (a.get("partitionValues") or {}).get(pv_key(c))
+                        for c in pnames
+                    ]
+                )
+                for rel, a in snap.files.items()
             ]
-        )
+            pv_schema = "__pv_file string" + "".join(
+                f", __pv_{i} string" for i in range(len(pnames))
+            )
+            pv_df = spark.createDataFrame(rows, pv_schema)
+            df = df.join(
+                F.broadcast(pv_df), F.col("__df_file") == F.col("__pv_file"), "left"
+            ).drop("__pv_file")
+
+        if need_meta:
+            df = df.drop("__df_file", "__df_row")
+
+        # final projection in declared field order: reconstituted partition
+        # columns cast to their types; data columns via the NAME-mode
+        # logical projection when mapped, as-is otherwise
+        phys_by_logical = {
+            lf.name: pf for pf, lf in zip(read_schema.fields, data_schema.fields)
+        }
+        out = []
+        for f in schema.fields:
+            if f.name in pnames:
+                out.append(
+                    F.col(f"__pv_{pnames.index(f.name)}").cast(f.dataType).alias(f.name)
+                )
+            elif mode == "name":
+                pf = phys_by_logical[f.name]
+                out.append(
+                    _to_logical(F.col(pf.name), pf.dataType, f.dataType).alias(f.name)
+                )
+            else:
+                out.append(F.col(f.name))
+        return df.select(out)
 
 
 # --- column mapping (NAME mode) ---------------------------------------------

@@ -533,3 +533,63 @@ def test_deletion_vector_corruption_refused(spark, dv_table):
     open(log, "w").write("\n".join(lines) + "\n")
     with pytest.raises(DeltaProtocolError, match="cardinality"):
         DeltaLogReader(dv_table).to_df(spark)
+
+
+# ---------------------------------------------------------------------------
+# partition-column reconstitution (round 9)
+
+
+def test_partition_values_reconstituted_from_log(spark, tmp_path):
+    """External writers do NOT store partition columns in the data files
+    (PROTOCOL.md): values live in add.partitionValues as serialized
+    strings. The reader must reconstitute them with the declared types —
+    including a DATE partition and a null partition value — and compose
+    with deletion vectors on the same file."""
+    d = str(tmp_path / "pt")
+    os.makedirs(os.path.join(d, "_delta_log"))
+    for i, rows in enumerate([[(1, "a"), (2, "b")], [(3, "c")], [(4, "d")]]):
+        spark.createDataFrame(rows, "k long, v string").coalesce(1).write.parquet(
+            d + f"/data{i}"
+        )
+        part = [f for f in os.listdir(d + f"/data{i}") if f.endswith(".parquet")][0]
+        os.rename(os.path.join(d, f"data{i}", part), os.path.join(d, f"part-{i}.parquet"))
+
+    def plain(name, typ):
+        return {"name": name, "type": typ, "nullable": True, "metadata": {}}
+
+    schema = {"type": "struct", "fields": [
+        plain("k", "long"), plain("v", "string"),
+        plain("ds", "date"), plain("region", "integer"),
+    ]}
+    dv = _dv_file(d, _ser64({0}), "00112233-4455-6677-8899-aabbccddee01")
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": "t-part", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": json.dumps(schema),
+                      "partitionColumns": ["ds", "region"],
+                      "configuration": {}, "createdTime": 0}},
+        {"add": {"path": "part-0.parquet",
+                 "partitionValues": {"ds": "2024-03-01", "region": "7"},
+                 "size": 1, "modificationTime": 0, "dataChange": True,
+                 "deletionVector": dv}},  # deletes k=1 (row 0 of this file)
+        {"add": {"path": "part-1.parquet",
+                 "partitionValues": {"ds": "2024-03-02", "region": None},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "part-2.parquet",
+                 "partitionValues": {"ds": None, "region": "9"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(os.path.join(d, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+
+    df = DeltaLogReader(d).to_df(spark)
+    assert df.columns == ["k", "v", "ds", "region"]
+    assert dict(df.dtypes)["ds"] == "date" and dict(df.dtypes)["region"] == "int"
+    rows = {x.k: (str(x.ds), x.region) for x in df.collect()}
+    assert rows == {
+        2: ("2024-03-01", 7),   # k=1 removed by the DV on the same file
+        3: ("2024-03-02", None),
+        4: ("None", 9),
+    }
