@@ -16,7 +16,8 @@ validates shapes strictly rather than trusting the writer:
   the snapshot (last add wins for a re-added path); `remove` tombstones
   it; `txn` tracks the latest version per appId;
 - protocol gating: reader versions beyond what this reader implements
-  (v1/v2, v3 only with readerFeatures ⊆ {columnMapping, deletionVectors}) raise —
+  (v1/v2, v3 only with supported readerFeatures — columnMapping,
+  deletionVectors, v2Checkpoint) raise —
   reading on anyway could silently return wrong rows, which is exactly
   what a real reader must not do;
 - strict field checks: every `add` must carry path/partitionValues/size/
@@ -68,8 +69,15 @@ declared types, nulls honored), attached by a bounded one-row-per-file
 broadcast on parquet _metadata file identity; composes with DVs and
 NAME mapping (physical partitionValues keys).
 
+V2 spec checkpoints (round 9): `<v>.checkpoint.<unique>.{json,parquet}`
+top-level files are discovered when no classic checkpoint exists at the
+pointer version; the required checkpointMetadata action is
+version-validated, sidecar actions pull add/remove state from parquet
+files under `_delta_log/_sidecars/`, and missing/mismatched pieces are
+corruption, never a partial read.
+
 Out of scope, mirroring the writer's documented floor: ID-mode column
-mapping, v2/sidecar checkpoints.
+mapping (parquet field-id matching).
 """
 
 from __future__ import annotations
@@ -83,7 +91,7 @@ _KNOWN_ACTIONS = {"protocol", "metaData", "add", "remove", "txn", "commitInfo", 
 _ADD_REQUIRED = {"path", "partitionValues", "size", "modificationTime", "dataChange"}
 # reader v1 = base; v2 = column mapping; v3 = table features, gated on the
 # explicit readerFeatures list (PROTOCOL.md "Reader Requirements")
-_SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors"}
+_SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors", "v2Checkpoint"}
 _MAX_READER_VERSION = 3
 
 
@@ -193,7 +201,31 @@ class DeltaLogReader:
                 for i in range(1, parts + 1)
             ]
         else:
-            files = [os.path.join(self._log_dir, f"{v:020d}.checkpoint.parquet")]
+            classic = os.path.join(self._log_dir, f"{v:020d}.checkpoint.parquet")
+            if os.path.exists(classic):
+                files = [classic]
+            else:
+                # V2 spec checkpoint: <v>.checkpoint.<uniqueStr>.{json,parquet}.
+                # Any complete one is valid; pick deterministically.
+                import glob as _glob
+
+                v2 = sorted(
+                    f
+                    for pat in ("json", "parquet")
+                    for f in _glob.glob(
+                        os.path.join(self._log_dir, f"{v:020d}.checkpoint.*.{pat}")
+                    )
+                    # exclude classic multi-part names (all-digit middle parts)
+                    if not all(
+                        seg.isdigit()
+                        for seg in os.path.basename(f).split(".")[2:-1]
+                    )
+                )
+                if not v2:
+                    raise DeltaProtocolError(
+                        f"_last_checkpoint points at v{v} but no checkpoint file exists"
+                    )
+                files = [v2[0]]
         for f in files:
             if not os.path.exists(f):
                 raise DeltaProtocolError(
@@ -228,28 +260,80 @@ class DeltaLogReader:
             return [DeltaLogReader._from_arrow(v, typ.value_type) for v in value]
         return value
 
-    def _checkpoint_actions(self):
-        """Yield (key, body) for every action row in the checkpoint."""
+    def _raw_checkpoint_rows(self, path):
+        """(key, body) per row of one checkpoint file — parquet (arrow-
+        normalized) or JSON-lines (v2 checkpoints may be either)."""
+        if path.endswith(".json"):
+            with open(path) as fh:
+                for ln, line in enumerate(fh, 1):
+                    if not line.strip():
+                        continue
+                    action = json.loads(line)
+                    if len(action) != 1:
+                        raise DeltaProtocolError(
+                            f"{os.path.basename(path)}:{ln}: checkpoint row must "
+                            f"have exactly one action, got {sorted(action)}"
+                        )
+                    (key,) = action
+                    yield key, action[key]
+            return
         import pyarrow.parquet as pq
 
+        table = pq.read_table(path)
+        schema = table.schema
+        for row in table.to_pylist():
+            present = [(k, v) for k, v in row.items() if v is not None]
+            if len(present) != 1:
+                raise DeltaProtocolError(
+                    f"{os.path.basename(path)}: checkpoint row must have "
+                    f"exactly one non-null action, got {[k for k, _ in present]}"
+                )
+            key, body = present[0]
+            yield key, self._from_arrow(body, schema.field(key).type)
+
+    def _checkpoint_actions(self):
+        """Yield (key, body) for every action in the checkpoint. V2 spec
+        checkpoints (PROTOCOL.md "V2 Spec Checkpoints") carry a required
+        checkpointMetadata action whose version must equal the checkpoint
+        version, plus sidecar actions naming parquet files under
+        `_delta_log/_sidecars/` that hold the add/remove state; classic
+        checkpoints inline everything."""
+        saw_ckpt_meta = False
+        sidecars = []
         for path in self._checkpoint_files:
-            table = pq.read_table(path)
-            schema = table.schema
-            for row in table.to_pylist():
-                present = [
-                    (k, v) for k, v in row.items() if v is not None
-                ]
-                if len(present) != 1:
-                    raise DeltaProtocolError(
-                        f"{os.path.basename(path)}: checkpoint row must have "
-                        f"exactly one non-null action, got {[k for k, _ in present]}"
-                    )
-                key, body = present[0]
+            for key, body in self._raw_checkpoint_rows(path):
+                if key == "checkpointMetadata":
+                    if body.get("version") != self.checkpoint_version:
+                        raise DeltaProtocolError(
+                            f"checkpointMetadata.version {body.get('version')} != "
+                            f"checkpoint version {self.checkpoint_version}"
+                        )
+                    saw_ckpt_meta = True
+                    continue
+                if key == "sidecar":
+                    sidecars.append(body)
+                    continue
                 if key not in _KNOWN_ACTIONS:
                     raise DeltaProtocolError(
                         f"{os.path.basename(path)}: unknown action {key!r}"
                     )
-                yield key, self._from_arrow(body, schema.field(key).type)
+                yield key, body
+        for sc in sidecars:
+            if not saw_ckpt_meta:
+                raise DeltaProtocolError(
+                    "sidecar action in a checkpoint without checkpointMetadata"
+                )
+            sc_path = os.path.join(self._log_dir, "_sidecars", sc["path"])
+            if not os.path.exists(sc_path):
+                raise DeltaProtocolError(
+                    f"sidecar file {sc['path']} named by the checkpoint is missing"
+                )
+            for key, body in self._raw_checkpoint_rows(sc_path):
+                if key not in ("add", "remove"):
+                    raise DeltaProtocolError(
+                        f"sidecar {sc['path']}: only add/remove allowed, got {key!r}"
+                    )
+                yield key, body
 
     def _actions(self, version: int):
         path = os.path.join(self._log_dir, f"{version:020d}.json")

@@ -311,10 +311,10 @@ def test_column_mapping_reader_v3_feature_gating(spark, tmp_path):
     # v3 + a feature we cannot honor: refuse loudly
     lines[0] = json.dumps({"protocol": {
         "minReaderVersion": 3, "minWriterVersion": 7,
-        "readerFeatures": ["columnMapping", "v2Checkpoint"],
+        "readerFeatures": ["columnMapping", "typeWidening"],
     }})
     open(log, "w").write("\n".join(lines) + "\n")
-    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
+    with pytest.raises(DeltaProtocolError, match="typeWidening"):
         DeltaLogReader(d).snapshot()
 
 
@@ -593,3 +593,94 @@ def test_partition_values_reconstituted_from_log(spark, tmp_path):
         3: ("2024-03-02", None),
         4: ("None", 9),
     }
+
+
+# ---------------------------------------------------------------------------
+# V2 spec checkpoints (round 9)
+
+
+def _to_v2_checkpoint(spark, aged_table):
+    """Rewrite the aged table's classic v20 checkpoint as a V2 spec
+    checkpoint: a JSON top-level file (checkpointMetadata + protocol +
+    metaData + txn) with the add state in a parquet sidecar under
+    _delta_log/_sidecars/, the layout modern external writers produce."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    log = os.path.join(aged_table, "_delta_log")
+    classic = os.path.join(log, f"{20:020d}.checkpoint.parquet")
+    rows = pq.read_table(classic).to_pylist()
+
+    def unwrap(row):
+        (kv,) = [(k, v) for k, v in row.items() if v is not None]
+        return kv
+
+    actions = [unwrap(r) for r in rows]
+    adds = [b for k, b in actions if k == "add"]
+    others = [(k, b) for k, b in actions if k != "add"]
+
+    os.makedirs(os.path.join(log, "_sidecars"))
+    sidecar_name = "sc-0001.parquet"
+    pq.write_table(
+        pa.Table.from_pylist([{"add": a} for a in adds]),
+        os.path.join(log, "_sidecars", sidecar_name),
+    )
+
+    def clean(b):  # arrow round-trip artifacts -> plain JSON
+        return json.loads(json.dumps(b, default=str))
+
+    top = [
+        {"checkpointMetadata": {"version": 20}},
+        *({k: clean(b)} for k, b in others),
+        {"sidecar": {"path": sidecar_name, "sizeInBytes": 1,
+                     "modificationTime": 0}},
+    ]
+    v2 = os.path.join(log, f"{20:020d}.checkpoint.80a083e8-7026.json")
+    with open(v2, "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in top) + "\n")
+    os.remove(classic)
+    return v2
+
+
+def test_v2_checkpoint_with_sidecars_reads_identically(spark, aged_table):
+    want = {
+        v: DeltaLogReader(aged_table).snapshot(v).files for v in (20, 22, 24)
+    }
+    _to_v2_checkpoint(spark, aged_table)
+    r = DeltaLogReader(aged_table)
+    assert r.checkpoint_version == 20
+    assert os.path.basename(r._checkpoint_files[0]).endswith(".json")
+    for v in (20, 22, 24):
+        snap = r.snapshot(v)
+        assert snap.paths == set(want[v]), f"version {v}"
+        manifest = V._read_manifest(aged_table, v)
+        assert snap.paths == set(manifest["files"])
+    # and after aged-JSON cleanup the v2 checkpoint alone carries the state
+    for v in range(20):
+        os.remove(os.path.join(aged_table, "_delta_log", f"{v:020d}.json"))
+    r2 = DeltaLogReader(aged_table)
+    rows = {tuple(x) for x in r2.to_df(spark, 24).collect()}
+    want_rows = {tuple(x) for x in V.read_version(spark, aged_table, version=24).collect()}
+    assert rows == want_rows
+
+
+def test_v2_checkpoint_validations(spark, aged_table):
+    v2 = _to_v2_checkpoint(spark, aged_table)
+    lines = open(v2).read().strip().splitlines()
+
+    # checkpointMetadata version mismatch is corruption
+    bad = [json.dumps({"checkpointMetadata": {"version": 19}})] + lines[1:]
+    open(v2, "w").write("\n".join(bad) + "\n")
+    with pytest.raises(DeltaProtocolError, match="checkpointMetadata"):
+        DeltaLogReader(aged_table).snapshot(24)
+
+    # sidecar without checkpointMetadata is corruption
+    open(v2, "w").write("\n".join(lines[1:]) + "\n")
+    with pytest.raises(DeltaProtocolError, match="without checkpointMetadata"):
+        DeltaLogReader(aged_table).snapshot(24)
+
+    # missing sidecar file is corruption
+    open(v2, "w").write("\n".join(lines) + "\n")
+    os.remove(os.path.join(aged_table, "_delta_log", "_sidecars", "sc-0001.parquet"))
+    with pytest.raises(DeltaProtocolError, match="sidecar"):
+        DeltaLogReader(aged_table).snapshot(24)
