@@ -1528,3 +1528,41 @@ def bm25_topk_from_state(spark: SparkSession, index_path: str, k: int | None = N
         .select("qid", "rnk", "doc_id", "score")
         .orderBy("qid", "rnk")
     )
+
+
+def streaming_public_table(
+    spark: SparkSession,
+    silver_path: str,
+    table: str,
+    build,
+    out_dir: str,
+    checkpoint: str,
+    processed_time: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming publish of one `public_lakehouse` table: a file stream
+    over its silver input feeds the table's batch projection, and each
+    micro-batch lands via the same insert-only natural-key MERGE the
+    batch publisher uses (plans/public.publish_public_table) — so the
+    folded published table equals the batch publish over the silver
+    rows seen so far, and replays are no-ops (MERGE idempotence). This
+    is the reference's hourly publish loop as a live stream instead of
+    a scheduled batch; `build` is the plans.public projection
+    (e.g. public_logs) taking (silver_df, processed_time)."""
+    from near_public_lakehouse_spark.plans.public import publish_public_table
+
+    schema = spark.read.parquet(silver_path).schema
+    r = spark.readStream
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = r.schema(schema).parquet(_stream_path(silver_path))
+
+    def _batch(batch_df: DataFrame, _batch_id: int) -> None:
+        publish_public_table(spark, table, build(batch_df, processed_time), out_dir)
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

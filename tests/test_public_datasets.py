@@ -342,3 +342,34 @@ def test_near_balances_projection_types(spark):
     r = out.collect()[0]
     assert r.staked == str(2 * YOCTO) and r.lockup_reward == str(6 * YOCTO)
     assert str(r._processed_time) == PROCESSED
+
+
+def test_streaming_publish_equals_batch_publish(pipe, spark, tmp_path):
+    """The live-publish twin: streaming the silver logs table through
+    the same projection + insert-only MERGE (forced multi-batch, then a
+    replay drain) folds to exactly the batch publish."""
+    from near_public_lakehouse_spark.plans.public import (
+        public_logs,
+        publish_public_table,
+    )
+    from near_public_lakehouse_spark.streaming.jobs import streaming_public_table
+
+    silver_path = pipe.path("silver_execution_outcome_logs")
+    out_s = str(tmp_path / "stream_pub")
+    streaming_public_table(
+        spark, silver_path, "logs", public_logs, out_s,
+        str(tmp_path / "ckpt"), PROCESSED, max_files_per_trigger=1,
+    ).awaitTermination(180)
+    # replay drain: nothing new -> nothing changes
+    streaming_public_table(
+        spark, silver_path, "logs", public_logs, out_s,
+        str(tmp_path / "ckpt"), PROCESSED,
+    ).awaitTermination(60)
+
+    out_b = str(tmp_path / "batch_pub")
+    publish_public_table(
+        spark, "logs", public_logs(pipe.read("silver_execution_outcome_logs"), PROCESSED), out_b
+    )
+    got = {tuple(r) for r in spark.read.parquet(out_s + "/logs").collect()}
+    want = {tuple(r) for r in spark.read.parquet(out_b + "/logs").collect()}
+    assert got == want and len(got) > 0
