@@ -319,7 +319,67 @@ def test_column_mapping_reader_v3_feature_gating(spark, tmp_path):
         DeltaLogReader(d).snapshot()
 
 
-def test_column_mapping_id_mode_refuses(spark, tmp_path):
+def _id_mapped_file(spark, out_path, names, ids, rows):
+    """One parquet file whose column NAMES are arbitrary but whose
+    parquet field ids carry the delta.columnMapping.id values — the
+    exact case only ID matching reads correctly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fields = [
+        pa.field(n, t, metadata={b"PARQUET:field_id": str(i).encode()})
+        for n, t, i in zip(names, (pa.int64(), pa.string()), ids)
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(
+            [dict(zip(names, r)) for r in rows], schema=pa.schema(fields)
+        ),
+        out_path,
+    )
+
+
+def test_column_mapping_id_mode_matches_by_field_id(spark, tmp_path):
+    """ID mode: two files with DIFFERENT physical column names (a rename
+    happened between writes) but stable field ids — matching by footer
+    field id reads both correctly; name/physicalName matching could not."""
+    d = str(tmp_path / "idt")
+    os.makedirs(os.path.join(d, "_delta_log"))
+    _id_mapped_file(spark, os.path.join(d, "part-0.parquet"),
+                    ["zz_old_k", "zz_old_v"], [1, 2], [(1, "a"), (2, "b")])
+    _id_mapped_file(spark, os.path.join(d, "part-1.parquet"),
+                    ["qq_new_k", "qq_new_v"], [1, 2], [(3, "c")])
+
+    def fld(name, typ, phys, fid):
+        return {"name": name, "type": typ, "nullable": True,
+                "metadata": {"delta.columnMapping.physicalName": phys,
+                             "delta.columnMapping.id": fid}}
+
+    schema = {"type": "struct", "fields": [
+        fld("id", "long", "col-a", 1), fld("val", "string", "col-b", 2),
+    ]}
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "t-id", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": json.dumps(schema), "partitionColumns": [],
+                      "configuration": {"delta.columnMapping.mode": "id",
+                                        "delta.columnMapping.maxColumnId": "2"},
+                      "createdTime": 0}},
+        {"add": {"path": "part-0.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "part-1.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(os.path.join(d, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    df = DeltaLogReader(d).to_df(spark)
+    assert df.columns == ["id", "val"]
+    assert {(x.id, x.val) for x in df.collect()} == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_column_mapping_id_mode_physicalname_fallback(spark, tmp_path):
+    """A NAME-mode-shaped file (physicalName columns, no footer ids)
+    under an ID-mode table still reads via the physicalName fallback —
+    delta's own writers put both in the files."""
     d = _mapped_table(spark, tmp_path)
     log = os.path.join(d, "_delta_log", f"{0:020d}.json")
     lines = open(log).read().strip().splitlines()
@@ -327,9 +387,10 @@ def test_column_mapping_id_mode_refuses(spark, tmp_path):
     meta["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
     lines[1] = json.dumps(meta)
     open(log, "w").write("\n".join(lines) + "\n")
-    r = DeltaLogReader(d)
-    with pytest.raises(DeltaProtocolError, match="column mapping mode"):
-        r.to_df(spark)
+    df = DeltaLogReader(d).to_df(spark)
+    assert df.columns == ["id", "person", "tags"]
+    rows = {x.id: x for x in df.collect()}
+    assert rows[1].person.name == "alice" and rows[1].tags[0].n == 1
 
 
 # ---------------------------------------------------------------------------
