@@ -586,8 +586,9 @@ class DeltaLogReader:
         the files; the fallback also null-fills genuinely missing
         columns through Spark's missing-column semantics). Each group
         projects to logical names before the groups union."""
-        from pyspark.sql import functions as F  # noqa: F401
+        import pyarrow as pa
         import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
 
         def footer_map(path) -> tuple:
             sch = pq.read_schema(path)
@@ -599,8 +600,6 @@ class DeltaLogReader:
                     fid = md.get(b"PARQUET:field_id")
                     if fid is not None:
                         out.append((int(fid), prefix + (fld.name,)))
-                    import pyarrow as pa
-
                     if pa.types.is_struct(fld.type):
                         out.extend(walk(list(fld.type), prefix + (fld.name,)))
                 return out
