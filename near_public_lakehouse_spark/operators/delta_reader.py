@@ -525,8 +525,12 @@ class DeltaLogReader:
             # string serialization to the declared column types. Under
             # NAME mapping, partitionValues keys are PHYSICAL names.
             def pv_key(c: str) -> str:
+                # add.partitionValues keys are PHYSICAL names whenever
+                # column mapping is enabled — EITHER mode (PROTOCOL.md
+                # "Column Mapping": writers store physical names in
+                # partitionValues for both 'name' and 'id').
                 f = fields_by_name[c]
-                if mode == "name":
+                if mode in ("name", "id"):
                     return (f.metadata or {}).get(
                         "delta.columnMapping.physicalName", f.name
                     )
@@ -600,9 +604,25 @@ class DeltaLogReader:
                     fid = md.get(b"PARQUET:field_id")
                     if fid is not None:
                         out.append((int(fid), prefix + (fld.name,)))
-                    if pa.types.is_struct(fld.type):
-                        out.extend(walk(list(fld.type), prefix + (fld.name,)))
+                    out.extend(walk_type(fld.type, prefix + (fld.name,)))
                 return out
+
+            def walk_type(t, prefix):
+                # descend into every nested level that can carry ids,
+                # mirroring phys_type_for's recursion. List/map wrapper
+                # fields ("element"/"key"/"value") are TRANSPARENT: the
+                # lookup side (phys_schema_for) passes its prefix through
+                # arrays and maps unchanged, so the footer paths must
+                # omit the wrapper names too.
+                if pa.types.is_struct(t):
+                    return walk(list(t), prefix)
+                if pa.types.is_list(t) or pa.types.is_large_list(t):
+                    return walk_type(t.value_type, prefix)
+                if pa.types.is_map(t):
+                    return walk_type(t.key_type, prefix) + walk_type(
+                        t.item_type, prefix
+                    )
+                return []
 
             return tuple(sorted(walk(list(sch), ())))
 
@@ -883,7 +903,13 @@ def dv_deleted_rows(table_dir: str, dv: dict) -> set[int]:
         blob = fh.read()
     if not blob or blob[0] != 1:
         raise DeltaProtocolError(f"unsupported deletion-vector file version {blob[:1]!r}")
-    off = dv.get("offset", 1)
+    if "offset" not in dv:
+        # the spec treats offset as required for on-disk DVs; guessing 1
+        # would only be caught indirectly by the size/CRC checks.
+        raise DeltaProtocolError(
+            f"deletionVector descriptor (storageType {st!r}) missing required offset"
+        )
+    off = dv["offset"]
     (size,) = struct.unpack_from(">I", blob, off)
     if size != dv["sizeInBytes"]:
         raise DeltaProtocolError(

@@ -183,7 +183,13 @@ def silver_accounts_daily_ft_balances(
     yocto amount stays in `nonstaked_balance`).
 
     `rewards` carries (delegator_id, epoch_date, unstaked, staked, reward)
-    — the per-epoch-date slice of silver_daily_delegators_rewards."""
+    — the per-epoch-date slice of silver_daily_delegators_rewards.
+
+    ``lockup_liquid`` follows the reference's second MERGE pass (Epochs
+    :725-740): the LOCKUP account's latest nonstaked balance / 1e24
+    rounded 2dp — NULL when the lockup account has no change rows yet,
+    0 when the account has no lockup at all (the un-updated initial
+    value)."""
     ac = account_changes.filter(F.col("block_date") <= F.lit(epoch_date))
     w = Window.partitionBy("affected_account_id").orderBy(F.desc("block_height"))
     latest = (
@@ -191,6 +197,24 @@ def silver_accounts_daily_ft_balances(
         .join(ac, "affected_account_id")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
+    )
+    # latest change per LOCKUP account: semi-join first so the window
+    # runs over lockup accounts only (registry-bounded, not all accounts)
+    lock_ids = (
+        amb.filter(F.col("lockup_account_id").isNotNull())
+        .select(F.col("lockup_account_id").alias("affected_account_id"))
+        .distinct()
+    )
+    lock_latest = (
+        ac.join(lock_ids, "affected_account_id", "left_semi")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("affected_account_id").alias("lockup_account_id"),
+            F.round(
+                F.col("nonstaked_balance").cast("double") / F.lit(float(YOCTO)), 2
+            ).alias("lockup_liquid"),
+        )
     )
     r = rewards.filter(F.col("epoch_date") == F.lit(epoch_date))
     r_acct = r.select(
@@ -209,6 +233,7 @@ def silver_accounts_daily_ft_balances(
     return (
         latest.join(r_acct, "affected_account_id", "left")
         .join(r_lock, "lockup_account_id", "left")
+        .join(lock_latest, "lockup_account_id", "left")
         .select(
             F.lit(epoch_date).cast("date").alias("epoch_date"),
             F.lit(epoch_block_height).alias("epoch_block_height"),
@@ -224,6 +249,9 @@ def silver_accounts_daily_ft_balances(
             F.coalesce(F.col("staked").cast("decimal(38,0)"), zero).cast("string").alias("staked"),
             F.coalesce(F.col("reward").cast("decimal(38,0)"), zero).cast("string").alias("reward"),
             "lockup_account_id",
+            F.when(F.col("lockup_account_id").isNull(), F.lit(0.0))
+            .otherwise(F.col("lockup_liquid"))
+            .alias("lockup_liquid"),
             F.coalesce(F.col("lockup_unstaked_not_liquid").cast("decimal(38,0)"), zero)
             .cast("string")
             .alias("lockup_unstaked_not_liquid"),

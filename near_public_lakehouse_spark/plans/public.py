@@ -384,7 +384,9 @@ def public_near_balances(
 ) -> DataFrame:
     """Daily account-balance snapshot projection (NB NEAR Public
     Datasets.py:353-373): typed epoch keys, exact yocto amounts stay
-    STRING, the display-only ``nonstaked_balance`` column is dropped."""
+    STRING, the display-only ``nonstaked_balance`` column is dropped;
+    ``lockup_liquid`` (Datasets.py:368) rides through from the silver
+    second-pass computation."""
     return daily_balances.select(
         F.col("epoch_date").cast("date").alias("epoch_date"),
         F.col("epoch_block_height").cast("bigint").alias("epoch_block_height"),
@@ -395,6 +397,7 @@ def public_near_balances(
         "staked",
         "reward",
         "lockup_account_id",
+        "lockup_liquid",
         "lockup_unstaked_not_liquid",
         "lockup_staked",
         "lockup_reward",

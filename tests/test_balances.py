@@ -147,5 +147,38 @@ def test_min_balance_registry_and_daily_snapshot(spark):
     assert w.liquid == 15000.0  # latest change <= date wins (W1)
     assert (w.staked, w.reward) == (str(2 * YOCTO), str(3 * YOCTO))
     assert (w.lockup_staked, w.lockup_reward) == (str(5 * YOCTO), str(6 * YOCTO))
+    # the lockup account has no change rows in `ac` -> reference second
+    # pass leaves lockup_liquid NULL for this row
+    assert w.lockup_liquid is None
     n = rows["nf.near"]
     assert n.staked == "0" and n.lockup_account_id is None  # coalesced zeros
+    assert n.lockup_liquid == 0.0  # no lockup at all -> the initial 0
+
+
+def test_daily_snapshot_lockup_liquid_from_lockup_changes(spark):
+    """Epochs :725-740 second pass: lockup_liquid = latest nonstaked of
+    the LOCKUP account / 1e24 rounded 2dp."""
+    ac = spark.createDataFrame(
+        [
+            (1, "2024-01-01", "whale.near", str(20_000 * YOCTO), str(0), 100),
+            # the lockup account's own change rows — latest (h=3) wins
+            (2, "2024-01-01", "whale-lock.near", str(10 * YOCTO), str(0), 10),
+            (3, "2024-01-02", "whale-lock.near", str(1234 * YOCTO + YOCTO // 4), str(0), 10),
+        ],
+        "block_height long, block_date string, affected_account_id string, "
+        "nonstaked_balance string, staked_balance string, storage_usage long",
+    ).withColumn("block_date", F.col("block_date").cast("date"))
+    lockups = spark.createDataFrame(
+        [("whale.near", "whale-lock.near")],
+        "owner_account_id string, lockup_account_id string",
+    )
+    amb = B.silver_accounts_with_min_balances(ac, lockups, nf_accounts=[])
+    rewards = spark.createDataFrame(
+        [],
+        "delegator_id string, epoch_date date, unstaked string, staked string, reward string",
+    )
+    snap = B.silver_accounts_daily_ft_balances(
+        amb, ac, rewards, epoch_date="2024-01-02", epoch_block_height=3
+    )
+    rows = {r.account_id: r for r in snap.collect()}
+    assert rows["whale.near"].lockup_liquid == 1234.25

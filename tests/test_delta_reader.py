@@ -746,3 +746,136 @@ def test_v2_checkpoint_validations(spark, aged_table):
     os.remove(os.path.join(aged_table, "_delta_log", "_sidecars", "sc-0001.parquet"))
     with pytest.raises(DeltaProtocolError, match="sidecar"):
         DeltaLogReader(aged_table).snapshot(24)
+
+
+# ---------------------------------------------------------------------------
+# round-10 ADVICE regressions: partitioned id-mode partitionValues keys,
+# field ids nested inside arrays/maps, DV offset required on disk
+
+
+def test_column_mapping_id_mode_partitioned_physical_pv_keys(spark, tmp_path):
+    """add.partitionValues keys are PHYSICAL names whenever column mapping
+    is enabled — id mode included. A partitioned id-mapped table must
+    reconstitute partition values via physicalName, not the logical name
+    (which would silently read NULLs)."""
+    d = str(tmp_path / "idpart")
+    os.makedirs(os.path.join(d, "_delta_log"))
+    _id_mapped_file(spark, os.path.join(d, "part-0.parquet"),
+                    ["zz_k", "zz_v"], [1, 2], [(1, "a"), (2, "b")])
+    _id_mapped_file(spark, os.path.join(d, "part-1.parquet"),
+                    ["qq_k", "qq_v"], [1, 2], [(3, "c")])
+
+    def fld(name, typ, phys, fid):
+        return {"name": name, "type": typ, "nullable": True,
+                "metadata": {"delta.columnMapping.physicalName": phys,
+                             "delta.columnMapping.id": fid}}
+
+    schema = {"type": "struct", "fields": [
+        fld("id", "long", "col-a", 1), fld("val", "string", "col-b", 2),
+        fld("day", "date", "col-p", 3),
+    ]}
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "t-idp", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": json.dumps(schema),
+                      "partitionColumns": ["day"],
+                      "configuration": {"delta.columnMapping.mode": "id",
+                                        "delta.columnMapping.maxColumnId": "3"},
+                      "createdTime": 0}},
+        {"add": {"path": "part-0.parquet",
+                 "partitionValues": {"col-p": "2024-01-01"}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "part-1.parquet",
+                 "partitionValues": {"col-p": "2024-01-02"}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(os.path.join(d, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    df = DeltaLogReader(d).to_df(spark)
+    assert df.columns == ["id", "val", "day"]
+    got = {(x.id, x.val, str(x.day)) for x in df.collect()}
+    assert got == {(1, "a", "2024-01-01"), (2, "b", "2024-01-01"),
+                   (3, "c", "2024-01-02")}
+    assert dict(df.dtypes)["day"] == "date"
+
+
+def test_id_mode_field_ids_inside_arrays(spark, tmp_path):
+    """Field ids on struct fields NESTED INSIDE a list must be harvested
+    from the footer: two files whose nested physical names differ (renamed
+    between writes, ids stable) both read correctly by id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "idarr")
+    os.makedirs(os.path.join(d, "_delta_log"))
+
+    def file(path, names, rows):
+        top, key, n = names
+        elem = pa.struct([
+            pa.field(key, pa.string(), metadata={b"PARQUET:field_id": b"6"}),
+            pa.field(n, pa.int64(), metadata={b"PARQUET:field_id": b"7"}),
+        ])
+        fields = [
+            pa.field("i", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+            pa.field(top, pa.list_(elem), metadata={b"PARQUET:field_id": b"5"}),
+        ]
+        pq.write_table(
+            pa.Table.from_pylist(
+                [{"i": i, top: [{key: k, n: v} for k, v in tags]}
+                 for i, tags in rows],
+                schema=pa.schema(fields),
+            ),
+            path,
+        )
+
+    file(os.path.join(d, "part-0.parquet"), ("zz_tags", "zz_key", "zz_n"),
+         [(1, [("x", 10)])])
+    file(os.path.join(d, "part-1.parquet"), ("qq_tags", "qq_k", "qq_nn"),
+         [(2, [("y", 20), ("z", 30)])])
+
+    def fld(name, typ, phys, fid):
+        return {"name": name, "type": typ, "nullable": True,
+                "metadata": {"delta.columnMapping.physicalName": phys,
+                             "delta.columnMapping.id": fid}}
+
+    schema = {"type": "struct", "fields": [
+        fld("i", "long", "col-i", 1),
+        fld("tags",
+            {"type": "array", "containsNull": True,
+             "elementType": {"type": "struct", "fields": [
+                 fld("key", "string", "col-k", 6),
+                 fld("n", "long", "col-n", 7),
+             ]}},
+            "col-t", 5),
+    ]}
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "t-ida", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": json.dumps(schema), "partitionColumns": [],
+                      "configuration": {"delta.columnMapping.mode": "id",
+                                        "delta.columnMapping.maxColumnId": "7"},
+                      "createdTime": 0}},
+        {"add": {"path": "part-0.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "part-1.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(os.path.join(d, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    df = DeltaLogReader(d).to_df(spark)
+    assert df.columns == ["i", "tags"]
+    got = {(x.i, tuple((t.key, t.n) for t in x.tags)) for x in df.collect()}
+    assert got == {(1, (("x", 10),)), (2, (("y", 20), ("z", 30)))}
+
+
+def test_deletion_vector_missing_offset_is_protocol_error(spark, dv_table):
+    """The spec treats `offset` as required for on-disk DVs; guessing
+    would only be caught indirectly by size/CRC. The reader refuses."""
+    log = os.path.join(dv_table, "_delta_log", f"{0:020d}.json")
+    lines = open(log).read().strip().splitlines()
+    add = json.loads(lines[2])
+    del add["add"]["deletionVector"]["offset"]
+    lines[2] = json.dumps(add)
+    open(log, "w").write("\n".join(lines) + "\n")
+    with pytest.raises(DeltaProtocolError, match="offset"):
+        DeltaLogReader(dv_table).to_df(spark)

@@ -154,6 +154,22 @@ class TestGeneratedMessages:
         assert back.HasField("ttl")
         assert back.ttl.durationMs == 60_000
 
+    def test_merge_after_lazy_read_restores_presence(self, sm):
+        """r9 ADVICE (low): reading an unset child leaves a lazy marker;
+        if MergeFromString then carries that field as an explicitly
+        present (even empty) submessage, the stale marker must be
+        discarded so HasField/SerializeToString see the wire value."""
+        cmd = sm.StateCallCommand()
+        assert cmd.ttl.durationMs == 0  # lazy read — marker set
+        assert not cmd.HasField("ttl")
+        src = sm.StateCallCommand()
+        src.ttl.durationMs = 0  # explicitly-present EMPTY submessage
+        wire = src.SerializeToString()
+        assert wire != b""
+        cmd.MergeFromString(wire)
+        assert cmd.HasField("ttl")
+        assert cmd.SerializeToString() == wire
+
     def test_read_only_nested_access_keeps_absence(self, sm):
         """The flip side of lazy materialization: merely READING an unset
         child must not fabricate presence — no HasField flip, no bytes on

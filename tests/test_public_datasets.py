@@ -326,21 +326,28 @@ def test_near_balances_projection_types(spark):
             (
                 "2024-01-02", 2, "whale.near", 15000.0, str(15_000 * YOCTO), 120,
                 str(YOCTO), str(2 * YOCTO), str(3 * YOCTO),
-                "whale-lock.near", str(4 * YOCTO), str(5 * YOCTO), str(6 * YOCTO),
+                "whale-lock.near", 777.25, str(4 * YOCTO), str(5 * YOCTO), str(6 * YOCTO),
             )
         ],
         "epoch_date string, epoch_block_height int, account_id string, "
         "liquid double, nonstaked_balance string, storage_usage long, "
         "unstaked_not_liquid string, staked string, reward string, "
-        "lockup_account_id string, lockup_unstaked_not_liquid string, "
+        "lockup_account_id string, lockup_liquid double, "
+        "lockup_unstaked_not_liquid string, "
         "lockup_staked string, lockup_reward string",
     )
     out = public_near_balances(daily, PROCESSED)
     assert "nonstaked_balance" not in out.columns
     assert dict(out.dtypes)["epoch_date"] == "date"
     assert dict(out.dtypes)["epoch_block_height"] == "bigint"
+    # reference column order: lockup_liquid sits between lockup_account_id
+    # and lockup_unstaked_not_liquid (NEAR Public Datasets.py:367-369)
+    cols = out.columns
+    assert cols.index("lockup_liquid") == cols.index("lockup_account_id") + 1
+    assert cols.index("lockup_unstaked_not_liquid") == cols.index("lockup_liquid") + 1
     r = out.collect()[0]
     assert r.staked == str(2 * YOCTO) and r.lockup_reward == str(6 * YOCTO)
+    assert r.lockup_liquid == 777.25
     assert str(r._processed_time) == PROCESSED
 
 
