@@ -39,7 +39,9 @@ def main() -> None:
         "queries register under organic names from round 8 on)",
         "reactivated_in": "r09 (VERDICT r8 task #1: the six never-driver-"
         "checked r7/r8 queries — retrieval x4, link_analysis_hits, "
-        "quality_outliers_mad — rotate into the window under a9_ aliases)",
+        "quality_outliers_mad — rotate into the window under a9_ aliases); "
+        "standing rule since r10 (VERDICT r9 task #1): a query added in "
+        "round N rotates into the window in round N",
         "rounds": rounds,
     }
     (REPO / "ROTATION_HISTORY.json").write_text(json.dumps(out, indent=1) + "\n")
