@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 from pathlib import Path
@@ -125,23 +126,40 @@ def main() -> None:
         "corpus_prep",
         "embedding_topk_cosine",
     ]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "core7_subtotal": round(
-                    sum(timings[n] for n in core7 if n in timings), 3
-                ),
-                "queries": timings,
-                "spread": {n: [min(xs), max(xs)] for n, xs in runs.items()},
-                "runs": runs,
-                "stage_metrics": stage_metrics,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "core7_subtotal": round(
+                sum(timings[n] for n in core7 if n in timings), 3
+            ),
+            "queries": timings,
+            "spread": {n: [min(xs), max(xs)] for n, xs in runs.items()},
+            "runs": runs,
+            "stage_metrics": stage_metrics,
+            "sf": sf,
+        }
     )
+    print(line)
+    # Also persist the full line in-repo: the driver's BENCH_r{N}.json
+    # capture is head-truncated when stage_metrics grow the line past its
+    # buffer (BENCH_r09.json lost `queries`/`core7_subtotal`), so the
+    # committed twin is the durable record (VERDICT r9 task #6). Round
+    # number: explicit env override, else one past the newest driver
+    # BENCH_r{N}.json (the driver runs bench before writing round N's).
+    try:
+        rnd = os.environ.get("SPARK_GRAFT_ROUND")
+        if rnd is None:
+            recorded = [
+                int(m.group(1))
+                for f in Path(_REPO).glob("BENCH_r*.json")
+                if (m := re.match(r"BENCH_r(\d+)\.json$", f.name))
+            ]
+            rnd = f"{max(recorded, default=0) + 1:02d}"
+        (Path(_REPO) / f"BENCH_LOCAL_r{int(rnd):02d}.json").write_text(line + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout contract already satisfied
 
 
 if __name__ == "__main__":

@@ -86,6 +86,10 @@ ORDER BY node_type, node_id
 
 @query(
     "graph_pagerank",
+    # bench=True since r10 (VERDICT r9 task #3): stage metrics for the
+    # graph trio ride in every BENCH so wall-time anomalies are
+    # adjudicable from shuffle bytes / task time, not re-run arbitration.
+    bench=True,
     tags=("graph", "iterative", "beyond-reference"),
     oracle=_PAGERANK_ORACLE,
 )
@@ -199,6 +203,10 @@ ORDER BY node_type, node_id
 
 @query(
     "graph_bfs_hops",
+    # bench=True since r10 (VERDICT r9 task #3): stage metrics for the
+    # graph trio ride in every BENCH so wall-time anomalies are
+    # adjudicable from shuffle bytes / task time, not re-run arbitration.
+    bench=True,
     tags=("graph", "iterative", "beyond-reference"),
     oracle=_BFS_ORACLE,
 )
@@ -319,6 +327,10 @@ ORDER BY node_type, node_id
 
 @query(
     "link_analysis_hits",
+    # bench=True since r10 (VERDICT r9 task #3): stage metrics for the
+    # graph trio ride in every BENCH so wall-time anomalies are
+    # adjudicable from shuffle bytes / task time, not re-run arbitration.
+    bench=True,
     tags=("graph", "iterative", "beyond-reference"),
     oracle=_HITS_ORACLE,
 )
