@@ -318,6 +318,190 @@ def write_checkpoint(table_dir: str, version: int, parts: int | None = None) -> 
     return paths
 
 
+# ---------------------------------------------------------------------------
+# Directory-state sync: Delta commits for tables maintained by the
+# path-based MERGE (operators/merge.py), which has no manifest store.
+
+
+def _hive_decode(value: str) -> str | None:
+    """Hive partition-dir value -> Delta partitionValues string (the
+    spec serializes null partition values as JSON null)."""
+    from urllib.parse import unquote
+
+    if value == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    return unquote(value)
+
+
+def _replay_json_log(log_dir: str) -> tuple[int | None, dict | None, dict[str, dict]]:
+    """(last version, latest metaData, live adds by path) from the JSON
+    commits alone — this writer always keeps the full JSON history, so
+    checkpoint parsing isn't needed for its own resync."""
+    if not os.path.isdir(log_dir):
+        return None, None, {}
+    versions = sorted(
+        int(n[:-5])
+        for n in os.listdir(log_dir)
+        if n.endswith(".json") and n[:-5].isdigit()
+    )
+    meta = None
+    adds: dict[str, dict] = {}
+    for v in versions:
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "metaData" in action:
+                    meta = action["metaData"]
+                elif "add" in action:
+                    adds[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    adds.pop(action["remove"]["path"], None)
+    return (versions[-1] if versions else None), meta, adds
+
+
+def sync_delta_log_from_dir(
+    table_dir: str,
+    schema_json: str,
+    partition_columns: list[str] | tuple[str, ...] = (),
+    touched_partitions: list | None = None,
+    checkpoint_interval: int | None = 10,
+) -> int | None:
+    """Commit the parquet directory's CURRENT file set to `_delta_log` as
+    an add/remove diff against the previous Delta snapshot — the interop
+    path for tables maintained by the path-based MERGE
+    (`operators/merge.merge_upsert`), which swaps whole partition dirs and
+    keeps no manifest log. The reference's published `public_lakehouse.*`
+    tables are Delta (`NEAR Public Datasets.py:48`, every table under
+    ``gs://near-lakehouse-public/mainnet/delta/``); this makes the engine's
+    published directories readable by external Delta readers in place.
+
+    `schema_json` is the Spark `StructType.json()` of the FULL row
+    (partition column included) — the same JSON dialect Delta's
+    schemaString uses. Partition values are reconstituted from the hive
+    dir names (unquoted; ``__HIVE_DEFAULT_PARTITION__`` -> null).
+
+    `touched_partitions`: when the caller knows which first-level
+    partition values the preceding MERGE touched (merge_upsert returns
+    them), the diff walks ONLY those partition dirs — per-publish cost
+    O(files in touched partitions), not O(table), which is what keeps a
+    daily publish viable on a 100 TB table. None = full walk.
+
+    Every `checkpoint_interval` commits a classic parquet checkpoint +
+    `_last_checkpoint` pointer is written (the reference's 10-commit
+    cadence). Returns the committed version, or None when the directory
+    already matches the snapshot (idempotent re-sync).
+    """
+    import time
+
+    log_dir = os.path.join(table_dir, _DELTA_LOG)
+    last_v, meta, prev_adds = _replay_json_log(log_dir)
+
+    pcol = partition_columns[0] if partition_columns else None
+    if touched_partitions is not None and pcol is not None:
+        touched_strs = {
+            None if p is None else str(p) for p in touched_partitions
+        }
+        part_dirs = [
+            n
+            for n in os.listdir(table_dir)
+            if n.startswith(f"{pcol}=")
+            and os.path.isdir(os.path.join(table_dir, n))
+            and _hive_decode(n.split("=", 1)[1]) in touched_strs
+        ]
+        roots = [os.path.join(table_dir, n) for n in part_dirs]
+        prev_scope = {
+            p: a
+            for p, a in prev_adds.items()
+            if p.split("/", 1)[0] in set(part_dirs)
+        }
+    else:
+        roots = [table_dir]
+        prev_scope = prev_adds
+
+    cur_files: set[str] = set()
+    for root in roots:
+        for dirpath, dirnames, filenames in os.walk(root):
+            dirnames[:] = [
+                d for d in dirnames if not d.startswith(("_", "."))
+            ]
+            for fn in filenames:
+                if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+                    cur_files.add(
+                        os.path.relpath(os.path.join(dirpath, fn), table_dir)
+                    )
+
+    removed = sorted(set(prev_scope) - cur_files)
+    added = sorted(cur_files - set(prev_scope))
+    schema_changed = meta is None or meta.get("schemaString") != schema_json
+    if not removed and not added and not schema_changed:
+        return None
+
+    ts_ms = int(time.time() * 1000)
+    version = 0 if last_v is None else last_v + 1
+    actions: list[dict] = []
+    if last_v is None:
+        actions.append({"protocol": _PROTOCOL})
+    if schema_changed:
+        actions.append(
+            {
+                "metaData": {
+                    "id": meta["id"] if meta else str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema_json,
+                    "partitionColumns": list(partition_columns),
+                    "configuration": {},
+                    "createdTime": meta.get("createdTime", ts_ms) if meta else ts_ms,
+                }
+            }
+        )
+    for path in removed:
+        actions.append(
+            {
+                "remove": {
+                    "path": path,
+                    "deletionTimestamp": ts_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+    for path in added:
+        abs_path = os.path.join(table_dir, path)
+        pv: dict[str, str | None] = {}
+        for seg in path.split("/")[:-1]:
+            if "=" in seg:
+                k, _, v = seg.partition("=")
+                pv[k] = _hive_decode(v)
+        add = {
+            "path": path,
+            "partitionValues": pv,
+            "size": os.path.getsize(abs_path),
+            "modificationTime": int(os.path.getmtime(abs_path) * 1000),
+            "dataChange": True,
+        }
+        try:
+            import pyarrow.parquet as pq
+
+            add["stats"] = json.dumps(
+                {"numRecords": pq.ParquetFile(abs_path).metadata.num_rows}
+            )
+        except Exception:
+            pass  # stats are optional data-skipping hints
+        actions.append({"add": add})
+
+    commit = os.path.join(log_dir, f"{version:020d}.json")
+    os.makedirs(log_dir, exist_ok=True)
+    tmp = commit + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write("".join(json.dumps(a, sort_keys=True) + "\n" for a in actions))
+    os.replace(tmp, commit)
+
+    if checkpoint_interval and version > 0 and version % checkpoint_interval == 0:
+        write_checkpoint(table_dir, version)
+    return version
+
+
 def read_delta_snapshot(table_dir: str, version: int | None = None) -> dict:
     """Replay a `_delta_log` the way an external reader would (PROTOCOL.md
     action reconciliation): latest metaData wins, add/remove tombstone by

@@ -37,6 +37,13 @@ def _recover(target_path: str) -> None:
     unpartitioned layout, the whole parked dir when the target is absent.
     After recovery the target is a complete pre-swap (or mixed old/new,
     both per-partition-consistent) table and the merge recompute is safe.
+
+    When the target EXISTS, only partition dirs (``col=value``) and
+    control-plane sidecars (``_``-prefixed, e.g. ``_delta_log``) are
+    restored: an unpartitioned crash AFTER the install leaves the old
+    loose part-files in the parked dir, and re-installing those beside
+    the already-swapped-in replacement would duplicate every pre-merge
+    row (old and new part-file names never collide).
     """
     base = target_path.rstrip("/")
     parked = base + ".__old__"
@@ -47,8 +54,11 @@ def _recover(target_path: str) -> None:
         return
     for name in os.listdir(parked):
         live = os.path.join(target_path, name)
-        if not os.path.exists(live):
-            os.rename(os.path.join(parked, name), live)
+        src = os.path.join(parked, name)
+        if os.path.exists(live):
+            continue
+        if name.startswith("_") or ("=" in name and os.path.isdir(src)):
+            os.rename(src, live)
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
@@ -63,7 +73,7 @@ def merge_upsert(
     partition_col: str | None = None,
     when_matched_update: bool = True,
     ignore_null_updates: bool = False,
-) -> None:
+) -> list | None:
     """MERGE `source` into the parquet table at `target_path` on `keys`.
 
     - matched + `when_matched_update`: source row wins (per-column
@@ -74,6 +84,11 @@ def merge_upsert(
     - unmatched: inserted.
 
     Source must be unique per key (pre-dedup with operators.scd.latest_by).
+
+    Returns the distinct `partition_col` values the merge touched (the
+    fence list), or None when unpartitioned / initial full write — callers
+    that maintain control-plane sidecars (delta_export.sync_delta_log_from_dir)
+    use it to diff only the touched partition dirs.
     """
     _recover(target_path)
     if not table_exists(target_path):
@@ -81,9 +96,10 @@ def merge_upsert(
         if partition_col:
             writer = writer.partitionBy(partition_col)
         writer.parquet(target_path)
-        return
+        return None
 
     target = read_table(spark, target_path)
+    parts: list | None = None
     if partition_col:
         # Fence the rewrite to partitions the source actually touches —
         # bounded driver collect (dates), mirrors the reference's trailing
@@ -106,6 +122,7 @@ def merge_upsert(
     )
 
     _rewrite(spark, merged, target_path, partition_col)
+    return parts
 
 
 def merged_frame(
@@ -192,6 +209,16 @@ def _rewrite(
     if not partition_col:
         os.rename(target_path, parked)
         os.rename(tmp, target_path)
+        # Control-plane sidecars (``_delta_log``, schema sidecars) live
+        # inside the table root but are not produced by the rewrite —
+        # carry them across the swap before the old data is dropped.
+        for name in os.listdir(parked):
+            if name.startswith("_") and not os.path.exists(
+                os.path.join(target_path, name)
+            ):
+                os.rename(
+                    os.path.join(parked, name), os.path.join(target_path, name)
+                )
         shutil.rmtree(parked, ignore_errors=True)
         return
 

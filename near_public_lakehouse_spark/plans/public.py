@@ -429,15 +429,76 @@ def publish_public_table(
 ) -> None:
     """MERGE one published table insert-only on its natural key — the
     reference's ``WHEN NOT MATCHED THEN INSERT *`` (re-running a publish
-    window is idempotent; late rows land, existing rows never rewrite)."""
+    window is idempotent; late rows land, existing rows never rewrite).
+
+    Every publish also commits a `_delta_log` version for the table
+    directory (10-commit checkpoint cadence), because the reference's
+    public dataset IS Delta (`NEAR Public Datasets.py:48` — the
+    `public_lakehouse` tables under ``.../mainnet/delta/``): an external
+    Delta reader pointed at ``{out_dir}/{name}`` sees every publish as a
+    commit. The diff walks only the partitions the MERGE touched."""
     import os
 
+    from near_public_lakehouse_spark.operators.delta_export import (
+        sync_delta_log_from_dir,
+    )
+
     keys, part = PUBLIC_TABLE_KEYS[name]
-    merge_upsert(
+    table_dir = os.path.join(out_dir, name)
+    touched = merge_upsert(
         spark,
-        os.path.join(out_dir, name),
+        table_dir,
         df,
         keys,
         partition_col=part,
         when_matched_update=False,
     )
+    sync_delta_log_from_dir(
+        table_dir,
+        df.schema.json(),
+        partition_columns=[part] if part else [],
+        touched_partitions=touched,
+    )
+
+
+# Hourly Avro copies (NEAR Public Datasets.py:392-437 `delta_to_avro`):
+# the reference exports each publish window's slice of EVERY public table
+# as avro files under `avro/{table}/{YYYY/MM/DD/HH}`, skipping empty
+# slices. `_processed_time` is the publish watermark, so the slice filter
+# is exact — a rerun of the same window overwrites the same folder
+# (export_hourly is overwrite-idempotent).
+
+
+def export_public_avro(
+    spark: SparkSession, name: str, out_dir: str, processed_time: str
+) -> str | None:
+    """Write the `_processed_time == processed_time` slice of one
+    published table as the reference's hourly avro copy. Returns the
+    folder written, or None when the slice is empty (the reference prints
+    "No records" and writes nothing)."""
+    import os
+    from datetime import datetime
+
+    from near_public_lakehouse_spark.operators.export import export_hourly
+
+    df = spark.read.parquet(os.path.join(out_dir, name)).filter(
+        F.col("_processed_time") == F.lit(processed_time).cast("timestamp")
+    )
+    if not df.head(1):
+        return None
+    ts = datetime.strptime(processed_time, "%Y-%m-%d %H:%M:%S")
+    # export_hourly's scheme is <base>/<fmt>/<table>/<Y/m/d/H>, so passing
+    # out_dir as base yields the reference's `.../avro/{table}/{Y/m/d/H}`.
+    return export_hourly(df, out_dir, name, ts, fmt="avro")
+
+
+def export_public_avro_all(
+    spark: SparkSession, out_dir: str, processed_time: str
+) -> dict[str, str | None]:
+    """The reference's full avro pass: one hourly copy per public table
+    (NEAR Public Datasets.py:413-437). Returns table -> folder (or None
+    for empty slices)."""
+    return {
+        name: export_public_avro(spark, name, out_dir, processed_time)
+        for name in PUBLIC_TABLE_KEYS
+    }

@@ -496,3 +496,40 @@ def test_scd2_stream_bucketed_touches_only_affected_partitions(spark, target, tm
 
     hist = {(r.k, r.v): r for r in spark.read.parquet(target).collect()}
     assert hist[(3, "b")]["__scd_current__"]
+
+
+def test_merge_unpartitioned_crash_after_install_no_duplicates(spark, target, monkeypatch):
+    """Crash AFTER the new dir is installed but BEFORE the parked old dir
+    is dropped: `_recover` must NOT move the stale loose part-files back
+    in beside the replacement (old/new file names never collide, so the
+    pre-fix per-name restore duplicated every pre-merge row). Control
+    sidecars (e.g. `_delta_log`) ARE restored."""
+    import os as _os
+    import shutil as _shutil
+
+    df1 = spark.createDataFrame([(1, "a", 1), (2, "b", 1)], "k int, v string, seq int")
+    merge_upsert(spark, target, df1, ["k"])
+    _os.makedirs(_os.path.join(target, "_delta_log"))
+    with open(_os.path.join(target, "_delta_log", "00000000000000000000.json"), "w") as fh:
+        fh.write("{}\n")
+    df2 = spark.createDataFrame([(2, "B", 2)], "k int, v string, seq int")
+
+    real_rmtree = _shutil.rmtree
+
+    def exploding_rmtree(path, *a, **kw):
+        if path.rstrip("/").endswith(".__old__") and _os.path.isdir(path):
+            raise OSError("injected crash between install and cleanup")
+        real_rmtree(path, *a, **kw)
+
+    # shutil is imported function-locally in merge._rewrite — patch the
+    # stdlib module attribute itself
+    monkeypatch.setattr(_shutil, "rmtree", exploding_rmtree)
+    with pytest.raises(OSError, match="injected crash"):
+        merge_upsert(spark, target, df2, ["k"])
+    monkeypatch.undo()
+
+    # the swap carries _delta_log across BEFORE the (crashed) cleanup
+    assert _os.path.isdir(_os.path.join(target, "_delta_log"))
+    merge_upsert(spark, target, df2, ["k"])  # recovery + re-apply
+    assert _rows(spark, target) == {1: ("a", 1), 2: ("B", 2)}
+    assert _os.path.isdir(_os.path.join(target, "_delta_log"))

@@ -380,3 +380,118 @@ def test_streaming_publish_equals_batch_publish(pipe, spark, tmp_path):
     got = {tuple(r) for r in spark.read.parquet(out_s + "/logs").collect()}
     want = {tuple(r) for r in spark.read.parquet(out_b + "/logs").collect()}
     assert got == want and len(got) > 0
+
+
+# --- Delta + Avro publication (VERDICT r9 task #2) ---------------------------
+# The reference's public dataset is Delta + hourly Avro copies
+# (NEAR Public Datasets.py:48 and :392-437). Every publish commits a
+# `_delta_log` version; round-trips go through the INDEPENDENT protocol
+# reader (operators/delta_reader.DeltaLogReader), not the writer's own
+# replay helper.
+
+
+def _delta_df(spark, table_dir):
+    from near_public_lakehouse_spark.operators.delta_reader import DeltaLogReader
+
+    return DeltaLogReader(table_dir).to_df(spark)
+
+
+def _same_rows(a, b):
+    return sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_publish_delta_log_roundtrip_and_checkpoint(pipe, spark, tmp_path):
+    """publish -> `_delta_log` commit per publish; the independent Delta
+    reader returns rows identical to the parquet read across 11 MERGE
+    versions, including through the 10-commit classic checkpoint."""
+    import os
+
+    from near_public_lakehouse_spark.plans.public import publish_public_table
+
+    df = pipe.read("public_logs")
+    out = str(tmp_path / "pub")
+    table = out + "/logs"
+    publish_public_table(spark, "logs", df, out)  # v0: initial full write
+    assert os.path.exists(f"{table}/_delta_log/{0:020d}.json")
+    assert _same_rows(_delta_df(spark, table), spark.read.parquet(table))
+
+    base = df.limit(1)
+    for i in range(1, 11):  # v1..v10 — v10 crosses the checkpoint cadence
+        extra = base.withColumn("receipt_id", F.lit(f"NEWRCPT{i}"))
+        publish_public_table(spark, "logs", extra, out)
+        assert os.path.exists(f"{table}/_delta_log/{i:020d}.json")
+    assert os.path.exists(f"{table}/_delta_log/{10:020d}.checkpoint.parquet")
+    assert os.path.exists(f"{table}/_delta_log/_last_checkpoint")
+
+    pq_read = spark.read.parquet(table)
+    assert pq_read.count() == df.count() + 10
+    delta_read = _delta_df(spark, table)
+    assert delta_read.columns == pq_read.columns
+    assert dict(delta_read.dtypes)["block_date"] == "date"  # partition col typed
+    assert _same_rows(delta_read, pq_read)
+
+    # idempotent republish of an already-landed window: the MERGE rewrites
+    # the touched partitions (new file names), the log records the swap,
+    # rows stay identical through the reader
+    publish_public_table(spark, "logs", base.withColumn("receipt_id", F.lit("NEWRCPT1")), out)
+    assert _same_rows(_delta_df(spark, table), spark.read.parquet(table))
+
+
+def test_unpartitioned_publish_delta_log_survives_swap(spark, tmp_path):
+    """circulating_supply publishes unpartitioned: the whole-dir swap in
+    merge._rewrite must carry `_delta_log` across (control sidecars are
+    not produced by the rewrite) — two MERGE versions, reader identical."""
+    import os
+
+    from near_public_lakehouse_spark.plans.public import publish_public_table
+
+    def supply(*days):
+        return spark.createDataFrame(
+            [(d, f"HASH{d}", str(10**33 + i), PROCESSED) for i, d in enumerate(days)],
+            "block_date string, computed_at_block_hash string, "
+            "circulating_supply string, _processed_time string",
+        ).select(
+            F.col("block_date").cast("date").alias("block_date"),
+            "computed_at_block_hash",
+            "circulating_supply",
+            F.col("_processed_time").cast("timestamp").alias("_processed_time"),
+        )
+
+    out = str(tmp_path / "pub")
+    table = out + "/circulating_supply"
+    publish_public_table(spark, "circulating_supply", supply("2024-03-01"), out)
+    # second publish does the unpartitioned park/install swap
+    publish_public_table(
+        spark, "circulating_supply", supply("2024-03-01", "2024-03-02"), out
+    )
+    assert os.path.exists(f"{table}/_delta_log/{0:020d}.json")
+    assert os.path.exists(f"{table}/_delta_log/{1:020d}.json")
+    assert _same_rows(_delta_df(spark, table), spark.read.parquet(table))
+    assert spark.read.parquet(table).count() == 2
+
+
+def test_export_public_avro_copies(pipe, spark, tmp_path):
+    """The hourly avro pass (delta_to_avro, Datasets.py:392-437): the
+    `_processed_time == window` slice of each published table lands under
+    avro/{table}/{Y/m/d/H}; real OCF bytes read back row-identical; empty
+    slices write nothing and return None."""
+    from near_public_lakehouse_spark.operators.export import read_export
+    from near_public_lakehouse_spark.plans.public import (
+        export_public_avro,
+        publish_public_table,
+    )
+
+    df = pipe.read("public_logs")
+    out = str(tmp_path / "pub")
+    publish_public_table(spark, "logs", df, out)
+
+    folder = export_public_avro(spark, "logs", out, PROCESSED)
+    assert folder is not None and folder.endswith("/avro/logs/2024/03/05/07")
+    back = read_export(spark, folder, "avro")
+    assert back.count() == df.count()
+    got = {(str(r.block_date), r.receipt_id, r.index_in_execution_outcome_logs) for r in back.collect()}
+    want = {(str(r.block_date), r.receipt_id, r.index_in_execution_outcome_logs) for r in df.collect()}
+    assert got == want
+
+    # a window with no published rows: no folder, no files
+    assert export_public_avro(spark, "logs", out, "2030-01-01 00:00:00") is None
