@@ -901,52 +901,12 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@query(
-    "near_dup_assignments",
-    tags=("dedup", "lsh", "composite"),
-    bench=True,
-    oracle=_CLUSTERS_SQL
-    + """
-SELECT d.doc_id,
-       coalesce(c.cluster_id, d.doc_id) AS keeper_doc_id,
-       coalesce(c.cluster_id, d.doc_id) = d.doc_id AS is_keeper
-FROM documents d
-LEFT JOIN clusters c ON d.doc_id = c.doc_id
-ORDER BY d.doc_id
-""",
-)
-def near_dup_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """THE scale-safe dedup product: one row per document with the keeper
-    it deduplicates to (itself when unique). Output is O(docs) — unlike any
-    pair list, which is O(sum family^2) no matter how well the candidate
-    generation is bounded (round-2 verdict item #2: at sf0.1 the composite
-    pair list is 2.9M rows / 52 s of pure materialization; this assignment
-    is ~corpus-sized).
-
-    Composition: exact fingerprint election + LSH-verified representative
-    pairs -> min-label connected components -> left join back onto
-    `documents` so singletons keep themselves. A downstream training
-    pipeline consumes this as `WHERE is_keeper` (keep one per family) or
-    joins it to re-weight repeated content."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    # star contraction, not min-label: the verified graph is DENSE (sf0.1:
-    # 2.9M edges over ~5k reps, avg degree >1000), which is exactly the
-    # regime where star rounds shrink the edge set while min-label keeps
-    # re-shuffling all of it (measured 6.0 s vs 8.4 s warm on that graph;
-    # both engines are cross-validated equal in tests/test_star_cc.py).
-    clusters = _star_cc(_near_dup_edges(spark, sf_dir)).select(
-        F.col("id").alias("doc_id"), F.col("lab").alias("cluster_id")
-    )
-    keeper = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
-    return (
-        docs.join(clusters, "doc_id", "left")
-        .select(
-            "doc_id",
-            keeper.alias("keeper_doc_id"),
-            (keeper == F.col("doc_id")).alias("is_keeper"),
-        )
-        .orderBy("doc_id")
-    )
+# `near_dup_assignments` — THE scale-safe dedup product (doc -> keeper,
+# O(docs)) — is registered in queries/adaptive_lsh.py since round 10: its
+# candidate stage routes through the per-source adaptive generator
+# (VERDICT r9 task #4 unification; the fixed 4x3-band stage remains the
+# engine behind `dedup_clusters`/`dedup_clusters_star` via
+# `_near_dup_edges` and the banding diagnostics above).
 
 
 # ---------------------------------------------------------------------------

@@ -94,22 +94,35 @@ def test_cfg_join_is_broadcast(spark):
 
 
 def test_adaptive_assignments_agree_with_fixed_pipeline(spark):
-    """Routing the candidate stage through the adaptive generator must
-    leave the dedup product essentially unchanged: both pipelines verify
-    candidates by true Jaccard, so they can only differ where one
-    generator missed a true pair. Require >= 99% identical rows."""
-    from near_public_lakehouse_spark.queries.adaptive_lsh import (
-        near_dup_assignments_adaptive,
-    )
-    from near_public_lakehouse_spark.queries.dedup import near_dup_assignments
+    """Since r10 the PRODUCTION `near_dup_assignments` routes its
+    candidate stage through the adaptive generator (VERDICT r9 task #4).
+    It must leave the dedup product essentially unchanged vs the retained
+    fixed-band graph (`dedup._near_dup_edges`, still the engine behind
+    dedup_clusters): both pipelines verify candidates by true Jaccard, so
+    they can only differ where one generator missed a true pair.
+    Require >= 99% identical rows."""
+    from pyspark.sql import functions as F
 
+    from near_public_lakehouse_spark.queries.adaptive_lsh import (
+        near_dup_assignments,
+    )
+    from near_public_lakehouse_spark.queries.dedup import (
+        _near_dup_edges,
+        _star_cc,
+        load_table,
+    )
+
+    clusters = _star_cc(_near_dup_edges(spark, SF_DIR)).select(
+        F.col("id").alias("doc_id"), F.col("lab").alias("cluster_id")
+    )
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
     fixed = {
-        (r.doc_id, r.keeper_doc_id)
-        for r in near_dup_assignments(spark, SF_DIR).collect()
+        (r.doc_id, r.cluster_id if r.cluster_id is not None else r.doc_id)
+        for r in docs.join(clusters, "doc_id", "left").collect()
     }
     adaptive = {
         (r.doc_id, r.keeper_doc_id)
-        for r in near_dup_assignments_adaptive(spark, SF_DIR).collect()
+        for r in near_dup_assignments(spark, SF_DIR).collect()
     }
     assert len(fixed) == len(adaptive)
     agree = len(fixed & adaptive) / len(fixed)

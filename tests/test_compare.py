@@ -126,10 +126,15 @@ def test_driver_window_composition_is_pinned():
     the four r9 additions named outside the window
     (minhash_adaptive_eval_sampled / minhash_adaptive_bands_eval_sampled /
     training_sequence_packing / training_packing_stats — judge-verified
-    green at sf0.01, never driver-checked) rotate in under a10_ aliases.
-    Retiring the six a9_ aliases and adding four a10_ names nets TWO
-    re-entries at the window tail (ivf_topk, jl_projection_topk — both
-    driver-green in CORRECTNESS_r08); nothing never-checked is displaced.
+    green at sf0.01, never driver-checked) rotate in under a10_ aliases,
+    plus near_dup_assignments, whose candidate stage changed to the
+    adaptive generator this round (VERDICT r9 task #4 — semantics change
+    on a verified query rotates in the same round; the staged
+    near_dup_assignments_adaptive twin it absorbs was driver-green in
+    r7, so the registry shrinks 161 -> 160 by unification, not loss).
+    Retiring the six a9_ aliases and adding five a10_ names re-admits
+    ivf_topk at the window tail (driver-green in CORRECTNESS_r08);
+    nothing never-checked is displaced.
     """
     from near_public_lakehouse_spark.queries import all_queries
     from near_public_lakehouse_spark.queries.registry import DRIVER_WINDOW_ROTATION
@@ -137,6 +142,7 @@ def test_driver_window_composition_is_pinned():
     assert DRIVER_WINDOW_ROTATION == {
         "minhash_adaptive_bands_eval_sampled": "a10_minhash_adaptive_bands_eval_sampled",
         "minhash_adaptive_eval_sampled": "a10_minhash_adaptive_eval_sampled",
+        "near_dup_assignments": "a10_near_dup_assignments",
         "training_packing_stats": "a10_training_packing_stats",
         "training_sequence_packing": "a10_training_sequence_packing",
     }
@@ -144,6 +150,7 @@ def test_driver_window_composition_is_pinned():
     expected = [
         "a10_minhash_adaptive_bands_eval_sampled",
         "a10_minhash_adaptive_eval_sampled",
+        "a10_near_dup_assignments",
         "a10_training_packing_stats",
         "a10_training_sequence_packing",
         "ann_lsh_topk",
@@ -191,7 +198,6 @@ def test_driver_window_composition_is_pinned():
         "incremental_dedup",
         "intersect_except_customers",
         "ivf_topk",
-        "jl_projection_topk",
     ]
     assert window == expected
 
@@ -208,15 +214,24 @@ def test_rotation_aliases_resolve_through_every_public_path():
     from near_public_lakehouse_spark.queries import all_queries
     from near_public_lakehouse_spark.queries.registry import REGISTRY
 
+    from near_public_lakehouse_spark.queries.registry import (
+        ABSORBED_NAMES,
+        DRIVER_WINDOW_ROTATION,
+    )
+
     q = all_queries()
     hist = json.loads(
         (Path(__file__).resolve().parent.parent / "ROTATION_HISTORY.json").read_text()
     )
     for rnd in hist["rounds"].values():
         for alias, organic in rnd.items():
+            # an absorbed name resolves to its absorber; an organic name
+            # currently rotated resolves to its live aN_ key
+            target = ABSORBED_NAMES.get(organic, organic)
+            target = DRIVER_WINDOW_ROTATION.get(target, target)
             for reg in (REGISTRY, q):
-                assert reg[alias].name == organic, (alias, organic)
-                assert reg[organic].name == organic, organic
+                assert reg[alias].name == target, (alias, organic, target)
+                assert reg[organic] is reg[alias], (alias, organic)
     # non-names still fail loudly, not silently resolve
     import pytest
 
