@@ -1566,3 +1566,170 @@ def streaming_public_table(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- streaming twin of the flagship 5-way actions denorm (VERDICT r9 #5) ---
+
+ACTIONS_FACT = "silver_action_receipt_actions"
+ACTIONS_DIMS = (
+    "silver_receipts",
+    "silver_receipt_originated_from_transaction",
+    "silver_execution_outcomes",
+    "silver_transactions",
+    "silver_blocks",
+)
+_ACTIONS_KEYS = ("block_date", "receipt_id", "index_in_action_receipt")
+
+
+def _recover_pending(pending: str) -> None:
+    """Re-install a pending dir parked by a crashed swap (same discipline
+    as operators/merge._recover: the parked copy is the only copy)."""
+    import os
+
+    old = pending + ".__drop__"
+    if os.path.isdir(old) and not os.path.isdir(pending):
+        os.rename(old, pending)
+
+
+def _fold_actions_batch(
+    spark: SparkSession,
+    facts: DataFrame,
+    silver_paths: dict[str, str],
+    out_dir: str,
+    processed_time: str,
+    pending: str,
+) -> None:
+    """One micro-batch of the actions denorm fold.
+
+    The fact side (action-receipt actions) is `facts` UNION the parked
+    unmatched facts from earlier batches; the five dimension inputs are
+    re-read fresh from their silver paths so dimension rows that arrived
+    AFTER a fact was first seen are visible now. Rows whose dimensions all
+    matched publish through the same insert-only natural-key MERGE as the
+    batch publisher; the rest re-park. State is therefore bounded by the
+    UNMATCHED fact rows only — out-of-order arrival on any input folds to
+    the batch result without ever reprocessing published history. (A
+    5-way stream-stream join would hold every input in RocksDB keyed
+    state for the watermark horizon; parking the unmatched facts keeps
+    the same fold semantics with state proportional to the actual
+    dimension lag, and replays are safe because a crashed batch replays
+    against the pre-batch pending dir and the MERGE is idempotent.)
+    """
+    import os
+    import shutil
+
+    from near_public_lakehouse_spark.plans.public import (
+        public_actions,
+        publish_public_table,
+    )
+
+    _recover_pending(pending)
+    if os.path.isdir(pending):
+        facts = facts.unionByName(spark.read.parquet(pending))
+    # replays / pending overlap: the natural key is unique per action row
+    facts = facts.dropDuplicates(list(_ACTIONS_KEYS)).localCheckpoint()
+
+    dims = {n: spark.read.parquet(silver_paths[n]) for n in ACTIONS_DIMS}
+    result = public_actions(
+        facts,
+        dims["silver_receipts"],
+        dims["silver_receipt_originated_from_transaction"],
+        dims["silver_execution_outcomes"],
+        dims["silver_transactions"],
+        dims["silver_blocks"],
+        processed_time,
+    ).localCheckpoint()
+    publish_public_table(spark, "actions", result, out_dir)
+
+    # Park only facts still WAITING on a dimension — not facts the
+    # pipeline drops semantically (an origins row with '' transaction
+    # hash never publishes, in batch or stream; parking those would grow
+    # pending state without bound). Every other join in public_actions is
+    # a pure equi-join with no filter, so absence there = not-arrived-yet.
+    dropped = facts.join(
+        dims["silver_receipt_originated_from_transaction"]
+        .filter(F.col("originated_from_transaction_hash") == "")
+        .select("block_date", "receipt_id"),
+        ["block_date", "receipt_id"],
+        "left_semi",
+    )
+    unmatched = facts.join(
+        result.select(*_ACTIONS_KEYS), list(_ACTIONS_KEYS), "left_anti"
+    ).join(dropped, list(_ACTIONS_KEYS), "left_anti")
+    new = pending + ".__new__"
+    shutil.rmtree(new, ignore_errors=True)
+    unmatched.write.mode("overwrite").parquet(new)
+    old = pending + ".__drop__"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(pending):
+        os.rename(pending, old)
+    os.rename(new, pending)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def streaming_public_actions(
+    spark: SparkSession,
+    silver_paths: dict[str, str],
+    out_dir: str,
+    checkpoint: str,
+    processed_time: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming twin of the flagship `public_lakehouse.actions` 5-way
+    denorm (plans/public.public_actions; NB NEAR Public Datasets.py:
+    104-176): the action-receipt-actions silver table drives the fold as
+    a file stream, each micro-batch lands through `_fold_actions_batch`
+    (dimension re-read + unmatched-fact parking + insert-only MERGE).
+    The folded table equals the batch publish over the rows seen so far
+    once every fact's dimensions have arrived — pinned against
+    out-of-order arrival in tests/test_public_datasets.py. After a drain,
+    `flush_pending_actions` retries parked facts without new input."""
+    import os
+
+    fact_path = silver_paths[ACTIONS_FACT]
+    schema = spark.read.parquet(fact_path).schema
+    r = spark.readStream
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = r.schema(schema).parquet(_stream_path(fact_path))
+    pending = os.path.join(checkpoint, "pending_facts")
+
+    def _batch(batch_df: DataFrame, _bid: int) -> None:
+        _fold_actions_batch(
+            spark, batch_df, silver_paths, out_dir, processed_time, pending
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", os.path.join(checkpoint, "query"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def flush_pending_actions(
+    spark: SparkSession,
+    silver_paths: dict[str, str],
+    out_dir: str,
+    checkpoint: str,
+    processed_time: str,
+) -> int:
+    """Retry the parked unmatched facts against the CURRENT dimension
+    tables without waiting for new fact input (the drain step: in a live
+    pipeline retries ride along with every fact batch). Returns the
+    number of facts still pending afterwards — facts whose dimensions
+    never arrive keep waiting by design (the batch pipeline inner-join-
+    drops them; late vs never is undecidable without a fence policy, and
+    a production deployment ages them out with the same trailing-window
+    rule the reference's re-MERGE uses)."""
+    import os
+
+    pending = os.path.join(checkpoint, "pending_facts")
+    _recover_pending(pending)
+    if not os.path.isdir(pending):
+        return 0
+    empty = spark.read.parquet(silver_paths[ACTIONS_FACT]).limit(0)
+    _fold_actions_batch(
+        spark, empty, silver_paths, out_dir, processed_time, pending
+    )
+    return spark.read.parquet(pending).count()
