@@ -361,12 +361,139 @@ def _replay_json_log(log_dir: str) -> tuple[int | None, dict | None, dict[str, d
     return (versions[-1] if versions else None), meta, adds
 
 
+# --- writer-side NAME-mode column mapping (VERDICT r9 task #7) -------------
+# The reader's logical->physical walk (operators/delta_reader) run in
+# reverse: at table creation every field gets a stable
+# delta.columnMapping.id and an IDENTITY physicalName (the parquet files
+# already carry the logical names — exactly what delta-spark does when
+# mapping is enabled on an existing table). Later logical renames touch
+# only metaData; data files and partitionValues keys keep the physical
+# names forever.
+
+_CM_ID = "delta.columnMapping.id"
+_CM_PHYS = "delta.columnMapping.physicalName"
+
+# Column mapping requires protocol (2, 5) per PROTOCOL.md.
+_PROTOCOL_CM = {"minReaderVersion": 2, "minWriterVersion": 5}
+
+
+def _annotate_name_mapping(schema: dict, start_id: int = 0) -> tuple[dict, int]:
+    """Assign mapping ids + identity physical names to EVERY struct field
+    (nested included — the spec ids all fields), preserving any ids
+    already present. Returns (annotated schema, max id used)."""
+    counter = start_id
+
+    def walk_type(t):
+        if isinstance(t, dict):
+            if t.get("type") == "struct":
+                return {**t, "fields": [walk_field(f) for f in t["fields"]]}
+            if t.get("type") == "array":
+                return {**t, "elementType": walk_type(t["elementType"])}
+            if t.get("type") == "map":
+                return {
+                    **t,
+                    "keyType": walk_type(t["keyType"]),
+                    "valueType": walk_type(t["valueType"]),
+                }
+        return t
+
+    def walk_field(f):
+        nonlocal counter
+        md = dict(f.get("metadata") or {})
+        if _CM_ID not in md:
+            counter += 1
+            md[_CM_ID] = counter
+            md[_CM_PHYS] = f["name"]
+        counter = max(counter, int(md[_CM_ID]))
+        return {**f, "metadata": md, "type": walk_type(f["type"])}
+
+    return {**schema, "fields": [walk_field(f) for f in schema["fields"]]}, counter
+
+
+def _strip_mapping(schema: dict) -> dict:
+    """Drop the delta.columnMapping.* metadata so a mapped schemaString can
+    be compared with the producer's plain Spark schema JSON."""
+
+    def walk_type(t):
+        if isinstance(t, dict):
+            if t.get("type") == "struct":
+                return {**t, "fields": [walk_field(f) for f in t["fields"]]}
+            if t.get("type") == "array":
+                return {**t, "elementType": walk_type(t["elementType"])}
+            if t.get("type") == "map":
+                return {
+                    **t,
+                    "keyType": walk_type(t["keyType"]),
+                    "valueType": walk_type(t["valueType"]),
+                }
+        return t
+
+    def walk_field(f):
+        md = {
+            k: v
+            for k, v in (f.get("metadata") or {}).items()
+            if not k.startswith("delta.columnMapping.")
+        }
+        out = {**f, "type": walk_type(f["type"])}
+        if md:
+            out["metadata"] = md
+        else:
+            out.pop("metadata", None)
+        return out
+
+    return {**schema, "fields": [walk_field(f) for f in schema["fields"]]}
+
+
+def _canon(schema: dict) -> str:
+    return json.dumps(schema, sort_keys=True)
+
+
+def rename_delta_column(table_dir: str, renames: dict[str, str]) -> int:
+    """Logical rename of top-level columns on a NAME-mapped table: one new
+    commit carrying only a metaData action whose field names change while
+    ids/physical names (and therefore every data file and partitionValues
+    key) stay untouched — the whole point of NAME mapping. Returns the
+    committed version."""
+    log_dir = os.path.join(table_dir, _DELTA_LOG)
+    last_v, meta, _ = _replay_json_log(log_dir)
+    if meta is None:
+        raise FileNotFoundError(f"{table_dir}: no Delta metaData to rename in")
+    if (meta.get("configuration") or {}).get("delta.columnMapping.mode") != "name":
+        raise ValueError(
+            "rename_delta_column requires delta.columnMapping.mode=name "
+            "(renames on an unmapped table would orphan the data files)"
+        )
+    schema = json.loads(meta["schemaString"])
+    names = {f["name"] for f in schema["fields"]}
+    missing = sorted(set(renames) - names)
+    if missing:
+        raise KeyError(f"no such column(s) to rename: {missing}")
+    schema["fields"] = [
+        {**f, "name": renames.get(f["name"], f["name"])} for f in schema["fields"]
+    ]
+    new_meta = {
+        **meta,
+        "schemaString": json.dumps(schema),
+        "partitionColumns": [
+            renames.get(c, c) for c in meta.get("partitionColumns", [])
+        ],
+    }
+    version = last_v + 1
+    commit = os.path.join(log_dir, f"{version:020d}.json")
+    tmp = commit + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(json.dumps({"metaData": new_meta}, sort_keys=True) + "\n")
+    os.replace(tmp, commit)
+    return version
+
+
 def sync_delta_log_from_dir(
     table_dir: str,
     schema_json: str,
     partition_columns: list[str] | tuple[str, ...] = (),
     touched_partitions: list | None = None,
     checkpoint_interval: int | None = 10,
+    column_mapping: str | None = None,
 ) -> int | None:
     """Commit the parquet directory's CURRENT file set to `_delta_log` as
     an add/remove diff against the previous Delta snapshot — the interop
@@ -434,7 +561,76 @@ def sync_delta_log_from_dir(
 
     removed = sorted(set(prev_scope) - cur_files)
     added = sorted(cur_files - set(prev_scope))
-    schema_changed = meta is None or meta.get("schemaString") != schema_json
+
+    mapped = column_mapping == "name" or (
+        meta is not None
+        and (meta.get("configuration") or {}).get("delta.columnMapping.mode")
+        == "name"
+    )
+    if column_mapping not in (None, "name"):
+        raise ValueError(f"unsupported column mapping mode {column_mapping!r}")
+    protocol = _PROTOCOL_CM if mapped else _PROTOCOL
+    pv_phys: dict[str, str] = {}
+    if not mapped:
+        schema_str, config = schema_json, {}
+        schema_changed = meta is None or meta.get("schemaString") != schema_json
+    else:
+        incoming = json.loads(schema_json)
+        if meta is None:
+            annotated, max_id = _annotate_name_mapping(incoming)
+            schema_str = json.dumps(annotated)
+            config = {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": str(max_id),
+            }
+            schema_changed = True
+        else:
+            stored = json.loads(meta["schemaString"])
+            config = dict(meta.get("configuration") or {})
+            if _canon(_strip_mapping(stored)) == _canon(_strip_mapping(incoming)):
+                schema_str, schema_changed = meta["schemaString"], False
+            else:
+                # evolution on a mapped table: NEW top-level columns get
+                # fresh ids past maxColumnId; existing columns keep their
+                # ids/physical names (matched by logical name — renames
+                # must go through rename_delta_column, never the sync).
+                stored_by_name = {f["name"]: f for f in stored["fields"]}
+                gone = sorted(
+                    set(stored_by_name) - {f["name"] for f in incoming["fields"]}
+                )
+                if gone:
+                    raise ValueError(
+                        f"columns {gone} vanished from a name-mapped table; "
+                        "drops are unsupported and renames must use "
+                        "rename_delta_column"
+                    )
+                merged = []
+                for f in incoming["fields"]:
+                    sf = stored_by_name.get(f["name"])
+                    if sf is None:
+                        merged.append(f)  # new column — annotated below
+                        continue
+                    if _canon(_strip_mapping({"type": "struct", "fields": [sf]})) != _canon(
+                        _strip_mapping({"type": "struct", "fields": [f]})
+                    ):
+                        raise ValueError(
+                            f"unsupported in-place type/shape change on mapped "
+                            f"column {f['name']!r}"
+                        )
+                    merged.append(sf)
+                start = int(config.get("delta.columnMapping.maxColumnId", 0))
+                annotated, max_id = _annotate_name_mapping(
+                    {**incoming, "fields": merged}, start_id=start
+                )
+                schema_str = json.dumps(annotated)
+                config["delta.columnMapping.maxColumnId"] = str(max_id)
+                schema_changed = True
+        # add.partitionValues keys are PHYSICAL names on mapped tables
+        pv_phys = {
+            f["name"]: (f.get("metadata") or {}).get(_CM_PHYS, f["name"])
+            for f in json.loads(schema_str)["fields"]
+        }
+
     if not removed and not added and not schema_changed:
         return None
 
@@ -442,16 +638,16 @@ def sync_delta_log_from_dir(
     version = 0 if last_v is None else last_v + 1
     actions: list[dict] = []
     if last_v is None:
-        actions.append({"protocol": _PROTOCOL})
+        actions.append({"protocol": protocol})
     if schema_changed:
         actions.append(
             {
                 "metaData": {
                     "id": meta["id"] if meta else str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": schema_json,
+                    "schemaString": schema_str,
                     "partitionColumns": list(partition_columns),
-                    "configuration": {},
+                    "configuration": config,
                     "createdTime": meta.get("createdTime", ts_ms) if meta else ts_ms,
                 }
             }
@@ -472,7 +668,7 @@ def sync_delta_log_from_dir(
         for seg in path.split("/")[:-1]:
             if "=" in seg:
                 k, _, v = seg.partition("=")
-                pv[k] = _hive_decode(v)
+                pv[pv_phys.get(k, k)] = _hive_decode(v)
         add = {
             "path": path,
             "partitionValues": pv,

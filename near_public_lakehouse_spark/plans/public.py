@@ -425,7 +425,11 @@ PUBLIC_TABLE_KEYS: dict[str, tuple[list[str], str | None]] = {
 
 
 def publish_public_table(
-    spark: SparkSession, name: str, df: DataFrame, out_dir: str
+    spark: SparkSession,
+    name: str,
+    df: DataFrame,
+    out_dir: str,
+    column_mapping: str | None = None,
 ) -> None:
     """MERGE one published table insert-only on its natural key — the
     reference's ``WHEN NOT MATCHED THEN INSERT *`` (re-running a publish
@@ -458,6 +462,10 @@ def publish_public_table(
         df.schema.json(),
         partition_columns=[part] if part else [],
         touched_partitions=touched,
+        # None (default) publishes at the protocol floor any reader can
+        # consume, matching the reference's public tables; "name" opts a
+        # table into writer-side column mapping (rename-safe, protocol 2/5)
+        column_mapping=column_mapping,
     )
 
 

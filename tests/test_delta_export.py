@@ -165,3 +165,171 @@ def test_scd2_bucketed_table_exports_cleanly(spark, tmp_path):
     write_delta_log(d)
     for v in V._versions(d):
         assert read_delta_snapshot(d, v)["files"] == set(V.files_for_version(d, v))
+
+
+# --- writer-side NAME-mode column mapping (VERDICT r9 task #7) --------------
+# Round-trips go through the INDEPENDENT protocol reader
+# (operators/delta_reader.DeltaLogReader), not this module's own replay.
+
+
+def _mapped_table(spark, tmp_path, column_mapping="name"):
+    from near_public_lakehouse_spark.operators.delta_export import (
+        sync_delta_log_from_dir,
+    )
+
+    d = str(tmp_path / "mapped")
+    df = spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "b", "2024-01-01"), (3, "c", "2024-01-02")],
+        "id long, val string, day string",
+    ).selectExpr("id", "val", "cast(day as date) as day")
+    df.write.partitionBy("day").parquet(d)
+    v = sync_delta_log_from_dir(
+        d, df.schema.json(), partition_columns=["day"], column_mapping=column_mapping
+    )
+    assert v == 0
+    return d, df
+
+
+def test_sync_name_mapped_publish_roundtrip(spark, tmp_path):
+    """Creation with column_mapping='name': identity physical names, ids
+    on every field, protocol (2,5), physical partitionValues keys — and
+    the independent reader returns rows identical to the parquet read."""
+    from near_public_lakehouse_spark.operators.delta_reader import DeltaLogReader
+
+    d, df = _mapped_table(spark, tmp_path)
+    log = os.path.join(d, "_delta_log", f"{0:020d}.json")
+    actions = [json.loads(line) for line in open(log)]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert (proto["minReaderVersion"], proto["minWriterVersion"]) == (2, 5)
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    conf = meta["configuration"]
+    assert conf["delta.columnMapping.mode"] == "name"
+    fields = json.loads(meta["schemaString"])["fields"]
+    ids = [f["metadata"]["delta.columnMapping.id"] for f in fields]
+    assert sorted(ids) == [1, 2, 3]
+    assert int(conf["delta.columnMapping.maxColumnId"]) == 3
+    assert all(
+        f["metadata"]["delta.columnMapping.physicalName"] == f["name"] for f in fields
+    )
+    for a in actions:
+        if "add" in a:
+            assert list(a["add"]["partitionValues"]) == ["day"]  # physical
+
+    out = DeltaLogReader(d).to_df(spark)
+    assert out.columns == ["id", "val", "day"]
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, spark.read.parquet(d).select("id", "val", "day").collect())
+    )
+
+
+def test_rename_delta_column_is_metadata_only(spark, tmp_path):
+    """Logical rename (data column AND partition column): one metaData-only
+    commit, zero data files touched, the reader shows the new logical
+    names over the same values — then a subsequent sync with the renamed
+    producer schema adds files under the OLD physical partitionValues
+    key and the round-trip still holds."""
+    from near_public_lakehouse_spark.operators.delta_export import (
+        rename_delta_column,
+        sync_delta_log_from_dir,
+    )
+    from near_public_lakehouse_spark.operators.delta_reader import DeltaLogReader
+
+    d, df = _mapped_table(spark, tmp_path)
+    before = {
+        os.path.join(r, f)
+        for r, _, fs in os.walk(d)
+        for f in fs
+        if f.endswith(".parquet") and "_delta_log" not in r
+    }
+    v = rename_delta_column(d, {"val": "value", "day": "event_day"})
+    assert v == 1
+    after = {
+        os.path.join(r, f)
+        for r, _, fs in os.walk(d)
+        for f in fs
+        if f.endswith(".parquet") and "_delta_log" not in r
+    }
+    assert before == after  # rename touched no data file
+
+    out = DeltaLogReader(d).to_df(spark)
+    assert out.columns == ["id", "value", "event_day"]
+    assert {(r.id, r.value, str(r.event_day)) for r in out.collect()} == {
+        (1, "a", "2024-01-01"), (2, "b", "2024-01-01"), (3, "c", "2024-01-02"),
+    }
+
+    # producer continues under the NEW logical names
+    more = spark.createDataFrame(
+        [(4, "d", "2024-01-03")], "id long, value string, event_day string"
+    ).selectExpr("id", "value", "cast(event_day as date) as event_day")
+    more.write.mode("append").partitionBy("event_day").parquet(d)
+    v2 = sync_delta_log_from_dir(
+        d, more.schema.json(), partition_columns=["event_day"], column_mapping="name"
+    )
+    assert v2 == 2
+    commit2 = [
+        json.loads(line)
+        for line in open(os.path.join(d, "_delta_log", f"{2:020d}.json"))
+    ]
+    assert not any("metaData" in a for a in commit2)  # schema unchanged (stripped)
+    new_adds = [a["add"] for a in commit2 if "add" in a]
+    assert new_adds and all(
+        list(a["partitionValues"]) == ["day"] for a in new_adds  # physical key
+    )
+    out2 = DeltaLogReader(d).to_df(spark)
+    assert out2.count() == 4
+    assert {r.id for r in out2.filter(F_col_day(out2) == "2024-01-03").collect()} == {4}
+
+
+def F_col_day(df):
+    from pyspark.sql import functions as F
+
+    return F.col("event_day").cast("string")
+
+
+def test_mapped_schema_evolution_and_refusals(spark, tmp_path):
+    """Adding a column on a mapped table assigns a FRESH id past
+    maxColumnId and keeps every existing id; drops/in-place type changes
+    and renames-without-rename_delta_column are refused loudly."""
+    from near_public_lakehouse_spark.operators.delta_export import (
+        rename_delta_column,
+        sync_delta_log_from_dir,
+    )
+
+    d, df = _mapped_table(spark, tmp_path)
+    evolved = spark.createDataFrame(
+        [(9, "z", "2024-01-04", 1.5)], "id long, val string, day string, score double"
+    ).selectExpr("id", "val", "cast(day as date) as day", "score")
+    evolved.write.mode("append").partitionBy("day").parquet(d)
+    v = sync_delta_log_from_dir(
+        d, evolved.schema.json(), partition_columns=["day"], column_mapping="name"
+    )
+    assert v == 1
+    meta = next(
+        json.loads(line)["metaData"]
+        for line in open(os.path.join(d, "_delta_log", f"{1:020d}.json"))
+        if "metaData" in line
+    )
+    by_name = {
+        f["name"]: f["metadata"] for f in json.loads(meta["schemaString"])["fields"]
+    }
+    assert by_name["score"]["delta.columnMapping.id"] == 4  # fresh, past max 3
+    assert by_name["id"]["delta.columnMapping.id"] == 1  # stable
+    assert meta["configuration"]["delta.columnMapping.maxColumnId"] == "4"
+
+    dropped = spark.createDataFrame([(1, "2024-01-01")], "id long, day string")
+    with pytest.raises(ValueError, match="vanished"):
+        sync_delta_log_from_dir(
+            d, dropped.schema.json(), partition_columns=["day"], column_mapping="name"
+        )
+    retyped = evolved.selectExpr("cast(id as int) id", "val", "day", "score")
+    with pytest.raises(ValueError, match="type/shape"):
+        sync_delta_log_from_dir(
+            d, retyped.schema.json(), partition_columns=["day"], column_mapping="name"
+        )
+
+    # rename on an UNMAPPED table is refused (data files would orphan)
+    plain = str(tmp_path / "plain")
+    df.write.parquet(plain)
+    sync_delta_log_from_dir(plain, df.schema.json())
+    with pytest.raises(ValueError, match="columnMapping"):
+        rename_delta_column(plain, {"val": "value"})
