@@ -538,11 +538,16 @@ def sync_delta_log_from_dir(
             and _hive_decode(n.split("=", 1)[1]) in touched_strs
         ]
         roots = [os.path.join(table_dir, n) for n in part_dirs]
-        prev_scope = {
-            p: a
-            for p, a in prev_adds.items()
-            if p.split("/", 1)[0] in set(part_dirs)
-        }
+        # Scope prior log entries by DECODED partition value, not by dir
+        # existence: a touched partition whose dir vanished entirely must
+        # still emit its removes, or the log keeps referencing dead files.
+        def _in_scope(path: str) -> bool:
+            seg = path.split("/", 1)[0]
+            return seg.startswith(f"{pcol}=") and (
+                _hive_decode(seg.split("=", 1)[1]) in touched_strs
+            )
+
+        prev_scope = {p: a for p, a in prev_adds.items() if _in_scope(p)}
     else:
         roots = [table_dir]
         prev_scope = prev_adds
@@ -569,6 +574,22 @@ def sync_delta_log_from_dir(
     )
     if column_mapping not in (None, "name"):
         raise ValueError(f"unsupported column mapping mode {column_mapping!r}")
+    if (
+        column_mapping == "name"
+        and meta is not None
+        and (meta.get("configuration") or {}).get("delta.columnMapping.mode")
+        != "name"
+    ):
+        # Upgrading an existing unmapped table in place needs a dedicated
+        # commit (protocol (2,5) + metaData with mode=name and an annotated
+        # schema); silently half-applying it here would leave out-of-spec
+        # metadata — the protocol action is only ever written at v0 and the
+        # configuration would never gain the mode. Refuse loudly instead.
+        raise ValueError(
+            "column_mapping='name' requested on an existing table whose "
+            "metaData has no columnMapping mode; create the table mapped "
+            "from version 0 (in-place upgrades are not supported)"
+        )
     protocol = _PROTOCOL_CM if mapped else _PROTOCOL
     pv_phys: dict[str, str] = {}
     if not mapped:

@@ -903,13 +903,12 @@ def dv_deleted_rows(table_dir: str, dv: dict) -> set[int]:
         blob = fh.read()
     if not blob or blob[0] != 1:
         raise DeltaProtocolError(f"unsupported deletion-vector file version {blob[:1]!r}")
-    if "offset" not in dv:
-        # the spec treats offset as required for on-disk DVs; guessing 1
-        # would only be caught indirectly by the size/CRC checks.
-        raise DeltaProtocolError(
-            f"deletionVector descriptor (storageType {st!r}) missing required offset"
-        )
-    off = dv["offset"]
+    # PROTOCOL.md types offset as Option (only stated absent for inline
+    # storageType 'i'); a writer holding one DV per file may omit it, in
+    # which case the frame starts right after the version byte. The
+    # size + CRC checks below validate the guess — a wrong offset cannot
+    # silently misread.
+    off = dv.get("offset", 1)
     (size,) = struct.unpack_from(">I", blob, off)
     if size != dv["sizeInBytes"]:
         raise DeltaProtocolError(

@@ -73,6 +73,7 @@ def merge_upsert(
     partition_col: str | None = None,
     when_matched_update: bool = True,
     ignore_null_updates: bool = False,
+    source_partitions: list | None = None,
 ) -> list | None:
     """MERGE `source` into the parquet table at `target_path` on `keys`.
 
@@ -103,8 +104,14 @@ def merge_upsert(
     if partition_col:
         # Fence the rewrite to partitions the source actually touches —
         # bounded driver collect (dates), mirrors the reference's trailing
-        # date-window MERGE fences.
-        parts = [r[0] for r in source.select(partition_col).distinct().collect()]
+        # date-window MERGE fences. Callers that already computed the
+        # distinct source partitions (publish intent markers) pass them in
+        # to skip the duplicate job.
+        parts = (
+            list(source_partitions)
+            if source_partitions is not None
+            else [r[0] for r in source.select(partition_col).distinct().collect()]
+        )
         # Null-safe fence: isin() never matches NULL, which would exclude
         # the null partition's target rows from the join and then let the
         # swap replace __HIVE_DEFAULT_PARTITION__ with source-only rows.

@@ -440,7 +440,18 @@ def publish_public_table(
     public dataset IS Delta (`NEAR Public Datasets.py:48` — the
     `public_lakehouse` tables under ``.../mainnet/delta/``): an external
     Delta reader pointed at ``{out_dir}/{name}`` sees every publish as a
-    commit. The diff walks only the partitions the MERGE touched."""
+    commit. The diff walks only the partitions the MERGE touched.
+
+    Crash safety between the MERGE swap and the log sync (ADVICE r10): a
+    sibling intent marker records the partitions this publish MAY touch
+    before the merge runs; the next publish unions any leftover marker's
+    partitions into its own sync scope (or full-walks when the leftover
+    scope is unknown), so partitions swapped by a crashed publish can
+    never stay permanently out of the log's diff scope. The marker lives
+    BESIDE the table dir (``{table_dir}.__publish_intent__.json``) so the
+    initial full write's overwrite cannot delete it, and is removed only
+    after the sync commits."""
+    import json
     import os
 
     from near_public_lakehouse_spark.operators.delta_export import (
@@ -449,6 +460,39 @@ def publish_public_table(
 
     keys, part = PUBLIC_TABLE_KEYS[name]
     table_dir = os.path.join(out_dir, name)
+    marker = table_dir.rstrip("/") + ".__publish_intent__.json"
+
+    def _pstr(vals) -> set:
+        return {None if v is None else str(v) for v in vals}
+
+    leftover: set = set()
+    full_walk_recovery = False
+    if os.path.exists(marker):
+        try:
+            with open(marker) as fh:
+                scope = json.load(fh).get("partitions")
+            if scope is None:
+                full_walk_recovery = True  # unknown crash scope
+            else:
+                leftover = _pstr(scope)
+        except Exception:
+            full_walk_recovery = True  # unreadable marker: assume the worst
+
+    incoming: list | None = None
+    if part is not None:
+        incoming = [r[0] for r in df.select(part).distinct().collect()]
+
+    intent_scope = (
+        None
+        if part is None or full_walk_recovery
+        else sorted(leftover | _pstr(incoming), key=lambda v: (v is None, v or ""))
+    )
+    os.makedirs(os.path.dirname(marker) or ".", exist_ok=True)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"table": name, "partitions": intent_scope}, fh)
+    os.replace(tmp, marker)
+
     touched = merge_upsert(
         spark,
         table_dir,
@@ -456,17 +500,27 @@ def publish_public_table(
         keys,
         partition_col=part,
         when_matched_update=False,
+        source_partitions=incoming,
     )
+    sync_scope = None
+    if touched is not None and part is not None and not full_walk_recovery:
+        sync_scope = sorted(
+            _pstr(touched) | leftover, key=lambda v: (v is None, v or "")
+        )
     sync_delta_log_from_dir(
         table_dir,
         df.schema.json(),
         partition_columns=[part] if part else [],
-        touched_partitions=touched,
+        touched_partitions=sync_scope,
         # None (default) publishes at the protocol floor any reader can
         # consume, matching the reference's public tables; "name" opts a
         # table into writer-side column mapping (rename-safe, protocol 2/5)
         column_mapping=column_mapping,
     )
+    try:
+        os.remove(marker)
+    except FileNotFoundError:
+        pass
 
 
 # Hourly Avro copies (NEAR Public Datasets.py:392-437 `delta_to_avro`):

@@ -93,11 +93,17 @@ def _s2_band_cols():
     return cols
 
 
-def _s2_keys_df(docs: DataFrame) -> DataFrame:
-    """(doc_id, source, sig, band_key) under the widened 6x2 banding."""
-    return _sig_df(docs, "source").select(
+def _s2_keys_from_sigs(sigs: DataFrame) -> DataFrame:
+    """(doc_id, source, sig, band_key) under the widened 6x2 banding, from
+    an already-computed (doc_id, source, sig) frame."""
+    return sigs.select(
         "doc_id", "source", "sig", F.explode(F.array(*_s2_band_cols())).alias("band_key")
     )
+
+
+def _s2_keys_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, sig, band_key) under the widened 6x2 banding."""
+    return _s2_keys_from_sigs(_sig_df(docs, "source"))
 
 
 def _pair_mass(n):
@@ -174,7 +180,15 @@ def _agree_expr():
 
 
 def _adaptive_pairs(docs: DataFrame) -> DataFrame:
-    keys = _s2_keys_df(docs)
+    # Materialize the 12-minhash signatures ONCE (VERDICT r10 task #2):
+    # the calibration aggregates and both self-join sides all re-enter
+    # this frame, and without the checkpoint each consumer re-runs the
+    # tokenize + 12-minhash HOF chain — the measured CPU constant that
+    # put the adaptive stage at ~1.6x the fixed-band wall at sf0.1
+    # (task_time 334 s vs 207 s at equal shuffle bytes). The checkpoint
+    # is O(docs) rows of (doc_id, source, 12 longs) — executor-local,
+    # no driver collect.
+    keys = _s2_keys_from_sigs(_sig_df(docs, "source").localCheckpoint())
     cfg = _source_thresholds(keys)
     flat = keys.join(F.broadcast(cfg), "source").select(
         "doc_id",

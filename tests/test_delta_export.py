@@ -333,3 +333,28 @@ def test_mapped_schema_evolution_and_refusals(spark, tmp_path):
     sync_delta_log_from_dir(plain, df.schema.json())
     with pytest.raises(ValueError, match="columnMapping"):
         rename_delta_column(plain, {"val": "value"})
+
+
+def test_sync_name_mapping_refused_on_existing_unmapped_table(spark, tmp_path):
+    """ADVICE r10: requesting column_mapping='name' on a table created
+    UNMAPPED used to half-apply (protocol only at v0, mode never written
+    to configuration) — out-of-spec metadata. It refuses loudly now; an
+    unmapped re-sync of the same table still works."""
+    from near_public_lakehouse_spark.operators.delta_export import (
+        sync_delta_log_from_dir,
+    )
+
+    d = str(tmp_path / "plain")
+    df = spark.createDataFrame(
+        [(1, "a", "2024-01-01")], "id long, val string, day string"
+    ).selectExpr("id", "val", "cast(day as date) as day")
+    df.write.partitionBy("day").parquet(d)
+    assert sync_delta_log_from_dir(d, df.schema.json(), ["day"]) == 0
+
+    with pytest.raises(ValueError, match="no columnMapping mode"):
+        sync_delta_log_from_dir(
+            d, df.schema.json(), ["day"], column_mapping="name"
+        )
+    # no bad commit was written, and the unmapped path still syncs
+    assert not os.path.exists(os.path.join(d, "_delta_log", f"{1:020d}.json"))
+    assert sync_delta_log_from_dir(d, df.schema.json(), ["day"]) is None

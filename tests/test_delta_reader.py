@@ -750,7 +750,8 @@ def test_v2_checkpoint_validations(spark, aged_table):
 
 # ---------------------------------------------------------------------------
 # round-10 ADVICE regressions: partitioned id-mode partitionValues keys,
-# field ids nested inside arrays/maps, DV offset required on disk
+# field ids nested inside arrays/maps; r11 ADVICE relaxed the DV offset
+# to Option-with-validated-fallback (PROTOCOL.md types it Option)
 
 
 def test_column_mapping_id_mode_partitioned_physical_pv_keys(spark, tmp_path):
@@ -868,14 +869,33 @@ def test_id_mode_field_ids_inside_arrays(spark, tmp_path):
     assert got == {(1, (("x", 10),)), (2, (("y", 20), ("z", 30)))}
 
 
-def test_deletion_vector_missing_offset_is_protocol_error(spark, dv_table):
-    """The spec treats `offset` as required for on-disk DVs; guessing
-    would only be caught indirectly by size/CRC. The reader refuses."""
+def test_deletion_vector_missing_offset_falls_back_to_post_version_byte(
+    spark, dv_table
+):
+    """PROTOCOL.md types `offset` as Option (only stated absent for inline
+    'i' storage); a single-DV-per-file writer may omit it. The reader
+    falls back to offset 1 (right after the version byte) and lets the
+    size + CRC frame checks validate the guess."""
     log = os.path.join(dv_table, "_delta_log", f"{0:020d}.json")
     lines = open(log).read().strip().splitlines()
     add = json.loads(lines[2])
     del add["add"]["deletionVector"]["offset"]
     lines[2] = json.dumps(add)
     open(log, "w").write("\n".join(lines) + "\n")
-    with pytest.raises(DeltaProtocolError, match="offset"):
+    df = DeltaLogReader(dv_table).to_df(spark)
+    assert {x.k for x in df.collect()} == {0, 2, 4, 5}
+
+
+def test_deletion_vector_wrong_offset_is_caught_by_frame_checks(
+    spark, dv_table
+):
+    """A wrong offset (explicit or guessed) cannot silently misread: the
+    [len][bytes][crc32] frame checks refuse it."""
+    log = os.path.join(dv_table, "_delta_log", f"{0:020d}.json")
+    lines = open(log).read().strip().splitlines()
+    add = json.loads(lines[2])
+    add["add"]["deletionVector"]["offset"] = 3
+    lines[2] = json.dumps(add)
+    open(log, "w").write("\n".join(lines) + "\n")
+    with pytest.raises(DeltaProtocolError, match="size mismatch|checksum"):
         DeltaLogReader(dv_table).to_df(spark)

@@ -592,3 +592,349 @@ def test_streaming_actions_folds_to_batch_with_late_dims(pipe, spark, tmp_path):
     want = {tuple(map(str, r)) for r in spark.read.parquet(out_b + "/actions").collect()}
     assert len(got) == len(want) > 0
     assert got == want
+
+
+# --- publish crash-safety: the intent marker (ADVICE r10, medium) ------------
+# A crash between the partitioned MERGE swap and sync_delta_log_from_dir
+# used to leave `_delta_log` referencing deleted part-files FOREVER: the
+# next publish diffed only ITS OWN touched partitions. The sibling intent
+# marker forces the crashed publish's partitions back into scope.
+
+
+def test_publish_crash_between_merge_and_sync_recovers(
+    pipe, spark, tmp_path, monkeypatch
+):
+    import os
+
+    from near_public_lakehouse_spark.operators import delta_export as dx
+    from near_public_lakehouse_spark.plans.public import publish_public_table
+
+    df = pipe.read("public_logs")
+    out = str(tmp_path / "pub")
+    table = out + "/logs"
+    publish_public_table(spark, "logs", df, out)  # healthy v0
+    assert not os.path.exists(table + ".__publish_intent__.json")
+
+    # crash AFTER the merge swap (new part-file names in the touched
+    # partition), BEFORE the log sync
+    base = df.limit(1)
+    crash_win = base.withColumn("receipt_id", F.lit("CRASHROW"))
+    real_sync = dx.sync_delta_log_from_dir
+    monkeypatch.setattr(
+        dx,
+        "sync_delta_log_from_dir",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("simulated crash")),
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        publish_public_table(spark, "logs", crash_win, out)
+    monkeypatch.setattr(dx, "sync_delta_log_from_dir", real_sync)
+
+    # the marker survived the crash; the log is stale vs the parquet dir
+    # (it references the swapped-away part-files, so it either errors on
+    # the missing files or returns pre-crash rows)
+    assert os.path.exists(table + ".__publish_intent__.json")
+    try:
+        stale_ok = _same_rows(_delta_df(spark, table), spark.read.parquet(table))
+    except Exception:
+        stale_ok = False
+    assert not stale_ok
+
+    # publish a DIFFERENT partition's window: its own scope alone would
+    # never repair the crashed partition — the marker union must
+    other_win = (
+        base.withColumn("receipt_id", F.lit("OTHERWIN"))
+        .withColumn("block_date", F.date_add("block_date", 1))
+    )
+    publish_public_table(spark, "logs", other_win, out)
+
+    assert not os.path.exists(table + ".__publish_intent__.json")
+    pq = spark.read.parquet(table)
+    assert pq.filter(F.col("receipt_id") == "CRASHROW").count() == 1
+    assert _same_rows(_delta_df(spark, table), pq)
+    # every add in the snapshot points at a real file
+    from near_public_lakehouse_spark.operators.delta_reader import DeltaLogReader
+
+    for path in DeltaLogReader(table).snapshot().files:
+        assert os.path.exists(os.path.join(table, path))
+
+
+def test_publish_crash_during_initial_write_recovers(
+    pipe, spark, tmp_path, monkeypatch
+):
+    """Crash before the very first sync: no `_delta_log` exists at all.
+    The sibling marker survives the initial overwrite, so the next
+    publish's v0 commit covers the crashed write's partitions too."""
+    import os
+
+    from near_public_lakehouse_spark.operators import delta_export as dx
+    from near_public_lakehouse_spark.plans.public import publish_public_table
+
+    df = pipe.read("public_logs")
+    out = str(tmp_path / "pub")
+    table = out + "/logs"
+    real_sync = dx.sync_delta_log_from_dir
+    monkeypatch.setattr(
+        dx,
+        "sync_delta_log_from_dir",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("simulated crash")),
+    )
+    with pytest.raises(RuntimeError):
+        publish_public_table(spark, "logs", df, out)
+    monkeypatch.setattr(dx, "sync_delta_log_from_dir", real_sync)
+    assert os.path.exists(table + ".__publish_intent__.json")
+    assert not os.path.isdir(os.path.join(table, "_delta_log"))
+
+    extra = df.limit(1).withColumn("receipt_id", F.lit("NEWRCPT"))
+    publish_public_table(spark, "logs", extra, out)
+    assert _same_rows(_delta_df(spark, table), spark.read.parquet(table))
+
+
+def test_publish_unreadable_marker_forces_full_walk(pipe, spark, tmp_path):
+    """A corrupt marker means the crash scope is unknown: the next publish
+    must full-walk rather than trust a partial diff."""
+    import os
+
+    from near_public_lakehouse_spark.plans.public import publish_public_table
+
+    df = pipe.read("public_logs")
+    out = str(tmp_path / "pub")
+    table = out + "/logs"
+    publish_public_table(spark, "logs", df, out)
+    with open(table + ".__publish_intent__.json", "w") as fh:
+        fh.write("{not json")
+    extra = df.limit(1).withColumn("receipt_id", F.lit("NEWRCPT"))
+    publish_public_table(spark, "logs", extra, out)
+    assert not os.path.exists(table + ".__publish_intent__.json")
+    assert _same_rows(_delta_df(spark, table), spark.read.parquet(table))
+
+
+# --- third-validator: hand-rolled PROTOCOL.md replay (VERDICT r10 #4) --------
+# The publish round-trip already goes through the repo's independent
+# protocol READER — but reader and writer share an author, so writer bugs
+# could hide behind reader leniency. This validator replays the raw
+# `_delta_log` JSON with minimal hand-rolled asserts straight from
+# PROTOCOL.md: contiguous versions, protocol/metaData invariants, add
+# path<->partitionValues agreement, on-disk existence + size + numRecords
+# for every live file, reconciled state == directory contents, and
+# checkpoint-at-v10 equivalence with the JSON replay.
+
+
+def _replay_raw_json(log_dir, upto=None):
+    import json as _json
+    import os
+    import re as _re
+
+    names = sorted(
+        n for n in os.listdir(log_dir) if _re.fullmatch(r"\d{20}\.json", n)
+    )
+    versions = [int(n[:-5]) for n in names]
+    assert versions == list(range(len(versions))), "non-contiguous versions"
+    live, meta, protocol = {}, None, None
+    for v, fname in zip(versions, names):
+        if upto is not None and v > upto:
+            break
+        seen_in_commit = set()
+        with open(os.path.join(log_dir, fname)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                act = _json.loads(line)
+                assert len(act) == 1, "one action per line"
+                ((kind, body),) = act.items()
+                if kind == "protocol":
+                    assert v == 0, "this writer only creates protocol at v0"
+                    assert isinstance(body["minReaderVersion"], int)
+                    assert isinstance(body["minWriterVersion"], int)
+                    protocol = body
+                elif kind == "metaData":
+                    assert body["format"]["provider"] == "parquet"
+                    schema = _json.loads(body["schemaString"])
+                    assert schema["type"] == "struct"
+                    top = {f["name"] for f in schema["fields"]}
+                    assert set(body["partitionColumns"]) <= top
+                    assert body["id"]
+                    meta = body
+                elif kind == "add":
+                    path = body["path"]
+                    assert not path.startswith("/") and ".." not in path
+                    assert path not in seen_in_commit
+                    assert path not in live, "re-add without remove"
+                    seen_in_commit.add(path)
+                    assert set(body["partitionValues"]) == set(
+                        meta["partitionColumns"]
+                    )
+                    segs = dict(
+                        s.split("=", 1)
+                        for s in path.split("/")[:-1]
+                        if "=" in s
+                    )
+                    from urllib.parse import unquote
+
+                    for k, val in body["partitionValues"].items():
+                        if val is None:
+                            assert segs[k] == "__HIVE_DEFAULT_PARTITION__"
+                        else:
+                            assert unquote(segs[k]) == val
+                    assert isinstance(body["size"], int) and body["size"] > 0
+                    live[path] = body
+                elif kind == "remove":
+                    assert body["path"] in live, "tombstone for never-live path"
+                    del live[body["path"]]
+                else:
+                    raise AssertionError(f"unknown action {kind}")
+        assert protocol is not None and meta is not None, "v0 must establish both"
+    return live, meta, protocol
+
+
+def _validate_delta_table(table_dir) -> int:
+    import json as _json
+    import os
+
+    import pyarrow.parquet as _pq
+
+    log_dir = os.path.join(table_dir, "_delta_log")
+    live, meta, protocol = _replay_raw_json(log_dir)
+
+    disk = set()
+    for dp, dns, fns in os.walk(table_dir):
+        dns[:] = [d for d in dns if not d.startswith(("_", "."))]
+        for fn in fns:
+            if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+                disk.add(os.path.relpath(os.path.join(dp, fn), table_dir))
+    assert set(live) == disk, "reconciled snapshot != directory contents"
+    for path, add in live.items():
+        full = os.path.join(table_dir, path)
+        assert add["size"] == os.path.getsize(full)
+        if "stats" in add:
+            stats = _json.loads(add["stats"])
+            assert stats["numRecords"] == _pq.ParquetFile(full).metadata.num_rows
+
+    lc = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(lc):
+        with open(lc) as fh:
+            pointer = _json.load(fh)
+        cpv = pointer["version"]
+        cp_file = os.path.join(log_dir, f"{cpv:020d}.checkpoint.parquet")
+        assert os.path.exists(cp_file)
+        rows = _pq.read_table(cp_file).to_pylist()
+        assert pointer["size"] == len(rows)
+        cp_live, cp_meta, cp_proto, cp_removed = {}, None, None, set()
+        for row in rows:
+            if row.get("add") and row["add"].get("path"):
+                cp_live[row["add"]["path"]] = row["add"]
+            if row.get("remove") and row["remove"].get("path"):
+                cp_removed.add(row["remove"]["path"])
+            if row.get("metaData") and row["metaData"].get("id"):
+                cp_meta = row["metaData"]
+            if row.get("protocol") and row["protocol"].get("minReaderVersion") is not None:
+                cp_proto = row["protocol"]
+        j_live, j_meta, j_proto = _replay_raw_json(log_dir, upto=cpv)
+        assert set(cp_live) == set(j_live), "checkpoint file set != JSON replay"
+        assert cp_meta is not None and cp_meta["id"] == j_meta["id"]
+        assert _json.loads(cp_meta["schemaString"]) == _json.loads(j_meta["schemaString"])
+        assert cp_proto["minReaderVersion"] == j_proto["minReaderVersion"]
+        assert cp_proto["minWriterVersion"] == j_proto["minWriterVersion"]
+        assert not (cp_removed & set(cp_live))
+    n_commits = len(
+        [n for n in os.listdir(log_dir) if n.endswith(".json") and n[:-5].isdigit()]
+    )
+    return n_commits
+
+
+def test_all_seven_public_tables_pass_the_protocol_validator(
+    pipe, spark, tmp_path
+):
+    """All 7 public tables validated; `logs` (partitioned) and
+    `circulating_supply` (unpartitioned) run 12 versions each, crossing
+    the 10-commit checkpoint cadence."""
+    import os
+
+    from near_public_lakehouse_spark.plans.public import (
+        public_near_balances,
+        publish_public_table,
+    )
+
+    out = str(tmp_path / "pub")
+
+    logs = pipe.read("public_logs")
+    publish_public_table(spark, "logs", logs, out)
+    for i in range(1, 12):
+        publish_public_table(
+            spark,
+            "logs",
+            logs.limit(1).withColumn("receipt_id", F.lit(f"VRCPT{i}")),
+            out,
+        )
+
+    def supply(*days):
+        return spark.createDataFrame(
+            [(d, f"HASH{d}", str(10**33 + i), PROCESSED) for i, d in enumerate(days)],
+            "block_date string, computed_at_block_hash string, "
+            "circulating_supply string, _processed_time string",
+        ).select(
+            F.col("block_date").cast("date").alias("block_date"),
+            "computed_at_block_hash",
+            "circulating_supply",
+            F.col("_processed_time").cast("timestamp").alias("_processed_time"),
+        )
+
+    days = []
+    for i in range(12):
+        days.append(f"2024-03-{i + 1:02d}")
+        publish_public_table(spark, "circulating_supply", supply(*days), out)
+
+    for table, node, key in [
+        ("block_chunks", "public_block_chunks", "chunk_hash"),
+        ("actions", "public_actions", "receipt_id"),
+        ("ft_transfers", "public_ft_transfers", "receipt_id"),
+        ("nft_transfers", "public_nft_transfers", "receipt_id"),
+    ]:
+        df = pipe.read(node)
+        publish_public_table(spark, table, df, out)
+        for i in range(1, 3):
+            publish_public_table(
+                spark,
+                table,
+                df.limit(1).withColumn(key, F.lit(f"VNEW{i}")),
+                out,
+            )
+
+    YOCTO = 10**24
+    def balances(account):
+        return public_near_balances(
+            spark.createDataFrame(
+                [
+                    (
+                        "2024-01-02", 2, account, 15000.0, str(15_000 * YOCTO), 120,
+                        str(YOCTO), str(2 * YOCTO), str(3 * YOCTO),
+                        None, None, None, None, None,
+                    )
+                ],
+                "epoch_date string, epoch_block_height int, account_id string, "
+                "liquid double, nonstaked_balance string, storage_usage long, "
+                "unstaked_not_liquid string, staked string, reward string, "
+                "lockup_account_id string, lockup_liquid double, "
+                "lockup_unstaked_not_liquid string, "
+                "lockup_staked string, lockup_reward string",
+            ),
+            PROCESSED,
+        )
+
+    for i in range(3):
+        publish_public_table(spark, "near_balances", balances(f"acct{i}.near"), out)
+
+    commits = {
+        t: _validate_delta_table(os.path.join(out, t))
+        for t in [
+            "logs", "circulating_supply", "block_chunks", "actions",
+            "ft_transfers", "nft_transfers", "near_balances",
+        ]
+    }
+    assert commits["logs"] >= 12 and commits["circulating_supply"] >= 12
+    assert all(n >= 3 for t, n in commits.items() if t != "near_balances")
+    assert commits["near_balances"] >= 3
+    # both 12-version tables crossed the checkpoint
+    for t in ("logs", "circulating_supply"):
+        assert os.path.exists(
+            os.path.join(out, t, "_delta_log", f"{10:020d}.checkpoint.parquet")
+        )
