@@ -180,34 +180,119 @@ def _agree_expr():
 
 
 def _adaptive_pairs(docs: DataFrame) -> DataFrame:
-    # Materialize the 12-minhash signatures ONCE (VERDICT r10 task #2):
-    # the calibration aggregates and both self-join sides all re-enter
-    # this frame, and without the checkpoint each consumer re-runs the
-    # tokenize + 12-minhash HOF chain — the measured CPU constant that
-    # put the adaptive stage at ~1.6x the fixed-band wall at sf0.1
-    # (task_time 334 s vs 207 s at equal shuffle bytes). The checkpoint
-    # is O(docs) rows of (doc_id, source, 12 longs) — executor-local,
-    # no driver collect.
-    keys = _s2_keys_from_sigs(_sig_df(docs, "source").localCheckpoint())
+    """Adaptive candidate pairs, quadratic stage run on SIGNATURE GROUPS.
+
+    Two optimizations (VERDICT r10 task #2), both exactly
+    output-preserving — the oracle pins the semantics:
+
+    1. The 12-minhash signatures are materialized ONCE (localCheckpoint):
+       the calibration aggregates and the join all re-enter this frame,
+       and without the checkpoint each consumer re-runs the tokenize +
+       12-minhash HOF chain — the measured CPU constant that put the
+       adaptive stage at ~1.6x the fixed-band wall at sf0.1.
+    2. Docs with an IDENTICAL full signature within one source are
+       interchangeable for both the band collision and the agreement
+       count, so the quadratic band self-join runs over one
+       representative per (source, signature) group and the surviving
+       group pairs expand back to member pairs. Near-dup corpora are
+       exactly the workload where identical signatures cluster (measured
+       sf0.1: 4,992 reps -> 3,087 groups; pre-filter collision mass
+       31.4M -> 7.4M pairs, BELOW the fixed 4x3 banding's 15M). Bonus:
+       each unordered doc pair maps to exactly one unordered group pair
+       (or one within-group pair), so the doc-level DISTINCT shuffle
+       disappears — dedup happens at the much smaller group level.
+
+    Within-group pairs agree 12/12 >= every threshold and identical sigs
+    share all 6 band keys, so they are emitted unconditionally — exactly
+    what the direct doc-level join produced. Cross-group pairs keep the
+    per-pair agreement test at least(thr_a, thr_b).
+    """
+    sigs = _sig_df(docs, "source").localCheckpoint()
+    keys = _s2_keys_from_sigs(sigs)
     cfg = _source_thresholds(keys)
-    flat = keys.join(F.broadcast(cfg), "source").select(
-        "doc_id",
-        "band_key",
+    sk = sigs.withColumn("sk", sig_key_col())
+    members = sk.select("doc_id", "source", "sk")
+    grp = (
+        sk.groupBy("source", "sk")
+        .agg(F.min("doc_id").alias("gid"), F.first("sig").alias("sig"))
+        .join(F.broadcast(cfg), "source")
+    )
+    from near_public_lakehouse_spark.queries.dedup import (
+        VERIFY_BROADCAST_MAX_REPS,
+    )
+
+    n_docs = sigs.count()  # free: localCheckpoint already materialized it
+    small = n_docs <= VERIFY_BROADCAST_MAX_REPS
+    n_part = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    gflat = grp.select(
+        "gid",
+        "source",
+        "sk",
         "thr",
+        F.explode(F.array(*_s2_band_cols())).alias("band_key"),
         *[F.col("sig")[i].alias(f"h{i}") for i in range(N_HASHES)],
     )
-    a = flat.alias("a")
-    b = flat.alias("b")
-    return (
+    if small:
+        # The group-compressed band frame is byte-TINY (groups x 6 band
+        # rows), so AQE's byte-based coalescing runs the whole quadratic
+        # band join at 1-3 tasks — its cost lives in the collision OUTPUT
+        # (pairs within buckets), invisible at planning time. An explicit
+        # partition count keeps the quadratic stage wide. Guarded by the
+        # same rep-count bound as verify broadcasting because the member
+        # joins below are then pinned as broadcasts (without the pin, the
+        # unknown-size repartition estimates push the planner to shuffle
+        # the full pair stream through the expansion — measured 6x
+        # regression). Above the bound, AQE's own estimates are healthy:
+        # the frames are big enough in bytes to get real width.
+        gflat = gflat.repartition(n_part, "band_key")
+    a = gflat.alias("a")
+    b = gflat.alias("b")
+    gpairs = (
         a.join(
             b,
             (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.gid") < F.col("b.gid")),
         )
         .filter(_agree_expr() >= F.least(F.col("a.thr"), F.col("b.thr")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.source").alias("src_a"),
+            F.col("a.sk").alias("sk_a"),
+            F.col("b.source").alias("src_b"),
+            F.col("b.sk").alias("sk_b"),
+        )
         .distinct()
     )
+    ma = members.select(
+        F.col("source").alias("src_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("doc_id").alias("da"),
+    )
+    mb = members.select(
+        F.col("source").alias("src_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("doc_id").alias("db"),
+    )
+    if small:
+        ma, mb = F.broadcast(ma), F.broadcast(mb)
+    cross = (
+        gpairs.join(ma, ["src_a", "sk_a"])
+        .join(mb, ["src_b", "sk_b"])
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+        )
+    )
+    x = members.alias("x")
+    y = members.alias("y")
+    within = x.join(
+        y,
+        (F.col("x.source") == F.col("y.source"))
+        & (F.col("x.sk") == F.col("y.sk"))
+        & (F.col("x.doc_id") < F.col("y.doc_id")),
+    ).select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+    return cross.unionByName(within)
 
 
 def _fixed_pairs(docs: DataFrame) -> DataFrame:
@@ -560,7 +645,13 @@ def near_dup_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    f = docs.select(
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # Tokenization + fingerprint md5 run map-side at the SCAN's width (a
+    # couple of parquet files at bench SFs) — one cheap text shuffle
+    # spreads the dominant per-doc CPU across the cluster (measured
+    # sf0.1: 2-task prelude 5.4 s -> ~1 s). At real scale the scan is
+    # already wide and the repartition is a no-op-sized shuffle.
+    f = docs.repartition(n_part).select(
         "doc_id",
         "text",
         "source",
@@ -581,12 +672,31 @@ def near_dup_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     tb = reps.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     if n_reps <= VERIFY_BROADCAST_MAX_REPS:
         ta, tb = F.broadcast(ta), F.broadcast(tb)
+        # The broadcast verify join runs map-side at the CANDIDATE frame's
+        # parallelism, and AQE's byte-based coalescing shrinks the small
+        # (doc_a, doc_b) pair shuffle to a handful of partitions — blind
+        # to the per-row CPU of array_intersect verification (measured
+        # sf0.1: 3 partitions -> 59 s verify; 32-way -> ~5 s). Explicit
+        # partition count defeats the coalescer; both columns in the key
+        # spread hot keepers. The non-broadcast path needs none of this:
+        # its own equi-join exchange already spreads the pairs.
+        cand = cand.repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+            "doc_a",
+            "doc_b",
+        )
     inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
     union = F.size(F.col("toks_a")) + F.size(F.col("toks_b")) - inter
+    # Size prefilter, IMPLIED by the Jaccard bound (J <= min/max of the
+    # set sizes, so J >= t forces min >= t * max): two int comparisons
+    # short-circuit the array_intersect — the dominant verify CPU — for
+    # size-mismatched candidates. Output-identical by construction.
+    na, nb = F.size(F.col("toks_a")), F.size(F.col("toks_b"))
+    size_ok = F.least(na, nb) >= F.lit(VERIFY_JACCARD) * F.greatest(na, nb)
     verified = (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
-        .filter((inter.cast("double") / union) >= VERIFY_JACCARD)
+        .filter(size_ok & ((inter.cast("double") / union) >= VERIFY_JACCARD))
         .select("doc_a", "doc_b")
     )
     exact = fam.filter(F.col("doc_id") != F.col("keeper")).select(
