@@ -1616,7 +1616,6 @@ def _fold_actions_batch(
     against the pre-batch pending dir and the MERGE is idempotent.)
     """
     import os
-    import shutil
 
     from near_public_lakehouse_spark.plans.public import (
         public_actions,
@@ -1656,15 +1655,7 @@ def _fold_actions_batch(
     unmatched = facts.join(
         result.select(*_ACTIONS_KEYS), list(_ACTIONS_KEYS), "left_anti"
     ).join(dropped, list(_ACTIONS_KEYS), "left_anti")
-    new = pending + ".__new__"
-    shutil.rmtree(new, ignore_errors=True)
-    unmatched.write.mode("overwrite").parquet(new)
-    old = pending + ".__drop__"
-    shutil.rmtree(old, ignore_errors=True)
-    if os.path.isdir(pending):
-        os.rename(pending, old)
-    os.rename(new, pending)
-    shutil.rmtree(old, ignore_errors=True)
+    _swap_dir(pending, unmatched)
 
 
 def streaming_public_actions(
@@ -1733,3 +1724,228 @@ def flush_pending_actions(
         spark, empty, silver_paths, out_dir, processed_time, pending
     )
     return spark.read.parquet(pending).count()
+
+
+# --- streaming twins of the gold-table publishes (VERDICT r10 task #5) ------
+# circulating_supply and near_balances published live from the same fold
+# disciplines as the actions twin: per-day supply FACTS park until their
+# block dimension arrives; account balances fold daily-LATEST state and
+# publish at epoch close (the reference schedules both daily — NB NEAR
+# Public Datasets.py:319-386).
+
+
+def _swap_dir(path: str, df: DataFrame) -> None:
+    """Crash-safe replace of a state/pending dir (the same rename
+    discipline as the actions twin's parking swap: a crash leaves either
+    the old dir, the old dir parked at .__drop__, or the new dir —
+    `_recover_pending` re-installs the parked copy)."""
+    import os
+    import shutil
+
+    new = path + ".__new__"
+    shutil.rmtree(new, ignore_errors=True)
+    df.write.mode("overwrite").parquet(new)
+    old = path + ".__drop__"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(path):
+        os.rename(path, old)
+    os.rename(new, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _fold_supply_batch(
+    spark: SparkSession,
+    rows: DataFrame,
+    blocks_path: str,
+    out_dir: str,
+    processed_time: str,
+    pending: str,
+) -> None:
+    """One micro-batch of the circulating_supply fold: incoming gold
+    daily-supply rows UNION the parked ones join the fresh-read
+    silver_blocks dimension; matched rows publish through the same
+    insert-only natural-key MERGE as the batch publisher; rows whose
+    block has not arrived yet re-park. Supply rows are per-day facts —
+    immutable once computed — so per-batch insert-only publish is exact
+    (no snapshot-freeze hazard)."""
+    import os
+
+    from near_public_lakehouse_spark.plans.public import (
+        public_circulating_supply,
+        publish_public_table,
+    )
+
+    _recover_pending(pending)
+    if os.path.isdir(pending):
+        rows = rows.unionByName(spark.read.parquet(pending))
+    rows = rows.dropDuplicates(["block_date", "block_height"]).localCheckpoint()
+    blocks = spark.read.parquet(blocks_path)
+    result = public_circulating_supply(rows, blocks, processed_time).localCheckpoint()
+    publish_public_table(spark, "circulating_supply", result, out_dir)
+    unmatched = rows.join(
+        result.select(F.col("computed_at_block_height").alias("block_height")),
+        "block_height",
+        "left_anti",
+    )
+    _swap_dir(pending, unmatched)
+
+
+def streaming_public_supply(
+    spark: SparkSession,
+    gold_supply_path: str,
+    blocks_path: str,
+    out_dir: str,
+    checkpoint: str,
+    processed_time: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming twin of the `circulating_supply` publish
+    (plans/public.public_circulating_supply; NB NEAR Public
+    Datasets.py:319-347): the gold daily-supply table drives the fold as
+    a file stream; each micro-batch joins the fresh-read silver_blocks
+    dimension and publishes through the same insert-only MERGE, parking
+    rows whose block row is late. Fold == batch pinned in
+    tests/test_streaming_gold_publish.py."""
+    import os
+
+    schema = spark.read.parquet(gold_supply_path).schema
+    r = spark.readStream
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = r.schema(schema).parquet(_stream_path(gold_supply_path))
+    pending = os.path.join(checkpoint, "pending_supply")
+
+    def _batch(batch_df: DataFrame, _bid: int) -> None:
+        _fold_supply_batch(
+            spark, batch_df, blocks_path, out_dir, processed_time, pending
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", os.path.join(checkpoint, "query"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def flush_pending_supply(
+    spark: SparkSession,
+    gold_supply_path: str,
+    blocks_path: str,
+    out_dir: str,
+    checkpoint: str,
+    processed_time: str,
+) -> int:
+    """Retry parked supply rows against the CURRENT blocks table without
+    new gold input. Returns the number still pending (blocks that never
+    arrive keep waiting, same policy as the actions twin)."""
+    import os
+
+    pending = os.path.join(checkpoint, "pending_supply")
+    _recover_pending(pending)
+    if not os.path.isdir(pending):
+        return 0
+    empty = spark.read.parquet(gold_supply_path).limit(0)
+    _fold_supply_batch(spark, empty, blocks_path, out_dir, processed_time, pending)
+    return spark.read.parquet(pending).count()
+
+
+def _fold_balances_batch(
+    spark: SparkSession, changes: DataFrame, state: str, epoch_date: str
+) -> None:
+    """One micro-batch of the near_balances daily-latest fold: incoming
+    account_change rows within the epoch fence fold into one-row-per-
+    account state, SEQUENCE BY block_height — a late or out-of-order
+    change row folds to the same state as a full recompute, and a replay
+    of the same rows is a fixpoint. State is O(accounts seen), never the
+    change history."""
+    import os
+
+    from near_public_lakehouse_spark.operators.scd import latest_by
+
+    _recover_pending(state)
+    fresh = changes.filter(F.col("block_date") <= F.lit(epoch_date))
+    if os.path.isdir(state):
+        fresh = fresh.unionByName(spark.read.parquet(state))
+    folded = latest_by(fresh, ["affected_account_id"], "block_height")
+    _swap_dir(state, folded)
+
+
+def streaming_public_balances(
+    spark: SparkSession,
+    changes_path: str,
+    out_dir: str,
+    checkpoint: str,
+    epoch_date: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming twin of the `near_balances` snapshot fold
+    (plans/balances.silver_accounts_daily_ft_balances; reference NB
+    Epochs :674-740, published via NB NEAR Public Datasets.py:353-386 on
+    a daily schedule): account_change rows stream in and fold
+    LATEST-PER-ACCOUNT state per micro-batch — the daily-latest pattern.
+    The epoch snapshot itself publishes at epoch close via
+    `publish_balances_epoch` (the reference's snapshot row set for an
+    epoch is only final once the epoch's changes have all arrived, so a
+    mid-epoch insert-only publish would freeze early values).
+
+    Feeding only latest-per-account rows into the batch snapshot frame
+    is exact: `ac` enters silver_accounts_daily_ft_balances solely
+    through latest-row-per-account selections (both W1 windows)."""
+    import os
+
+    schema = spark.read.parquet(changes_path).schema
+    r = spark.readStream
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = r.schema(schema).parquet(_stream_path(changes_path))
+    state = os.path.join(checkpoint, "balances_state")
+
+    def _batch(batch_df: DataFrame, _bid: int) -> None:
+        _fold_balances_batch(spark, batch_df, state, epoch_date)
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", os.path.join(checkpoint, "query"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def publish_balances_epoch(
+    spark: SparkSession,
+    checkpoint: str,
+    amb_path: str,
+    rewards_path: str,
+    out_dir: str,
+    epoch_date: str,
+    epoch_block_height: int,
+    processed_time: str,
+) -> None:
+    """Epoch-close publish of the folded balance state: derive the
+    snapshot from the daily-latest state + the min-balance registry +
+    rewards (both re-read fresh — the same dimension discipline as the
+    actions twin) and publish through the same insert-only
+    publish_public_table the batch path uses. Idempotent: republishing
+    the same epoch adds nothing."""
+    import os
+
+    from near_public_lakehouse_spark.plans.balances import (
+        silver_accounts_daily_ft_balances,
+    )
+    from near_public_lakehouse_spark.plans.public import (
+        public_near_balances,
+        publish_public_table,
+    )
+
+    state = os.path.join(checkpoint, "balances_state")
+    _recover_pending(state)
+    ac = spark.read.parquet(state)
+    amb = spark.read.parquet(amb_path)
+    rewards = spark.read.parquet(rewards_path)
+    snap = silver_accounts_daily_ft_balances(
+        amb, ac, rewards, epoch_date, epoch_block_height
+    )
+    publish_public_table(
+        spark, "near_balances", public_near_balances(snap, processed_time), out_dir
+    )
