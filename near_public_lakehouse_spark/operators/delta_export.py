@@ -333,20 +333,78 @@ def _hive_decode(value: str) -> str | None:
     return unquote(value)
 
 
-def _replay_json_log(log_dir: str) -> tuple[int | None, dict | None, dict[str, dict]]:
-    """(last version, latest metaData, live adds by path) from the JSON
-    commits alone — this writer always keeps the full JSON history, so
-    checkpoint parsing isn't needed for its own resync."""
+def _checkpoint_seed(log_dir: str) -> tuple[int, dict | None, set[str]] | None:
+    """Load the snapshot state at the last classic checkpoint, if one
+    exists and its files are intact: (checkpoint version, metaData, live
+    add paths). Returns None when there is no usable checkpoint (the
+    JSON history is always complete, so the caller just replays it all).
+
+    This bounds the per-sync replay cost to [one columnar path-column
+    read + <= checkpoint_interval JSON commits] instead of O(all commits
+    x all adds) JSON parsing — the term the 10x scale probe showed
+    growing with table size inside an otherwise O(touched-files) publish
+    (SCALE.md round-11 row). Only add PATHS are materialized (the diff
+    needs nothing else); the metaData row is extracted alone."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    pointer_path = os.path.join(log_dir, "_last_checkpoint")
+    try:
+        with open(pointer_path) as fh:
+            pointer = json.load(fh)
+        v = int(pointer["version"])
+        if pointer.get("parts"):
+            parts = int(pointer["parts"])
+            files = [
+                os.path.join(
+                    log_dir,
+                    f"{v:020d}.checkpoint.{i + 1:010d}.{parts:010d}.parquet",
+                )
+                for i in range(parts)
+            ]
+        else:
+            files = [os.path.join(log_dir, f"{v:020d}.checkpoint.parquet")]
+        meta = None
+        adds: set[str] = set()
+        for p in files:
+            t = pq.read_table(p, columns=["add", "metaData"])
+            adds.update(
+                pc.struct_field(t["add"], "path").drop_null().to_pylist()
+            )
+            md_rows = t.filter(
+                pc.is_valid(pc.struct_field(t["metaData"], "id"))
+            )["metaData"].to_pylist()
+            if md_rows:
+                meta = {k: val for k, val in md_rows[-1].items() if val is not None}
+                if "configuration" in meta:
+                    # pyarrow maps round-trip as (key, value) tuple lists
+                    meta["configuration"] = dict(meta["configuration"])
+        return v, meta, adds
+    except Exception:
+        return None  # missing/corrupt checkpoint: full JSON replay below
+
+
+def _replay_json_log(log_dir: str) -> tuple[int | None, dict | None, set[str]]:
+    """(last version, latest metaData, live add paths): seeded from the
+    last classic checkpoint when one exists, then the JSON commits past
+    it — falling back to the full JSON history (always kept by this
+    writer) when no checkpoint is usable."""
     if not os.path.isdir(log_dir):
-        return None, None, {}
+        return None, None, set()
     versions = sorted(
         int(n[:-5])
         for n in os.listdir(log_dir)
         if n.endswith(".json") and n[:-5].isdigit()
     )
     meta = None
-    adds: dict[str, dict] = {}
+    adds: set[str] = set()
+    seed_v = -1
+    seed = _checkpoint_seed(log_dir)
+    if seed is not None and versions and seed[0] <= versions[-1]:
+        seed_v, meta, adds = seed
     for v in versions:
+        if v <= seed_v:
+            continue
         with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
             for line in fh:
                 if not line.strip():
@@ -355,9 +413,9 @@ def _replay_json_log(log_dir: str) -> tuple[int | None, dict | None, dict[str, d
                 if "metaData" in action:
                     meta = action["metaData"]
                 elif "add" in action:
-                    adds[action["add"]["path"]] = action["add"]
+                    adds.add(action["add"]["path"])
                 elif "remove" in action:
-                    adds.pop(action["remove"]["path"], None)
+                    adds.discard(action["remove"]["path"])
     return (versions[-1] if versions else None), meta, adds
 
 
@@ -547,7 +605,7 @@ def sync_delta_log_from_dir(
                 _hive_decode(seg.split("=", 1)[1]) in touched_strs
             )
 
-        prev_scope = {p: a for p, a in prev_adds.items() if _in_scope(p)}
+        prev_scope = {p for p in prev_adds if _in_scope(p)}
     else:
         roots = [table_dir]
         prev_scope = prev_adds
