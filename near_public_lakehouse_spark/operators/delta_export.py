@@ -281,6 +281,95 @@ def _replay_full_actions(log_dir: str, version: int) -> list[dict]:
     return rows
 
 
+def write_checkpoint_v2(
+    table_dir: str, version: int, sidecars: int = 2
+) -> list[str]:
+    """Write a V2 spec checkpoint (PROTOCOL.md "V2 Spec Checkpoints") —
+    the reader's v2 structs run in reverse (VERDICT r10 task #7, the same
+    move that produced the name-mapping writer): a UUID-named top-level
+    parquet (``<v>.checkpoint.u<hex>.parquet``) holding the reconciled
+    protocol/metaData/txn actions, the REQUIRED ``checkpointMetadata``
+    action (version-stamped), and ``sidecar`` actions naming parquet
+    files under ``_delta_log/_sidecars/`` that carry the add state
+    striped ``sidecars``-ways — the layout real writers use above
+    millions of files, where one massive checkpoint parquet would
+    serialize the write.
+
+    Spec note: PROTOCOL.md ties v2 checkpoints to the ``v2Checkpoint``
+    table feature (protocol v3). The publish path stays on classic
+    checkpoints at its (1,2)/(2,5) floor — nothing in the reference
+    needs v2 writes there; this writer exists for tables that opt in.
+    The repo's own protocol reader consumes the format either way, and
+    ``_checkpoint_seed`` (the sync's replay shortcut) simply falls back
+    to full JSON replay when the checkpoint at the pointer is not the
+    classic single-file form.
+
+    Returns [top-level path, *sidecar paths]."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    log_dir = os.path.join(table_dir, _DELTA_LOG)
+    rows = _replay_full_actions(log_dir, version)
+    file_rows = [r for r in rows if "add" in r or "remove" in r]
+    top_rows = [r for r in rows if "add" not in r and "remove" not in r]
+
+    sc_dir = os.path.join(log_dir, "_sidecars")
+    os.makedirs(sc_dir, exist_ok=True)
+    base = {f.name: f.type for f in _checkpoint_arrow_schema()}
+    side_schema = pa.schema([("add", base["add"]), ("remove", base["remove"])])
+    n = max(1, int(sidecars))
+    sc_actions: list[dict] = []
+    paths: list[str] = []
+    for i in range(n):
+        chunk = file_rows[i::n]
+        name = f"{_uuid.uuid4()}.parquet"
+        p = os.path.join(sc_dir, name)
+        pq.write_table(pa.Table.from_pylist(chunk, schema=side_schema), p)
+        paths.append(p)
+        sc_actions.append(
+            {
+                "sidecar": {
+                    "path": name,
+                    "sizeInBytes": os.path.getsize(p),
+                    "modificationTime": int(os.path.getmtime(p) * 1000),
+                }
+            }
+        )
+
+    top_schema = pa.schema(
+        list(_checkpoint_arrow_schema())
+        + [
+            ("checkpointMetadata", pa.struct([("version", pa.int64())])),
+            (
+                "sidecar",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("sizeInBytes", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    top = top_rows + [{"checkpointMetadata": {"version": version}}] + sc_actions
+    # 'u' prefix keeps the middle segment non-all-digit, so readers never
+    # confuse it with a classic multi-part checkpoint name
+    top_path = os.path.join(
+        log_dir, f"{version:020d}.checkpoint.u{_uuid.uuid4().hex}.parquet"
+    )
+    pq.write_table(pa.Table.from_pylist(top, schema=top_schema), top_path)
+
+    pointer = {"version": version, "size": len(top) + len(file_rows)}
+    tmp = os.path.join(log_dir, "_last_checkpoint.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(pointer, fh)
+    os.replace(tmp, os.path.join(log_dir, "_last_checkpoint"))
+    return [top_path, *paths]
+
+
 def write_checkpoint(table_dir: str, version: int, parts: int | None = None) -> list[str]:
     """Write a classic parquet checkpoint of the reconciled snapshot at
     `version` plus the `_last_checkpoint` pointer (PROTOCOL.md). With

@@ -358,3 +358,96 @@ def test_sync_name_mapping_refused_on_existing_unmapped_table(spark, tmp_path):
     # no bad commit was written, and the unmapped path still syncs
     assert not os.path.exists(os.path.join(d, "_delta_log", f"{1:020d}.json"))
     assert sync_delta_log_from_dir(d, df.schema.json(), ["day"]) is None
+
+
+def test_write_checkpoint_v2_reader_roundtrip(spark, tmp_path):
+    """V2 spec checkpoint written by write_checkpoint_v2 (checkpointMetadata
+    + UUID-named top file + add state striped across _sidecars/ parquet):
+    the INDEPENDENT protocol reader discovers it from _last_checkpoint,
+    replays across it, and returns rows identical to the parquet read —
+    and the snapshot AT the checkpoint version equals the raw JSON replay."""
+    from near_public_lakehouse_spark.operators.delta_export import (
+        read_delta_snapshot,
+        sync_delta_log_from_dir,
+        write_checkpoint_v2,
+    )
+    from near_public_lakehouse_spark.operators.delta_reader import DeltaLogReader
+
+    d = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", f"2024-01-0{i % 3 + 1}") for i in range(9)],
+        "id long, val string, day string",
+    ).selectExpr("id", "val", "cast(day as date) as day")
+    df.write.partitionBy("day").parquet(d)
+    assert sync_delta_log_from_dir(d, df.schema.json(), ["day"], checkpoint_interval=None) == 0
+
+    # three more versions: new files landing in one partition each
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for v in range(1, 4):
+        pq.write_table(
+            pa.table({"id": [100 + v], "val": [f"x{v}"]}),
+            os.path.join(d, "day=2024-01-01", f"part-extra{v}.parquet"),
+        )
+        assert (
+            sync_delta_log_from_dir(
+                d, df.schema.json(), ["day"], checkpoint_interval=None
+            )
+            == v
+        )
+
+    files = write_checkpoint_v2(d, version=2, sidecars=2)
+    assert len(files) == 3  # top + 2 sidecars
+    assert ".checkpoint.u" in os.path.basename(files[0])
+    assert all(os.sep + "_sidecars" + os.sep in p for p in files[1:])
+
+    r = DeltaLogReader(d)
+    assert r.checkpoint_version == 2
+    assert [os.path.basename(f) for f in r._checkpoint_files] == [
+        os.path.basename(files[0])
+    ]
+    pq_read = spark.read.parquet(d)
+    delta_read = r.to_df(spark)
+    assert sorted(map(tuple, delta_read.collect())) == sorted(
+        map(tuple, pq_read.collect())
+    )
+    # snapshot AT the checkpoint version == raw JSON replay at it
+    assert r.snapshot(2).paths == read_delta_snapshot(d, 2)["files"]
+
+
+def test_write_checkpoint_v2_sidecar_refusals(spark, tmp_path):
+    """Reader-side refusal matrix still bites on v2 checkpoints this
+    writer produces: a missing sidecar file and a version-mismatched
+    checkpointMetadata both refuse loudly."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from near_public_lakehouse_spark.operators.delta_export import (
+        sync_delta_log_from_dir,
+        write_checkpoint_v2,
+    )
+    from near_public_lakehouse_spark.operators.delta_reader import (
+        DeltaLogReader,
+        DeltaProtocolError,
+    )
+
+    d = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "id long, val string")
+    df.write.parquet(d)
+    assert sync_delta_log_from_dir(d, df.schema.json()) == 0
+    files = write_checkpoint_v2(d, version=0, sidecars=1)
+    os.remove(files[1])  # the only sidecar vanishes
+    with _pytest.raises(DeltaProtocolError, match="sidecar"):
+        DeltaLogReader(d).snapshot()
+
+    # restore by rewriting the checkpoint, then corrupt the pointer version
+    files = write_checkpoint_v2(d, version=0, sidecars=1)
+    lc = os.path.join(d, "_delta_log", "_last_checkpoint")
+    ptr = _json.load(open(lc))
+    # point at a version whose checkpoint doesn't exist
+    ptr["version"] = 5
+    open(lc, "w").write(_json.dumps(ptr))
+    with _pytest.raises(DeltaProtocolError, match="checkpoint"):
+        DeltaLogReader(d).snapshot()
