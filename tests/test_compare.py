@@ -121,38 +121,24 @@ def test_driver_window_composition_is_pinned():
     prefix would silently displace a window entry — this pin makes that a
     visible test failure so the composition is always chosen consciously.
 
-    Round 10 rotation (VERDICT r9 task #1, which also sets the STANDING
-    RULE: a query added in round N rotates into the window in round N):
-    the four r9 additions named outside the window
-    (minhash_adaptive_eval_sampled / minhash_adaptive_bands_eval_sampled /
-    training_sequence_packing / training_packing_stats — judge-verified
-    green at sf0.01, never driver-checked) rotate in under a10_ aliases,
-    plus near_dup_assignments, whose candidate stage changed to the
-    adaptive generator this round (VERDICT r9 task #4 — semantics change
-    on a verified query rotates in the same round; the staged
-    near_dup_assignments_adaptive twin it absorbs was driver-green in
-    r7, so the registry shrinks 161 -> 160 by unification, not loss).
-    Retiring the six a9_ aliases and adding five a10_ names re-admits
-    ivf_topk at the window tail (driver-green in CORRECTNESS_r08);
+    Round 10 rotation (VERDICT r9 task #1, which also set the STANDING
+    RULE: a query added in round N rotates into the window in round N)
+    put five a10_ aliases in this window; all five went driver-green in
+    CORRECTNESS_r10, so round 11 RETIRES them (same discipline as the
+    a7_/a9_ sets). Round 11 adds no registry queries and changes no
+    verified semantics (the near_dup candidate-stage rewrite is
+    result-hash-identical, oracle-pinned), so the rotation map is empty;
+    the five re-admitted tail names (jl_projection_topk,
+    json_object_keys_explode, keyword_extraction_tfidf, kmeans_clusters,
+    kmv_distinct_sketch) are all driver-green in earlier rounds —
     nothing never-checked is displaced.
     """
     from near_public_lakehouse_spark.queries import all_queries
     from near_public_lakehouse_spark.queries.registry import DRIVER_WINDOW_ROTATION
 
-    assert DRIVER_WINDOW_ROTATION == {
-        "minhash_adaptive_bands_eval_sampled": "a10_minhash_adaptive_bands_eval_sampled",
-        "minhash_adaptive_eval_sampled": "a10_minhash_adaptive_eval_sampled",
-        "near_dup_assignments": "a10_near_dup_assignments",
-        "training_packing_stats": "a10_training_packing_stats",
-        "training_sequence_packing": "a10_training_sequence_packing",
-    }
+    assert DRIVER_WINDOW_ROTATION == {}
     window = sorted(all_queries())[:50]
     expected = [
-        "a10_minhash_adaptive_bands_eval_sampled",
-        "a10_minhash_adaptive_eval_sampled",
-        "a10_near_dup_assignments",
-        "a10_training_packing_stats",
-        "a10_training_sequence_packing",
         "ann_lsh_topk",
         "approx_ann_lsh_recall",
         "approx_dau_error",
@@ -198,6 +184,11 @@ def test_driver_window_composition_is_pinned():
         "incremental_dedup",
         "intersect_except_customers",
         "ivf_topk",
+        "jl_projection_topk",
+        "json_object_keys_explode",
+        "keyword_extraction_tfidf",
+        "kmeans_clusters",
+        "kmv_distinct_sketch",
     ]
     assert window == expected
 
