@@ -58,6 +58,7 @@ from near_public_lakehouse_spark.queries.dedup import (
     _dtoks_col,
     _minhash_sql,
     _sig_df,
+    sig_key_col,
 )
 from near_public_lakehouse_spark.queries.registry import query
 from near_public_lakehouse_spark.sources.tables import load_table
@@ -125,16 +126,6 @@ def threshold_expr(ident_mass, coll_mass):
         F.when(frac >= IDENT_HI, THR_STRICT)
         .when(frac < IDENT_LO, THR_PERMISSIVE)
         .otherwise(THR_DEFAULT)
-    )
-
-
-def sig_key_col():
-    """Compact deterministic identity key for a full 12-hash signature —
-    the groupable stand-in for the array itself in stored calibration
-    state (md5 over the joined hashes; grouping by it yields the same
-    identical-signature mass as grouping by the array)."""
-    return F.md5(
-        F.concat_ws("_", *[F.col("sig")[i].cast("string") for i in range(N_HASHES)])
     )
 
 

@@ -217,17 +217,104 @@ def _sig_df(docs: DataFrame, *extra: str) -> DataFrame:
     return docs.select("doc_id", *extra, sig_expr.alias("sig"))
 
 
+def sig_key_col():
+    """Compact deterministic identity key for a full 12-hash signature —
+    the groupable stand-in for the array itself (md5 over the joined
+    hashes; grouping by it yields the same identical-signature groups as
+    grouping by the array). Shared by the fixed-band group compression
+    here, the adaptive calibration (queries/adaptive_lsh.py), and the
+    streaming state fold (streaming/jobs.py)."""
+    return F.md5(
+        F.concat_ws("_", *[F.col("sig")[i].cast("string") for i in range(len(MINHASH_A))])
+    )
+
+
+def _fixed_band_cols():
+    return [
+        F.concat(
+            F.lit(f"{band}:"),
+            F.concat_ws(
+                "_",
+                *[
+                    F.col("sig")[band * BAND_SIZE + k].cast("string")
+                    for k in range(BAND_SIZE)
+                ],
+            ),
+        )
+        for band in range(N_BANDS)
+    ]
+
+
 def _band_key_df(docs: DataFrame) -> DataFrame:
     """(doc_id, band_key) rows: 12 min-hashes over the distinct-token set,
     banded 4x3, per input row (needs `doc_id` and `text` columns)."""
-    hashed = _sig_df(docs)
-    band_cols = []
-    for band in range(N_BANDS):
-        parts = [
-            F.col("sig")[band * BAND_SIZE + k].cast("string") for k in range(BAND_SIZE)
-        ]
-        band_cols.append(F.concat(F.lit(f"{band}:"), F.concat_ws("_", *parts)))
-    return hashed.select("doc_id", F.explode(F.array(*band_cols)).alias("band_key"))
+    return _sig_df(docs).select(
+        "doc_id", F.explode(F.array(*_fixed_band_cols())).alias("band_key")
+    )
+
+
+def _grouped_band_pairs(sigs: DataFrame, wide: bool = False) -> DataFrame:
+    """The DISTINCT fixed-band collision pair set (doc_a < doc_b) over a
+    (doc_id, sig) frame, with the quadratic band self-join run on
+    IDENTICAL-SIGNATURE GROUPS (the round-11 move that brought the
+    adaptive pipeline to fixed-band wall-clock, applied to the fixed
+    bands themselves): members of a signature group share every band
+    key, so each unordered doc pair maps to exactly one group pair
+    (cross, via the band join) or one within-group pair (emitted
+    unconditionally) — the same set as the doc-level band self-join +
+    DISTINCT, with the quadratic stage on groups and no doc-level
+    distinct shuffle. Near-dup corpora are exactly where identical
+    signatures cluster (sf0.1: the grouped collision mass is ~half the
+    doc-level one).
+
+    `wide=True` pins the width/broadcast plan for the broadcast-verify
+    regime: explicit partition counts where AQE's byte-based coalescing
+    is blind to the collision-output CPU, member expansion joins pinned
+    broadcast (without the pin, unknown-size repartition estimates push
+    the planner to shuffle the pair stream — measured 6x regression).
+    Callers above the broadcast bound leave it False and let AQE's
+    healthy byte estimates pick the plan."""
+    sk = sigs.withColumn("sk", sig_key_col())
+    members = sk.select("doc_id", "sk")
+    grp = sk.groupBy("sk").agg(F.first("sig").alias("sig"))
+    n_part = int(
+        sigs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    gflat = grp.select(
+        "sk", F.explode(F.array(*_fixed_band_cols())).alias("band_key")
+    )
+    if wide:
+        gflat = gflat.repartition(n_part, "band_key")
+    a = gflat.alias("a")
+    b = gflat.alias("b")
+    gpairs = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.sk") < F.col("b.sk")),
+        )
+        .select(F.col("a.sk").alias("sk_a"), F.col("b.sk").alias("sk_b"))
+        .distinct()
+    )
+    ma = members.select(F.col("sk").alias("sk_a"), F.col("doc_id").alias("da"))
+    mb = members.select(F.col("sk").alias("sk_b"), F.col("doc_id").alias("db"))
+    if wide:
+        ma, mb = F.broadcast(ma), F.broadcast(mb)
+    cross = (
+        gpairs.join(ma, "sk_a")
+        .join(mb, "sk_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+        )
+    )
+    x = members.alias("x")
+    y = members.alias("y")
+    within = x.join(
+        y,
+        (F.col("x.sk") == F.col("y.sk")) & (F.col("x.doc_id") < F.col("y.doc_id")),
+    ).select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+    return cross.unionByName(within)
 
 
 @query(
@@ -604,17 +691,20 @@ def _lsh_verified_pairs(fam: DataFrame) -> DataFrame:
     )
     n_reps = reps.count()  # free: localCheckpoint already materialized it
     bcast = n_reps <= VERIFY_BROADCAST_MAX_REPS
-    sigs = _band_key_df(reps)
-    cand = (
-        sigs.alias("a")
-        .join(
-            sigs.alias("b"),
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # Signatures materialized once (the band frame and the group
+    # compression both re-enter them); candidates come from the
+    # signature-GROUP band join — the identical pair set with the
+    # quadratic stage on groups (see _grouped_band_pairs).
+    cand = _grouped_band_pairs(_sig_df(reps).localCheckpoint(), wide=bcast)
+    if bcast:
+        # The broadcast verify join below runs map-side at the candidate
+        # frame's parallelism; spread the pairs explicitly past AQE's
+        # byte-based coalescing (blind to array_intersect CPU).
+        cand = cand.repartition(
+            int(reps.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
+            "doc_a",
+            "doc_b",
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
     toks = reps.select("doc_id", "toks")
     ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
