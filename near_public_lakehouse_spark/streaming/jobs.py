@@ -1949,3 +1949,53 @@ def publish_balances_epoch(
     publish_public_table(
         spark, "near_balances", public_near_balances(snap, processed_time), out_dir
     )
+
+
+def expire_pending(
+    spark: SparkSession, pending: str, date_col: str, as_of: str, fence_days: int
+) -> int:
+    """Age out parked rows that fell behind the publisher's trailing
+    re-MERGE fence. The reference re-publishes only ``date >= as_of - N
+    days`` (the 1/3-day fences in NB NEAR Public Datasets.py), so a
+    parked fact whose dimensions never arrive inside the fence can never
+    publish again — keeping it parked is dead state that would otherwise
+    grow without bound on a misbehaving upstream. Dropping it matches
+    the batch pipeline, whose inner joins silently drop the same rows.
+    Returns the number of rows dropped; crash-safe via the same swap
+    discipline as the folds."""
+    import os
+
+    _recover_pending(pending)
+    if not os.path.isdir(pending):
+        return 0
+    cur = spark.read.parquet(pending)
+    keep = cur.filter(
+        F.col(date_col) >= F.date_sub(F.lit(as_of).cast("date"), fence_days)
+    )
+    dropped = cur.count() - keep.count()
+    if dropped:
+        _swap_dir(pending, keep)
+    return dropped
+
+
+def expire_pending_actions(
+    spark: SparkSession, checkpoint: str, as_of: str, fence_days: int = 3
+) -> int:
+    """Fence the actions twin's parked facts (default: the reference's
+    3-day actions re-MERGE window)."""
+    import os
+
+    return expire_pending(
+        spark, os.path.join(checkpoint, "pending_facts"), "block_date", as_of, fence_days
+    )
+
+
+def expire_pending_supply(
+    spark: SparkSession, checkpoint: str, as_of: str, fence_days: int = 3
+) -> int:
+    """Fence the supply twin's parked gold rows."""
+    import os
+
+    return expire_pending(
+        spark, os.path.join(checkpoint, "pending_supply"), "block_date", as_of, fence_days
+    )

@@ -202,3 +202,48 @@ def test_streaming_balances_folds_to_batch_with_late_change(spark, tmp_path):
         spark, ckpt, amb_dir, rewards_dir, out, "2024-01-02", 5, PROCESSED
     )
     assert _same_rows(spark.read.parquet(out + "/near_balances"), want)
+
+
+def test_expire_pending_applies_the_trailing_fence(spark, tmp_path):
+    """Parked rows older than the publisher's trailing re-MERGE fence age
+    out (the batch pipeline's inner joins drop the same rows); rows
+    inside the fence survive and still publish when their dimension
+    arrives."""
+    from near_public_lakehouse_spark.plans.public import (
+        public_circulating_supply,
+        publish_public_table,
+    )
+    from near_public_lakehouse_spark.streaming.jobs import (
+        expire_pending_supply,
+        flush_pending_supply,
+        streaming_public_supply,
+    )
+
+    gold_dir = str(tmp_path / "gold_supply")
+    # two days' rows whose blocks are BOTH withheld: one falls outside a
+    # 3-day fence anchored at 2024-03-10, one stays inside it
+    _append_one_file(_supply_row(spark, "2024-03-01", 1001), gold_dir)
+    _append_one_file(_supply_row(spark, "2024-03-09", 1009), gold_dir)
+    blocks_dir = str(tmp_path / "blocks")
+    _blocks(spark, [9999]).write.parquet(blocks_dir)  # matches nothing
+
+    out = str(tmp_path / "pub")
+    ckpt = str(tmp_path / "ckpt")
+    streaming_public_supply(
+        spark, gold_dir, blocks_dir, out, ckpt, PROCESSED, max_files_per_trigger=1
+    ).awaitTermination(300)
+    assert spark.read.parquet(os.path.join(ckpt, "pending_supply")).count() == 2
+
+    dropped = expire_pending_supply(spark, ckpt, "2024-03-10", fence_days=3)
+    assert dropped == 1
+    pending = spark.read.parquet(os.path.join(ckpt, "pending_supply"))
+    assert [str(r.block_date) for r in pending.collect()] == ["2024-03-09"]
+
+    # the surviving row's block arrives -> it still publishes
+    _blocks(spark, [1009]).coalesce(1).write.mode("append").parquet(blocks_dir)
+    assert flush_pending_supply(spark, gold_dir, blocks_dir, out, ckpt, PROCESSED) == 0
+    got = spark.read.parquet(out + "/circulating_supply")
+    assert [str(r.block_date) for r in got.collect()] == ["2024-03-09"]
+
+    # idempotent: nothing left outside the fence
+    assert expire_pending_supply(spark, ckpt, "2024-03-10", fence_days=3) == 0
