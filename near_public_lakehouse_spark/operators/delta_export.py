@@ -300,9 +300,9 @@ def write_checkpoint_v2(
     checkpoints at its (1,2)/(2,5) floor — nothing in the reference
     needs v2 writes there; this writer exists for tables that opt in.
     The repo's own protocol reader consumes the format either way, and
-    ``_checkpoint_seed`` (the sync's replay shortcut) simply falls back
-    to full JSON replay when the checkpoint at the pointer is not the
-    classic single-file form.
+    ``_checkpoint_seed`` (the sync's replay shortcut) seeds from the v2
+    form too (top file + sidecar add paths), falling back to full JSON
+    replay on anything it cannot validate.
 
     Returns [top-level path, *sidecar paths]."""
     import uuid as _uuid
@@ -453,21 +453,59 @@ def _checkpoint_seed(log_dir: str) -> tuple[int, dict | None, set[str]] | None:
             ]
         else:
             files = [os.path.join(log_dir, f"{v:020d}.checkpoint.parquet")]
+            if not os.path.exists(files[0]):
+                # V2 spec checkpoint (<v>.checkpoint.<uniqueStr>.parquet):
+                # seed from its sidecar-carried add state. Sidecar names
+                # come from the top file's sidecar actions; their
+                # checkpointMetadata gate belongs to the READER's full
+                # validation — the seed only needs the path set, and any
+                # inconsistency falls through to the full JSON replay.
+                import glob as _glob
+
+                v2 = sorted(
+                    f
+                    for f in _glob.glob(
+                        os.path.join(log_dir, f"{v:020d}.checkpoint.*.parquet")
+                    )
+                    if not all(
+                        seg.isdigit()
+                        for seg in os.path.basename(f).split(".")[2:-1]
+                    )
+                )
+                if not v2:
+                    return None
+                top = pq.read_table(v2[0])
+                files = []
+                if "sidecar" in top.schema.names:
+                    files = [
+                        os.path.join(log_dir, "_sidecars", p)
+                        for p in pc.struct_field(top["sidecar"], "path")
+                        .drop_null()
+                        .to_pylist()
+                    ]
+                files.insert(0, v2[0])
         meta = None
         adds: set[str] = set()
         for p in files:
-            t = pq.read_table(p, columns=["add", "metaData"])
-            adds.update(
-                pc.struct_field(t["add"], "path").drop_null().to_pylist()
-            )
-            md_rows = t.filter(
-                pc.is_valid(pc.struct_field(t["metaData"], "id"))
-            )["metaData"].to_pylist()
-            if md_rows:
-                meta = {k: val for k, val in md_rows[-1].items() if val is not None}
-                if "configuration" in meta:
-                    # pyarrow maps round-trip as (key, value) tuple lists
-                    meta["configuration"] = dict(meta["configuration"])
+            cols = [
+                c for c in ("add", "metaData") if c in pq.read_schema(p).names
+            ]
+            t = pq.read_table(p, columns=cols)
+            if "add" in cols:
+                adds.update(
+                    pc.struct_field(t["add"], "path").drop_null().to_pylist()
+                )
+            if "metaData" in cols:
+                md_rows = t.filter(
+                    pc.is_valid(pc.struct_field(t["metaData"], "id"))
+                )["metaData"].to_pylist()
+                if md_rows:
+                    meta = {
+                        k: val for k, val in md_rows[-1].items() if val is not None
+                    }
+                    if "configuration" in meta:
+                        # pyarrow maps round-trip as (key, value) tuples
+                        meta["configuration"] = dict(meta["configuration"])
         return v, meta, adds
     except Exception:
         return None  # missing/corrupt checkpoint: full JSON replay below

@@ -451,3 +451,54 @@ def test_write_checkpoint_v2_sidecar_refusals(spark, tmp_path):
     open(lc, "w").write(_json.dumps(ptr))
     with _pytest.raises(DeltaProtocolError, match="checkpoint"):
         DeltaLogReader(d).snapshot()
+
+
+def test_sync_seeds_from_v2_checkpoint(spark, tmp_path):
+    """After write_checkpoint_v2, the NEXT sync's replay seeds from the
+    v2 top file + sidecars: the new commit diffs only the actual change
+    (a seed that lost the prior add paths would re-add every file)."""
+    import json as _json
+
+    from near_public_lakehouse_spark.operators.delta_export import (
+        sync_delta_log_from_dir,
+        write_checkpoint_v2,
+    )
+
+    d = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", "2024-01-01") for i in range(4)],
+        "id long, val string, day string",
+    ).selectExpr("id", "val", "cast(day as date) as day")
+    df.write.partitionBy("day").parquet(d)
+    assert sync_delta_log_from_dir(d, df.schema.json(), ["day"], checkpoint_interval=None) == 0
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"id": [99], "val": ["x"]}),
+        os.path.join(d, "day=2024-01-01", "part-extra.parquet"),
+    )
+    assert sync_delta_log_from_dir(d, df.schema.json(), ["day"], checkpoint_interval=None) == 1
+    write_checkpoint_v2(d, version=1, sidecars=2)
+
+    pq.write_table(
+        pa.table({"id": [100], "val": ["y"]}),
+        os.path.join(d, "day=2024-01-01", "part-extra2.parquet"),
+    )
+    assert (
+        sync_delta_log_from_dir(
+            d, df.schema.json(), ["day"], touched_partitions=["2024-01-01"],
+            checkpoint_interval=None,
+        )
+        == 2
+    )
+    actions = [
+        _json.loads(line)
+        for line in open(os.path.join(d, "_delta_log", f"{2:020d}.json"))
+        if line.strip()
+    ]
+    adds = [a["add"]["path"] for a in actions if "add" in a]
+    removes = [a for a in actions if "remove" in a]
+    assert adds == ["day=2024-01-01/part-extra2.parquet"]
+    assert not removes
