@@ -843,6 +843,11 @@ def _min_label_cc(edges: DataFrame) -> DataFrame:
     sym = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
         edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
+    # Plain checkpoint, not `operators.bucketing.colocate`: while the
+    # (id, lab) state fits a broadcast, AQE converts each round's join to
+    # a broadcast join at runtime, which measured FASTER than the
+    # co-located SMJ layout (see the colocate docstring for the numbers
+    # and the at-scale regime where co-location wins instead).
     sym = sym.localCheckpoint()
     labels = sym.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("lab")
