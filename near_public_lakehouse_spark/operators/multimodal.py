@@ -20,6 +20,14 @@ star). Design contract:
   decode -> feature -> transform -> re-encode pipeline runs on actual
   media bytes end-to-end in ALL THREE modalities. Format sniffing and
   byte entropy are codec-free and real for everything.
+- Each real modality also yields a deterministic numpy-only EMBEDDING
+  (audio_mel_embedding: STFT->mel->log-mean; image_phash_embedding:
+  block-mean->2-D DCT low-frequency spectrum; video_phash_embedding:
+  per-frame pHash spectrum mean-pooled over time), all L2-normalized
+  array<float> in the same (media_id, embedding) shape — so multimodal
+  near-dup and similarity search ride the UNCHANGED similarity stack
+  (queries/similarity: brute-force cosine, sign-LSH, IVF) with no new
+  scale machinery.
 """
 
 from __future__ import annotations
@@ -30,8 +38,10 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     DoubleType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -482,6 +492,104 @@ def audio_features(df: DataFrame) -> DataFrame:
     return df.select("media_id", "media").mapInPandas(run, AUDIO_FEATURE_SCHEMA)
 
 
+MEL_EMBED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ]
+)
+
+
+def _mel_filterbank(n_mels: int, n_fft: int, sample_rate: int):
+    """(n_mels, n_fft//2+1) triangular mel filterbank from the public
+    O'Shaughnessy formula mel = 2595*log10(1 + hz/700) — the standard
+    construction (librosa/HTK shape), pure numpy."""
+    import numpy as np
+
+    f_max = sample_rate / 2.0
+    mel_pts = np.linspace(0.0, 2595.0 * np.log10(1.0 + f_max / 700.0), n_mels + 2)
+    hz_pts = 700.0 * (10.0 ** (mel_pts / 2595.0) - 1.0)
+    bins = np.floor((n_fft + 1) * hz_pts / sample_rate).astype(int)
+    bins = np.clip(bins, 0, n_fft // 2)
+    fb = np.zeros((n_mels, n_fft // 2 + 1))
+    for m in range(n_mels):
+        lo, ctr, hi = bins[m], bins[m + 1], bins[m + 2]
+        for k in range(lo, ctr):
+            if ctr > lo:
+                fb[m, k] = (k - lo) / (ctr - lo)
+        for k in range(ctr, hi):
+            if hi > ctr:
+                fb[m, k] = (hi - k) / (hi - ctr)
+        if hi == lo:  # degenerate filter at very low sample rates
+            fb[m, ctr] = 1.0
+    return fb
+
+
+def audio_mel_embedding(
+    df: DataFrame, n_mels: int = 16, n_fft: int = 256, hop: int = 128
+) -> DataFrame:
+    """REAL spectral embedding over WAV payloads: framed Hann-windowed
+    STFT (np.fft.rfft) -> power spectrum -> mel filterbank -> log ->
+    time-mean -> L2-normalized array<float> — a deterministic,
+    numpy-only audio fingerprint. This upgrades the audio path from
+    stat screens (audio_features) to an EMBEDDING column the existing
+    similarity stack consumes directly: feed the output to
+    queries/similarity.embedding_topk_frame (brute-force cosine) or the
+    LSH/IVF index builders for audio near-dup at scale — the same
+    bucket-join shapes, so nothing new to scale. Pinned in
+    tests/test_multimodal.py: near-identical clips rank each other #1
+    by cosine; unrelated tones do not.
+
+    Clips shorter than one frame are zero-padded to n_fft; multi-channel
+    audio is mixed down like audio_features. Corrupt/non-PCM payloads
+    are skipped (the module's standard routing contract)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        window = None  # built lazily so n_fft is closed over once
+        fbanks: dict[int, object] = {}  # sample_rate -> filterbank
+        for pdf in batches:
+            out_ids, out_vecs = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                try:
+                    w = decode_wav(bytes(payload))
+                    x = w["samples"].astype(np.float64)
+                    if w["n_channels"] > 1:
+                        x = x.reshape(-1, w["n_channels"]).mean(axis=1)
+                    if len(x) < n_fft:
+                        x = np.pad(x, (0, n_fft - len(x)))
+                    if window is None:
+                        window = np.hanning(n_fft)
+                    n_frames = 1 + (len(x) - n_fft) // hop
+                    idx = (
+                        np.arange(n_fft)[None, :]
+                        + hop * np.arange(n_frames)[:, None]
+                    )
+                    spec = np.abs(np.fft.rfft(x[idx] * window, axis=1)) ** 2
+                    sr = w["sample_rate"]
+                    if sr not in fbanks:
+                        fbanks[sr] = _mel_filterbank(n_mels, n_fft, sr)
+                    mel = np.log1p(spec @ fbanks[sr].T).mean(axis=0)
+                    nrm = float(np.sqrt((mel * mel).sum()))
+                    vec = (mel / nrm if nrm > 0 else mel).astype(np.float32)
+                except (ValueError, NotImplementedError, ZeroDivisionError):
+                    continue
+                out_ids.append(mid)
+                out_vecs.append(vec.tolist())  # python floats: Arrow rejects np.float32 lists
+            # explicit dtypes: an EMPTY partition otherwise infers float64
+            # for `embedding`, which Arrow cannot cast to list<float>
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out_ids, dtype="int64"),
+                    "embedding": pd.Series(out_vecs, dtype="object"),
+                }
+            )
+
+    return df.select("media_id", "media").mapInPandas(run, MEL_EMBED_SCHEMA)
+
+
 def encode_bmp(pixels) -> bytes:
     """24-bit uncompressed BMP encoder. `pixels` is an (H, W, 3) uint8
     RGB numpy array; rows are stored bottom-up, BGR, padded to 4 bytes —
@@ -608,6 +716,133 @@ def resize_bmp_images(df: DataFrame, max_side: int = 64) -> DataFrame:
 # chroma modes raise at the documented seam like non-PCM WAV.
 
 Y4M_MAGIC = b"YUV4MPEG2 "
+
+
+def _block_mean_resample(luma, out_h: int = 32, out_w: int = 32):
+    """Area-style downsample of a 2-D luma array to (out_h, out_w) by
+    averaging index-partitioned blocks — deterministic, numpy-only (the
+    resample step of the public pHash construction)."""
+    import numpy as np
+
+    a = np.asarray(luma, dtype=np.float64)
+    h, w = a.shape
+    ys = np.minimum((np.arange(out_h + 1) * h) // out_h, h)
+    xs = np.minimum((np.arange(out_w + 1) * w) // out_w, w)
+    out = np.empty((out_h, out_w))
+    for i in range(out_h):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        row = a[y0:y1]
+        for j in range(out_w):
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            out[i, j] = row[:, x0:x1].mean()
+    return out
+
+
+def _dct2_lowfreq(luma, keep: int = 8):
+    """Top-left keep x keep block of the orthonormal 2-D DCT-II of a
+    32x32 block-mean resample, DC dropped, flattened — the pHash
+    spectrum kept REAL-VALUED so it works as a cosine embedding (bit
+    thresholding loses the magnitudes ANN ranking needs). Pure numpy:
+    D @ X @ D.T with the explicit DCT-II basis matrix."""
+    import numpy as np
+
+    x = _block_mean_resample(luma)
+    n = x.shape[0]
+    k = np.arange(n)
+    basis = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    basis[0] /= np.sqrt(2.0)
+    spec = basis @ x @ basis.T
+    flat = spec[:keep, :keep].flatten()[1:]  # drop DC: brightness-invariant
+    return flat
+
+
+def _l2_unit(vec):
+    import numpy as np
+
+    v = np.asarray(vec, dtype=np.float64)
+    nrm = float(np.sqrt((v * v).sum()))
+    return (v / nrm if nrm > 0 else v).astype(np.float32)
+
+
+def image_phash_embedding(df: DataFrame, keep: int = 8) -> DataFrame:
+    """REAL perceptual embedding over BMP payloads: luma (Rec.601) ->
+    32x32 block-mean resample -> 2-D DCT-II low-frequency block, DC
+    dropped, L2-normalized — the pHash construction kept real-valued so
+    the output array<float> feeds the similarity stack unchanged
+    (embedding_topk_frame / LSH / IVF) for image near-dup. Deterministic,
+    numpy-only; non-BMP payloads are skipped per the module's routing
+    contract. Pinned in tests: a noisy copy ranks its original #1."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_ids, out_vecs = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                try:
+                    rgb = decode_bmp(bytes(payload)).astype(np.float64)
+                    luma = (
+                        0.299 * rgb[:, :, 0]
+                        + 0.587 * rgb[:, :, 1]
+                        + 0.114 * rgb[:, :, 2]
+                    )
+                    vec = _l2_unit(_dct2_lowfreq(luma, keep))
+                except (ValueError, NotImplementedError):
+                    continue
+                out_ids.append(mid)
+                out_vecs.append(vec.tolist())  # python floats: Arrow rejects np.float32 lists
+            # explicit dtypes: an EMPTY partition otherwise infers float64
+            # for `embedding`, which Arrow cannot cast to list<float>
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out_ids, dtype="int64"),
+                    "embedding": pd.Series(out_vecs, dtype="object"),
+                }
+            )
+
+    return df.select("media_id", "media").mapInPandas(run, MEL_EMBED_SCHEMA)
+
+
+def video_phash_embedding(df: DataFrame, keep: int = 8, stride: int = 2) -> DataFrame:
+    """REAL temporal perceptual embedding over Y4M payloads: every
+    `stride`-th luma plane gets the image pHash spectrum
+    (`_dct2_lowfreq`), frames are mean-pooled over time, L2-normalized —
+    one array<float> per clip, consumable by the unchanged similarity
+    stack for video near-dup. A re-encoded/noisy copy of a clip pools to
+    nearly the same spectrum; unrelated clips do not (test-pinned)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_ids, out_vecs = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                try:
+                    v = decode_y4m(bytes(payload))
+                    lumas = v["lumas"][::stride]
+                    if not lumas:
+                        continue
+                    pooled = np.mean(
+                        [_dct2_lowfreq(l.astype(np.float64), keep) for l in lumas],
+                        axis=0,
+                    )
+                    vec = _l2_unit(pooled)
+                except (ValueError, NotImplementedError):
+                    continue
+                out_ids.append(mid)
+                out_vecs.append(vec.tolist())  # python floats: Arrow rejects np.float32 lists
+            # explicit dtypes: an EMPTY partition otherwise infers float64
+            # for `embedding`, which Arrow cannot cast to list<float>
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out_ids, dtype="int64"),
+                    "embedding": pd.Series(out_vecs, dtype="object"),
+                }
+            )
+
+    return df.select("media_id", "media").mapInPandas(run, MEL_EMBED_SCHEMA)
 
 
 def encode_y4m(frames, width: int, height: int, fps=(25, 1)) -> bytes:
