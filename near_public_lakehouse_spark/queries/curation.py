@@ -924,6 +924,15 @@ def _packing_frame(docs: DataFrame) -> DataFrame:
     spans = distributed_exclusive_cumsum(lens, ["doc_id"], "n_tok", out="start").filter(
         F.col("n_tok") > 0
     )
+    return contrib_from_spans(spans)
+
+
+def contrib_from_spans(spans: DataFrame) -> DataFrame:
+    """(seq_id, doc_id, n_tokens) from (doc_id, start, n_tok) document
+    spans over the global token stream — the chunk-intersection step of
+    the packing, shared by the batch query and the streaming fold
+    (`streaming/jobs.packing_from_state`, which derives `start` from
+    within-batch cumsums plus cross-batch offsets instead)."""
     L = PACK_SEQ_LEN
     first = F.expr(f"CAST(start DIV {L} AS BIGINT)")
     last = F.expr(f"CAST((start + n_tok - 1) DIV {L} AS BIGINT)")

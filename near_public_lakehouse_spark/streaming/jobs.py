@@ -1318,6 +1318,114 @@ def streaming_cdc_chunks(
     )
 
 
+def packing_from_state(spark: SparkSession, index_path: str) -> DataFrame:
+    """(seq_id, doc_id, n_tokens) training-sequence packing over
+    everything the streaming packer has seen — same shape as the batch
+    `training_sequence_packing`, same chunk-intersection core
+    (`curation.contrib_from_spans`).
+
+    The fold derives each document's GLOBAL token offset as its
+    within-batch offset (written by the stream) plus the total tokens of
+    all earlier batches — a second exclusive cumsum keyed by batch_id
+    over one row per micro-batch, so the cross-batch shift costs
+    batch-count rows, never documents. When batches partition the corpus
+    in doc_id order the fold is row-identical to the batch query
+    (parity-pinned); under true arrival order it IS the dataloader
+    semantics — documents pack in the order they arrive."""
+    from near_public_lakehouse_spark.queries.curation import contrib_from_spans
+    from near_public_lakehouse_spark.queries.suffix import (
+        distributed_exclusive_cumsum,
+    )
+
+    spans = spark.read.option("basePath", f"{index_path}/spans").parquet(
+        f"{index_path}/spans/batch_id=*"
+    )
+    per_batch = spans.groupBy("batch_id").agg(
+        F.sum("n_tok").cast("bigint").alias("batch_tokens")
+    )
+    shifts = distributed_exclusive_cumsum(
+        per_batch, ["batch_id"], "batch_tokens", out="batch_start"
+    ).select("batch_id", "batch_start")
+    global_spans = spans.join(F.broadcast(shifts), "batch_id").select(
+        "doc_id",
+        (F.col("batch_start") + F.col("start")).cast("bigint").alias("start"),
+        "n_tok",
+    )
+    return contrib_from_spans(global_spans)
+
+
+def packing_stats_from_state(spark: SparkSession, index_path: str) -> DataFrame:
+    """Per-sequence rollup of the streamed packing — same shape and
+    invariants as the batch `training_packing_stats` (every sequence but
+    possibly the last is exactly full: the stream loses no tokens)."""
+    from near_public_lakehouse_spark.queries.curation import PACK_SEQ_LEN
+
+    return (
+        packing_from_state(spark, index_path)
+        .groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            (F.sum("n_tokens") == PACK_SEQ_LEN).alias("is_full"),
+        )
+        .orderBy("seq_id")
+    )
+
+
+def streaming_sequence_packing(
+    spark: SparkSession,
+    docs_path: str,
+    index_path: str,
+    checkpoint: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming twin of `training_sequence_packing` (GPT-style
+    concat-and-chunk): each trigger computes ITS documents' token spans
+    — per-doc length + within-batch exclusive cumsum, the identical
+    two-pass distributed cumsum the batch query uses — and writes them
+    to a replay-idempotent batch_id dir. Sequences are the FOLD's
+    business (`packing_from_state`): cutting the stream every
+    PACK_SEQ_LEN tokens needs the global offset, which is within-batch
+    offset + earlier batches' totals, so no token stream and no running
+    scalar state is ever materialized; state is one (doc_id, start,
+    n_tok) row per non-empty document.
+
+    Semantics note: packing order is ARRIVAL order (batch_id, then
+    doc_id within a batch) — the real dataloader contract. Feeding
+    batches that partition the corpus in doc_id order reproduces the
+    batch query exactly (parity test); replay of a batch overwrites its
+    own dir, so checkpoint recovery cannot double-pack."""
+    from near_public_lakehouse_spark.queries.suffix import (
+        distributed_exclusive_cumsum,
+    )
+    from near_public_lakehouse_spark.queries.text import tokens_col
+
+    schema = spark.read.parquet(docs_path).schema
+    r = spark.readStream
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = r.schema(schema).parquet(_stream_path(docs_path))
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        lens = batch_df.select(
+            "doc_id", F.size(tokens_col()).cast("bigint").alias("n_tok")
+        )
+        (
+            distributed_exclusive_cumsum(lens, ["doc_id"], "n_tok", out="start")
+            .filter(F.col("n_tok") > 0)
+            .select("doc_id", "start", "n_tok")
+            .write.mode("overwrite")
+            .parquet(f"{index_path}/spans/batch_id={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def winnowing_matches_from_state(spark: SparkSession, index_path: str) -> DataFrame:
     """Cross-document fingerprint matches over everything the streaming
     winnowing indexer has seen — same shape as the batch
