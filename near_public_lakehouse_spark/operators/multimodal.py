@@ -520,7 +520,13 @@ def _mel_filterbank(n_mels: int, n_fft: int, sample_rate: int):
         for k in range(ctr, hi):
             if hi > ctr:
                 fb[m, k] = (hi - k) / (hi - ctr)
-        if hi == lo:  # degenerate filter at very low sample rates
+        if fb[m].sum() == 0:
+            # degenerate triangle: adjacent mel points floor to the same
+            # fft bin (hi == lo, or lo < ctr == hi with ctr - lo == 1,
+            # whose only coefficient is (lo-lo)/1 = 0 — found by the
+            # hypothesis sweep in tests/test_codec_properties.py). A unit
+            # spike at the center keeps every filter live so no tone
+            # falls into a dead band.
             fb[m, ctr] = 1.0
     return fb
 

@@ -67,3 +67,82 @@ def test_bpe_partitions_input_on_both_engines(spark, s):
     ).fetchone()[0]
     assert spark_toks == duck_toks
     assert "".join(spark_toks) == s
+
+
+# --- per-modality embedding math (round-11 continuation) --------------------
+
+embed_dims = st.tuples(st.integers(8, 80), st.integers(8, 80))  # (h, w)
+
+
+@given(dims=embed_dims, seed=st.integers(0, 2**31))
+@settings(**_SETTINGS)
+def test_dct2_basis_is_orthonormal_and_brightness_invariant(dims, seed):
+    """The pHash spectrum's DCT-II basis must be orthonormal (Parseval:
+    full-spectrum energy == pixel energy of the 32x32 resample) and the
+    kept low block, with DC dropped, must be exactly invariant to a
+    constant brightness shift — the two properties the embedding's
+    cosine semantics rest on."""
+    from near_public_lakehouse_spark.operators.multimodal import (
+        _block_mean_resample,
+        _dct2_lowfreq,
+    )
+
+    h, w = dims
+    rng = np.random.default_rng(seed)
+    img = rng.uniform(0, 255, size=(h, w))
+
+    x = _block_mean_resample(img)
+    n = x.shape[0]
+    k = np.arange(n)
+    basis = np.sqrt(2.0 / n) * np.cos(
+        np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n)
+    )
+    basis[0] /= np.sqrt(2.0)
+    assert np.allclose(basis @ basis.T, np.eye(n), atol=1e-10)  # orthonormal
+    spec = basis @ x @ basis.T
+    assert np.isclose((spec**2).sum(), (x**2).sum(), rtol=1e-10)  # Parseval
+
+    shift = rng.uniform(-60, 60)
+    assert np.allclose(
+        _dct2_lowfreq(img), _dct2_lowfreq(img + shift), atol=1e-8
+    )  # DC dropped -> brightness shift invisible
+
+
+@given(dims=embed_dims, seed=st.integers(0, 2**31))
+@settings(**_SETTINGS)
+def test_block_mean_resample_is_bounded_and_mean_preserving_when_even(dims, seed):
+    """Resampled values stay within the input's range for any shape, and
+    when the input divides evenly into blocks the global mean is exactly
+    preserved (area resampling loses no mass)."""
+    from near_public_lakehouse_spark.operators.multimodal import _block_mean_resample
+
+    h, w = dims
+    rng = np.random.default_rng(seed)
+    img = rng.uniform(-5, 260, size=(h, w))
+    out = _block_mean_resample(img)
+    assert out.shape == (32, 32)
+    assert out.min() >= img.min() - 1e-9 and out.max() <= img.max() + 1e-9
+
+    even = rng.uniform(0, 1, size=(64, 96))  # 2x3 blocks exactly
+    assert np.isclose(_block_mean_resample(even).mean(), even.mean(), rtol=1e-12)
+
+
+@given(
+    sr=st.sampled_from([8_000, 16_000, 22_050, 44_100]),
+    n_mels=st.integers(4, 32),
+)
+@settings(**_SETTINGS)
+def test_mel_filterbank_covers_spectrum_without_negatives(sr, n_mels):
+    """Every filter is non-negative with positive mass, and the bank's
+    column support covers the full rfft bin range (no spectral hole a
+    tone could hide in) for any sample rate/mel count combination."""
+    from near_public_lakehouse_spark.operators.multimodal import _mel_filterbank
+
+    n_fft = 256
+    fb = _mel_filterbank(n_mels, n_fft, sr)
+    assert fb.shape == (n_mels, n_fft // 2 + 1)
+    assert (fb >= 0).all()
+    assert (fb.sum(axis=1) > 0).all()  # no dead filter
+    covered = fb.sum(axis=0) > 0
+    # triangles tile the mel axis: inner bins are covered (edges may not be)
+    assert covered[1 : n_fft // 2].mean() > 0.95
