@@ -133,6 +133,104 @@ class DeltaSnapshot:
         return total
 
 
+_PRUNE_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _excluded_by_bounds(op: str, lo, hi, v) -> bool:
+    """True iff NO x with lo <= x <= hi can satisfy `x op v`. A missing
+    bound (None) is unbounded on that side, so exclusion is never
+    provable through it — the conservative direction."""
+    if op == "=":
+        return (lo is not None and v < lo) or (hi is not None and v > hi)
+    if op == "<":
+        return lo is not None and lo >= v
+    if op == "<=":
+        return lo is not None and lo > v
+    if op == ">":
+        return hi is not None and hi <= v
+    if op == ">=":
+        return hi is not None and hi < v
+    raise ValueError(f"unsupported prune op {op!r} (use one of {_PRUNE_OPS})")
+
+
+def prune_snapshot_files(snap: DeltaSnapshot, where) -> DeltaSnapshot:
+    """Delta data skipping on the snapshot's add actions: drop every file
+    that PROVABLY contains no row satisfying ALL of `where`
+    ([(logical_col, op, literal)], op in =/</<=/>/>=), using
+
+    - add.partitionValues for partition columns (spec string
+      serialization; numeric columns are coerced before comparing, dates
+      and strings compare lexicographically — chronological for ISO
+      dates; a NULL partition value excludes the file under any
+      comparison, SQL three-valued logic), and
+    - add.stats minValues/maxValues for data columns. Pruning on stored
+      bounds is safe for ANY protocol-compliant writer: the spec requires
+      stored min <= true min and stored max >= true max (string
+      truncation widens, never narrows, the interval).
+
+    Files with missing stats/bounds are KEPT (unknown never excludes), so
+    composing `to_df(where=...)` with the same DataFrame-level filter is
+    always row-identical to the unpruned read — skipping is an IO
+    optimization, not a semantic filter. Column-mapped tables resolve
+    partitionValues/stats keys through physicalName, same as to_df.
+    Returns a new snapshot sharing everything but `files`."""
+    if not where:
+        return snap
+    fields = {f["name"]: f for f in (snap.schema or {}).get("fields", [])}
+
+    def phys_key(col: str) -> str:
+        f = fields.get(col, {})
+        return (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", col
+        )
+
+    def coerce_pv(col: str, raw: str):
+        t = fields.get(col, {}).get("type")
+        if isinstance(t, str) and t in ("byte", "short", "integer", "long"):
+            return int(raw)
+        if isinstance(t, str) and t in ("float", "double"):
+            return float(raw)
+        return raw  # string/date/timestamp: ISO strings compare correctly
+
+    pnames = set(snap.partition_columns)
+    kept: dict[str, dict] = {}
+    for rel, a in snap.files.items():
+        st = None
+        excluded = False
+        for col, op, v in where:
+            if op not in _PRUNE_OPS:
+                raise ValueError(f"unsupported prune op {op!r}")
+            key = phys_key(col)
+            if col in pnames:
+                raw = (a.get("partitionValues") or {}).get(key)
+                if raw is None:
+                    excluded = True  # all-NULL column: no comparison holds
+                    break
+                pv = coerce_pv(col, raw)
+                if _excluded_by_bounds(op, pv, pv, v):
+                    excluded = True
+                    break
+            else:
+                if st is None:
+                    st = json.loads(a["stats"]) if a.get("stats") else {}
+                lo = (st.get("minValues") or {}).get(key)
+                hi = (st.get("maxValues") or {}).get(key)
+                if _excluded_by_bounds(op, lo, hi, v):
+                    excluded = True
+                    break
+        if not excluded:
+            kept[rel] = a
+    return DeltaSnapshot(
+        version=snap.version,
+        schema=snap.schema,
+        partition_columns=snap.partition_columns,
+        files=kept,
+        txns=snap.txns,
+        protocol=snap.protocol,
+        configuration=snap.configuration,
+    )
+
+
 class DeltaLogReader:
     """Replays a `_delta_log` directory according to PROTOCOL.md."""
 
@@ -429,7 +527,7 @@ class DeltaLogReader:
             snap.txns[body["appId"]] = body["version"]
         # commitInfo / cdc are informational — ignored per spec
 
-    def to_df(self, spark, version: int | None = None):
+    def to_df(self, spark, version: int | None = None, where=None):
         """The data-access path an external engine takes: read exactly the
         snapshot's parquet file list. Empty snapshot -> empty DataFrame
         with the declared schema. Composes, in order: partition-column
@@ -438,10 +536,18 @@ class DeltaLogReader:
         cast per the Partition Value Serialization rules), deletion-vector
         row filtering, and column-mapping resolution — NAME mode via the
         physicalName metadata, ID mode via parquet footer field ids
-        (per-file-group matching with physicalName fallback)."""
+        (per-file-group matching with physicalName fallback).
+
+        `where` ([(col, op, literal)]) turns on Delta DATA SKIPPING: add
+        actions whose partitionValues / stats bounds prove the predicate
+        false are never read (see prune_snapshot_files). It prunes IO
+        only — the caller still applies the real filter; the result is a
+        superset of the matching rows exactly as with the full read."""
         from pyspark.sql.types import StructType
 
         snap = self.snapshot(version)
+        if where:
+            snap = prune_snapshot_files(snap, where)
         schema = StructType.fromJson(snap.schema)
         mode = snap.configuration.get("delta.columnMapping.mode", "none")
         if mode not in ("none", "", "name", "id"):

@@ -899,3 +899,118 @@ def test_deletion_vector_wrong_offset_is_caught_by_frame_checks(
     open(log, "w").write("\n".join(lines) + "\n")
     with pytest.raises(DeltaProtocolError, match="size mismatch|checksum"):
         DeltaLogReader(dv_table).to_df(spark)
+
+
+# --- data skipping (round-11 continuation) ----------------------------------
+
+
+def test_data_skipping_stats_prunes_files_not_rows(spark, tmp_path):
+    """Range/equality predicates prune add actions through stats bounds;
+    the pruned read composed with the same DataFrame filter is
+    row-identical to the full read (skipping is IO-only)."""
+    from near_public_lakehouse_spark.operators.delta_reader import (
+        prune_snapshot_files,
+    )
+
+    d = str(tmp_path / "t")
+    V.commit_overwrite(_df(spark, [(1, "a"), (2, "b")]).repartition(1), d)
+    V.commit_append(_df(spark, [(10, "x"), (11, "y")]).repartition(1), d)
+    V.commit_append(_df(spark, [(20, "p")]).repartition(1), d)
+    write_delta_log(d)
+    r = DeltaLogReader(d)
+    snap = r.snapshot()
+    assert len(snap.files) == 3
+
+    where = [("k", ">=", 10), ("k", "<", 20)]
+    pruned = prune_snapshot_files(snap, where)
+    assert len(pruned.files) == 1  # only the [10, 11] file survives
+
+    full = {
+        tuple(x)
+        for x in r.to_df(spark).filter("k >= 10 AND k < 20").collect()
+    }
+    skipped = {
+        tuple(x)
+        for x in r.to_df(spark, where=where).filter("k >= 10 AND k < 20").collect()
+    }
+    assert skipped == full and full == {(10, "x"), (11, "y")}
+
+    assert len(prune_snapshot_files(snap, [("k", "=", 20)]).files) == 1
+    assert len(prune_snapshot_files(snap, [("k", "<=", 2)]).files) == 1
+    assert len(prune_snapshot_files(snap, [("k", ">", 100)]).files) == 0
+
+
+def test_data_skipping_partition_values_and_mapped_keys(spark, tmp_path):
+    """Partition-column predicates prune through add.partitionValues —
+    including a NAME-mapped table, where the keys are physical names —
+    and the pruned read equals the filtered full read."""
+    from near_public_lakehouse_spark.operators.delta_reader import (
+        prune_snapshot_files,
+    )
+    from tests.test_delta_export import _mapped_table
+
+    d, df = _mapped_table(spark, tmp_path)  # partitioned by day, mode=name
+    r = DeltaLogReader(d)
+    snap = r.snapshot()
+    n_files = len(snap.files)
+    pruned = prune_snapshot_files(snap, [("day", "=", "2024-01-02")])
+    assert 0 < len(pruned.files) < n_files
+
+    full = {
+        tuple(x)
+        for x in r.to_df(spark).filter("day = '2024-01-02'").collect()
+    }
+    skipped = {
+        tuple(x)
+        for x in r.to_df(spark, where=[("day", "=", "2024-01-02")])
+        .filter("day = '2024-01-02'")
+        .collect()
+    }
+    assert skipped == full and len(full) == 1
+
+
+def test_data_skipping_is_conservative_on_missing_stats_and_nulls(spark):
+    """Unknown never excludes: a file without stats (or without bounds
+    for the column) is kept under any data-column predicate. A NULL
+    partition value excludes the file under every comparison (no row can
+    satisfy it, SQL three-valued logic). Unsupported ops raise."""
+    import pytest as _pytest
+
+    from near_public_lakehouse_spark.operators.delta_reader import (
+        DeltaSnapshot,
+        prune_snapshot_files,
+    )
+
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "day", "type": "date", "nullable": True, "metadata": {}},
+        ],
+    }
+    snap = DeltaSnapshot(
+        version=0,
+        schema=schema,
+        partition_columns=["day"],
+        files={
+            "no_stats.parquet": {"partitionValues": {"day": "2024-01-01"}},
+            "null_day.parquet": {
+                "partitionValues": {"day": None},
+                "stats": '{"numRecords":1,"minValues":{"k":5},"maxValues":{"k":5}}',
+            },
+            "bounded.parquet": {
+                "partitionValues": {"day": "2024-01-02"},
+                "stats": '{"numRecords":1,"minValues":{"k":100},"maxValues":{"k":200}}',
+            },
+        },
+    )
+    kept = prune_snapshot_files(snap, [("k", "=", 5)])
+    # no_stats kept (unknown), null_day kept (k=5 in bounds), bounded pruned
+    assert set(kept.files) == {"no_stats.parquet", "null_day.parquet"}
+
+    kept = prune_snapshot_files(snap, [("day", ">=", "2024-01-01")])
+    # null partition value can satisfy no comparison
+    assert set(kept.files) == {"no_stats.parquet", "bounded.parquet"}
+
+    with _pytest.raises(ValueError):
+        prune_snapshot_files(snap, [("k", "!=", 5)])

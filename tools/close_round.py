@@ -37,6 +37,7 @@ SWEEP_SNIPPET = """
 from pyspark.sql import SparkSession
 spark = (SparkSession.builder.master('local[8]')
   .config('spark.sql.session.timeZone','America/New_York')
+  .config('spark.ui.showConsoleProgress','false')
   .config('spark.ui.enabled','false').getOrCreate())
 spark.sparkContext.setLogLevel('ERROR')
 import sys; sys.path.insert(0, {repo!r})
