@@ -1014,3 +1014,42 @@ def test_data_skipping_is_conservative_on_missing_stats_and_nulls(spark):
 
     with _pytest.raises(ValueError):
         prune_snapshot_files(snap, [("k", "!=", 5)])
+
+
+def test_clustered_layout_multiplies_data_skipping(spark, tmp_path):
+    """The M3 clustering discipline pays off through the reader's data
+    skipping: the SAME rows in a round-robin layout keep every file under
+    a range predicate (each file spans the whole key range), while a
+    range-clustered layout keeps exactly the overlapping file — the
+    mechanism that turns a selective predicate into O(matching files) IO
+    at 100 TB."""
+    from near_public_lakehouse_spark.operators.delta_reader import (
+        prune_snapshot_files,
+    )
+
+    rows = [(i, f"v{i}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "k int, v string")
+    where = [("k", ">=", 100), ("k", "<", 200)]
+
+    d_rand = str(tmp_path / "rand")
+    V.commit_overwrite(df.repartition(4), d_rand)
+    write_delta_log(d_rand)
+    d_clust = str(tmp_path / "clust")
+    V.commit_overwrite(df.repartitionByRange(4, "k"), d_clust)
+    write_delta_log(d_clust)
+
+    kept_rand = prune_snapshot_files(DeltaLogReader(d_rand).snapshot(), where)
+    kept_clust = prune_snapshot_files(DeltaLogReader(d_clust).snapshot(), where)
+    assert len(kept_rand.files) == 4  # every file overlaps [100, 200)
+    assert len(kept_clust.files) == 1  # clustering made the bounds tight
+
+    want = {(i, f"v{i}") for i in range(100, 200)}
+    for d in (d_rand, d_clust):
+        got = {
+            tuple(x)
+            for x in DeltaLogReader(d)
+            .to_df(spark, where=where)
+            .filter("k >= 100 AND k < 200")
+            .collect()
+        }
+        assert got == want
