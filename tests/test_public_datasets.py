@@ -938,3 +938,56 @@ def test_all_seven_public_tables_pass_the_protocol_validator(
         assert os.path.exists(
             os.path.join(out, t, "_delta_log", f"{10:020d}.checkpoint.parquet")
         )
+
+
+def test_published_partitions_prune_through_reader_skipping(pipe, spark, tmp_path):
+    """Round-12 candidate #1: the PUBLISHED tables' partition layout must
+    be provably prunable through the independent reader's data skipping —
+    a block_date predicate keeps only that partition's add actions and
+    the pruned read equals the filtered full read. This is the property
+    that makes a daily consumer query O(one partition) at 100 TB."""
+    from near_public_lakehouse_spark.operators.delta_reader import (
+        DeltaLogReader,
+        prune_snapshot_files,
+    )
+    from near_public_lakehouse_spark.plans.public import publish_public_table
+
+    df = pipe.read("public_logs")
+    out = str(tmp_path / "pub")
+    table = out + "/logs"
+    publish_public_table(spark, "logs", df, out)
+
+    days = sorted(
+        str(r.block_date) for r in df.select("block_date").distinct().collect()
+    )
+    assert len(days) >= 2, "fixture must span multiple partitions"
+    day = days[0]
+
+    r = DeltaLogReader(table)
+    snap = r.snapshot()
+    pruned = prune_snapshot_files(snap, [("block_date", "=", day)])
+    assert 0 < len(pruned.files) < len(snap.files)
+    # every kept add action really is that partition's
+    assert all(
+        a["partitionValues"]["block_date"] == day for a in pruned.files.values()
+    )
+
+    full = {
+        tuple(x)
+        for x in r.to_df(spark).filter(F.col("block_date") == day).collect()
+    }
+    skipped = {
+        tuple(x)
+        for x in r.to_df(spark, where=[("block_date", "=", day)])
+        .filter(F.col("block_date") == day)
+        .collect()
+    }
+    assert skipped == full and full
+
+    # range shape too: everything from the second day on
+    later = prune_snapshot_files(snap, [("block_date", ">=", days[1])])
+    assert len(later.files) < len(snap.files)
+    assert all(
+        a["partitionValues"]["block_date"] >= days[1]
+        for a in later.files.values()
+    )
