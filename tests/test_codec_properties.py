@@ -146,3 +146,34 @@ def test_mel_filterbank_covers_spectrum_without_negatives(sr, n_mels):
     covered = fb.sum(axis=0) > 0
     # triangles tile the mel axis: inner bins are covered (edges may not be)
     assert covered[1 : n_fft // 2].mean() > 0.95
+
+
+@given(
+    op=st.sampled_from(["=", "<", "<=", ">", ">="]),
+    lo=st.one_of(st.none(), st.integers(-50, 50)),
+    span=st.integers(0, 40),
+    v=st.integers(-60, 60),
+)
+@settings(**_SETTINGS)
+def test_prune_bounds_exclusion_is_sound(op, lo, span, v):
+    """Data-skipping soundness: whenever _excluded_by_bounds proves a
+    file out, NO value inside the file's [lo, hi] interval satisfies the
+    predicate — exhaustively checked over the interval. Missing bounds
+    must never prove exclusion through the missing side."""
+    from near_public_lakehouse_spark.operators.delta_reader import (
+        _excluded_by_bounds,
+    )
+
+    hi = None if lo is None else lo + span
+    ops = {
+        "=": lambda x: x == v,
+        "<": lambda x: x < v,
+        "<=": lambda x: x <= v,
+        ">": lambda x: x > v,
+        ">=": lambda x: x >= v,
+    }
+    if _excluded_by_bounds(op, lo, hi, v):
+        assert lo is not None  # unbounded files can never be excluded
+        assert not any(ops[op](x) for x in range(lo, hi + 1))
+    # and with both bounds missing nothing is ever excluded
+    assert not _excluded_by_bounds(op, None, None, v)
