@@ -64,9 +64,21 @@ def colocate(df: DataFrame, key: str) -> DataFrame:
     checkpoint taken under AQE loses the co-location and every round
     re-shuffles the O(E) side. The session flag is restored in a finally
     block; plan shape is pinned in tests/test_plan_shapes.py
-    (colocated-graph-iteration pin)."""
+    (colocated-graph-iteration pin).
+
+    THREAD-SAFETY CAVEAT: the AQE toggle is session-global, so any query
+    running CONCURRENTLY on the same SparkSession briefly executes
+    without AQE while the checkpoint materializes. Call from single-query
+    driver code (the iterative jobs here do), or give concurrent
+    workloads their own session."""
     spark = df.sparkSession
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    raw_n = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        n = int(raw_n)
+    except (TypeError, ValueError):
+        # platforms that set the conf to 'auto' (AQE-managed): fall back
+        # to the session default parallelism rather than crashing.
+        n = spark.sparkContext.defaultParallelism
     prev = spark.conf.get("spark.sql.adaptive.enabled")
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "false")

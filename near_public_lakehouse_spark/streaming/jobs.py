@@ -1337,8 +1337,14 @@ def packing_from_state(spark: SparkSession, index_path: str) -> DataFrame:
         distributed_exclusive_cumsum,
     )
 
-    spans = spark.read.option("basePath", f"{index_path}/spans").parquet(
-        f"{index_path}/spans/batch_id=*"
+    spans = (
+        spark.read.option("basePath", f"{index_path}/spans")
+        .parquet(f"{index_path}/spans/batch_id=*")
+        # batch_id is inferred from the directory name; pin it to bigint
+        # HERE so the exclusive cumsum below orders numerically even when
+        # partitionColumnTypeInference is disabled (string '10' < '2'
+        # would otherwise shift every later batch's global offset).
+        .withColumn("batch_id", F.col("batch_id").cast("bigint"))
     )
     per_batch = spans.groupBy("batch_id").agg(
         F.sum("n_tok").cast("bigint").alias("batch_tokens")

@@ -107,3 +107,40 @@ def test_arrival_order_packing_keeps_invariants(spark, tmp_path):
     assert any(r.doc_id == 7 and r.seq_id == 0 for r in rows)
     # doc 3 starts at global offset 120 -> it appears in seq 0 too
     assert any(r.doc_id == 3 and r.seq_id == 0 for r in rows)
+
+
+def test_fold_orders_batches_numerically_without_type_inference(
+    spark, tmp_path
+):
+    """ADVICE r11: the cross-batch shift must order batch_id NUMERICALLY
+    even when partitionColumnTypeInference is off (directory-name column
+    reads as string, and '10' < '2' lexicographically would shift every
+    later batch's global offset). Write 11 single-doc batches so batch 10
+    exists, disable inference, and check the fold still packs in arrival
+    order with contiguous global offsets."""
+    from near_public_lakehouse_spark.queries.curation import PACK_SEQ_LEN
+
+    idx = str(tmp_path / "idx")
+    # one doc per batch, each exactly 1/4 of a sequence, within-batch
+    # offset 0 — global offset must be batch_id * tok
+    tok = PACK_SEQ_LEN // 4
+    for b in range(11):
+        spark.createDataFrame(
+            [(b, 0, tok)], "doc_id long, start long, n_tok long"
+        ).write.mode("overwrite").parquet(f"{idx}/spans/batch_id={b}")
+
+    prev = spark.conf.get("spark.sql.sources.partitionColumnTypeInference.enabled")
+    try:
+        spark.conf.set(
+            "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+        )
+        got = {
+            r.doc_id: (r.seq_id, r.n_tokens)
+            for r in packing_from_state(spark, idx).collect()
+        }
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionColumnTypeInference.enabled", prev
+        )
+    # arrival order == batch_id order: doc b sits in sequence b // 4
+    assert got == {b: (b // 4, tok) for b in range(11)}

@@ -81,7 +81,8 @@ def main() -> None:
 
     if not args.skip_suite:
         rc = _run([sys.executable, "-m", "pytest", "tests/", "-q"], out / "suite.log")
-        tail = (out / "suite.log").read_text().strip().splitlines()[-1]
+        lines = (out / "suite.log").read_text().strip().splitlines()
+        tail = lines[-1] if lines else "suite produced no output — see suite.log"
         gates.append(f"- Suite: **{tail}** (exit {rc})")
         failed |= rc != 0
 
@@ -106,11 +107,21 @@ def main() -> None:
             import json
 
             d = json.loads(bench_file.read_text())
+            total = d.get("value")
+            core7 = d.get("core7_subtotal")
+            ratio = (
+                f"{core7 / 12.113:.2f}x" if isinstance(core7, (int, float)) else "?"
+            )
             gates.append(
                 f"- Bench (BENCH_LOCAL_r{args.round:02d}.json): total "
-                f"{d['value']} s, core7 **{d['core7_subtotal']} s** "
-                f"(r1 anchor 12.113 s -> {d['core7_subtotal'] / 12.113:.2f}x), "
+                f"{total} s, core7 **{core7} s** "
+                f"(r1 anchor 12.113 s -> {ratio}), "
                 f"contended: {sorted(d.get('contended', {}))}"
+            )
+            failed |= not isinstance(core7, (int, float))
+        else:
+            gates.append(
+                f"- Bench: **BENCH_LOCAL_r{args.round:02d}.json missing** — see bench.log"
             )
         failed |= rc != 0
 
