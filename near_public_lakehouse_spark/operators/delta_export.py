@@ -679,6 +679,7 @@ def sync_delta_log_from_dir(
     touched_partitions: list | None = None,
     checkpoint_interval: int | None = 10,
     column_mapping: str | None = None,
+    live_files: list[str] | None = None,
 ) -> int | None:
     """Commit the parquet directory's CURRENT file set to `_delta_log` as
     an add/remove diff against the previous Delta snapshot — the interop
@@ -699,6 +700,15 @@ def sync_delta_log_from_dir(
     them), the diff walks ONLY those partition dirs — per-publish cost
     O(files in touched partitions), not O(table), which is what keeps a
     daily publish viable on a 100 TB table. None = full walk.
+
+    `live_files`: explicit table-relative live set for the diff scope,
+    for tables that RETAIN superseded part-files on disk as log
+    tombstones (`merge.merge_upsert_logged` returns it). A directory
+    walk cannot tell a tombstone from a live file there, so the caller
+    must name the live set; everything previously live in scope and not
+    named is tombstoned with a `remove` action, while on-disk files the
+    log already tombstoned (or never referenced — crash orphans) are
+    ignored rather than resurrected as adds.
 
     Every `checkpoint_interval` commits a classic parquet checkpoint +
     `_last_checkpoint` pointer is written (the reference's 10-commit
@@ -737,17 +747,20 @@ def sync_delta_log_from_dir(
         roots = [table_dir]
         prev_scope = prev_adds
 
-    cur_files: set[str] = set()
-    for root in roots:
-        for dirpath, dirnames, filenames in os.walk(root):
-            dirnames[:] = [
-                d for d in dirnames if not d.startswith(("_", "."))
-            ]
-            for fn in filenames:
-                if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
-                    cur_files.add(
-                        os.path.relpath(os.path.join(dirpath, fn), table_dir)
-                    )
+    if live_files is not None:
+        cur_files = set(live_files)
+    else:
+        cur_files = set()
+        for root in roots:
+            for dirpath, dirnames, filenames in os.walk(root):
+                dirnames[:] = [
+                    d for d in dirnames if not d.startswith(("_", "."))
+                ]
+                for fn in filenames:
+                    if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+                        cur_files.add(
+                            os.path.relpath(os.path.join(dirpath, fn), table_dir)
+                        )
 
     removed = sorted(set(prev_scope) - cur_files)
     added = sorted(cur_files - set(prev_scope))
@@ -902,6 +915,56 @@ def sync_delta_log_from_dir(
     if checkpoint_interval and version > 0 and version % checkpoint_interval == 0:
         write_checkpoint(table_dir, version)
     return version
+
+
+def vacuum_delta_table(table_dir: str, retain_last: int = 7) -> list[str]:
+    """Retention-windowed VACUUM for an exported Delta table (mirror of
+    `versioned.vacuum`; reference pairs every scheduled MERGE with
+    OPTIMIZE/VACUUM — `NB/Epochs and validators Silver Pipeline.py:95-96`
+    and 6 sibling sites): delete every on-disk data file NOT referenced
+    by any of the last `retain_last` readable snapshots — superseded
+    part-files whose tombstones aged past the retention window, plus
+    crash orphans no version ever referenced. Returns the deleted
+    table-relative paths, sorted.
+
+    Invariants (pinned by the protocol-validator tests):
+    - never deletes a file any retained snapshot references, so time
+      travel INSIDE the window keeps replaying byte-identically;
+    - log JSONs are kept — history stays listable; reading a vacuumed
+      version fails at file-access time with an explicit missing file,
+      exactly Delta's behavior;
+    - bounds directory growth: after vacuum, on-disk data files =
+      union of the retained snapshots' live sets.
+
+    Single-writer assumption, like Delta's own VACUUM: don't run it
+    concurrently with a publish (an in-flight publish's not-yet-committed
+    files would look like orphans)."""
+    from near_public_lakehouse_spark.operators.delta_reader import (
+        DeltaLogReader,
+    )
+
+    reader = DeltaLogReader(table_dir)
+    keep = reader.versions[-retain_last:] if retain_last else []
+    protected: set[str] = set()
+    for v in keep:
+        protected.update(reader.snapshot(v).files)
+
+    removed: list[str] = []
+    for dirpath, dirnames, filenames in os.walk(table_dir):
+        dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
+        for fn in filenames:
+            if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+                rel = os.path.relpath(os.path.join(dirpath, fn), table_dir)
+                if rel not in protected:
+                    os.remove(os.path.join(dirpath, fn))
+                    removed.append(rel)
+    # drop partition dirs the deletions emptied (cosmetic: readers use
+    # the log, but a bare `col=value` dir with no files confuses humans)
+    for name in os.listdir(table_dir):
+        p = os.path.join(table_dir, name)
+        if os.path.isdir(p) and "=" in name and not os.listdir(p):
+            os.rmdir(p)
+    return sorted(removed)
 
 
 def read_delta_snapshot(table_dir: str, version: int | None = None) -> dict:

@@ -133,13 +133,17 @@ class DeltaSnapshot:
         return total
 
 
-_PRUNE_OPS = ("=", "<", "<=", ">", ">=")
+_PRUNE_OPS = ("=", "<", "<=", ">", ">=", "in")
 
 
 def _excluded_by_bounds(op: str, lo, hi, v) -> bool:
     """True iff NO x with lo <= x <= hi can satisfy `x op v`. A missing
     bound (None) is unbounded on that side, so exclusion is never
     provable through it — the conservative direction."""
+    if op == "in":
+        # v is a collection of candidate literals: excluded only when
+        # EVERY candidate is provably outside [lo, hi].
+        return all(_excluded_by_bounds("=", lo, hi, x) for x in v)
     if op == "=":
         return (lo is not None and v < lo) or (hi is not None and v > hi)
     if op == "<":
@@ -159,10 +163,15 @@ def prune_snapshot_files(snap: DeltaSnapshot, where) -> DeltaSnapshot:
     ([(logical_col, op, literal)], op in =/</<=/>/>=), using
 
     - add.partitionValues for partition columns (spec string
-      serialization; numeric columns are coerced before comparing, dates
-      and strings compare lexicographically — chronological for ISO
-      dates; a NULL partition value excludes the file under any
-      comparison, SQL three-valued logic), and
+      serialization; numeric/decimal/boolean columns are coerced before
+      comparing, dates and strings compare lexicographically —
+      chronological for ISO dates; timestamp values are normalized to
+      ISO-T so one literal serves both the partition and the stats path;
+      an EXPLICIT NULL partition value excludes the file under any
+      comparison per SQL three-valued logic, but an ABSENT
+      partitionValues key is unknown and never excludes; a type this
+      pruner can't provably compare — or a literal incomparable with the
+      coerced value — keeps the file), and
     - add.stats minValues/maxValues for data columns. Pruning on stored
       bounds is safe for ANY protocol-compliant writer: the spec requires
       stored min <= true min and stored max >= true max (string
@@ -176,21 +185,79 @@ def prune_snapshot_files(snap: DeltaSnapshot, where) -> DeltaSnapshot:
     Returns a new snapshot sharing everything but `files`."""
     if not where:
         return snap
+    import decimal as _dec
+
     fields = {f["name"]: f for f in (snap.schema or {}).get("fields", [])}
+    # partitionValues/stats keys are PHYSICAL names only when column
+    # mapping is actually enabled — same gate as to_df's pv_key. A
+    # mode='none' table that still carries physicalName metadata (e.g.
+    # copied schema JSON) must be looked up by LOGICAL name, else every
+    # live file silently prunes away.
+    mapping_on = snap.configuration.get(
+        "delta.columnMapping.mode", "none"
+    ) in ("name", "id")
+
+    _UNKNOWN = object()  # sentinel: not provably comparable → keep file
 
     def phys_key(col: str) -> str:
+        if not mapping_on:
+            return col
         f = fields.get(col, {})
         return (f.get("metadata") or {}).get(
             "delta.columnMapping.physicalName", col
         )
 
     def coerce_pv(col: str, raw: str):
+        """Spec string serialization → comparable Python value, or
+        _UNKNOWN when this pruner can't prove the comparison sound
+        (unknown never excludes)."""
         t = fields.get(col, {}).get("type")
-        if isinstance(t, str) and t in ("byte", "short", "integer", "long"):
-            return int(raw)
-        if isinstance(t, str) and t in ("float", "double"):
-            return float(raw)
-        return raw  # string/date/timestamp: ISO strings compare correctly
+        if not isinstance(t, str):
+            return _UNKNOWN  # nested/complex partition type: keep
+        try:
+            if t in ("byte", "short", "integer", "long"):
+                return int(raw)
+            if t in ("float", "double"):
+                return float(raw)
+            if t.startswith("decimal"):
+                return _dec.Decimal(raw)
+            if t == "boolean":
+                return raw == "true"
+            if t.startswith("timestamp"):
+                # spec serializes pv as '2021-01-01 00:00:00' while stats
+                # use ISO-T; normalize so one literal serves both paths.
+                return raw.replace(" ", "T", 1)
+            if t in ("string", "date"):
+                return raw  # ISO dates compare lexicographically == chronologically
+        except (ValueError, ArithmeticError):
+            return _UNKNOWN  # unparseable serialization: keep
+        return _UNKNOWN  # binary & anything else: keep
+
+    def coerce_lit(col: str, v):
+        t = fields.get(col, {}).get("type")
+        if isinstance(t, str):
+            if t.startswith("decimal"):
+                try:
+                    return _dec.Decimal(str(v))
+                except (ValueError, ArithmeticError):
+                    return _UNKNOWN
+            if t.startswith("timestamp") and isinstance(v, str):
+                return v.replace(" ", "T", 1)
+        return v
+
+    def coerce_lits(col: str, op: str, v):
+        """Coerce the literal (or, for 'in', each non-null member)."""
+        if op != "in":
+            return coerce_lit(col, v)
+        out = []
+        for x in v:
+            if x is None:
+                continue  # null membership handled at the pv branch
+            cx = coerce_lit(col, x)
+            if cx is _UNKNOWN:
+                return _UNKNOWN
+            out.append(cx)
+        return out
 
     pnames = set(snap.partition_columns)
     kept: dict[str, dict] = {}
@@ -201,23 +268,42 @@ def prune_snapshot_files(snap: DeltaSnapshot, where) -> DeltaSnapshot:
             if op not in _PRUNE_OPS:
                 raise ValueError(f"unsupported prune op {op!r}")
             key = phys_key(col)
+            lit = coerce_lits(col, op, v)
+            if lit is _UNKNOWN:
+                continue
             if col in pnames:
-                raw = (a.get("partitionValues") or {}).get(key)
+                pvs = a.get("partitionValues") or {}
+                if key not in pvs:
+                    continue  # absent key: unknown never excludes
+                raw = pvs[key]
                 if raw is None:
-                    excluded = True  # all-NULL column: no comparison holds
-                    break
-                pv = coerce_pv(col, raw)
-                if _excluded_by_bounds(op, pv, pv, v):
+                    # explicit NULL: no comparison holds — except a
+                    # null-safe 'in' whose candidate list contains None
+                    # (the caller's partition fence uses isNull()).
+                    if op == "in" and any(x is None for x in v):
+                        continue
                     excluded = True
                     break
+                pv = coerce_pv(col, raw)
+                if pv is _UNKNOWN:
+                    continue
+                try:
+                    if _excluded_by_bounds(op, pv, pv, lit):
+                        excluded = True
+                        break
+                except TypeError:
+                    continue  # incomparable literal/value types: keep
             else:
                 if st is None:
                     st = json.loads(a["stats"]) if a.get("stats") else {}
                 lo = (st.get("minValues") or {}).get(key)
                 hi = (st.get("maxValues") or {}).get(key)
-                if _excluded_by_bounds(op, lo, hi, v):
-                    excluded = True
-                    break
+                try:
+                    if _excluded_by_bounds(op, lo, hi, lit):
+                        excluded = True
+                        break
+                except TypeError:
+                    continue  # incomparable stats bounds: keep
         if not excluded:
             kept[rel] = a
     return DeltaSnapshot(

@@ -240,3 +240,112 @@ def _rewrite(
         os.rename(new_part, live_part)
     shutil.rmtree(parked, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def merge_upsert_logged(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    keys: list[str],
+    partition_col: str | None = None,
+    when_matched_update: bool = True,
+    ignore_null_updates: bool = False,
+    source_partitions: list | None = None,
+) -> tuple[list | None, list[str]]:
+    """Log-authoritative MERGE for tables whose live file set is defined
+    by their `_delta_log` (the published Delta tables): the target is read
+    from the snapshot's LIVE files — on-disk tombstones are invisible —
+    the merged touched partitions are written to a sibling tmp dir, and
+    the new part-files are installed IN PLACE beside the superseded ones.
+    Returns (touched_partition_values, installed_relpaths); the caller
+    commits the diff with
+    `delta_export.sync_delta_log_from_dir(live_files=installed, ...)`.
+
+    Superseded part-files are NOT deleted (unlike `merge_upsert`'s swap):
+    they stay on disk as log tombstones until
+    `delta_export.vacuum_delta_table` drops the ones unreferenced past
+    the retention window — the Delta retention story (reference pairs
+    every scheduled MERGE with OPTIMIZE/VACUUM, `NB/Epochs and validators
+    Silver Pipeline.py:95-96`), which keeps time travel replayable inside
+    the window.
+
+    Crash safety is INHERENT here, with no intent marker: nothing mutates
+    the log-defined live state until the sync commit, so a crash at any
+    point (tmp write, install, pre-sync) leaves only unreferenced orphan
+    files that vacuum sweeps; the next publish re-merges from the
+    unchanged log state and is idempotent. Part-file names carry the
+    writing job's UUID, so installs never collide with live files,
+    tombstones, or prior crash orphans."""
+    from near_public_lakehouse_spark.operators.delta_reader import (
+        DeltaLogReader,
+    )
+
+    reader = DeltaLogReader(table_dir)
+    parts: list | None = None
+    if partition_col:
+        parts = (
+            list(source_partitions)
+            if source_partitions is not None
+            else [r[0] for r in source.select(partition_col).distinct().collect()]
+        )
+        # Prune the target read to the touched partitions through the
+        # protocol reader's data skipping (null-safe 'in'): per-publish
+        # read cost is O(files in touched partitions), not O(table).
+        pv_strs = [None if p is None else str(p) for p in parts]
+        target = reader.to_df(spark, where=[(partition_col, "in", pv_strs)])
+        fence = F.col(partition_col).isin([p for p in parts if p is not None])
+        if any(p is None for p in parts):
+            fence = fence | F.col(partition_col).isNull()
+        target = target.filter(fence)
+    else:
+        target = reader.to_df(spark)
+
+    merged = merged_frame(
+        target,
+        source,
+        keys,
+        when_matched_update=when_matched_update,
+        ignore_null_updates=ignore_null_updates,
+    )
+    installed = _install_in_place(merged, table_dir, partition_col)
+    return parts, installed
+
+
+def _install_in_place(
+    df: DataFrame, table_dir: str, partition_col: str | None
+) -> list[str]:
+    """Materialize `df` to a sibling tmp dir (the plan reads the table it
+    replaces, same rule as `_rewrite`), then move the part-files into the
+    live partition dirs WITHOUT touching existing files. Returns the
+    installed table-relative paths, sorted."""
+    import shutil
+
+    base = table_dir.rstrip("/")
+    tmp = base + ".__merge_tmp__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    writer = df.write.mode("overwrite")
+    if partition_col:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(tmp)
+
+    installed: list[str] = []
+    if partition_col:
+        for name in sorted(os.listdir(tmp)):
+            src_dir = os.path.join(tmp, name)
+            if not (os.path.isdir(src_dir) and "=" in name):
+                continue
+            dst_dir = os.path.join(table_dir, name)
+            os.makedirs(dst_dir, exist_ok=True)
+            for fn in sorted(os.listdir(src_dir)):
+                if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+                    os.rename(
+                        os.path.join(src_dir, fn), os.path.join(dst_dir, fn)
+                    )
+                    installed.append(f"{name}/{fn}")
+    else:
+        for fn in sorted(os.listdir(tmp)):
+            if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+                os.rename(os.path.join(tmp, fn), os.path.join(table_dir, fn))
+                installed.append(fn)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return installed

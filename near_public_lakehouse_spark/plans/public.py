@@ -43,7 +43,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from near_public_lakehouse_spark.functions.time import _floordiv
-from near_public_lakehouse_spark.operators.merge import merge_upsert
 
 
 def _fence(df: DataFrame, as_of, days: int) -> DataFrame:
@@ -440,60 +439,89 @@ def publish_public_table(
     public dataset IS Delta (`NEAR Public Datasets.py:48` — the
     `public_lakehouse` tables under ``.../mainnet/delta/``): an external
     Delta reader pointed at ``{out_dir}/{name}`` sees every publish as a
-    commit. The diff walks only the partitions the MERGE touched.
+    commit. The diff covers only the partitions the MERGE touched.
 
-    Crash safety between the MERGE swap and the log sync (ADVICE r10): a
-    sibling intent marker records the partitions this publish MAY touch
-    before the merge runs; the next publish unions any leftover marker's
-    partitions into its own sync scope (or full-walks when the leftover
-    scope is unknown), so partitions swapped by a crashed publish can
-    never stay permanently out of the log's diff scope. The marker lives
-    BESIDE the table dir (``{table_dir}.__publish_intent__.json``) so the
-    initial full write's overwrite cannot delete it, and is removed only
-    after the sync commits."""
-    import json
+    The table is LOG-AUTHORITATIVE once version 0 exists (VERDICT r11
+    task #1 — the Delta retention story): the merge reads its target
+    from the snapshot's live files and installs new part-files IN PLACE
+    (`merge.merge_upsert_logged`); superseded files stay on disk as
+    `remove` tombstones so time travel keeps replaying, until
+    `delta_export.vacuum_delta_table` drops the ones unreferenced past
+    the retention window — mirroring the reference, which pairs every
+    scheduled MERGE with OPTIMIZE/VACUUM (`NB/Epochs and validators
+    Silver Pipeline.py:95-96` et al.). Read the published table through
+    the Delta log (e.g. `DeltaLogReader.to_df`), never as a raw parquet
+    directory — the directory also holds tombstones.
+
+    Crash safety is inherent in that design: nothing mutates the
+    log-defined live state until the sync commits, so a crash at any
+    point leaves only unreferenced orphan files (vacuum sweeps them) and
+    the rerun is idempotent. Two residual crash windows are reconciled
+    at the NEXT publish, before its merge:
+    - table written but no `_delta_log` yet (crash during the initial
+      publish): a full-walk sync commits the directory as version 0 —
+      sound because tombstones cannot exist before a log does;
+    - a leftover intent marker from a pre-retention build of this
+      function (``{table_dir}.__publish_intent__.json``): same full-walk
+      reconcile, then the marker is deleted. Markers are no longer
+      written; they cannot coexist with tombstones because every marker
+      predates the first log-authoritative publish."""
     import os
 
     from near_public_lakehouse_spark.operators.delta_export import (
         sync_delta_log_from_dir,
     )
+    from near_public_lakehouse_spark.operators.merge import (
+        merge_upsert_logged,
+        table_exists,
+    )
 
     keys, part = PUBLIC_TABLE_KEYS[name]
     table_dir = os.path.join(out_dir, name)
     marker = table_dir.rstrip("/") + ".__publish_intent__.json"
+    pcols = [part] if part else []
 
-    def _pstr(vals) -> set:
-        return {None if v is None else str(v) for v in vals}
-
-    leftover: set = set()
-    full_walk_recovery = False
-    if os.path.exists(marker):
+    if not table_exists(table_dir):
+        writer = df.write.mode("overwrite")
+        if part:
+            writer = writer.partitionBy(part)
+        writer.parquet(table_dir)
+        sync_delta_log_from_dir(
+            table_dir,
+            df.schema.json(),
+            partition_columns=pcols,
+            # None (default) publishes at the protocol floor any reader
+            # can consume, matching the reference's public tables; "name"
+            # opts a table into writer-side column mapping (protocol 2/5)
+            column_mapping=column_mapping,
+        )
         try:
-            with open(marker) as fh:
-                scope = json.load(fh).get("partitions")
-            if scope is None:
-                full_walk_recovery = True  # unknown crash scope
-            else:
-                leftover = _pstr(scope)
-        except Exception:
-            full_walk_recovery = True  # unreadable marker: assume the worst
+            os.remove(marker)  # stale pre-retention marker, now moot
+        except FileNotFoundError:
+            pass
+        return
+
+    log_missing = not os.path.isdir(os.path.join(table_dir, "_delta_log"))
+    if log_missing or os.path.exists(marker):
+        # Reconcile a crashed pre-log publish (or a pre-retention swap
+        # the old marker protocol flagged): the directory IS the live
+        # set in both cases, so a full-walk diff commits it faithfully.
+        sync_delta_log_from_dir(
+            table_dir,
+            df.schema.json(),
+            partition_columns=pcols,
+            column_mapping=column_mapping,
+        )
+        try:
+            os.remove(marker)
+        except FileNotFoundError:
+            pass
 
     incoming: list | None = None
     if part is not None:
         incoming = [r[0] for r in df.select(part).distinct().collect()]
 
-    intent_scope = (
-        None
-        if part is None or full_walk_recovery
-        else sorted(leftover | _pstr(incoming), key=lambda v: (v is None, v or ""))
-    )
-    os.makedirs(os.path.dirname(marker) or ".", exist_ok=True)
-    tmp = marker + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"table": name, "partitions": intent_scope}, fh)
-    os.replace(tmp, marker)
-
-    touched = merge_upsert(
+    touched, installed = merge_upsert_logged(
         spark,
         table_dir,
         df,
@@ -502,25 +530,21 @@ def publish_public_table(
         when_matched_update=False,
         source_partitions=incoming,
     )
-    sync_scope = None
-    if touched is not None and part is not None and not full_walk_recovery:
-        sync_scope = sorted(
-            _pstr(touched) | leftover, key=lambda v: (v is None, v or "")
-        )
     sync_delta_log_from_dir(
         table_dir,
         df.schema.json(),
-        partition_columns=[part] if part else [],
-        touched_partitions=sync_scope,
-        # None (default) publishes at the protocol floor any reader can
-        # consume, matching the reference's public tables; "name" opts a
-        # table into writer-side column mapping (rename-safe, protocol 2/5)
+        partition_columns=pcols,
+        touched_partitions=(
+            None
+            if touched is None or part is None
+            else sorted(
+                {None if t is None else str(t) for t in touched},
+                key=lambda v: (v is None, v or ""),
+            )
+        ),
         column_mapping=column_mapping,
+        live_files=installed,
     )
-    try:
-        os.remove(marker)
-    except FileNotFoundError:
-        pass
 
 
 # Hourly Avro copies (NEAR Public Datasets.py:392-437 `delta_to_avro`):
@@ -543,7 +567,14 @@ def export_public_avro(
 
     from near_public_lakehouse_spark.operators.export import export_hourly
 
-    df = spark.read.parquet(os.path.join(out_dir, name)).filter(
+    from near_public_lakehouse_spark.operators.delta_reader import (
+        DeltaLogReader,
+    )
+
+    # Read through the Delta log, never the raw directory: published
+    # tables retain tombstoned part-files on disk, and a directory read
+    # would double-count every superseded row.
+    df = DeltaLogReader(os.path.join(out_dir, name)).to_df(spark).filter(
         F.col("_processed_time") == F.lit(processed_time).cast("timestamp")
     )
     if not df.head(1):

@@ -1053,3 +1053,116 @@ def test_clustered_layout_multiplies_data_skipping(spark, tmp_path):
             .collect()
         }
         assert got == want
+
+
+def test_data_skipping_coerces_decimal_boolean_timestamp_pv(spark):
+    """ADVICE r11: partition-value pruning must compare decimal/boolean
+    partition columns by VALUE, not by their spec string serialization —
+    lexicographically '9.5' > '10.0', which silently drops live files —
+    and must normalize timestamp partition values (spec serializes with a
+    space) to ISO-T so the same literal serves the partition path and the
+    stats path."""
+    from decimal import Decimal
+
+    from near_public_lakehouse_spark.operators.delta_reader import (
+        DeltaSnapshot,
+        prune_snapshot_files,
+    )
+
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "price", "type": "decimal(10,2)", "nullable": True, "metadata": {}},
+            {"name": "live", "type": "boolean", "nullable": True, "metadata": {}},
+            {"name": "ts", "type": "timestamp", "nullable": True, "metadata": {}},
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+        ],
+    }
+    snap = DeltaSnapshot(
+        version=0,
+        schema=schema,
+        partition_columns=["price", "live", "ts"],
+        files={
+            "lo.parquet": {
+                "partitionValues": {
+                    "price": "9.50", "live": "false",
+                    "ts": "2021-01-01 00:00:00",
+                },
+                "stats": '{"numRecords":1,"minValues":{"k":1},"maxValues":{"k":1}}',
+            },
+            "hi.parquet": {
+                "partitionValues": {
+                    "price": "10.00", "live": "true",
+                    "ts": "2021-06-01 00:00:00",
+                },
+                "stats": '{"numRecords":1,"minValues":{"k":2},"maxValues":{"k":2}}',
+            },
+        },
+    )
+    # decimal: numeric comparison (lexicographic would exclude hi and keep lo)
+    kept = prune_snapshot_files(snap, [("price", ">", Decimal("9.90"))])
+    assert set(kept.files) == {"hi.parquet"}
+    # ... and a float/str literal coerces to Decimal instead of TypeError
+    kept = prune_snapshot_files(snap, [("price", ">", 9.9)])
+    assert set(kept.files) == {"hi.parquet"}
+    kept = prune_snapshot_files(snap, [("price", "<=", "9.5")])
+    assert set(kept.files) == {"lo.parquet"}
+    # boolean: 'true'/'false' serialization compares against a bool literal
+    kept = prune_snapshot_files(snap, [("live", "=", True)])
+    assert set(kept.files) == {"hi.parquet"}
+    # timestamp: one ISO-T literal works despite the space-separated pv
+    kept = prune_snapshot_files(snap, [("ts", ">=", "2021-03-01T00:00:00")])
+    assert set(kept.files) == {"hi.parquet"}
+    # an unparseable decimal literal is unknown — keeps everything
+    kept = prune_snapshot_files(snap, [("price", ">", "not-a-number")])
+    assert set(kept.files) == {"lo.parquet", "hi.parquet"}
+
+
+def test_data_skipping_absent_pv_key_and_unmapped_mode_none(spark):
+    """ADVICE r11: an ABSENT partitionValues key is unknown (keep the
+    file) — only an explicit NULL excludes; and physicalName metadata is
+    honored only when columnMapping mode is name/id, so a mode='none'
+    table carrying stray physicalName metadata still prunes by LOGICAL
+    key instead of silently dropping every live file."""
+    from near_public_lakehouse_spark.operators.delta_reader import (
+        DeltaSnapshot,
+        prune_snapshot_files,
+    )
+
+    schema = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "day",
+                "type": "date",
+                "nullable": True,
+                # stray mapping metadata on an UNMAPPED table
+                "metadata": {"delta.columnMapping.physicalName": "col-xyz"},
+            },
+        ],
+    }
+    files = {
+        "present.parquet": {"partitionValues": {"day": "2024-01-02"}},
+        "absent_key.parquet": {"partitionValues": {}},
+        "explicit_null.parquet": {"partitionValues": {"day": None}},
+    }
+    snap = DeltaSnapshot(
+        version=0, schema=schema, partition_columns=["day"], files=files,
+        configuration={},  # mode defaults to none
+    )
+    kept = prune_snapshot_files(snap, [("day", "=", "2024-01-02")])
+    # logical key resolves despite stray physicalName; absent key kept;
+    # explicit NULL excluded
+    assert set(kept.files) == {"present.parquet", "absent_key.parquet"}
+
+    # same table with mapping ENABLED: now the physical key is the right one
+    files_mapped = {
+        "present.parquet": {"partitionValues": {"col-xyz": "2024-01-02"}},
+        "other.parquet": {"partitionValues": {"col-xyz": "2024-01-03"}},
+    }
+    snap_mapped = DeltaSnapshot(
+        version=0, schema=schema, partition_columns=["day"], files=files_mapped,
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    kept = prune_snapshot_files(snap_mapped, [("day", "=", "2024-01-02")])
+    assert set(kept.files) == {"present.parquet"}

@@ -255,13 +255,13 @@ def test_republish_is_idempotent(pipe, spark, tmp_path):
     df = pipe.read("public_logs")
     out = str(tmp_path / "pub")
     publish_public_table(spark, "logs", df, out)
-    n1 = spark.read.parquet(out + "/logs").count()
+    n1 = _delta_df(spark, out + "/logs").count()
     publish_public_table(spark, "logs", df, out)  # same window again
-    n2 = spark.read.parquet(out + "/logs").count()
+    n2 = _delta_df(spark, out + "/logs").count()
     assert n1 == n2 == df.count()
     extra = df.limit(1).withColumn("receipt_id", F.lit("NEWRCPT"))
     publish_public_table(spark, "logs", extra, out)
-    assert spark.read.parquet(out + "/logs").count() == n1 + 1
+    assert _delta_df(spark, out + "/logs").count() == n1 + 1
 
 
 def test_trailing_fence_bounds_the_window(pipe, spark):
@@ -377,8 +377,8 @@ def test_streaming_publish_equals_batch_publish(pipe, spark, tmp_path):
     publish_public_table(
         spark, "logs", public_logs(pipe.read("silver_execution_outcome_logs"), PROCESSED), out_b
     )
-    got = {tuple(r) for r in spark.read.parquet(out_s + "/logs").collect()}
-    want = {tuple(r) for r in spark.read.parquet(out_b + "/logs").collect()}
+    got = {tuple(r) for r in _delta_df(spark, out_s + "/logs").collect()}
+    want = {tuple(r) for r in _delta_df(spark, out_b + "/logs").collect()}
     assert got == want and len(got) > 0
 
 
@@ -402,8 +402,12 @@ def _same_rows(a, b):
 
 def test_publish_delta_log_roundtrip_and_checkpoint(pipe, spark, tmp_path):
     """publish -> `_delta_log` commit per publish; the independent Delta
-    reader returns rows identical to the parquet read across 11 MERGE
-    versions, including through the 10-commit classic checkpoint."""
+    reader returns the expected live rows across 11 MERGE versions,
+    including through the 10-commit classic checkpoint — while the
+    DIRECTORY holds strictly more files than the snapshot (superseded
+    part-files are retained as tombstones for time travel, VERDICT r11
+    task #1), so the raw parquet read over-counts and the log is the only
+    correct read path."""
     import os
 
     from near_public_lakehouse_spark.plans.public import publish_public_table
@@ -423,24 +427,26 @@ def test_publish_delta_log_roundtrip_and_checkpoint(pipe, spark, tmp_path):
     assert os.path.exists(f"{table}/_delta_log/{10:020d}.checkpoint.parquet")
     assert os.path.exists(f"{table}/_delta_log/_last_checkpoint")
 
-    pq_read = spark.read.parquet(table)
-    assert pq_read.count() == df.count() + 10
     delta_read = _delta_df(spark, table)
+    assert delta_read.count() == df.count() + 10
+    pq_read = spark.read.parquet(table)
     assert delta_read.columns == pq_read.columns
     assert dict(delta_read.dtypes)["block_date"] == "date"  # partition col typed
-    assert _same_rows(delta_read, pq_read)
+    # retention: each republish of the touched partition left the
+    # superseded part-files on disk as tombstones
+    assert pq_read.count() > delta_read.count()
 
     # idempotent republish of an already-landed window: the MERGE rewrites
-    # the touched partitions (new file names), the log records the swap,
-    # rows stay identical through the reader
+    # the touched partitions (new file names), the log records the
+    # add/remove diff, rows stay identical through the reader
     publish_public_table(spark, "logs", base.withColumn("receipt_id", F.lit("NEWRCPT1")), out)
-    assert _same_rows(_delta_df(spark, table), spark.read.parquet(table))
+    assert _delta_df(spark, table).count() == df.count() + 10
 
 
 def test_unpartitioned_publish_delta_log_survives_swap(spark, tmp_path):
-    """circulating_supply publishes unpartitioned: the whole-dir swap in
-    merge._rewrite must carry `_delta_log` across (control sidecars are
-    not produced by the rewrite) — two MERGE versions, reader identical."""
+    """circulating_supply publishes unpartitioned: every MERGE is a full
+    rewrite whose superseded files tombstone in place — two versions,
+    reader returns exactly the live rows while the dir keeps v0's file."""
     import os
 
     from near_public_lakehouse_spark.plans.public import publish_public_table
@@ -466,8 +472,9 @@ def test_unpartitioned_publish_delta_log_survives_swap(spark, tmp_path):
     )
     assert os.path.exists(f"{table}/_delta_log/{0:020d}.json")
     assert os.path.exists(f"{table}/_delta_log/{1:020d}.json")
-    assert _same_rows(_delta_df(spark, table), spark.read.parquet(table))
-    assert spark.read.parquet(table).count() == 2
+    assert _delta_df(spark, table).count() == 2
+    # the v0 file stays on disk as a tombstone (raw read over-counts)
+    assert spark.read.parquet(table).count() == 3
 
 
 def test_export_public_avro_copies(pipe, spark, tmp_path):
@@ -542,7 +549,7 @@ def test_streaming_actions_folds_to_batch_with_late_dims(pipe, spark, tmp_path):
         spark, silver_paths, out, ckpt, PROCESSED, max_files_per_trigger=1
     ).awaitTermination(300)
 
-    published_early = spark.read.parquet(out + "/actions")
+    published_early = _delta_df(spark, out + "/actions")
     n_parked = spark.read.parquet(os.path.join(ckpt, "pending_facts")).count()
     assert n_parked > 0  # the withheld dimension really parked facts
     assert published_early.filter(F.col("tx_hash").isin(list(withheld))).count() == 0
@@ -588,35 +595,40 @@ def test_streaming_actions_folds_to_batch_with_late_dims(pipe, spark, tmp_path):
         PROCESSED,
     )
     publish_public_table(spark, "actions", batch, out_b)
-    got = {tuple(map(str, r)) for r in spark.read.parquet(out + "/actions").collect()}
-    want = {tuple(map(str, r)) for r in spark.read.parquet(out_b + "/actions").collect()}
+    got = {tuple(map(str, r)) for r in _delta_df(spark, out + "/actions").collect()}
+    want = {tuple(map(str, r)) for r in _delta_df(spark, out_b + "/actions").collect()}
     assert len(got) == len(want) > 0
     assert got == want
 
 
-# --- publish crash-safety: the intent marker (ADVICE r10, medium) ------------
-# A crash between the partitioned MERGE swap and sync_delta_log_from_dir
-# used to leave `_delta_log` referencing deleted part-files FOREVER: the
-# next publish diffed only ITS OWN touched partitions. The sibling intent
-# marker forces the crashed publish's partitions back into scope.
+# --- publish crash-safety: log-authoritative transactionality ----------------
+# The live state is defined by `_delta_log`, and the merge installs new
+# part-files IN PLACE without touching existing ones — so a crash at ANY
+# point before the sync commit publishes NOTHING: readers keep seeing the
+# pre-crash snapshot, the rerun is idempotent, and the crashed attempt's
+# files are unreferenced orphans that vacuum sweeps. (This replaced the
+# r10 intent-marker protocol, which existed because the old swap mutated
+# the directory before the log caught up.)
 
 
-def test_publish_crash_between_merge_and_sync_recovers(
+def test_publish_crash_between_merge_and_sync_is_transactional(
     pipe, spark, tmp_path, monkeypatch
 ):
     import os
 
     from near_public_lakehouse_spark.operators import delta_export as dx
+    from near_public_lakehouse_spark.operators.delta_export import (
+        vacuum_delta_table,
+    )
     from near_public_lakehouse_spark.plans.public import publish_public_table
 
     df = pipe.read("public_logs")
     out = str(tmp_path / "pub")
     table = out + "/logs"
     publish_public_table(spark, "logs", df, out)  # healthy v0
-    assert not os.path.exists(table + ".__publish_intent__.json")
+    pre_crash = sorted(map(tuple, _delta_df(spark, table).collect()))
 
-    # crash AFTER the merge swap (new part-file names in the touched
-    # partition), BEFORE the log sync
+    # crash AFTER the merge installed its new part-files, BEFORE the sync
     base = df.limit(1)
     crash_win = base.withColumn("receipt_id", F.lit("CRASHROW"))
     real_sync = dx.sync_delta_log_from_dir
@@ -629,41 +641,55 @@ def test_publish_crash_between_merge_and_sync_recovers(
         publish_public_table(spark, "logs", crash_win, out)
     monkeypatch.setattr(dx, "sync_delta_log_from_dir", real_sync)
 
-    # the marker survived the crash; the log is stale vs the parquet dir
-    # (it references the swapped-away part-files, so it either errors on
-    # the missing files or returns pre-crash rows)
-    assert os.path.exists(table + ".__publish_intent__.json")
-    try:
-        stale_ok = _same_rows(_delta_df(spark, table), spark.read.parquet(table))
-    except Exception:
-        stale_ok = False
-    assert not stale_ok
+    # nothing published: the reader still returns the pre-crash snapshot;
+    # the crashed attempt's files sit in the dir as unreferenced orphans
+    assert sorted(map(tuple, _delta_df(spark, table).collect())) == pre_crash
+    assert (
+        spark.read.parquet(table)
+        .filter(F.col("receipt_id") == "CRASHROW")
+        .count()
+        == 1  # orphan bytes on disk...
+    )
+    assert (
+        _delta_df(spark, table).filter(F.col("receipt_id") == "CRASHROW").count()
+        == 0  # ...invisible through the log
+    )
 
-    # publish a DIFFERENT partition's window: its own scope alone would
-    # never repair the crashed partition — the marker union must
+    # the RERUN of the same window is idempotent and lands the row;
+    # publishes of other windows never needed repair
+    publish_public_table(spark, "logs", crash_win, out)
     other_win = (
         base.withColumn("receipt_id", F.lit("OTHERWIN"))
         .withColumn("block_date", F.date_add("block_date", 1))
     )
     publish_public_table(spark, "logs", other_win, out)
+    live = _delta_df(spark, table)
+    assert live.filter(F.col("receipt_id") == "CRASHROW").count() == 1
+    assert live.filter(F.col("receipt_id") == "OTHERWIN").count() == 1
+    assert live.count() == df.count() + 2
+    live_rows = sorted(map(tuple, live.collect()))
 
-    assert not os.path.exists(table + ".__publish_intent__.json")
-    pq = spark.read.parquet(table)
-    assert pq.filter(F.col("receipt_id") == "CRASHROW").count() == 1
-    assert _same_rows(_delta_df(spark, table), pq)
-    # every add in the snapshot points at a real file
+    # every add in the snapshot points at a real file, and vacuum sweeps
+    # the crash orphans without touching any retained snapshot's files
     from near_public_lakehouse_spark.operators.delta_reader import DeltaLogReader
 
+    reader = DeltaLogReader(table)
+    for path in reader.snapshot().files:
+        assert os.path.exists(os.path.join(table, path))
+    removed = vacuum_delta_table(table, retain_last=len(reader.versions))
+    assert removed  # the orphaned CRASHROW attempt was swept
     for path in DeltaLogReader(table).snapshot().files:
         assert os.path.exists(os.path.join(table, path))
+    assert sorted(map(tuple, _delta_df(spark, table).collect())) == live_rows
 
 
 def test_publish_crash_during_initial_write_recovers(
     pipe, spark, tmp_path, monkeypatch
 ):
-    """Crash before the very first sync: no `_delta_log` exists at all.
-    The sibling marker survives the initial overwrite, so the next
-    publish's v0 commit covers the crashed write's partitions too."""
+    """Crash before the very first sync: the table data exists but no
+    `_delta_log` does — a state that self-describes the crash (tombstones
+    cannot predate the log). The next publish reconciles the directory as
+    version 0 with a full-walk sync, then merges its own window."""
     import os
 
     from near_public_lakehouse_spark.operators import delta_export as dx
@@ -681,17 +707,23 @@ def test_publish_crash_during_initial_write_recovers(
     with pytest.raises(RuntimeError):
         publish_public_table(spark, "logs", df, out)
     monkeypatch.setattr(dx, "sync_delta_log_from_dir", real_sync)
-    assert os.path.exists(table + ".__publish_intent__.json")
     assert not os.path.isdir(os.path.join(table, "_delta_log"))
 
     extra = df.limit(1).withColumn("receipt_id", F.lit("NEWRCPT"))
     publish_public_table(spark, "logs", extra, out)
-    assert _same_rows(_delta_df(spark, table), spark.read.parquet(table))
+    live = _delta_df(spark, table)
+    assert live.count() == df.count() + 1
+    assert live.filter(F.col("receipt_id") == "NEWRCPT").count() == 1
 
 
-def test_publish_unreadable_marker_forces_full_walk(pipe, spark, tmp_path):
-    """A corrupt marker means the crash scope is unknown: the next publish
-    must full-walk rather than trust a partial diff."""
+def test_publish_stray_legacy_marker_reconciles_then_merges(
+    pipe, spark, tmp_path
+):
+    """A leftover intent marker from the pre-retention publish protocol
+    (whatever its contents — here corrupt JSON) triggers a one-time
+    full-walk reconcile sync before the log-authoritative merge, then is
+    deleted. Sound because markers predate the first retained publish, so
+    no tombstones can exist for the walk to resurrect."""
     import os
 
     from near_public_lakehouse_spark.plans.public import publish_public_table
@@ -705,7 +737,9 @@ def test_publish_unreadable_marker_forces_full_walk(pipe, spark, tmp_path):
     extra = df.limit(1).withColumn("receipt_id", F.lit("NEWRCPT"))
     publish_public_table(spark, "logs", extra, out)
     assert not os.path.exists(table + ".__publish_intent__.json")
-    assert _same_rows(_delta_df(spark, table), spark.read.parquet(table))
+    live = _delta_df(spark, table)
+    assert live.count() == df.count() + 1
+    assert live.filter(F.col("receipt_id") == "NEWRCPT").count() == 1
 
 
 # --- third-validator: hand-rolled PROTOCOL.md replay (VERDICT r10 #4) --------
@@ -715,7 +749,9 @@ def test_publish_unreadable_marker_forces_full_walk(pipe, spark, tmp_path):
 # `_delta_log` JSON with minimal hand-rolled asserts straight from
 # PROTOCOL.md: contiguous versions, protocol/metaData invariants, add
 # path<->partitionValues agreement, on-disk existence + size + numRecords
-# for every live file, reconciled state == directory contents, and
+# for every live file, tombstone invariants (a removed path is not in the
+# reconciled state; every non-live on-disk file is accounted for by a
+# remove action — retention keeps tombstones on disk until vacuum), and
 # checkpoint-at-v10 equivalence with the JSON replay.
 
 
@@ -729,7 +765,7 @@ def _replay_raw_json(log_dir, upto=None):
     )
     versions = [int(n[:-5]) for n in names]
     assert versions == list(range(len(versions))), "non-contiguous versions"
-    live, meta, protocol = {}, None, None
+    live, meta, protocol, removed_ever = {}, None, None, set()
     for v, fname in zip(versions, names):
         if upto is not None and v > upto:
             break
@@ -780,10 +816,14 @@ def _replay_raw_json(log_dir, upto=None):
                 elif kind == "remove":
                     assert body["path"] in live, "tombstone for never-live path"
                     del live[body["path"]]
+                    removed_ever.add(body["path"])
                 else:
                     raise AssertionError(f"unknown action {kind}")
         assert protocol is not None and meta is not None, "v0 must establish both"
-    return live, meta, protocol
+    # tombstone invariant: a removed path is not in the reconciled state
+    # (unless a later add resurrected it — this writer never does)
+    assert not (removed_ever & set(live)), "tombstoned path still live"
+    return live, meta, protocol, removed_ever
 
 
 def _validate_delta_table(table_dir) -> int:
@@ -793,7 +833,7 @@ def _validate_delta_table(table_dir) -> int:
     import pyarrow.parquet as _pq
 
     log_dir = os.path.join(table_dir, "_delta_log")
-    live, meta, protocol = _replay_raw_json(log_dir)
+    live, meta, protocol, removed_ever = _replay_raw_json(log_dir)
 
     disk = set()
     for dp, dns, fns in os.walk(table_dir):
@@ -801,7 +841,11 @@ def _validate_delta_table(table_dir) -> int:
         for fn in fns:
             if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
                 disk.add(os.path.relpath(os.path.join(dp, fn), table_dir))
-    assert set(live) == disk, "reconciled snapshot != directory contents"
+    assert set(live) <= disk, "live file missing from directory"
+    # retention invariant: every non-live on-disk file is a tombstone the
+    # log accounts for (not-yet-vacuumed remove) — never an untracked
+    # stray in a crash-free history
+    assert disk - set(live) <= removed_ever, "non-live file with no tombstone"
     for path, add in live.items():
         full = os.path.join(table_dir, path)
         assert add["size"] == os.path.getsize(full)
@@ -828,7 +872,7 @@ def _validate_delta_table(table_dir) -> int:
                 cp_meta = row["metaData"]
             if row.get("protocol") and row["protocol"].get("minReaderVersion") is not None:
                 cp_proto = row["protocol"]
-        j_live, j_meta, j_proto = _replay_raw_json(log_dir, upto=cpv)
+        j_live, j_meta, j_proto, _ = _replay_raw_json(log_dir, upto=cpv)
         assert set(cp_live) == set(j_live), "checkpoint file set != JSON replay"
         assert cp_meta is not None and cp_meta["id"] == j_meta["id"]
         assert _json.loads(cp_meta["schemaString"]) == _json.loads(j_meta["schemaString"])
@@ -991,3 +1035,102 @@ def test_published_partitions_prune_through_reader_skipping(pipe, spark, tmp_pat
         a["partitionValues"]["block_date"] >= days[1]
         for a in later.files.values()
     )
+
+
+# --- retention at the publish edge (VERDICT r11 task #1) ---------------------
+
+
+def _n_data_files(table_dir):
+    import os
+
+    n = 0
+    for dp, dns, fns in os.walk(table_dir):
+        dns[:] = [d for d in dns if not d.startswith(("_", "."))]
+        n += sum(
+            1
+            for fn in fns
+            if fn.endswith(".parquet") and not fn.startswith(("_", "."))
+        )
+    return n
+
+
+def test_retention_vacuum_and_time_travel(pipe, spark, tmp_path):
+    """The full retention story over 13 versions with repeated partition
+    rewrites: superseded part-files stay on disk as tombstones, so TIME
+    TRAVEL to any version inside the retention window replays exactly;
+    one vacuum then drops everything unreferenced by the retained
+    snapshots — after which in-window time travel STILL replays, an
+    out-of-window read fails explicitly at the missing file, the protocol
+    validator stays green, and repeated republish+vacuum cycles keep the
+    directory size bounded."""
+    from near_public_lakehouse_spark.operators.delta_export import (
+        vacuum_delta_table,
+    )
+    from near_public_lakehouse_spark.operators.delta_reader import DeltaLogReader
+    from near_public_lakehouse_spark.plans.public import publish_public_table
+
+    df = pipe.read("public_logs")
+    out = str(tmp_path / "pub")
+    table = out + "/logs"
+    publish_public_table(spark, "logs", df, out)  # v0
+
+    # v1..v12: every publish rewrites the SAME partition (base's
+    # block_date) — 12 partition rewrites, tombstones accumulating
+    base = df.limit(1)
+    for i in range(1, 13):
+        publish_public_table(
+            spark, "logs", base.withColumn("receipt_id", F.lit(f"R{i}")), out
+        )
+
+    reader = DeltaLogReader(table)
+    assert reader.versions == list(range(13))
+    # pre-vacuum: the directory holds every generation; time travel
+    # replays any version (pin counts: version v has df.count()+v rows)
+    pre_counts = {
+        v: reader.to_df(spark, version=v).count() for v in (0, 4, 8, 12)
+    }
+    assert pre_counts == {v: df.count() + v for v in (0, 4, 8, 12)}
+    n_files_before = _n_data_files(table)
+
+    removed = vacuum_delta_table(table, retain_last=5)  # retain v8..v12
+    assert removed, "vacuum found nothing to drop after 12 rewrites"
+    assert _n_data_files(table) == n_files_before - len(removed)
+
+    # in-window time travel still replays byte-identically
+    fresh = DeltaLogReader(table)
+    for v in (8, 10, 12):
+        frame = fresh.to_df(spark, version=v)
+        assert frame.count() == df.count() + v
+        assert (
+            frame.filter(F.col("receipt_id") == f"R{v}").count() == 1
+            if v
+            else True
+        )
+    # out-of-window: history stays listable, the READ fails explicitly
+    # on the vacuumed file (Delta's own behavior)
+    assert 0 in fresh.versions
+    with pytest.raises(Exception):
+        fresh.to_df(spark, version=0).count()
+
+    # vacuum never deletes a live or retained file: every add of every
+    # retained snapshot still exists on disk
+    import os
+
+    for v in range(8, 13):
+        for path in fresh.snapshot(v).files:
+            assert os.path.exists(os.path.join(table, path))
+
+    # the hand-rolled PROTOCOL.md validator stays green post-vacuum
+    assert _validate_delta_table(table) >= 13
+
+    # directory size is BOUNDED across republish+vacuum cycles: the
+    # steady-state file count stops growing
+    counts = []
+    for i in range(4):
+        publish_public_table(
+            spark, "logs", base.withColumn("receipt_id", F.lit(f"S{i}")), out
+        )
+        vacuum_delta_table(table, retain_last=5)
+        counts.append(_n_data_files(table))
+    assert counts[-1] <= counts[0], f"directory growth unbounded: {counts}"
+    assert _validate_delta_table(table) >= 17

@@ -22,6 +22,14 @@ def _same_rows(a, b):
     return sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+def _pub_df(spark, table_dir):
+    # published tables retain tombstoned part-files on disk — read the
+    # live rows through the Delta log, never the raw directory
+    from near_public_lakehouse_spark.operators.delta_reader import DeltaLogReader
+
+    return DeltaLogReader(table_dir).to_df(spark)
+
+
 def _append_one_file(df, path):
     df.coalesce(1).write.mode("append").parquet(path)
 
@@ -71,7 +79,7 @@ def test_streaming_supply_folds_to_batch_with_late_block(spark, tmp_path):
         spark, gold_dir, blocks_dir, out, ckpt, PROCESSED, max_files_per_trigger=1
     ).awaitTermination(300)
 
-    early = spark.read.parquet(out + "/circulating_supply")
+    early = _pub_df(spark, out + "/circulating_supply")
     assert early.count() == 2  # day 3 parked, not published
     assert (
         spark.read.parquet(os.path.join(ckpt, "pending_supply")).count() == 1
@@ -90,8 +98,8 @@ def test_streaming_supply_folds_to_batch_with_late_block(spark, tmp_path):
         spark.read.parquet(gold_dir), spark.read.parquet(blocks_dir), PROCESSED
     )
     publish_public_table(spark, "circulating_supply", batch, out_b)
-    got = spark.read.parquet(out + "/circulating_supply")
-    want = spark.read.parquet(out_b + "/circulating_supply")
+    got = _pub_df(spark, out + "/circulating_supply")
+    want = _pub_df(spark, out_b + "/circulating_supply")
     assert got.count() == want.count() == 4
     assert _same_rows(got, want)
 
@@ -99,7 +107,7 @@ def test_streaming_supply_folds_to_batch_with_late_block(spark, tmp_path):
     streaming_public_supply(
         spark, gold_dir, blocks_dir, out, ckpt, PROCESSED
     ).awaitTermination(300)
-    assert _same_rows(spark.read.parquet(out + "/circulating_supply"), want)
+    assert _same_rows(_pub_df(spark, out + "/circulating_supply"), want)
 
 
 # --- near_balances -----------------------------------------------------------
@@ -187,8 +195,8 @@ def test_streaming_balances_folds_to_batch_with_late_change(spark, tmp_path):
     publish_public_table(
         spark, "near_balances", public_near_balances(snap, PROCESSED), out_b
     )
-    got = spark.read.parquet(out + "/near_balances")
-    want = spark.read.parquet(out_b + "/near_balances")
+    got = _pub_df(spark, out + "/near_balances")
+    want = _pub_df(spark, out_b + "/near_balances")
     assert got.count() == want.count() > 0
     assert _same_rows(got, want)
     # the superseded late row's balance must not appear anywhere
@@ -201,7 +209,7 @@ def test_streaming_balances_folds_to_batch_with_late_change(spark, tmp_path):
     publish_balances_epoch(
         spark, ckpt, amb_dir, rewards_dir, out, "2024-01-02", 5, PROCESSED
     )
-    assert _same_rows(spark.read.parquet(out + "/near_balances"), want)
+    assert _same_rows(_pub_df(spark, out + "/near_balances"), want)
 
 
 def test_expire_pending_applies_the_trailing_fence(spark, tmp_path):
@@ -242,7 +250,7 @@ def test_expire_pending_applies_the_trailing_fence(spark, tmp_path):
     # the surviving row's block arrives -> it still publishes
     _blocks(spark, [1009]).coalesce(1).write.mode("append").parquet(blocks_dir)
     assert flush_pending_supply(spark, gold_dir, blocks_dir, out, ckpt, PROCESSED) == 0
-    got = spark.read.parquet(out + "/circulating_supply")
+    got = _pub_df(spark, out + "/circulating_supply")
     assert [str(r.block_date) for r in got.collect()] == ["2024-03-09"]
 
     # idempotent: nothing left outside the fence
