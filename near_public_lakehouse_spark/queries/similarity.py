@@ -216,7 +216,10 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~nprobe/n_cells of the corpus per query — the IVF contract. Everything
     is built-in HOFs (zip_with/aggregate); no Python in the hot path. At
     100 TB the cell key doubles as the table's partition key so a probe is
-    partition-pruned I/O, not a full scan.
+    partition-pruned I/O, not a full scan — a pinned plan shape, not
+    prose: `ivf_topk_partitioned` runs this query against a
+    label-partitioned table and tests/test_plan_shapes.py asserts the
+    candidate scan's PartitionFilters prune to the probed cells.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk_frame(emb, nprobe=IVF_NPROBE)
@@ -226,6 +229,12 @@ def ivf_topk_frame(emb: DataFrame, nprobe: int = IVF_NPROBE) -> DataFrame:
     """Core of ivf_topk over any (vec_id, embedding, label) frame with a
     caller-chosen probe width — split out so the recall sweep can vary
     nprobe without re-registering queries."""
+    return _ivf_rerank(emb, _ivf_probe_cells(emb, nprobe))
+
+
+def _ivf_probe_cells(emb: DataFrame, nprobe: int) -> DataFrame:
+    """(qid, qe, qnorm, label) — each query paired with its `nprobe`
+    nearest cells by L2^2 to the per-label centroid."""
     # Coarse quantizer: elementwise mean per label, re-assembled to an array.
     cent = (
         emb.select("label", F.posexplode("embedding").alias("pos", "val"))
@@ -255,16 +264,20 @@ def ivf_topk_frame(emb: DataFrame, nprobe: int = IVF_NPROBE) -> DataFrame:
     )
     d2 = F.aggregate(sq, F.lit(0).cast(_ACC_DEC), lambda a, p: (a + p.cast(_ACC_DEC)).cast(_ACC_DEC))
     wq = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("label"))
-    cell = (
+    return (
         q.crossJoin(F.broadcast(cent))
         .select("qid", "qe", "qnorm", "label", d2.alias("d2"))
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= nprobe)
         .select("qid", "qe", "qnorm", "label")
     )
-    # Rerank inside the probed cells only; cells partition the corpus by
-    # label, so multi-probe candidates are disjoint — no dedup needed.
-    # Candidate norms folded once per vector.
+
+
+def _ivf_rerank(emb: DataFrame, cell: DataFrame) -> DataFrame:
+    """Exact-cosine rerank of `emb` candidates inside the probed cells.
+    Cells partition the corpus by label, so multi-probe candidates are
+    disjoint — no dedup needed. Candidate norms folded once per vector."""
+    norm = F.sqrt(_dot_dec_col(F.col("embedding"), F.col("embedding")).cast("double"))
     cands = emb.select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
         norm.alias("cnorm"), "label",
@@ -279,6 +292,33 @@ def ivf_topk_frame(emb: DataFrame, nprobe: int = IVF_NPROBE) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .orderBy("qid", "rnk")
     )
+
+
+def ivf_topk_partitioned(
+    spark: SparkSession, table_path: str, nprobe: int = IVF_NPROBE
+) -> DataFrame:
+    """The 100 TB IVF serving shape (VERDICT r11 task #3 — makes the
+    'cell key doubles as the partition key' claim a pinned plan, not
+    prose): the corpus is STORED partitioned by its cell key (`label`),
+    probe cells are resolved first, and the candidate rerank re-opens the
+    table with a static cell-key IN filter — Catalyst turns it into
+    PartitionFilters, so the scan reads <= nprobe-probed partitions of
+    IO, never the corpus (tests/test_plan_shapes.py pins the filter AND
+    the scanned file count; tests/test_ann_recall.py pins output identity
+    with `ivf_topk_frame`).
+
+    The probed-cell list is a bounded driver collect (<= n_queries x
+    nprobe, itself <= n_cells) — in a real deployment it is index
+    metadata known before the scan, which is exactly what makes the
+    partition pruning static."""
+    emb = spark.read.parquet(table_path)
+    # localCheckpoint: the probe side is tiny (queries x nprobe) and must
+    # not re-derive centroids inside the rerank plan, where its lineage
+    # would drag an unpruned scan back in.
+    cell = _ivf_probe_cells(emb, nprobe).localCheckpoint()
+    labels = [r[0] for r in cell.select("label").distinct().collect()]
+    cands = spark.read.parquet(table_path).filter(F.col("label").isin(labels))
+    return _ivf_rerank(cands, cell)
 
 
 # Deterministic "random" hyperplanes for LSH: signs derived from md5 of
@@ -562,6 +602,8 @@ def pq_topk_frame(emb: DataFrame, dim: int = 64) -> DataFrame:
 
 KMEANS_K = 10
 KMEANS_ITERS = 8
+KMEANS_DP = 12  # per-iteration centroid rounding keeps both engines in
+# lockstep (the graph-trio discipline, queries/graph.py PR_DP)
 
 
 def kmeans_fit(
@@ -580,11 +622,15 @@ def kmeans_fit(
       that recomputes means, whose output is k*dim rows — collect() of
       k*dim scalars is bounded control flow, same category as the CC
       loop's convergence scalar (VERDICT r1 §4);
-    - determinism: init is the k lowest vec_ids (no RNG), distances are
-      doubles computed from literals in a fixed expression order, and the
-      mean's numerator is an exact DECIMAL sum (functions/numeric.dsum
-      rule) so shuffle order can't wiggle low bits — re-running yields
-      byte-identical assignments (pinned by tests/test_kmeans.py);
+    - determinism AND oracle-expressibility (VERDICT r11 task #6):
+      init is the k lowest vec_ids (no RNG); per-centroid squared
+      distances are ORDER-FREE exact decimal sums of per-element squared
+      diffs (the `_dot_dec_col` discipline), so neither engine's
+      summation order matters; the mean's numerator is an exact DECIMAL
+      sum and the mean itself is rounded to KMEANS_DP decimals each
+      iteration (the graph-trio lockstep rule) — re-running yields
+      byte-identical assignments (pinned by tests/test_kmeans.py), and a
+      DuckDB oracle can replay all {iters} iterations as unrolled CTEs;
     - an empty cluster keeps its previous centroid (no resampling — that
       would need an RNG and break determinism).
 
@@ -611,10 +657,12 @@ def kmeans_fit(
                         F.zip_with(
                             ecol,
                             F.array(*[F.lit(float(x)) for x in c]),
-                            lambda a, b: (a - b) * (a - b),
+                            lambda a, b: (
+                                (a.cast("double") - b) * (a.cast("double") - b)
+                            ).cast(_DOT_DEC),
                         ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
+                        F.lit(0).cast(_ACC_DEC),
+                        lambda acc, x: (acc + x.cast(_ACC_DEC)).cast(_ACC_DEC),
                     ).alias("dist"),
                     F.lit(i).alias("idx"),
                 )
@@ -643,7 +691,9 @@ def kmeans_fit(
         dim = len(centroids[0])
         new_c = [list(c) for c in centroids]  # empty cluster keeps centroid
         for r in stats:
-            new_c[r.cluster_id][r.pos] = float(r.s) / r.n
+            # double(exact decimal sum) / n, rounded to KMEANS_DP — the
+            # same expression the DuckDB oracle evaluates per iteration
+            new_c[r.cluster_id][r.pos] = round(float(r.s) / r.n, KMEANS_DP)
         inertia_history.append(
             float(sum(r.sd for r in stats if r.pos == 0))
         )
@@ -651,7 +701,69 @@ def kmeans_fit(
     return assigned, centroids, inertia_history
 
 
-@query("kmeans_clusters", tags=("similarity", "clustering", "beyond-reference"), oracle=None)
+def _kmeans_iteration_sql() -> str:
+    """a1..a{ITERS} assignment CTEs + s/c centroid-update CTEs between
+    them — Lloyd's unrolled the same way the graph trio unrolls power
+    iterations (queries/graph.py _pr_iteration_sql). Exact-decimal
+    distance sums make both engines order-free; the per-iteration
+    round(mean, KMEANS_DP) keeps the centroid doubles in lockstep."""
+    steps = []
+    for i in range(1, KMEANS_ITERS + 1):
+        steps.append(
+            f"""a{i} AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT e.vec_id, c.cid,
+           sum(CAST((e.v - c.cv) * (e.v - c.cv) AS DECIMAL(30,15))) AS d2,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY sum(CAST((e.v - c.cv) * (e.v - c.cv) AS DECIMAL(30,15))),
+                      c.cid
+           ) AS rn
+    FROM e JOIN c{i - 1} c ON c.d = e.d
+    GROUP BY e.vec_id, c.cid
+  ) WHERE rn = 1
+)"""
+        )
+        if i < KMEANS_ITERS:  # the last assignment needs no further update
+            steps.append(
+                f"""s{i} AS (
+  SELECT a.cid, e.d, sum(CAST(e.v AS DECIMAL(28,12))) AS s, count(*) AS n
+  FROM a{i} a JOIN e ON e.vec_id = a.vec_id
+  GROUP BY a.cid, e.d
+),
+c{i} AS (
+  SELECT p.cid, p.d,
+         coalesce(round(CAST(u.s AS DOUBLE) / u.n, {KMEANS_DP}), p.cv) AS cv
+  FROM c{i - 1} p LEFT JOIN s{i} u ON u.cid = p.cid AND u.d = p.d
+)"""
+            )
+    return ",\n".join(steps)
+
+
+_KMEANS_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+init_ids AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K})
+),
+c0 AS (SELECT i.cid, e.d, e.v AS cv FROM init_ids i JOIN e ON e.vec_id = i.vec_id),
+{{iterations}}
+SELECT a.vec_id, a.cid AS cluster_id,
+       round(CAST(a.d2 AS DOUBLE), 6) AS sq_dist
+FROM a{KMEANS_ITERS} a
+ORDER BY a.vec_id
+""".replace("{iterations}", _kmeans_iteration_sql())
+
+
+@query(
+    "kmeans_clusters",
+    tags=("similarity", "clustering", "beyond-reference"),
+    oracle=_KMEANS_ORACLE,
+)
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus clustering for mixture analysis / IVF centroid training:
     deterministic Lloyd's k-means (k=10, 8 iterations, k-lowest-vec_id
@@ -660,16 +772,23 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline joins against documents to stratify, rebalance, or pick IVF
     cells (`ivf_topk` consumes exactly this shape of centroid).
 
-    No SQL oracle: iterative fixpoint algorithms are the documented
-    rows-only category (driver records row count + schema); behavioral
-    correctness is pinned by tests/test_kmeans.py — determinism across
-    runs, every point nearest its final centroid (numpy cross-check),
-    centroid = member mean, and monotone non-increasing inertia.
+    FULL-VALUE ORACLE since r12 (VERDICT r11 task #6 — was rows-only):
+    all 8 Lloyd's iterations replay in DuckDB as unrolled CTEs, the
+    PageRank pattern. Cross-engine lockstep comes from (a) exact-decimal
+    distance sums (order-free in both engines), (b) per-iteration
+    round(centroid, KMEANS_DP), (c) deterministic k-lowest-vec_id init
+    and lowest-cid tie-breaks. Behavioral invariants stay pinned by
+    tests/test_kmeans.py (determinism, nearest-centroid via numpy,
+    centroid = member mean, monotone inertia).
     """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     assigned, _, _ = kmeans_fit(emb)
     return (
-        assigned.select("vec_id", "cluster_id", F.round("sq_dist", 6).alias("sq_dist"))
+        assigned.select(
+            "vec_id",
+            "cluster_id",
+            F.round(F.col("sq_dist").cast("double"), 6).alias("sq_dist"),
+        )
         .orderBy("vec_id")
     )
 

@@ -695,3 +695,64 @@ def test_public_table_fence_prunes_partitions(spark, tmp_path):
 
     pf = re.search(r"PartitionFilters: \[[^\]]*\]", plan).group(0)
     assert "block_date" in pf and ">= 2024-03-02" in pf, pf
+
+
+def test_ivf_partitioned_probe_prunes_to_probed_cells(spark, tmp_path):
+    """VERDICT r11 task #3: the IVF '100 TB serving shape' claim as a
+    pinned plan — with the corpus stored partitioned by its cell key,
+    `ivf_topk_partitioned`'s candidate scan carries a static cell-key IN
+    predicate in PartitionFilters, the files actually read are exactly
+    the probed cells' partitions (a strict subset of the table), and the
+    output is row-identical to the unpartitioned `ivf_topk_frame`."""
+    import re
+
+    from near_public_lakehouse_spark.queries import similarity as S
+    from near_public_lakehouse_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = str(tmp_path / "emb_by_cell")
+    emb.write.partitionBy("label").parquet(out)
+
+    got_df = S.ivf_topk_partitioned(spark, out, nprobe=1)
+    plan = _plan(got_df)
+    pf = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert pf is not None, plan
+    assert "label" in pf.group(0), pf.group(0)
+    assert re.search(r"label#\d+ (IN|INSET)", pf.group(0)), pf.group(0)
+
+    # the scan's IO is exactly the probed cells' partitions
+    labels = {
+        r[0]
+        for r in S._ivf_probe_cells(spark.read.parquet(out), nprobe=1)
+        .select("label")
+        .distinct()
+        .collect()
+    }
+    all_files = {
+        r[0]
+        for r in spark.read.parquet(out)
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    pruned_files = {
+        r[0]
+        for r in spark.read.parquet(out)
+        .filter(F.col("label").isin(list(labels)))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    expected = {f for f in all_files if any(f"/label={l}/" in f for l in labels)}
+    assert pruned_files == expected
+    assert 0 < len(pruned_files) < len(all_files), (
+        len(pruned_files),
+        len(all_files),
+    )
+
+    # partition pruning is IO-only: identical rows to the full-scan frame
+    got = sorted(map(tuple, got_df.collect()))
+    want = sorted(
+        map(tuple, S.ivf_topk_frame(spark.read.parquet(out), nprobe=1).collect())
+    )
+    assert got == want and got
