@@ -124,73 +124,42 @@ def test_driver_window_composition_is_pinned():
     Round 10 rotation (VERDICT r9 task #1, which also set the STANDING
     RULE: a query added in round N rotates into the window in round N)
     put five a10_ aliases in this window; all five went driver-green in
-    CORRECTNESS_r10, so round 11 RETIRES them (same discipline as the
-    a7_/a9_ sets). Round 11 adds no registry queries and changes no
-    verified semantics (the near_dup candidate-stage rewrite is
-    result-hash-identical, oracle-pinned), so the rotation map is empty;
-    the five re-admitted tail names (jl_projection_topk,
-    json_object_keys_explode, keyword_extraction_tfidf, kmeans_clusters,
-    kmv_distinct_sketch) are all driver-green in earlier rounds —
-    nothing never-checked is displaced.
+    CORRECTNESS_r10, so round 11 RETIRED them and shipped an empty map.
+
+    Round 12 rotation (VERDICT r11 task #4 — window freshness): 110 of
+    160 queries last held a driver-green row in <= r10, so this round
+    re-rotates a full 50-slot window under a12_ aliases. Composition:
+    the task's named priorities (the adaptive/minhash family whose
+    candidate stage changed in r11, suffix array, the curation five,
+    plus kmeans_clusters which gained its first full-value oracle in
+    r12 per task #6 and has never been value-checked by the driver),
+    then the stalest oracle-backed names (last driver-green r4/r5).
+    Every a12_ alias sorts before every organic name, so the window is
+    exactly the 50 rotation values — nothing never-checked is
+    displaced, and the displaced organic head names are all
+    driver-green in earlier rounds with r09-anchored profile hash pins
+    covering them at value level this round.
     """
     from near_public_lakehouse_spark.queries import all_queries
     from near_public_lakehouse_spark.queries.registry import DRIVER_WINDOW_ROTATION
 
-    assert DRIVER_WINDOW_ROTATION == {}
     window = sorted(all_queries())[:50]
-    expected = [
-        "ann_lsh_topk",
-        "approx_ann_lsh_recall",
-        "approx_dau_error",
-        "approx_kmeans_invariants",
-        "approx_pq_score_bounds",
-        "approx_range_search_recall",
-        "asof_click_view",
-        "benchmark_decontamination",
-        "benchmark_decontamination_hashed",
-        "bigram_pmi_phrases",
-        "cdc_chunk_dedup",
-        "cheapest_part_offers",
-        "corpus_prep",
-        "customer_order_delta",
-        "customers_without_orders",
-        "daily_active_users",
-        "daily_active_users_approx",
-        "daily_event_pivot",
-        "dedup_clusters",
-        "dedup_clusters_star",
-        "disjunctive_predicate_revenue",
-        "doc_chunks",
-        "doc_fingerprints",
-        "doc_repetition_stats",
-        "dominant_part_shippers",
-        "double_entry_ledger",
-        "duplicate_ngram_spans",
-        "embedding_near_dup",
-        "embedding_topk_cosine",
-        "event_index_pack",
-        "event_sequences",
-        "event_transitions",
-        "exact_dup_groups",
-        "flagged_customers_like_any",
-        "frequent_ngram_mining",
-        "funnel_counts",
-        "gopher_repetition_gate",
-        "graph_bfs_hops",
-        "graph_pagerank",
-        "hourly_event_stats",
-        "idle_rich_customers",
-        "important_nation_revenue",
-        "incremental_dedup",
-        "intersect_except_customers",
-        "ivf_topk",
-        "jl_projection_topk",
-        "json_object_keys_explode",
-        "keyword_extraction_tfidf",
+    assert window == sorted(DRIVER_WINDOW_ROTATION.values())
+    assert all(n.startswith("a12_") for n in window)
+    # task #4's named priorities all made the window
+    for name in (
         "kmeans_clusters",
-        "kmv_distinct_sketch",
-    ]
-    assert window == expected
+        "minhash_lsh_adaptive",
+        "minhash_adaptive_bands_eval",
+        "near_dup_pairs_lsh",
+        "suffix_array_dup_positions",
+        "self_dedup_clean",
+        "mixture_rebalance_plan",
+        "perplexity_buckets",
+        "quality_mixture_sample",
+        "source_data_card",
+    ):
+        assert f"a12_{name}" in window, name
 
 
 def test_rotation_aliases_resolve_through_every_public_path():
