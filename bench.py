@@ -167,13 +167,18 @@ def main() -> None:
         "corpus_prep",
         "embedding_topk_cosine",
     ]
+    # Driver-window rotation renames queries to aN_<name>; the subtotal
+    # must keep matching its ORGANIC members or a rotation round silently
+    # deflates core7 (r12: four members rotated to a12_*). Strip the
+    # alias prefix for the lookup only — reported names stay as-is.
+    organic = {re.sub(r"^a\d+_", "", n): t for n, t in timings.items()}
     line = json.dumps(
         {
             "metric": "headline_queries_total_runtime",
             "value": round(sum(timings.values()), 3),
             "unit": "sec",
             "core7_subtotal": round(
-                sum(timings[n] for n in core7 if n in timings), 3
+                sum(organic[n] for n in core7 if n in organic), 3
             ),
             "queries": timings,
             "spread": {n: [min(xs), max(xs)] for n, xs in runs.items()},

@@ -613,7 +613,7 @@ class DeltaLogReader:
             snap.txns[body["appId"]] = body["version"]
         # commitInfo / cdc are informational — ignored per spec
 
-    def to_df(self, spark, version: int | None = None, where=None):
+    def to_df(self, spark, version: int | None = None, where=None, paths=None):
         """The data-access path an external engine takes: read exactly the
         snapshot's parquet file list. Empty snapshot -> empty DataFrame
         with the declared schema. Composes, in order: partition-column
@@ -628,10 +628,23 @@ class DeltaLogReader:
         actions whose partitionValues / stats bounds prove the predicate
         false are never read (see prune_snapshot_files). It prunes IO
         only — the caller still applies the real filter; the result is a
-        superset of the matching rows exactly as with the full read."""
+        superset of the matching rows exactly as with the full read.
+
+        `paths` (set of table-relative paths) restricts the read to those
+        of the snapshot's files — the change-feed seam (`read_changes`):
+        per-commit adds/removes read with the FULL snapshot machinery
+        (DVs, column mapping, partition reconstitution) instead of a bare
+        parquet read that would miss all three."""
         from pyspark.sql.types import StructType
 
         snap = self.snapshot(version)
+        if paths is not None:
+            unknown = set(paths) - set(snap.files)
+            if unknown:
+                raise DeltaProtocolError(
+                    f"paths not in snapshot v{snap.version}: {sorted(unknown)[:3]}"
+                )
+            snap.files = {p: a for p, a in snap.files.items() if p in paths}
         if where:
             snap = prune_snapshot_files(snap, where)
         schema = StructType.fromJson(snap.schema)
@@ -878,6 +891,116 @@ class DeltaLogReader:
         out = parts[0]
         for p_ in parts[1:]:
             out = out.unionByName(p_)
+        return out
+
+    def read_changes(
+        self,
+        spark,
+        since_version: int | None = None,
+        end_version: int | None = None,
+        skip_change_commits: bool = False,
+        include_removes: bool = False,
+    ):
+        """Per-commit change feed over the `_delta_log`, the consumer-side
+        twin of the publish edge's `remove` tombstones (VERDICT r11 task
+        #7): rows changed by commits in ``(since_version, end_version]``
+        with ``_commit_version`` and ``_change_type`` columns.
+
+        Commit classes, mirroring a Delta streaming source's documented
+        semantics (the reference reads with ``skipChangeCommits=true``,
+        `NB/BQ Writer Stream.py:9-15`, precisely because its pipelines
+        never propagate deletes):
+
+        - additive (adds with ``dataChange`` true, no data-change
+          removes): the added files' rows surface as ``insert``;
+        - reorganization (``dataChange`` false on every action, e.g.
+          OPTIMIZE/compaction): invisible — same rows, new layout;
+        - change commit (any ``dataChange`` remove, e.g. a partition
+          rewrite by `merge_upsert_logged`): ValueError by default
+          (silently re-reading rewritten rows double-counts), skipped
+          WHOLESALE with ``skip_change_commits=True`` (the reference's
+          choice), or SURFACED with ``include_removes=True``: the removed
+          files' rows (read at the PREDECESSOR version, so DVs / mapping /
+          partition values apply) as ``delete`` plus the added files' rows
+          as ``insert`` — file-granularity CDF, where an update appears as
+          its delete+insert pair. Net-exact: applying deletes-then-inserts
+          reproduces the snapshot transition; rows merely copied between
+          files during a rewrite appear on both sides.
+
+        Needs the window's JSON commits (a checkpoint collapses per-commit
+        boundaries) and, for ``include_removes``, the removed data files
+        still on disk — i.e. inside the vacuum retention window; a
+        vacuumed file raises at read time rather than returning partial
+        history. Cost: driver-side log replay per commit plus O(files
+        changed in the window) data reads."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        hi = self.versions[-1] if end_version is None else end_version
+        start = -1 if since_version is None else since_version
+        window = [v for v in self.versions if start < v <= hi]
+        if since_version is not None and since_version not in self.versions:
+            raise DeltaProtocolError(
+                f"since_version {since_version} not readable: "
+                f"available {self.versions}"
+            )
+        not_json = [v for v in window if v not in self._json_versions]
+        if not_json:
+            raise DeltaProtocolError(
+                f"change feed needs per-commit JSON for versions {not_json} "
+                "(only a checkpoint survives for them)"
+            )
+        parts = []
+        for v in window:
+            adds: list[str] = []
+            removes: list[str] = []
+            for key, body in self._actions(v):
+                if key == "add" and body.get("dataChange", True):
+                    adds.append(body["path"])
+                elif key == "remove" and body.get("dataChange", True):
+                    removes.append(body["path"])
+            if removes:
+                if skip_change_commits:
+                    continue
+                if not include_removes:
+                    raise ValueError(
+                        f"version {v} of {self.table_dir} rewrote existing "
+                        "rows; pass skip_change_commits=True to ignore "
+                        "change commits or include_removes=True for the "
+                        "delete+insert view"
+                    )
+                if v - 1 not in self.versions:
+                    raise DeltaProtocolError(
+                        f"version {v - 1} not readable — cannot resolve the "
+                        f"rows version {v} removed"
+                    )
+                parts.append(
+                    self.to_df(spark, version=v - 1, paths=set(removes)).select(
+                        "*",
+                        F.lit(v).cast("long").alias("_commit_version"),
+                        F.lit("delete").alias("_change_type"),
+                    )
+                )
+            if adds:
+                parts.append(
+                    self.to_df(spark, version=v, paths=set(adds)).select(
+                        "*",
+                        F.lit(v).cast("long").alias("_commit_version"),
+                        F.lit("insert").alias("_change_type"),
+                    )
+                )
+        if not parts:
+            schema = StructType.fromJson(self.snapshot(hi).schema)
+            schema = schema.add("_commit_version", "long").add(
+                "_change_type", "string"
+            )
+            return spark.createDataFrame([], schema)
+        out = parts[0]
+        for p_ in parts[1:]:
+            # schema evolution mid-window: later commits may add columns;
+            # earlier rows null-fill them (additive evolution only, the
+            # same contract as the streaming runner's sidecars)
+            out = out.unionByName(p_, allowMissingColumns=True)
         return out
 
 

@@ -376,11 +376,12 @@ def _changes_plan(
     since_version: int | None,
     end_version: int | None,
     skip_change_commits: bool,
-) -> tuple[list[tuple[int, list[str]]], str | None]:
+    include_removes: bool = False,
+) -> tuple[list[tuple[int, list[str], list[str]]], str | None]:
     """Driver-side change-feed planning: which files each commit in
-    ``(since_version, end_version]`` ADDED, plus the newest schema seen.
-    Pure log reads — no Spark job — so `tail_into` can detect an empty
-    window for free."""
+    ``(since_version, end_version]`` ADDED and (with ``include_removes``)
+    REMOVED, plus the newest schema seen. Pure log reads — no Spark job —
+    so `tail_into` can detect an empty window for free."""
     versions = _versions(table_dir)
     if end_version is not None:
         versions = [v for v in versions if v <= end_version]
@@ -391,7 +392,7 @@ def _changes_plan(
             raise FileNotFoundError(f"{table_dir} has no version {start}")
         prev_files = set(_read_manifest(table_dir, start)["files"])
 
-    added_by_version: list[tuple[int, list[str]]] = []
+    changes_by_version: list[tuple[int, list[str], list[str]]] = []
     latest_schema: str | None = None
     for v in versions:
         m = _read_manifest(table_dir, v)
@@ -400,21 +401,25 @@ def _changes_plan(
         if v <= start:
             continue
         added = sorted(files - prev_files)
-        removed = prev_files - files
+        removed = sorted(prev_files - files)
         prev_files = files
         if not m.get("data_change", True):
             continue  # reorganization: same rows, new layout
         if removed:
             if skip_change_commits:
                 continue
-            raise ValueError(
-                f"version {v} of {table_dir} rewrote existing rows "
-                f"({m['operation']}); pass skip_change_commits=True to ignore "
-                "change commits, or read_version for a full snapshot"
+            if not include_removes:
+                raise ValueError(
+                    f"version {v} of {table_dir} rewrote existing rows "
+                    f"({m['operation']}); pass skip_change_commits=True to "
+                    "ignore change commits, include_removes=True for the "
+                    "delete+insert view, or read_version for a full snapshot"
+                )
+        if added or (removed and include_removes):
+            changes_by_version.append(
+                (v, added, removed if include_removes else [])
             )
-        if added:
-            added_by_version.append((v, added))
-    return added_by_version, latest_schema
+    return changes_by_version, latest_schema
 
 
 def read_changes(
@@ -423,8 +428,9 @@ def read_changes(
     since_version: int | None = None,
     end_version: int | None = None,
     skip_change_commits: bool = False,
+    include_removes: bool = False,
 ) -> DataFrame:
-    """Rows ADDED by commits in ``(since_version, end_version]`` with a
+    """Rows changed by commits in ``(since_version, end_version]`` with a
     ``_commit_version`` column — the incremental-consumption seam the
     reference builds on streaming Delta reads (`NEAR Public Datasets.py`
     `.option("skipChangeCommits", "true")`).
@@ -439,35 +445,59 @@ def read_changes(
       silently invisible, same as Delta OPTIMIZE under a streaming reader;
     - change commits (an ``upsert``/``overwrite`` that dropped predecessor
       files): ValueError by default — silently re-reading rewritten rows
-      would double-count — or skipped WHOLESALE with
-      ``skip_change_commits=True``, mirroring the Delta option's semantics.
+      would double-count — skipped WHOLESALE with
+      ``skip_change_commits=True``, mirroring the Delta option's semantics
+      (the reference's choice: its pipelines never propagate deletes), or
+      SURFACED with ``include_removes=True`` (VERDICT r11 task #7): the
+      commit's removed files' rows come back tagged ``delete`` and its
+      added files' rows ``insert`` in a ``_change_type`` column —
+      file-granularity CDF, an update appears as its delete+insert pair.
+      Applying deletes-then-inserts reproduces the snapshot transition
+      exactly; rows merely copied between files during a rewrite appear on
+      both sides. Removed files must still be on disk (inside the vacuum
+      retention window) — a vacuumed file fails the read rather than
+      returning partial history.
+
+    ``include_removes`` adds ``_change_type`` to ALL returned rows
+    (``insert`` for additive commits too), so downstream MERGE logic
+    branches on one column.
 
     ``since_version=None`` starts before version 0 (full-history read).
-    Scale: cost is O(files added in the window); consumers checkpoint
+    Scale: cost is O(files changed in the window); consumers checkpoint
     `latest_version()` and poll — at 100 TB this is the same trailing-
     window pattern as the reference's availableNow restarts.
     """
-    added_by_version, latest_schema = _changes_plan(
-        table_dir, since_version, end_version, skip_change_commits
+    changes_by_version, latest_schema = _changes_plan(
+        table_dir, since_version, end_version, skip_change_commits, include_removes
     )
 
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, StructType
+    from pyspark.sql.types import LongType, StringType, StructType
 
-    if not added_by_version:
+    if not changes_by_version:
         if latest_schema is None:
             raise FileNotFoundError(f"{table_dir} has no versions")
         empty_schema = StructType.fromJson(json.loads(latest_schema)).add(
             "_commit_version", LongType()
         )
+        if include_removes:
+            empty_schema = empty_schema.add("_change_type", StringType())
         return spark.createDataFrame([], schema=empty_schema)
 
-    parts = [
-        spark.read.parquet(*(os.path.join(table_dir, f) for f in fs)).withColumn(
-            "_commit_version", F.lit(v).cast("long")
-        )
-        for v, fs in added_by_version
-    ]
+    def _read(fs: list[str], v: int, change: str) -> DataFrame:
+        df = spark.read.parquet(
+            *(os.path.join(table_dir, f) for f in fs)
+        ).withColumn("_commit_version", F.lit(v).cast("long"))
+        if include_removes:
+            df = df.withColumn("_change_type", F.lit(change))
+        return df
+
+    parts = []
+    for v, added, removed in changes_by_version:
+        if removed:
+            parts.append(_read(removed, v, "delete"))
+        if added:
+            parts.append(_read(added, v, "insert"))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

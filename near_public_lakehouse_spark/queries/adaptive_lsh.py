@@ -208,12 +208,10 @@ def _adaptive_pairs(docs: DataFrame) -> DataFrame:
         .agg(F.min("doc_id").alias("gid"), F.first("sig").alias("sig"))
         .join(F.broadcast(cfg), "source")
     )
-    from near_public_lakehouse_spark.queries.dedup import (
-        VERIFY_BROADCAST_MAX_REPS,
-    )
+    from near_public_lakehouse_spark.queries import dedup as _dd
 
     n_docs = sigs.count()  # free: localCheckpoint already materialized it
-    small = n_docs <= VERIFY_BROADCAST_MAX_REPS
+    small = n_docs <= _dd.VERIFY_BROADCAST_MAX_REPS
     n_part = int(
         docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
@@ -275,15 +273,74 @@ def _adaptive_pairs(docs: DataFrame) -> DataFrame:
             F.greatest("da", "db").alias("doc_b"),
         )
     )
-    x = members.alias("x")
-    y = members.alias("y")
-    within = x.join(
-        y,
-        (F.col("x.source") == F.col("y.source"))
-        & (F.col("x.sk") == F.col("y.sk"))
-        & (F.col("x.doc_id") < F.col("y.doc_id")),
-    ).select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-    return cross.unionByName(within)
+    return cross.unionByName(_within_group_pairs(members))
+
+
+# A signature group's member-pair enumeration is a self-join on ONE
+# (source, sk) key: quadratic OUTPUT by semantics (identical signatures
+# are all true candidates), so what must stay bounded is the PER-TASK
+# share. AQE's skew split covers the join once the hot partition is
+# byte-visible (pinned in tests/test_skew_dedup.py), but its byte
+# heuristics can miss the row-quadratic regime: a 10^6-member group is
+# only ~60 MB of shuffle — under the 256 MB default threshold — yet 10^12
+# pairs of CPU (the adversarial-skew probe measured the toy-scale version
+# of exactly this cliff: one 116 s task in a 127 s wall, SCALE.md).
+# Above this member count the group takes an explicit salted join
+# (operators/skew.salted_join): detection is one tiny aggregate over the
+# already-checkpointed members frame, only the HOT groups pay the
+# replication cost, and the local/bench plans never change (no local
+# corpus comes near the threshold).
+WITHIN_HOT_GROUP_MEMBERS = 50_000
+
+
+def _within_group_pairs(members: DataFrame) -> DataFrame:
+    """(doc_a < doc_b) pairs within each (source, sk) signature group,
+    with hot groups (> WITHIN_HOT_GROUP_MEMBERS members) routed through a
+    salted self-join so no single task owns a hot group's m^2/2 share."""
+    xa = members.select(
+        "source", "sk", F.col("doc_id").alias("da")
+    )
+    ya = members.select(
+        "source", "sk", F.col("doc_id").alias("db")
+    )
+
+    def plain(x: DataFrame, y: DataFrame) -> DataFrame:
+        return (
+            x.join(y, ["source", "sk"])
+            .filter(F.col("da") < F.col("db"))
+            .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"))
+        )
+
+    counts = members.groupBy("source", "sk").count()
+    max_group = counts.agg(F.max("count")).first()[0] or 0
+    if max_group <= WITHIN_HOT_GROUP_MEMBERS:
+        return plain(xa, ya)
+    from near_public_lakehouse_spark.operators.skew import salted_join
+
+    spark = members.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # groups exceeding the threshold number at most corpus/threshold —
+    # a bounded, broadcastable key list by construction
+    hot_keys = F.broadcast(
+        counts.filter(F.col("count") > WITHIN_HOT_GROUP_MEMBERS).select(
+            "source", "sk"
+        )
+    )
+    cold = plain(
+        xa.join(hot_keys, ["source", "sk"], "left_anti"),
+        ya.join(hot_keys, ["source", "sk"], "left_anti"),
+    )
+    hot = (
+        salted_join(
+            xa.join(hot_keys, ["source", "sk"], "left_semi"),
+            ya.join(hot_keys, ["source", "sk"], "left_semi"),
+            ["source", "sk"],
+            buckets=n_part,
+        )
+        .filter(F.col("da") < F.col("db"))
+        .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"))
+    )
+    return cold.unionByName(hot)
 
 
 def _fixed_pairs(docs: DataFrame) -> DataFrame:
@@ -628,14 +685,20 @@ def near_dup_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-band stage remains the engine behind `dedup_clusters` /
     `dedup_clusters_star`; >=99% row agreement between the two candidate
     stages is pinned in tests/test_adaptive_lsh.py."""
+    return _assignments_frame(load_table(spark, sf_dir, "documents"))
+
+
+def _assignments_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level core of `near_dup_assignments` over any (doc_id, text,
+    source) frame — split out so the adversarial-skew probe
+    (tools/skew_probe_dedup.py) and tests/test_skew_dedup.py can run the
+    TRUE production path on pathological corpora instead of a copy."""
     from pyspark.sql import Window as W
 
-    from near_public_lakehouse_spark.queries.dedup import (
-        VERIFY_BROADCAST_MAX_REPS,
-        _star_cc,
-    )
+    from near_public_lakehouse_spark.queries import dedup as _dd
+    from near_public_lakehouse_spark.queries.dedup import _star_cc
 
-    docs = load_table(spark, sf_dir, "documents")
+    spark = docs.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     # Tokenization + fingerprint md5 run map-side at the SCAN's width (a
     # couple of parquet files at bench SFs) — one cheap text shuffle
@@ -661,7 +724,7 @@ def near_dup_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = _adaptive_pairs(reps)
     ta = reps.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     tb = reps.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
-    if n_reps <= VERIFY_BROADCAST_MAX_REPS:
+    if n_reps <= _dd.VERIFY_BROADCAST_MAX_REPS:
         ta, tb = F.broadcast(ta), F.broadcast(tb)
         # The broadcast verify join runs map-side at the CANDIDATE frame's
         # parallelism, and AQE's byte-based coalescing shrinks the small

@@ -1166,3 +1166,78 @@ def test_data_skipping_absent_pv_key_and_unmapped_mode_none(spark):
     )
     kept = prune_snapshot_files(snap_mapped, [("day", "=", "2024-01-02")])
     assert set(kept.files) == {"present.parquet"}
+
+
+# --- change feed (VERDICT r11 task #7) ---------------------------------------
+
+
+def _rows_at(r, spark, v):
+    return sorted((x.k, x.v) for x in r.to_df(spark, version=v).collect())
+
+
+def test_read_changes_default_raises_on_change_commit(table, spark):
+    r = DeltaLogReader(table)
+    with pytest.raises(ValueError, match="rewrote existing rows"):
+        r.read_changes(spark)
+
+
+def test_read_changes_skip_change_commits_matches_reference_semantics(table, spark):
+    """skipChangeCommits=true (the reference's BQ Writer choice): the
+    upsert commit vanishes WHOLESALE — its adds too — and compaction is
+    invisible because nothing it touches carries dataChange."""
+    r = DeltaLogReader(table)
+    feed = r.read_changes(spark, skip_change_commits=True)
+    rows = feed.collect()
+    got = sorted((x.k, x.v, x._commit_version) for x in rows)
+    assert got == [(1, "a", 0), (2, "b", 0), (3, "c", 1)]
+    assert all(x._change_type == "insert" for x in rows)
+
+
+def test_read_changes_include_removes_replays_snapshot_transition(table, spark):
+    """The delete+insert view is net-exact: applying version 2's deletes
+    then inserts to snapshot(1) reproduces snapshot(2) as a multiset."""
+    r = DeltaLogReader(table)
+    feed = r.read_changes(
+        spark, since_version=1, end_version=2, include_removes=True
+    ).collect()
+    assert {x._commit_version for x in feed} == {2}
+    deletes = sorted((x.k, x.v) for x in feed if x._change_type == "delete")
+    inserts = sorted((x.k, x.v) for x in feed if x._change_type == "insert")
+    assert inserts, "the upsert added rows"
+    before = _rows_at(r, spark, 1)
+    after = _rows_at(r, spark, 2)
+    replayed = [t for t in before if t not in deletes] + [
+        t for t in inserts
+    ]
+    # deletes are file-granular: every delete WAS in the before-state
+    for t in deletes:
+        assert t in before
+    assert sorted(replayed) == after
+
+
+def test_read_changes_compaction_invisible_and_empty_window(table, spark):
+    r = DeltaLogReader(table)
+    tip = r.versions[-1]
+    feed = r.read_changes(
+        spark, since_version=2, end_version=tip, include_removes=True
+    )
+    assert feed.count() == 0
+    assert {"_commit_version", "_change_type"} <= set(feed.columns)
+
+
+def test_read_changes_vacuumed_remove_fails_loudly(table, spark):
+    """include_removes needs the removed files on disk: after deleting a
+    tombstoned data file (what an aged vacuum does), the delete-direction
+    read raises instead of silently returning partial history."""
+    r = DeltaLogReader(table)
+    live = set(r.snapshot().files)
+    all_seen = set()
+    for v in r.versions:
+        all_seen |= set(r.snapshot(v).files)
+    removed = sorted(all_seen - live)
+    assert removed
+    os.remove(os.path.join(table, removed[0]))
+    with pytest.raises(Exception):
+        r.read_changes(
+            spark, since_version=1, end_version=2, include_removes=True
+        ).collect()
