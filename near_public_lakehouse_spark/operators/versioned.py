@@ -633,6 +633,89 @@ def tail_into(
     raise CommitConflict(f"tail into {target_dir} lost {_retries} races")
 
 
+def mirror_into(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    keys: list[str],
+    app_id: str | None = None,
+    max_versions_per_batch: int | None = None,
+    _retries: int = 10,
+) -> dict:
+    """Delete-PROPAGATING replication micro-batch: the consumer the
+    remove-aware change feed exists for (VERDICT r11 task #7). Where
+    `tail_into` is the reference's skipChangeCommits append tail (deletes
+    never propagate), `mirror_into` drains
+    ``read_changes(include_removes=True)`` and applies the window's NET
+    effect per key to the target — updates land as updates, deletes as
+    deletes — so after each drained batch the target's row set equals the
+    source snapshot at the consumed version.
+
+    Net effect: one window by `keys` ordered by (_commit_version DESC,
+    _change_type DESC) — the latest commit wins, and within one commit an
+    update's insert outranks its paired file-granularity delete. A net
+    `delete` drops the key; a net `insert` upserts the row. Rows merely
+    copied between files during a rewrite net to an insert of identical
+    values — harmless by idempotence of upsert.
+
+    Exactly-once the same way as `tail_into`: the consumed source version
+    travels INSIDE the target commit (``txn: {app_id: version}``); a lost
+    race re-derives the whole batch against the winner's snapshot. The
+    target rewrite is snapshot-sized, matching `versioned_upsert`'s
+    existing MERGE semantics on this manifest store — the
+    partition-pruned form of the same operation is
+    `merge.merge_upsert_logged` on the published Delta tables.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    app = app_id or f"mirror:{os.path.abspath(source_dir)}"
+    src_latest = latest_version(source_dir)
+    if src_latest is None:
+        return {"source_version": None, "target_version": latest_version(target_dir), "n_rows": 0}
+    for _ in range(_retries):
+        base = latest_version(target_dir)
+        since = last_committed_txn(target_dir, app)
+        end = src_latest
+        if max_versions_per_batch is not None:
+            floor = -1 if since is None else since
+            end = min(src_latest, floor + max_versions_per_batch)
+        if since is not None and end <= since:
+            return {"source_version": since, "target_version": base, "n_rows": 0}
+        feed = read_changes(
+            spark, source_dir, since_version=since, end_version=end,
+            include_removes=True,
+        )
+        rn = F.row_number().over(
+            W.partitionBy(*keys).orderBy(
+                F.desc("_commit_version"), F.desc("_change_type")
+            )
+        )
+        net = feed.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__rn")
+        upserts = net.filter(F.col("_change_type") == "insert").drop(
+            "_commit_version", "_change_type"
+        )
+        affected = net.select(*keys)
+        if base is not None:
+            target = read_version(spark, target_dir, base)
+            merged = target.join(affected, keys, "left_anti").unionByName(upserts)
+        else:
+            merged = upserts
+        files = _write_data(merged, target_dir)
+        try:
+            return {
+                "source_version": end,
+                "target_version": _commit(
+                    target_dir, "mirror", files, base,
+                    merged.schema.json(), txn={app: end},
+                ),
+                "n_rows": merged.count(),
+            }
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"mirror into {target_dir} lost {_retries} races")
+
+
 def tail_until_drained(
     spark: SparkSession,
     source_dir: str,

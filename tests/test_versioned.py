@@ -607,3 +607,30 @@ def test_read_changes_include_removes_delete_insert_view(spark, tmp_path):
     V.vacuum(t, retain_last=1)
     with pytest.raises(Exception):
         V.read_changes(spark, t, since_version=0, include_removes=True).collect()
+
+
+def test_mirror_into_propagates_updates_and_deletes(spark, tmp_path):
+    """The delete-propagating consumer: after each drained batch the
+    mirror's row set equals the source snapshot — updates land as
+    updates, overwrite-dropped keys as deletes; re-runs are no-ops."""
+    s, t = str(tmp_path / "src"), str(tmp_path / "dst")
+    V.commit_overwrite(_df(spark, [(1, "a"), (2, "b")]), s)
+    r = V.mirror_into(spark, s, t, ["k"])
+    assert r["source_version"] == 0
+    assert _rows(V.read_version(spark, t)) == [(1, "a"), (2, "b")]
+
+    V.versioned_upsert(spark, s, _df(spark, [(2, "B"), (3, "c")]), ["k"])
+    V.commit_append(_df(spark, [(4, "d")]), s)
+    r = V.mirror_into(spark, s, t, ["k"])
+    assert r["source_version"] == 2
+    assert _rows(V.read_version(spark, t)) == _rows(V.read_version(spark, s))
+
+    # overwrite drops keys 1-4 entirely: the mirror must DELETE them
+    V.commit_overwrite(_df(spark, [(9, "z")]), s)
+    V.mirror_into(spark, s, t, ["k"])
+    assert _rows(V.read_version(spark, t)) == [(9, "z")]
+
+    # idempotent: nothing new -> watermark unmoved, no data commit
+    before = V.latest_version(t)
+    r = V.mirror_into(spark, s, t, ["k"])
+    assert r["n_rows"] == 0 and V.latest_version(t) == before
