@@ -40,7 +40,9 @@ Semantics:
   (``compact``) carry ``data_change: false`` and are invisible to the
   feed, exactly like Delta's OPTIMIZE; commits that rewrite existing rows
   (``upsert``/``overwrite``) either raise or are skipped wholesale under
-  ``skip_change_commits=True`` — never half-read.
+  ``skip_change_commits=True`` — never half-read — or surfaced as
+  file-granularity delete+insert pairs under ``include_removes=True``
+  (the delete direction; ``mirror_into`` is its consumer).
 - **Streaming tail**: ``tail_into``/``tail_until_drained`` consume the
   change feed into another versioned table with the consumed source
   version recorded INSIDE the output commit (Delta's txnAppId/txnVersion
