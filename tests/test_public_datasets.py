@@ -1134,3 +1134,49 @@ def test_retention_vacuum_and_time_travel(pipe, spark, tmp_path):
         counts.append(_n_data_files(table))
     assert counts[-1] <= counts[0], f"directory growth unbounded: {counts}"
     assert _validate_delta_table(table) >= 17
+
+
+def test_published_change_feed_surfaces_rewrites(pipe, spark, tmp_path):
+    """Task #1's tombstones feed task #7's consumer, on a REAL published
+    table: each partition-rewrite publish surfaces through
+    `DeltaLogReader.read_changes(include_removes=True)` as the exact
+    delete+insert transition (replaying it reproduces the next snapshot),
+    the reference semantic (`skipChangeCommits`) sees only the initial
+    load, and the default read refuses the rewrite."""
+    from near_public_lakehouse_spark.operators.delta_reader import DeltaLogReader
+    from near_public_lakehouse_spark.plans.public import publish_public_table
+
+    df = pipe.read("public_logs")
+    out = str(tmp_path / "pub")
+    table = out + "/logs"
+    publish_public_table(spark, "logs", df, out)  # v0
+    base = df.limit(1)
+    for i in (1, 2):  # two partition rewrites
+        publish_public_table(
+            spark, "logs", base.withColumn("receipt_id", F.lit(f"R{i}")), out
+        )
+
+    reader = DeltaLogReader(table)
+    with pytest.raises(ValueError, match="rewrote existing rows"):
+        reader.read_changes(spark)
+    skip = reader.read_changes(spark, skip_change_commits=True)
+    assert {r["_commit_version"] for r in skip.select("_commit_version").collect()} == {0}
+    assert skip.count() == df.count()
+
+    def ids(frame):
+        return sorted(r[0] for r in frame.select("receipt_id").collect())
+
+    for v in (1, 2):
+        feed = reader.read_changes(
+            spark, since_version=v - 1, end_version=v, include_removes=True
+        )
+        deletes = ids(feed.filter(F.col("_change_type") == "delete"))
+        inserts = ids(feed.filter(F.col("_change_type") == "insert"))
+        before = ids(reader.to_df(spark, version=v - 1))
+        after = ids(reader.to_df(spark, version=v))
+        assert deletes and inserts
+        for d in deletes:
+            assert d in before
+        replayed = sorted([x for x in before if x not in deletes] + inserts)
+        assert replayed == after
+        assert f"R{v}" in inserts
