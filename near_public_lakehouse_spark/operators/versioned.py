@@ -683,7 +683,12 @@ def mirror_into(
             floor = -1 if since is None else since
             end = min(src_latest, floor + max_versions_per_batch)
         if since is not None and end <= since:
-            return {"source_version": since, "target_version": base, "n_rows": 0}
+            return {
+                "source_version": since,
+                "target_version": base,
+                "n_rows": 0,
+                "drained": True,
+            }
         feed = read_changes(
             spark, source_dir, since_version=since, end_version=end,
             include_removes=True,
@@ -745,6 +750,105 @@ def tail_until_drained(
         results.append(r)
         if src_latest is not None and r["source_version"] >= src_latest:
             return results
+
+
+def mirror_until_drained(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    keys: list[str],
+    app_id: str | None = None,
+    max_versions_per_batch: int | None = None,
+) -> list[dict]:
+    """`tail_until_drained`'s delete-propagating twin: run `mirror_into`
+    micro-batches until the consumer watermark reaches the source tip.
+    With `max_versions_per_batch` a long-gapped restart replays the
+    commit history in bounded bites; each bite applies its window's NET
+    per-key effect, so the target passes through consistent intermediate
+    snapshots (never a half-applied window)."""
+    results: list[dict] = []
+    while True:
+        src_latest = latest_version(source_dir)
+        r = mirror_into(
+            spark, source_dir, target_dir, keys, app_id=app_id,
+            max_versions_per_batch=max_versions_per_batch,
+        )
+        if r["source_version"] is None or r.get("drained"):
+            return results
+        results.append(r)
+        if src_latest is not None and r["source_version"] >= src_latest:
+            return results
+
+
+def delta_mirror_into(
+    spark: SparkSession,
+    delta_table_dir: str,
+    target_dir: str,
+    keys: list[str],
+    app_id: str | None = None,
+    _retries: int = 10,
+) -> dict:
+    """Cross-store consumer: mirror a PUBLISHED Delta table (real
+    `_delta_log`, read by the independent protocol reader) into a
+    versioned table, PROPAGATING DELETES — the downstream shape the
+    reference's BQ Writer cannot have (it reads with
+    `skipChangeCommits=true` and never deletes; `NB/BQ Writer
+    Stream.py:9-15`). One call drains everything past this consumer's
+    watermark: the Delta-side commit feed
+    (`DeltaLogReader.read_changes(include_removes=True)`) reduces to its
+    net per-key effect exactly as `mirror_into`, and the consumed DELTA
+    version rides inside the versioned commit (txn watermark) for
+    exactly-once drains. Needs the window's removed files inside the
+    publish-side vacuum retention window — same contract as the feed."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from near_public_lakehouse_spark.operators.delta_reader import DeltaLogReader
+
+    app = app_id or f"delta-mirror:{os.path.abspath(delta_table_dir)}"
+    reader = DeltaLogReader(delta_table_dir)
+    tip = reader.versions[-1]
+    for _ in range(_retries):
+        base = latest_version(target_dir)
+        since = last_committed_txn(target_dir, app)
+        if since is not None and tip <= since:
+            return {
+                "source_version": since,
+                "target_version": base,
+                "n_rows": 0,
+                "drained": True,
+            }
+        feed = reader.read_changes(
+            spark, since_version=since, end_version=tip, include_removes=True
+        )
+        rn = F.row_number().over(
+            W.partitionBy(*keys).orderBy(
+                F.desc("_commit_version"), F.desc("_change_type")
+            )
+        )
+        net = feed.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__rn")
+        upserts = net.filter(F.col("_change_type") == "insert").drop(
+            "_commit_version", "_change_type"
+        )
+        affected = net.select(*keys)
+        if base is not None:
+            target = read_version(spark, target_dir, base)
+            merged = target.join(affected, keys, "left_anti").unionByName(upserts)
+        else:
+            merged = upserts
+        files = _write_data(merged, target_dir)
+        try:
+            return {
+                "source_version": tip,
+                "target_version": _commit(
+                    target_dir, "mirror", files, base,
+                    merged.schema.json(), txn={app: tip},
+                ),
+                "n_rows": merged.count(),
+            }
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"delta mirror into {target_dir} lost {_retries} races")
 
 
 def idempotent_batch_sink(table_dir: str, app_id: str, transform=None):

@@ -1180,3 +1180,49 @@ def test_published_change_feed_surfaces_rewrites(pipe, spark, tmp_path):
         replayed = sorted([x for x in before if x not in deletes] + inserts)
         assert replayed == after
         assert f"R{v}" in inserts
+
+
+def test_delta_mirror_propagates_published_rewrites(pipe, spark, tmp_path):
+    """Cross-store consumer: a versioned mirror of a PUBLISHED Delta table
+    tracks it through partition-rewrite publishes with deletes propagated
+    — the downstream shape the reference's BQ Writer cannot have (it
+    reads skipChangeCommits=true). Exactly-once: the consumed Delta
+    version rides inside the versioned commit; re-drains are no-ops."""
+    from near_public_lakehouse_spark.operators import versioned as V
+    from near_public_lakehouse_spark.operators.delta_reader import DeltaLogReader
+    from near_public_lakehouse_spark.plans.public import (
+        PUBLIC_TABLE_KEYS,
+        publish_public_table,
+    )
+
+    df = pipe.read("public_logs")
+    out = str(tmp_path / "pub")
+    table = out + "/logs"
+    mirror = str(tmp_path / "mirror")
+    keys = PUBLIC_TABLE_KEYS["logs"][0]
+
+    publish_public_table(spark, "logs", df, out)  # v0
+    base = df.limit(1)
+    publish_public_table(
+        spark, "logs", base.withColumn("receipt_id", F.lit("R1")), out
+    )  # v1: partition rewrite
+
+    def ids(frame):
+        return sorted(r[0] for r in frame.select("receipt_id").collect())
+
+    r = V.delta_mirror_into(spark, table, mirror, keys)
+    assert r["source_version"] == 1
+    reader = DeltaLogReader(table)
+    assert ids(V.read_version(spark, mirror)) == ids(reader.to_df(spark))
+
+    # another rewrite, drained separately
+    publish_public_table(
+        spark, "logs", base.withColumn("receipt_id", F.lit("R2")), out
+    )
+    V.delta_mirror_into(spark, table, mirror, keys)
+    assert ids(V.read_version(spark, mirror)) == ids(
+        DeltaLogReader(table).to_df(spark)
+    )
+    # idempotent no-op drain
+    r = V.delta_mirror_into(spark, table, mirror, keys)
+    assert r["n_rows"] == 0 and r.get("drained")

@@ -685,3 +685,21 @@ def test_mirror_tracks_source_through_random_commit_histories(spark, tmp_path):
             if rng.random() < 0.5:
                 drain_and_check()
         drain_and_check()
+
+
+def test_mirror_until_drained_bounded_bites(spark, tmp_path):
+    """Long-gap restart replays in bounded windows: with
+    max_versions_per_batch=1 each bite lands one source commit's net
+    effect and the final state equals the source tip; a re-run drains
+    nothing."""
+    s, t = str(tmp_path / "src"), str(tmp_path / "dst")
+    V.commit_overwrite(_df(spark, [(1, "a"), (2, "b")]), s)
+    V.versioned_upsert(spark, s, _df(spark, [(2, "B"), (3, "c")]), ["k"])
+    V.commit_overwrite(_df(spark, [(3, "c"), (9, "z")]), s)
+    rs = V.mirror_until_drained(spark, s, t, ["k"], max_versions_per_batch=1)
+    assert [r["source_version"] for r in rs] == [0, 1, 2]
+    assert _rows(V.read_version(spark, t)) == [(3, "c"), (9, "z")]
+    # intermediate snapshots were consistent: target history replays them
+    assert _rows(V.read_version(spark, t, 0)) == [(1, "a"), (2, "b")]
+    assert _rows(V.read_version(spark, t, 1)) == [(1, "a"), (2, "B"), (3, "c")]
+    assert V.mirror_until_drained(spark, s, t, ["k"]) == []
