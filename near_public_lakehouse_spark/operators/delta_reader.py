@@ -893,6 +893,67 @@ class DeltaLogReader:
             out = out.unionByName(p_)
         return out
 
+    def change_plan(
+        self,
+        since_version: int | None = None,
+        end_version: int | None = None,
+        skip_change_commits: bool = False,
+        include_removes: bool = False,
+    ) -> list[tuple[int, list[str], list[str]]]:
+        """Driver-side change-feed plan: ``(version, added paths, removed
+        paths)`` per data-changing commit in ``(since_version,
+        end_version]`` — pure log reads, no Spark job, so a consumer can
+        detect an empty window for free (the `mirror` consumers do).
+
+        Validation is range-complete: EVERY version in the window must
+        have its JSON commit. The window is built from the raw range, not
+        filtered to the readable subset, so a cleaned-up gap between a
+        replayable JSON prefix and the checkpoint RAISES instead of
+        silently skipping commits — a watermarked consumer would
+        otherwise diverge forever (r12 review finding)."""
+        hi = self.versions[-1] if end_version is None else end_version
+        start = -1 if since_version is None else since_version
+        if since_version is not None and since_version not in self.versions:
+            raise DeltaProtocolError(
+                f"since_version {since_version} not readable: "
+                f"available {self.versions}"
+            )
+        window = list(range(start + 1, hi + 1))
+        json_set = set(self._json_versions)
+        not_json = [v for v in window if v not in json_set]
+        if not_json:
+            raise DeltaProtocolError(
+                f"change feed needs per-commit JSON for versions {not_json} "
+                "(only a checkpoint survives for them)"
+            )
+        plan: list[tuple[int, list[str], list[str]]] = []
+        for v in window:
+            adds: list[str] = []
+            removes: list[str] = []
+            for key, body in self._actions(v):
+                if key == "add" and body.get("dataChange", True):
+                    adds.append(body["path"])
+                elif key == "remove" and body.get("dataChange", True):
+                    removes.append(body["path"])
+            if removes:
+                if skip_change_commits:
+                    continue
+                if not include_removes:
+                    raise ValueError(
+                        f"version {v} of {self.table_dir} rewrote existing "
+                        "rows; pass skip_change_commits=True to ignore "
+                        "change commits or include_removes=True for the "
+                        "delete+insert view"
+                    )
+                if v - 1 not in self.versions:
+                    raise DeltaProtocolError(
+                        f"version {v - 1} not readable — cannot resolve the "
+                        f"rows version {v} removed"
+                    )
+            if adds or (removes and include_removes):
+                plan.append((v, adds, removes if include_removes else []))
+        return plan
+
     def read_changes(
         self,
         spark,
@@ -936,44 +997,19 @@ class DeltaLogReader:
         from pyspark.sql import functions as F
         from pyspark.sql.types import StructType
 
+        # plan computed first so every validation (window completeness,
+        # raise-on-rewrite) happens before any Spark job is built
+
+        plan = self.change_plan(
+            since_version,
+            end_version,
+            skip_change_commits=skip_change_commits,
+            include_removes=include_removes,
+        )
         hi = self.versions[-1] if end_version is None else end_version
-        start = -1 if since_version is None else since_version
-        window = [v for v in self.versions if start < v <= hi]
-        if since_version is not None and since_version not in self.versions:
-            raise DeltaProtocolError(
-                f"since_version {since_version} not readable: "
-                f"available {self.versions}"
-            )
-        not_json = [v for v in window if v not in self._json_versions]
-        if not_json:
-            raise DeltaProtocolError(
-                f"change feed needs per-commit JSON for versions {not_json} "
-                "(only a checkpoint survives for them)"
-            )
         parts = []
-        for v in window:
-            adds: list[str] = []
-            removes: list[str] = []
-            for key, body in self._actions(v):
-                if key == "add" and body.get("dataChange", True):
-                    adds.append(body["path"])
-                elif key == "remove" and body.get("dataChange", True):
-                    removes.append(body["path"])
+        for v, adds, removes in plan:
             if removes:
-                if skip_change_commits:
-                    continue
-                if not include_removes:
-                    raise ValueError(
-                        f"version {v} of {self.table_dir} rewrote existing "
-                        "rows; pass skip_change_commits=True to ignore "
-                        "change commits or include_removes=True for the "
-                        "delete+insert view"
-                    )
-                if v - 1 not in self.versions:
-                    raise DeltaProtocolError(
-                        f"version {v - 1} not readable — cannot resolve the "
-                        f"rows version {v} removed"
-                    )
                 parts.append(
                     self.to_df(spark, version=v - 1, paths=set(removes)).select(
                         "*",

@@ -502,7 +502,10 @@ def read_changes(
             parts.append(_read(added, v, "insert"))
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
+        # additive schema evolution mid-window: later commits may carry new
+        # columns (and delete parts always carry the PRE-rewrite schema);
+        # earlier rows null-fill — same contract as the Delta-side twin
+        out = out.unionByName(p, allowMissingColumns=True)
     return out
 
 
@@ -667,10 +670,14 @@ def mirror_into(
     existing MERGE semantics on this manifest store — the
     partition-pruned form of the same operation is
     `merge.merge_upsert_logged` on the published Delta tables.
-    """
-    from pyspark.sql import Window as W
-    from pyspark.sql import functions as F
 
+    PRECONDITION: `keys` identify at most one live row per source snapshot
+    (a MERGE-managed table — the same contract Delta CDF consumers
+    assume). A per-window guard raises when the window itself proves the
+    contract broken (more inserts than deletes for one key, e.g. a raw
+    append of a duplicate key); violations that straddle windows are
+    undetectable at file granularity and land as last-writer-wins.
+    """
     app = app_id or f"mirror:{os.path.abspath(source_dir)}"
     src_latest = latest_version(source_dir)
     if src_latest is None:
@@ -689,38 +696,133 @@ def mirror_into(
                 "n_rows": 0,
                 "drained": True,
             }
+        plan, _schema = _changes_plan(
+            source_dir, since, end, False, include_removes=True
+        )
+        if not plan:
+            # window held only reorganizations: advance the watermark with
+            # a data-less commit (reuse files, data_change=False) instead
+            # of rewriting the whole snapshot for a no-op (r12 review)
+            r = _watermark_only_commit(
+                target_dir, base, app, end, "mirror", _schema
+            )
+            if r is not None:
+                return r
+            continue  # lost the race on the data-less commit
         feed = read_changes(
             spark, source_dir, since_version=since, end_version=end,
             include_removes=True,
         )
-        rn = F.row_number().over(
-            W.partitionBy(*keys).orderBy(
-                F.desc("_commit_version"), F.desc("_change_type")
-            )
+        r = _apply_mirror_batch(
+            spark, feed, target_dir, base, keys, app, end, "mirror"
         )
-        net = feed.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__rn")
-        upserts = net.filter(F.col("_change_type") == "insert").drop(
-            "_commit_version", "_change_type"
-        )
-        affected = net.select(*keys)
-        if base is not None:
-            target = read_version(spark, target_dir, base)
-            merged = target.join(affected, keys, "left_anti").unionByName(upserts)
-        else:
-            merged = upserts
-        files = _write_data(merged, target_dir)
-        try:
-            return {
-                "source_version": end,
-                "target_version": _commit(
-                    target_dir, "mirror", files, base,
-                    merged.schema.json(), txn={app: end},
-                ),
-                "n_rows": merged.count(),
-            }
-        except CommitConflict:
-            continue
+        if r is not None:
+            return r
     raise CommitConflict(f"mirror into {target_dir} lost {_retries} races")
+
+
+def _watermark_only_commit(
+    target_dir: str,
+    base: int | None,
+    app: str,
+    end: int,
+    op: str,
+    fallback_schema: str | None,
+) -> dict | None:
+    """Advance a consumer watermark with a data-less commit that reuses
+    the target's current files (tail_into's empty-window branch, shared by
+    the mirrors). None on a lost commit race (caller retries)."""
+    prior = _read_manifest(target_dir, base)["files"] if base is not None else []
+    prior_schema = (
+        _read_manifest(target_dir, base)["schema"]
+        if base is not None
+        else fallback_schema or "{}"
+    )
+    try:
+        return {
+            "source_version": end,
+            "target_version": _commit(
+                target_dir, op, prior, base, prior_schema,
+                data_change=False, txn={app: end},
+            ),
+            "n_rows": 0,
+        }
+    except CommitConflict:
+        return None
+
+
+def _apply_mirror_batch(
+    spark: SparkSession,
+    feed: DataFrame,
+    target_dir: str,
+    base: int | None,
+    keys: list[str],
+    app: str,
+    end: int,
+    op: str,
+) -> dict | None:
+    """Shared net-reduce + key-contract guard + merge + commit for the
+    mirror consumers (manifest-store and Delta sources). None on a lost
+    commit race (caller retries with a re-derived window)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    # Key-contract guard: within one window a key ending LIVE must have
+    # inserts <= deletes + 1; a raw duplicate-key append breaks that and
+    # would be silently collapsed by the net reduce below. One extra pass
+    # over the CHANGED files only (never the target).
+    bal = (
+        feed.groupBy(*keys)
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("bal")
+        )
+        .filter(F.col("bal") > 1)
+    )
+    offender = bal.limit(1).collect()
+    if offender:
+        raise ValueError(
+            f"source window violates the unique-key contract for keys "
+            f"{keys}: e.g. {tuple(offender[0])[:-1]} has more inserts than "
+            "deletes — mirror_into requires a MERGE-managed source"
+        )
+    rn = F.row_number().over(
+        W.partitionBy(*keys).orderBy(
+            F.desc("_commit_version"), F.desc("_change_type")
+        )
+    )
+    net = feed.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__rn")
+    upserts = net.filter(F.col("_change_type") == "insert").drop(
+        "_commit_version", "_change_type"
+    )
+    affected = net.select(*keys)
+    if base is not None:
+        target = read_version(spark, target_dir, base)
+        merged = target.join(affected, keys, "left_anti").unionByName(
+            upserts, allowMissingColumns=True
+        )
+    else:
+        merged = upserts
+    files = _write_data(merged, target_dir)
+    try:
+        version = _commit(
+            target_dir, op, files, base, merged.schema.json(), txn={app: end}
+        )
+    except CommitConflict:
+        return None
+    # row count from the manifest's own parquet-footer stats — no second
+    # execution of the merged plan (r12 review); None if any file lacks it
+    stats = _read_manifest(target_dir, version).get("stats", {})
+    per_file = [s.get("rows") for s in (stats.get(f) for f in files) if s]
+    n_rows = sum(per_file) if len(per_file) == len(files) and all(
+        r is not None for r in per_file
+    ) else None
+    return {
+        "source_version": end,
+        "target_version": version,
+        "n_rows": n_rows,
+    }
 
 
 def tail_until_drained(
@@ -799,10 +901,10 @@ def delta_mirror_into(
     net per-key effect exactly as `mirror_into`, and the consumed DELTA
     version rides inside the versioned commit (txn watermark) for
     exactly-once drains. Needs the window's removed files inside the
-    publish-side vacuum retention window — same contract as the feed."""
-    from pyspark.sql import Window as W
-    from pyspark.sql import functions as F
-
+    publish-side vacuum retention window — same contract as the feed.
+    Shares `mirror_into`'s key contract and guard (unique keys per source
+    snapshot — true by construction for the published tables, which MERGE
+    on PUBLIC_TABLE_KEYS)."""
     from near_public_lakehouse_spark.operators.delta_reader import DeltaLogReader
 
     app = app_id or f"delta-mirror:{os.path.abspath(delta_table_dir)}"
@@ -818,36 +920,21 @@ def delta_mirror_into(
                 "n_rows": 0,
                 "drained": True,
             }
+        if not reader.change_plan(since, tip, include_removes=True):
+            # reorganization-only window (e.g. compaction between
+            # publishes): data-less watermark advance, no snapshot rewrite
+            r = _watermark_only_commit(target_dir, base, app, tip, "mirror", None)
+            if r is not None:
+                return r
+            continue
         feed = reader.read_changes(
             spark, since_version=since, end_version=tip, include_removes=True
         )
-        rn = F.row_number().over(
-            W.partitionBy(*keys).orderBy(
-                F.desc("_commit_version"), F.desc("_change_type")
-            )
+        r = _apply_mirror_batch(
+            spark, feed, target_dir, base, keys, app, tip, "mirror"
         )
-        net = feed.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__rn")
-        upserts = net.filter(F.col("_change_type") == "insert").drop(
-            "_commit_version", "_change_type"
-        )
-        affected = net.select(*keys)
-        if base is not None:
-            target = read_version(spark, target_dir, base)
-            merged = target.join(affected, keys, "left_anti").unionByName(upserts)
-        else:
-            merged = upserts
-        files = _write_data(merged, target_dir)
-        try:
-            return {
-                "source_version": tip,
-                "target_version": _commit(
-                    target_dir, "mirror", files, base,
-                    merged.schema.json(), txn={app: tip},
-                ),
-                "n_rows": merged.count(),
-            }
-        except CommitConflict:
-            continue
+        if r is not None:
+            return r
     raise CommitConflict(f"delta mirror into {target_dir} lost {_retries} races")
 
 

@@ -273,7 +273,7 @@ def _adaptive_pairs(docs: DataFrame) -> DataFrame:
             F.greatest("da", "db").alias("doc_b"),
         )
     )
-    return cross.unionByName(_within_group_pairs(members))
+    return cross.unionByName(_within_group_pairs(members, n_docs=n_docs))
 
 
 # A signature group's member-pair enumeration is a self-join on ONE
@@ -293,10 +293,15 @@ def _adaptive_pairs(docs: DataFrame) -> DataFrame:
 WITHIN_HOT_GROUP_MEMBERS = 50_000
 
 
-def _within_group_pairs(members: DataFrame) -> DataFrame:
+def _within_group_pairs(members: DataFrame, n_docs: int | None = None) -> DataFrame:
     """(doc_a < doc_b) pairs within each (source, sk) signature group,
     with hot groups (> WITHIN_HOT_GROUP_MEMBERS members) routed through a
-    salted self-join so no single task owns a hot group's m^2/2 share."""
+    salted self-join so no single task owns a hot group's m^2/2 share.
+
+    `n_docs` (total member count, already materialized by the caller)
+    skips the detection aggregate entirely when the corpus is provably
+    too small to contain a hot group — max group size <= n_docs, so
+    local/bench runs pay ZERO extra jobs (r12 review finding)."""
     xa = members.select(
         "source", "sk", F.col("doc_id").alias("da")
     )
@@ -311,6 +316,8 @@ def _within_group_pairs(members: DataFrame) -> DataFrame:
             .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"))
         )
 
+    if n_docs is not None and n_docs <= WITHIN_HOT_GROUP_MEMBERS:
+        return plain(xa, ya)
     counts = members.groupBy("source", "sk").count()
     max_group = counts.agg(F.max("count")).first()[0] or 0
     if max_group <= WITHIN_HOT_GROUP_MEMBERS:

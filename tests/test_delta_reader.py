@@ -1241,3 +1241,33 @@ def test_read_changes_vacuumed_remove_fails_loudly(table, spark):
         r.read_changes(
             spark, since_version=1, end_version=2, include_removes=True
         ).collect()
+
+
+def test_read_changes_raises_on_cleaned_json_gap(spark, tmp_path):
+    """A cleaned-up JSON gap between the replayable prefix and the
+    checkpoint must RAISE, not silently skip commits: a watermarked
+    consumer (delta_mirror_into) would otherwise diverge forever (r12
+    review finding). Snapshot reads of checkpoint-covered versions keep
+    working; only the change feed across the gap refuses."""
+    d = str(tmp_path / "t")
+    V.commit_overwrite(_df(spark, [(1, "a")]), d)
+    for i in range(2, 13):  # versions 1..11
+        V.commit_append(_df(spark, [(i, "x")]), d)
+    write_delta_log(d, checkpoint_interval=10)  # checkpoint at v10
+    # clean versions 4-5's JSON (aged log cleanup): prefix 0-3 replayable,
+    # checkpoint covers 10+, versions 4-9 unreadable per-commit
+    for v in (4, 5):
+        os.remove(os.path.join(d, "_delta_log", f"{v:020d}.json"))
+
+    r = DeltaLogReader(d)
+    assert 3 in r.versions and 10 in r.versions and 4 not in r.versions
+    # snapshot access still fine
+    assert r.to_df(spark, version=11).count() == 12
+    # the feed refuses the gap instead of returning partial history
+    with pytest.raises(DeltaProtocolError, match="per-commit JSON"):
+        r.read_changes(spark, since_version=3, end_version=11)
+    with pytest.raises(DeltaProtocolError, match="per-commit JSON"):
+        r.read_changes(spark)  # full-history bootstrap crosses the gap too
+    # windows fully inside readable JSON ranges still work
+    assert r.read_changes(spark, since_version=10).count() == 1
+    assert {x.k for x in r.read_changes(spark, since_version=0, end_version=3).collect()} == {2, 3, 4}

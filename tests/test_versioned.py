@@ -703,3 +703,34 @@ def test_mirror_until_drained_bounded_bites(spark, tmp_path):
     assert _rows(V.read_version(spark, t, 0)) == [(1, "a"), (2, "b")]
     assert _rows(V.read_version(spark, t, 1)) == [(1, "a"), (2, "B"), (3, "c")]
     assert V.mirror_until_drained(spark, s, t, ["k"]) == []
+
+
+def test_mirror_raises_on_duplicate_key_source(spark, tmp_path):
+    """The key contract is guarded, not assumed: a raw append that
+    duplicates an existing key (more inserts than deletes in one window)
+    raises instead of silently collapsing to one arbitrary row."""
+    s, t = str(tmp_path / "src"), str(tmp_path / "dst")
+    V.commit_overwrite(_df(spark, [(1, "a")]), s)
+    V.commit_append(_df(spark, [(1, "DUP")]), s)  # not a change commit
+    with pytest.raises(ValueError, match="unique-key contract"):
+        V.mirror_into(spark, s, t, ["k"])
+
+
+def test_mirror_reorg_only_window_is_dataless(spark, tmp_path):
+    """A window holding only compactions advances the watermark with a
+    data-less commit: the target's file set is untouched (no snapshot
+    rewrite) and a downstream change-feed consumer of the MIRROR sees
+    nothing."""
+    s, t = str(tmp_path / "src"), str(tmp_path / "dst")
+    V.commit_overwrite(_df(spark, [(1, "a"), (2, "b")]).repartition(2), s)
+    V.mirror_into(spark, s, t, ["k"])
+    files_before = V._read_manifest(t, V.latest_version(t))["files"]
+    V.commit_compact(spark, s, target_files=1)
+    r = V.mirror_into(spark, s, t, ["k"])
+    assert r["source_version"] == V.latest_version(s) and r["n_rows"] == 0
+    v = V.latest_version(t)
+    m = V._read_manifest(t, v)
+    assert m["files"] == files_before and m.get("data_change") is False
+    assert V.read_changes(spark, t, since_version=v - 1).count() == 0
+    # and the watermark really advanced: nothing left to drain
+    assert V.mirror_into(spark, s, t, ["k"]).get("drained")

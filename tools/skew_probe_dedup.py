@@ -184,19 +184,23 @@ def main() -> None:
     for regime in ("identical", "near"):
         a = next(r for r in results if r["regime"] == regime and r["n_docs"] == n1)
         b = next(r for r in results if r["regime"] == regime and r["n_docs"] == n2)
+        def wexp(key: str) -> float:
+            # sub-tick walls round to 0.0; clamp so a fast run prints the
+            # table instead of dying in log()/division after the expensive
+            # measurements completed
+            return round(
+                math.log(max(b[key], 0.01) / max(a[key], 0.01)) / lg, 3
+            )
+
         exp = {
             "regime": regime,
             "cand_count_exp": round(
                 math.log(max(b["n_candidates"], 1) / max(a["n_candidates"], 1)) / lg, 3
             ),
-            "cand_wall_exp": round(math.log(b["cand_wall_s"] / a["cand_wall_s"]) / lg, 3),
-            "small_wall_exp": round(
-                math.log(b["small_wall_s"] / a["small_wall_s"]) / lg, 3
-            ),
-            "big_wall_exp": round(math.log(b["big_wall_s"] / a["big_wall_s"]) / lg, 3),
-            "big_skewaqe_wall_exp": round(
-                math.log(b["big_skewaqe_wall_s"] / a["big_skewaqe_wall_s"]) / lg, 3
-            ),
+            "cand_wall_exp": wexp("cand_wall_s"),
+            "small_wall_exp": wexp("small_wall_s"),
+            "big_wall_exp": wexp("big_wall_s"),
+            "big_skewaqe_wall_exp": wexp("big_skewaqe_wall_s"),
         }
         print(json.dumps(exp), flush=True)
 
