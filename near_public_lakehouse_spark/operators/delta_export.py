@@ -511,6 +511,33 @@ def _checkpoint_seed(log_dir: str) -> tuple[int, dict | None, set[str]] | None:
         return None  # missing/corrupt checkpoint: full JSON replay below
 
 
+def partition_value_str(v) -> str | None:
+    """Spark/hive partition-DIR serialization of a Python value. The one
+    divergence from str(): booleans write lowercase ('live=true'), while
+    str(True) is 'True' — matching on str() silently missed boolean
+    partitions in both the sync scope test and the merge pruning literal
+    (r12 review), leaving superseded generations un-tombstoned."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def _log_has_removes(log_dir: str) -> bool:
+    """True iff any JSON commit carries a remove action. This writer
+    keeps the full JSON history on disk (checkpoints are additive seeds),
+    so a substring scan of the commit files is complete and cheap."""
+    if not os.path.isdir(log_dir):
+        return False
+    for n in os.listdir(log_dir):
+        if n.endswith(".json") and n[:-5].isdigit():
+            with open(os.path.join(log_dir, n)) as fh:
+                if '"remove"' in fh.read():
+                    return True
+    return False
+
+
 def _replay_json_log(log_dir: str) -> tuple[int | None, dict | None, set[str]]:
     """(last version, latest metaData, live add paths): seeded from the
     last classic checkpoint when one exists, then the JSON commits past
@@ -720,11 +747,23 @@ def sync_delta_log_from_dir(
     log_dir = os.path.join(table_dir, _DELTA_LOG)
     last_v, meta, prev_adds = _replay_json_log(log_dir)
 
+    # Directory-walk diffs (full or touched-scoped) cannot tell a
+    # tombstoned part-file from a live one, so on a table that has EVER
+    # emitted remove tombstones a walk would resurrect superseded
+    # generations as adds — duplicate rows for every reader. The r12
+    # review found the legacy-marker reconcile path could reach here with
+    # exactly that state; the documented soundness assumption ("markers
+    # predate tombstones") is now enforced instead of assumed.
+    if live_files is None and _log_has_removes(log_dir):
+        raise ValueError(
+            f"{table_dir}: directory-walk sync refused — the log carries "
+            "remove tombstones, so the walk cannot distinguish live files; "
+            "pass live_files= (merge_upsert_logged returns it)"
+        )
+
     pcol = partition_columns[0] if partition_columns else None
     if touched_partitions is not None and pcol is not None:
-        touched_strs = {
-            None if p is None else str(p) for p in touched_partitions
-        }
+        touched_strs = {partition_value_str(p) for p in touched_partitions}
         part_dirs = [
             n
             for n in os.listdir(table_dir)
@@ -943,8 +982,16 @@ def vacuum_delta_table(table_dir: str, retain_last: int = 7) -> list[str]:
         DeltaLogReader,
     )
 
+    # The LATEST snapshot is never eligible regardless of retention —
+    # Delta's VACUUM contract. retain_last=0 would otherwise protect
+    # NOTHING and delete the current table's every data file (r12 review).
+    if retain_last < 1:
+        raise ValueError(
+            f"retain_last must be >= 1 (got {retain_last}): the latest "
+            "snapshot's files are never vacuum-eligible"
+        )
     reader = DeltaLogReader(table_dir)
-    keep = reader.versions[-retain_last:] if retain_last else []
+    keep = reader.versions[-retain_last:]
     protected: set[str] = set()
     for v in keep:
         protected.update(reader.snapshot(v).files)
@@ -958,6 +1005,16 @@ def vacuum_delta_table(table_dir: str, retain_last: int = 7) -> list[str]:
                 if rel not in protected:
                     os.remove(os.path.join(dirpath, fn))
                     removed.append(rel)
+    # A publish that crashed between staging and install leaves the
+    # SIBLING '<table>.__merge_tmp__' dir holding a full copy of the
+    # merged partitions; it is never log-referenced, and only a re-merge
+    # of the same table would otherwise reclaim it (r12 review). Safe
+    # under this function's documented no-concurrent-publish assumption.
+    tmp = table_dir.rstrip("/") + ".__merge_tmp__"
+    if os.path.isdir(tmp):
+        import shutil
+
+        shutil.rmtree(tmp)
     # drop partition dirs the deletions emptied (cosmetic: readers use
     # the log, but a bare `col=value` dir with no files confuses humans)
     for name in os.listdir(table_dir):

@@ -160,7 +160,11 @@ def _excluded_by_bounds(op: str, lo, hi, v) -> bool:
 def prune_snapshot_files(snap: DeltaSnapshot, where) -> DeltaSnapshot:
     """Delta data skipping on the snapshot's add actions: drop every file
     that PROVABLY contains no row satisfying ALL of `where`
-    ([(logical_col, op, literal)], op in =/</<=/>/>=), using
+    ([(logical_col, op, literal)], op in =/</<=/>/>=/'in'). The 'in' op
+    takes a list literal and is NULL-SAFE: a None member means "or the
+    column is NULL", so an explicit-NULL partition file is KEPT when (and
+    only when) None is in the list — the shape merge_upsert_logged uses
+    to scope its target read. Evidence used:
 
     - add.partitionValues for partition columns (spec string
       serialization; numeric/decimal/boolean columns are coerced before
@@ -234,15 +238,32 @@ def prune_snapshot_files(snap: DeltaSnapshot, where) -> DeltaSnapshot:
         return _UNKNOWN  # binary & anything else: keep
 
     def coerce_lit(col: str, v):
+        """Literal -> the SAME comparable domain coerce_pv maps the
+        partition value into, accepting native Python values AND their
+        string serializations (callers like merge_upsert_logged pass
+        str(p)). Asymmetry here silently disabled skipping for every
+        numeric/boolean partition type — int pv vs string literal raises
+        TypeError, which the pruner swallows as 'keep every file', an
+        O(table) read where O(touched) was promised (r12 review)."""
         t = fields.get(col, {}).get("type")
         if isinstance(t, str):
-            if t.startswith("decimal"):
-                try:
+            try:
+                if t in ("byte", "short", "integer", "long"):
+                    return int(v)
+                if t in ("float", "double"):
+                    return float(v)
+                if t.startswith("decimal"):
                     return _dec.Decimal(str(v))
-                except (ValueError, ArithmeticError):
+                if t == "boolean":
+                    if isinstance(v, bool):
+                        return v
+                    if isinstance(v, str):
+                        return v.lower() == "true"
                     return _UNKNOWN
-            if t.startswith("timestamp") and isinstance(v, str):
-                return v.replace(" ", "T", 1)
+                if t.startswith("timestamp") and isinstance(v, str):
+                    return v.replace(" ", "T", 1)
+            except (ValueError, TypeError, ArithmeticError):
+                return _UNKNOWN
         return v
 
     def coerce_lits(col: str, op: str, v):

@@ -291,7 +291,14 @@ def merge_upsert_logged(
         # Prune the target read to the touched partitions through the
         # protocol reader's data skipping (null-safe 'in'): per-publish
         # read cost is O(files in touched partitions), not O(table).
-        pv_strs = [None if p is None else str(p) for p in parts]
+        # Serialization via partition_value_str: str(True) is 'True' but
+        # the stored pv (and hive dir) is 'true' — the one mismatch that
+        # both broke boolean scoping and disabled pruning (r12 review).
+        from near_public_lakehouse_spark.operators.delta_export import (
+            partition_value_str,
+        )
+
+        pv_strs = [partition_value_str(p) for p in parts]
         target = reader.to_df(spark, where=[(partition_col, "in", pv_strs)])
         fence = F.col(partition_col).isin([p for p in parts if p is not None])
         if any(p is None for p in parts):

@@ -469,6 +469,7 @@ def publish_public_table(
     import os
 
     from near_public_lakehouse_spark.operators.delta_export import (
+        partition_value_str,
         sync_delta_log_from_dir,
     )
     from near_public_lakehouse_spark.operators.merge import (
@@ -481,7 +482,14 @@ def publish_public_table(
     marker = table_dir.rstrip("/") + ".__publish_intent__.json"
     pcols = [part] if part else []
 
-    if not table_exists(table_dir):
+    # Brand-new means NO data files AND no _delta_log: a table whose
+    # current snapshot happens to hold zero data files (e.g. an empty
+    # first window) still has a log with history and a table id — the
+    # overwrite branch would wipe both and re-issue v0 under a new id,
+    # which is protocol corruption for any reader mid-stream (r12 review).
+    if not table_exists(table_dir) and not os.path.isdir(
+        os.path.join(table_dir, "_delta_log")
+    ):
         writer = df.write.mode("overwrite")
         if part:
             writer = writer.partitionBy(part)
@@ -535,10 +543,12 @@ def publish_public_table(
         df.schema.json(),
         partition_columns=pcols,
         touched_partitions=(
+            # partition_value_str, not str(): booleans serialize 'true'
+            # in hive dirs and stored pvs (r12 review)
             None
             if touched is None or part is None
             else sorted(
-                {None if t is None else str(t) for t in touched},
+                {partition_value_str(t) for t in touched},
                 key=lambda v: (v is None, v or ""),
             )
         ),

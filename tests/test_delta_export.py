@@ -502,3 +502,140 @@ def test_sync_seeds_from_v2_checkpoint(spark, tmp_path):
     removes = [a for a in actions if "remove" in a]
     assert adds == ["day=2024-01-01/part-extra2.parquet"]
     assert not removes
+
+
+# --- r12 review-finding regressions ------------------------------------------
+
+
+def _merge_logged(spark, d, rows, part, schema="k int, live boolean, v string"):
+    """publish_public_table's shape on an arbitrary keyed frame: initial
+    overwrite+sync when the table is new, log-authoritative merge after."""
+    from near_public_lakehouse_spark.operators.delta_export import (
+        sync_delta_log_from_dir,
+    )
+    from near_public_lakehouse_spark.operators.merge import merge_upsert_logged
+
+    df = _df(spark, rows, schema)
+    if not os.path.isdir(os.path.join(d, "_delta_log")):
+        df.write.mode("overwrite").partitionBy(part).parquet(d)
+        sync_delta_log_from_dir(d, df.schema.json(), partition_columns=[part])
+        return df
+    from near_public_lakehouse_spark.operators.delta_export import (
+        partition_value_str,
+    )
+
+    touched, installed = merge_upsert_logged(
+        spark, d, df, ["k"], partition_col=part, when_matched_update=True
+    )
+    sync_delta_log_from_dir(
+        d, df.schema.json(), partition_columns=[part] if part else [],
+        touched_partitions=[partition_value_str(t) for t in (touched or [])],
+        live_files=installed,
+    )
+    return df
+
+
+def test_boolean_partition_merge_tombstones_and_prunes(spark, tmp_path):
+    """str(True) is 'True' but Spark writes 'live=true': the partition
+    serialization must match hive's or superseded generations are never
+    tombstoned (duplicate rows) and pruning never engages (O(table)
+    reads). Pin: a boolean-partitioned logged merge rewrites its
+    partition with the old generation removed, no duplicates, and the
+    'in'-pruned snapshot keeps only the touched partition's files."""
+    from near_public_lakehouse_spark.operators.delta_reader import (
+        DeltaLogReader,
+        prune_snapshot_files,
+    )
+
+    d = str(tmp_path / "b")
+    os.makedirs(d)
+    _merge_logged(spark, d, [(1, True, "a"), (2, False, "b")], "live")
+    _merge_logged(spark, d, [(1, True, "A2")], "live")  # rewrite live=true
+    r = DeltaLogReader(d)
+    rows = sorted(tuple(x) for x in r.to_df(spark).collect())
+    assert rows == [(1, "A2", True), (2, "b", False)] or rows == sorted(
+        [(1, True, "A2"), (2, False, "b")]
+    )
+    assert r.to_df(spark).count() == 2  # no resurrected duplicates
+    # pruning engages on the boolean partition (str literals, as the
+    # merge passes them)
+    snap = r.snapshot()
+    kept = prune_snapshot_files(snap, [("live", "in", ["true"])])
+    assert 0 < len(kept.files) < len(snap.files)
+    for a in kept.files.values():
+        assert a["partitionValues"]["live"] == "true"
+
+
+def test_int_partition_literal_coercion_prunes(spark, tmp_path):
+    """coerce_lit must coerce numeric literals symmetrically with
+    coerce_pv: an int-partitioned table pruned with STRING literals (the
+    shape merge_upsert_logged passes) keeps only the named partitions
+    instead of silently keeping everything."""
+    from near_public_lakehouse_spark.operators.delta_reader import (
+        DeltaLogReader,
+        prune_snapshot_files,
+    )
+
+    d = str(tmp_path / "i")
+    os.makedirs(d)
+    _merge_logged(
+        spark, d,
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")],
+        "bucket", schema="k int, bucket int, v string",
+    )
+    snap = DeltaLogReader(d).snapshot()
+    kept = prune_snapshot_files(snap, [("bucket", "in", ["10", "30"])])
+    got = {a["partitionValues"]["bucket"] for a in kept.files.values()}
+    assert got == {"10", "30"}
+    assert len(kept.files) < len(snap.files)
+
+
+def test_vacuum_retain_last_zero_refuses(spark, tmp_path):
+    """retain_last=0 would protect nothing and delete the CURRENT
+    snapshot's data files; Delta's VACUUM never touches the latest
+    version's files, so the call refuses."""
+    from near_public_lakehouse_spark.operators.delta_export import (
+        vacuum_delta_table,
+    )
+
+    d = str(tmp_path / "v")
+    os.makedirs(d)
+    _merge_logged(spark, d, [(1, True, "a")], "live")
+    with pytest.raises(ValueError, match="retain_last"):
+        vacuum_delta_table(d, retain_last=0)
+
+
+def test_walk_sync_refused_on_tombstoned_table(spark, tmp_path):
+    """The 'markers predate tombstones' soundness assumption is enforced:
+    a directory-walk sync (what a stray legacy marker triggers) on a
+    table whose log carries removes raises instead of resurrecting every
+    tombstoned generation as live adds."""
+    from near_public_lakehouse_spark.operators.delta_export import (
+        sync_delta_log_from_dir,
+    )
+
+    d = str(tmp_path / "w")
+    os.makedirs(d)
+    df = _merge_logged(spark, d, [(1, True, "a")], "live")
+    _merge_logged(spark, d, [(1, True, "A2")], "live")  # emits removes
+    with pytest.raises(ValueError, match="walk sync refused"):
+        sync_delta_log_from_dir(d, df.schema.json(), partition_columns=["live"])
+
+
+def test_vacuum_sweeps_crashed_merge_tmp(spark, tmp_path):
+    """A publish that crashed between staging and install leaves the
+    sibling __merge_tmp__ copy; vacuum reclaims it (it is never
+    log-referenced, and no re-merge may ever come)."""
+    from near_public_lakehouse_spark.operators.delta_export import (
+        vacuum_delta_table,
+    )
+
+    d = str(tmp_path / "c")
+    os.makedirs(d)
+    _merge_logged(spark, d, [(1, True, "a")], "live")
+    tmp = d + ".__merge_tmp__"
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "part-crashed.parquet"), "w") as fh:
+        fh.write("x")
+    vacuum_delta_table(d, retain_last=1)
+    assert not os.path.exists(tmp)

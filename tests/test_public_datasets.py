@@ -1226,3 +1226,42 @@ def test_delta_mirror_propagates_published_rewrites(pipe, spark, tmp_path):
     # idempotent no-op drain
     r = V.delta_mirror_into(spark, table, mirror, keys)
     assert r["n_rows"] == 0 and r.get("drained")
+
+
+def test_empty_first_publish_does_not_reset_table_identity(pipe, spark, tmp_path):
+    """An existing table whose current snapshot holds ZERO data files
+    (empty first window) must NOT be mistaken for brand-new: the next
+    publish must continue the log (same table id, version monotonic)
+    instead of wiping _delta_log and re-issuing v0 under a new id —
+    protocol corruption for any reader mid-stream (r12 review)."""
+    import os
+
+    from near_public_lakehouse_spark.operators.delta_reader import DeltaLogReader
+    from near_public_lakehouse_spark.plans.public import publish_public_table
+
+    df = pipe.read("public_logs")
+    out = str(tmp_path / "pub")
+    table = out + "/logs"
+    publish_public_table(spark, "logs", df.limit(0), out)  # empty v0
+    r0 = DeltaLogReader(table)
+    v0 = r0.versions[-1]
+    snap0 = r0.snapshot()
+    table_id = None
+    import json as _json
+
+    with open(os.path.join(table, "_delta_log", f"{0:020d}.json")) as fh:
+        for line in fh:
+            act = _json.loads(line)
+            if "metaData" in act:
+                table_id = act["metaData"]["id"]
+    assert not snap0.files  # genuinely empty snapshot
+
+    publish_public_table(spark, "logs", df, out)  # real rows
+    r1 = DeltaLogReader(table)
+    assert r1.versions[0] == 0 and r1.versions[-1] > v0  # history continued
+    with open(os.path.join(table, "_delta_log", f"{0:020d}.json")) as fh:
+        for line in fh:
+            act = _json.loads(line)
+            if "metaData" in act:
+                assert act["metaData"]["id"] == table_id  # same table id
+    assert r1.to_df(spark).count() == df.count()
