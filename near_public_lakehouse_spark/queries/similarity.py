@@ -10,6 +10,8 @@ and across parallelism levels — same discipline as the money math.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -303,9 +305,9 @@ def ivf_topk_partitioned(
     probe cells are resolved first, and the candidate rerank re-opens the
     table with a static cell-key IN filter — Catalyst turns it into
     PartitionFilters, so the scan reads <= nprobe-probed partitions of
-    IO, never the corpus (tests/test_plan_shapes.py pins the filter AND
-    the scanned file count; tests/test_ann_recall.py pins output identity
-    with `ivf_topk_frame`).
+    IO, never the corpus (tests/test_plan_shapes.py's
+    test_ivf_partitioned_probe_prunes_to_probed_cells pins the filter,
+    the scanned file count, AND output identity with `ivf_topk_frame`).
 
     The probed-cell list is a bounded driver collect (<= n_queries x
     nprobe, itself <= n_cells) — in a real deployment it is index
@@ -627,8 +629,9 @@ def kmeans_fit(
       distances are ORDER-FREE exact decimal sums of per-element squared
       diffs (the `_dot_dec_col` discipline), so neither engine's
       summation order matters; the mean's numerator is an exact DECIMAL
-      sum and the mean itself is rounded to KMEANS_DP decimals each
-      iteration (the graph-trio lockstep rule) — re-running yields
+      sum and the mean itself is quantized to KMEANS_DP decimals each
+      iteration via floor(q*1e12 + 0.5)/1e12 — IEEE-identical in both
+      engines, see the loop comment — re-running yields
       byte-identical assignments (pinned by tests/test_kmeans.py), and a
       DuckDB oracle can replay all {iters} iterations as unrolled CTEs;
     - an empty cluster keeps its previous centroid (no resampling — that
@@ -691,9 +694,19 @@ def kmeans_fit(
         dim = len(centroids[0])
         new_c = [list(c) for c in centroids]  # empty cluster keeps centroid
         for r in stats:
-            # double(exact decimal sum) / n, rounded to KMEANS_DP — the
-            # same expression the DuckDB oracle evaluates per iteration
-            new_c[r.cluster_id][r.pos] = round(float(r.s) / r.n, KMEANS_DP)
+            # double(exact decimal sum) / n, quantized to KMEANS_DP via
+            # floor(q*1e12 + 0.5)/1e12 — the same expression the DuckDB
+            # oracle evaluates per iteration. Floor-based quantization,
+            # NOT round(): multiply/add/floor/divide are correctly-rounded
+            # IEEE ops both engines implement bit-identically, whereas
+            # Python round (half-even on the exact value), Spark round
+            # (half-up via BigDecimal) and DuckDB round (scaled nearbyint,
+            # not correctly rounded) can all disagree within ~1 ulp of a
+            # half boundary (r12 review finding).
+            new_c[r.cluster_id][r.pos] = (
+                math.floor(float(r.s) / r.n * 10.0**KMEANS_DP + 0.5)
+                / 10.0**KMEANS_DP
+            )
         inertia_history.append(
             float(sum(r.sd for r in stats if r.pos == 0))
         )
@@ -733,7 +746,7 @@ def _kmeans_iteration_sql() -> str:
 ),
 c{i} AS (
   SELECT p.cid, p.d,
-         coalesce(round(CAST(u.s AS DOUBLE) / u.n, {KMEANS_DP}), p.cv) AS cv
+         coalesce(floor(CAST(u.s AS DOUBLE) / u.n * 1e{KMEANS_DP} + 0.5) / 1e{KMEANS_DP}, p.cv) AS cv
   FROM c{i - 1} p LEFT JOIN s{i} u ON u.cid = p.cid AND u.d = p.d
 )"""
             )
@@ -751,12 +764,12 @@ init_ids AS (
   FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K})
 ),
 c0 AS (SELECT i.cid, e.d, e.v AS cv FROM init_ids i JOIN e ON e.vec_id = i.vec_id),
-{{iterations}}
+{_kmeans_iteration_sql()}
 SELECT a.vec_id, a.cid AS cluster_id,
-       round(CAST(a.d2 AS DOUBLE), 6) AS sq_dist
+       floor(CAST(a.d2 AS DOUBLE) * 1e6 + 0.5) / 1e6 AS sq_dist
 FROM a{KMEANS_ITERS} a
 ORDER BY a.vec_id
-""".replace("{iterations}", _kmeans_iteration_sql())
+"""
 
 
 @query(
@@ -776,7 +789,7 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     all 8 Lloyd's iterations replay in DuckDB as unrolled CTEs, the
     PageRank pattern. Cross-engine lockstep comes from (a) exact-decimal
     distance sums (order-free in both engines), (b) per-iteration
-    round(centroid, KMEANS_DP), (c) deterministic k-lowest-vec_id init
+    floor-quantize(centroid, KMEANS_DP), (c) deterministic k-lowest-vec_id init
     and lowest-cid tie-breaks. Behavioral invariants stay pinned by
     tests/test_kmeans.py (determinism, nearest-centroid via numpy,
     centroid = member mean, monotone inertia).
@@ -787,7 +800,9 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.select(
             "vec_id",
             "cluster_id",
-            F.round(F.col("sq_dist").cast("double"), 6).alias("sq_dist"),
+            (F.floor(F.col("sq_dist").cast("double") * 1e6 + 0.5) / 1e6).alias(
+                "sq_dist"
+            ),
         )
         .orderBy("vec_id")
     )

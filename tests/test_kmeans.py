@@ -1,7 +1,9 @@
-"""Behavioral pin for the deterministic Lloyd's k-means (rows-only query:
-no SQL oracle exists for an iterative fixpoint, so correctness is proven
-here: determinism, nearest-centroid consistency vs numpy, centroid =
-member mean, and monotone inertia)."""
+"""Behavioral pin for the deterministic Lloyd's k-means. Since r12 the
+query ALSO has a full-value DuckDB oracle (unrolled per-iteration CTEs,
+VERDICT r11 task #6); these pins remain the oracle-independent
+certificate: determinism, nearest-centroid consistency vs numpy,
+centroid = member mean (floor-quantized to KMEANS_DP), and monotone
+inertia."""
 
 from __future__ import annotations
 
