@@ -525,16 +525,23 @@ def partition_value_str(v) -> str | None:
 
 
 def _log_has_removes(log_dir: str) -> bool:
-    """True iff any JSON commit carries a remove action. This writer
+    """True iff any JSON commit carries a remove ACTION. This writer
     keeps the full JSON history on disk (checkpoints are additive seeds),
-    so a substring scan of the commit files is complete and cheap."""
+    so a scan of the commit files is complete and cheap. Each line is
+    parsed and checked for a top-level 'remove' key — a raw substring
+    match would false-positive on a column literally named "remove" in a
+    schemaString or on commitInfo prose, spuriously refusing a legitimate
+    directory-walk reconcile (ADVICE r12)."""
     if not os.path.isdir(log_dir):
         return False
     for n in os.listdir(log_dir):
         if n.endswith(".json") and n[:-5].isdigit():
             with open(os.path.join(log_dir, n)) as fh:
-                if '"remove"' in fh.read():
-                    return True
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    if "remove" in json.loads(line):
+                        return True
     return False
 
 

@@ -922,8 +922,18 @@ def delta_mirror_into(
             }
         if not reader.change_plan(since, tip, include_removes=True):
             # reorganization-only window (e.g. compaction between
-            # publishes): data-less watermark advance, no snapshot rewrite
-            r = _watermark_only_commit(target_dir, base, app, tip, "mirror", None)
+            # publishes): data-less watermark advance, no snapshot rewrite.
+            # On FIRST contact (target has no versions yet) the fallback
+            # schema must come from the Delta snapshot — schemaString is
+            # StructType JSON, the manifest store's native format — or the
+            # v0 commit would carry "{}" and wedge every later read_version
+            # of the target (ADVICE r12).
+            fallback = (
+                json.dumps(reader.snapshot(tip).schema)
+                if base is None
+                else None
+            )
+            r = _watermark_only_commit(target_dir, base, app, tip, "mirror", fallback)
             if r is not None:
                 return r
             continue

@@ -222,6 +222,51 @@ def test_sync_name_mapped_publish_roundtrip(spark, tmp_path):
     )
 
 
+def test_walk_sync_not_fooled_by_column_named_remove(spark, tmp_path):
+    """`_log_has_removes` must detect remove ACTIONS, not the substring
+    '"remove"': a table with a column literally named `remove` (its
+    schemaString contains `"name":"remove"`) has no tombstones, so the
+    directory-walk re-sync must succeed instead of raising the
+    live_files ValueError (ADVICE r12)."""
+    from near_public_lakehouse_spark.operators.delta_export import (
+        _log_has_removes,
+        sync_delta_log_from_dir,
+    )
+    from near_public_lakehouse_spark.operators.delta_reader import DeltaLogReader
+
+    d = str(tmp_path / "rmcol")
+    df = spark.createDataFrame(
+        [(1, True), (2, False)], "id long, remove boolean"
+    )
+    df.write.parquet(d)
+    assert sync_delta_log_from_dir(d, df.schema.json()) == 0
+    assert not _log_has_removes(os.path.join(d, "_delta_log"))
+
+    # append + walk-sync again: must NOT refuse
+    spark.createDataFrame([(3, True)], "id long, remove boolean").write.mode(
+        "append"
+    ).parquet(d)
+    assert sync_delta_log_from_dir(d, df.schema.json()) == 1
+    assert DeltaLogReader(d).to_df(spark).count() == 3
+
+    # a REAL remove action is still detected
+    log = os.path.join(d, "_delta_log")
+    with open(os.path.join(log, f"{2:020d}.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "remove": {
+                        "path": "gone.parquet",
+                        "deletionTimestamp": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+            + "\n"
+        )
+    assert _log_has_removes(log)
+
+
 def test_rename_delta_column_is_metadata_only(spark, tmp_path):
     """Logical rename (data column AND partition column): one metaData-only
     commit, zero data files touched, the reader shows the new logical

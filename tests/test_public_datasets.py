@@ -1228,6 +1228,48 @@ def test_delta_mirror_propagates_published_rewrites(pipe, spark, tmp_path):
     assert r["n_rows"] == 0 and r.get("drained")
 
 
+def test_delta_mirror_first_contact_on_dataless_window(pipe, spark, tmp_path):
+    """First contact with a source whose pending window carries NO
+    data-changing commits (empty first publish): the watermark-only v0
+    commit on the not-yet-existing target must carry the SOURCE snapshot's
+    schema, not "{}" — the latter wedges every later read_version of the
+    target, including the next data-bearing mirror batch's own target
+    read (ADVICE r12)."""
+    from near_public_lakehouse_spark.operators import versioned as V
+    from near_public_lakehouse_spark.operators.delta_reader import DeltaLogReader
+    from near_public_lakehouse_spark.plans.public import (
+        PUBLIC_TABLE_KEYS,
+        publish_public_table,
+    )
+
+    df = pipe.read("public_logs")
+    out = str(tmp_path / "pub")
+    table = out + "/logs"
+    mirror = str(tmp_path / "mirror")
+    keys = PUBLIC_TABLE_KEYS["logs"][0]
+
+    publish_public_table(spark, "logs", df.limit(0), out)  # empty v0, no adds
+    r = V.delta_mirror_into(spark, table, mirror, keys)
+    assert r["source_version"] == 0 and r["n_rows"] == 0
+
+    # target v0 must be readable — schema came from the Delta snapshot
+    empty = V.read_version(spark, mirror)
+    assert empty.count() == 0
+    assert set(keys) <= set(empty.columns)
+
+    # the next DATA-BEARING batch reads the target it just created
+    publish_public_table(spark, "logs", df, out)  # v1: real rows
+    r = V.delta_mirror_into(spark, table, mirror, keys)
+    assert r["source_version"] == 1 and r["n_rows"] > 0
+    got = sorted(
+        r[0] for r in V.read_version(spark, mirror).select("receipt_id").collect()
+    )
+    want = sorted(
+        r[0] for r in DeltaLogReader(table).to_df(spark).select("receipt_id").collect()
+    )
+    assert got == want
+
+
 def test_empty_first_publish_does_not_reset_table_identity(pipe, spark, tmp_path):
     """An existing table whose current snapshot holds ZERO data files
     (empty first window) must NOT be mistaken for brand-new: the next
