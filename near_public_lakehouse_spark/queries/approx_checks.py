@@ -1,10 +1,15 @@
 """Driver-checkable invariant twins for the rows-only approximate queries.
 
-Five registry queries are approximate/iterative and ship `oracle=None`
-(`ann_lsh_topk`, `range_search_lsh`, `pq_topk`, `kmeans_clusters`,
-`daily_active_users_approx`) — the driver records only a rows-only check
-for them. Each gets a companion here that turns its accuracy contract into
-deterministic scalars a DuckDB oracle CAN check (VERDICT r5 task #6):
+Several registry queries are approximate/iterative and shipped
+`oracle=None` (the driver records only a rows-only check for them). Each
+gets a companion here that turns its accuracy contract into deterministic
+scalars a DuckDB oracle CAN check (VERDICT r5 task #6). The population has
+shrunk round over round: `kmeans_clusters` gained a full unrolled-CTE
+oracle in r12, and `ann_lsh_topk` / `range_search_lsh` gained full
+plane-literal oracles in r13 (VERDICT r12 task #1) — leaving only
+`pq_topk` (driver-trained codebook), `daily_active_users_approx` (HLL
+internals), and the BPE merge chain as rows-only, each still covered by
+its invariant twin below:
 
 - `approx_ann_lsh_recall` / `approx_range_search_recall` go further than
   the task asked: the sign-random-projection planes are a deterministic
@@ -33,11 +38,9 @@ from pyspark.sql import functions as F
 from near_public_lakehouse_spark.functions.time import ns_to_date
 from near_public_lakehouse_spark.queries.registry import query
 from near_public_lakehouse_spark.queries.similarity import (
-    N_PLANES,
     N_QUERY_VECS,
     TOP_K,
     embedding_topk_frame,
-    lsh_planes,
     lsh_scored_pairs,
     lsh_topk_frame,
     pq_topk_frame,
@@ -54,62 +57,10 @@ DAU_ABS_SLACK = 3.0
 
 
 # ---------------------------------------------------------------------------
-# SQL-literal LSH: the plane matrix and probe pipeline in DuckDB
-
-
-def _plane_literal(plane: list[float]) -> str:
-    return "[" + ",".join("1.0" if v > 0 else "-1.0" for v in plane) + "]"
-
-
-def _bucket_sql(vec: str, dim: int = 64) -> str:
-    """DuckDB expression computing the SAME 8-bit sign bucket as
-    similarity._lsh_probed_scores: bit p set iff dot(vec, plane_p) > 0.
-    Products are exact (float->double cast x ±1.0) and both engines fold
-    in array order, so the sign — hence the bucket — is bit-identical."""
-    terms = []
-    for p, plane in enumerate(lsh_planes(dim)):
-        dot = (
-            f"list_sum(list_transform(range(1, {dim + 1}), "
-            f"i -> CAST({vec}[i] AS DOUBLE) * ({_plane_literal(plane)})[i]))"
-        )
-        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
-    return "(" + " + ".join(terms) + ")"
-
-
-def _lsh_pairs_ctes(dim: int = 64) -> str:
-    """CTE chain producing lsh_scored(qid, cid, cosine) — the full
-    multi-probe candidate set with exact-decimal cosines, mirroring
-    similarity.lsh_scored_pairs inside DuckDB."""
-    probes = ", ".join(
-        ["qb"] + [f"xor(qb, {1 << p})" for p in range(N_PLANES)]
-    )
-    return f"""
-coded AS (
-  SELECT vec_id, embedding, {_bucket_sql("embedding", dim)} AS bucket
-  FROM embeddings
-),
-q AS (
-  SELECT vec_id AS qid, embedding AS qe, bucket AS qb
-  FROM coded WHERE vec_id < {N_QUERY_VECS}
-),
-probed AS (
-  SELECT qid, qe, unnest([{probes}]) AS pb FROM q
-),
-cand AS (
-  SELECT p.qid, p.qe, c.vec_id AS cid, c.embedding AS ce
-  FROM probed p JOIN coded c ON c.bucket = p.pb AND c.vec_id <> p.qid
-),
-prods AS (
-  SELECT qid, cid, unnest(qe) AS qv, unnest(ce) AS cv FROM cand
-),
-lsh_scored AS (
-  SELECT qid, cid,
-         CAST(sum(CAST(CAST(qv AS DOUBLE) * CAST(cv AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
-         / (sqrt(CAST(sum(CAST(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE))
-            * sqrt(CAST(sum(CAST(CAST(cv AS DOUBLE) * CAST(cv AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)))
-           AS cosine
-  FROM prods GROUP BY qid, cid
-)"""
+# SQL-literal LSH: the plane matrix and probe pipeline in DuckDB — the
+# helpers live beside the planes in `queries/similarity.py` (they also back
+# the full-value oracles of ann_lsh_topk / range_search_lsh since r13).
+from near_public_lakehouse_spark.queries.similarity import _lsh_pairs_ctes
 
 
 _EXACT_TOPK_CTES = f"""

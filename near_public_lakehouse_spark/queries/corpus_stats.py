@@ -406,16 +406,37 @@ def purchase_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("range_search_lsh", tags=("similarity", "ann"))
+def _range_search_lsh_oracle() -> str:
+    # Import at call time: similarity imports nothing from this module, so
+    # the one-way dependency stays acyclic.
+    from near_public_lakehouse_spark.queries.similarity import _lsh_pairs_ctes
+
+    return f"""
+WITH {_lsh_pairs_ctes()}
+SELECT qid, cid, cosine FROM lsh_scored
+WHERE cosine >= {RANGE_COSINE_MIN}
+ORDER BY qid, cid
+"""
+
+
+@query(
+    "range_search_lsh",
+    tags=("similarity", "ann"),
+    oracle=_range_search_lsh_oracle(),
+)
 def range_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-accelerated radius query: the same sign-random-projection
     multi-probe stage as ann_lsh_topk, but filtered on the cosine floor
     instead of windowed per query — the indexed twin of
-    `range_search_cosine`. No oracle (LSH probing is not plain SQL);
-    correctness rides the exact twin: every pair this emits must appear in
-    range_search_cosine's output (subset property), and planted-near-dup
-    recall is pinned in tests/test_ann_recall.py. At 100 TB this touches
-    ~9/256 of the corpus per query where the exact twin scans all of it."""
+    `range_search_cosine`.
+
+    FULL-VALUE oracle since r13 (VERDICT r12 task #1): the md5-seeded
+    plane matrix replays inside DuckDB (`similarity._lsh_pairs_ctes`), so
+    the bucketing, multi-probe expansion, and exact-decimal cosines are
+    all hash-checked — the subset property vs `range_search_cosine` and
+    the planted-near-dup recall in tests/test_ann_recall.py stay as
+    accuracy gates. At 100 TB this touches ~9/256 of the corpus per query
+    where the exact twin scans all of it."""
     from near_public_lakehouse_spark.queries.similarity import lsh_scored_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")

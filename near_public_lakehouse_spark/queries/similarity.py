@@ -328,7 +328,96 @@ def ivf_topk_partitioned(
 N_PLANES = 8
 
 
-@query("ann_lsh_topk", tags=("similarity", "ann", "lsh"), oracle=None)
+def lsh_planes(dim: int = 64) -> list[list[float]]:
+    """The deterministic ±1 hyperplane matrix (md5-seeded, no RNG state).
+
+    Module-level so the SQL-literal twins (this module's oracles and
+    `queries/approx_checks.py`) can replicate the exact same planes inside
+    DuckDB oracle SQL — which makes the LSH bucketing fully
+    oracle-checkable after all."""
+
+    def sign(plane: int, d: int) -> int:
+        import hashlib
+
+        h = hashlib.md5(f"plane{plane}_dim{d}".encode()).hexdigest()
+        return 1 if int(h[:8], 16) % 2 == 0 else -1
+
+    return [[float(sign(p, d)) for d in range(dim)] for p in range(N_PLANES)]
+
+
+# --- SQL-literal LSH twins (shared by this module's oracles and the
+# invariant twins in approx_checks.py). The planes are md5-seeded, so the
+# whole bucketing + multi-probe pipeline replays inside DuckDB.
+
+
+def _plane_literal(plane: list[float]) -> str:
+    return "[" + ",".join("1.0" if v > 0 else "-1.0" for v in plane) + "]"
+
+
+def _bucket_sql(vec: str, dim: int = 64) -> str:
+    """DuckDB expression computing the SAME 8-bit sign bucket as
+    similarity._lsh_probed_scores: bit p set iff dot(vec, plane_p) > 0.
+    Products are exact (float->double cast x ±1.0) and both engines fold
+    in array order, so the sign — hence the bucket — is bit-identical."""
+    terms = []
+    for p, plane in enumerate(lsh_planes(dim)):
+        dot = (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({_plane_literal(plane)})[i]))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _lsh_pairs_ctes(dim: int = 64) -> str:
+    """CTE chain producing lsh_scored(qid, cid, cosine) — the full
+    multi-probe candidate set with exact-decimal cosines, mirroring
+    similarity.lsh_scored_pairs inside DuckDB."""
+    probes = ", ".join(
+        ["qb"] + [f"xor(qb, {1 << p})" for p in range(N_PLANES)]
+    )
+    return f"""
+coded AS (
+  SELECT vec_id, embedding, {_bucket_sql("embedding", dim)} AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qe, bucket AS qb
+  FROM coded WHERE vec_id < {N_QUERY_VECS}
+),
+probed AS (
+  SELECT qid, qe, unnest([{probes}]) AS pb FROM q
+),
+cand AS (
+  SELECT p.qid, p.qe, c.vec_id AS cid, c.embedding AS ce
+  FROM probed p JOIN coded c ON c.bucket = p.pb AND c.vec_id <> p.qid
+),
+prods AS (
+  SELECT qid, cid, unnest(qe) AS qv, unnest(ce) AS cv FROM cand
+),
+lsh_scored AS (
+  SELECT qid, cid,
+         CAST(sum(CAST(CAST(qv AS DOUBLE) * CAST(cv AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
+         / (sqrt(CAST(sum(CAST(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE))
+            * sqrt(CAST(sum(CAST(CAST(cv AS DOUBLE) * CAST(cv AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)))
+           AS cosine
+  FROM prods GROUP BY qid, cid
+)"""
+
+
+@query(
+    "ann_lsh_topk",
+    tags=("similarity", "ann", "lsh"),
+    oracle=f"""
+WITH {_lsh_pairs_ctes()},
+ranked AS (
+  SELECT qid, cid, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rnk
+  FROM lsh_scored
+)
+SELECT qid, cid, cosine, rnk FROM ranked WHERE rnk <= {TOP_K} ORDER BY qid, rnk
+""",
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via sign-random-projection LSH: 8 deterministic ±1 hyperplanes
     -> 8-bit bucket; candidates share one of the query's probe buckets
@@ -340,10 +429,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale notes: this is the 100 TB similarity path — bucketing is a
     per-row map, the probe expansion touches only the tiny query side, the
     join is equi-key on an 8-bit code, and the expensive exact rerank
-    touches ~9/256 of the corpus per query. No oracle: LSH probing isn't
-    expressible in plain SQL without replicating the plane table (the
-    brute-force twin `embedding_topk_cosine` is the accuracy baseline; the
-    recall test pins multi-probe >= single-probe).
+    touches ~9/256 of the corpus per query.
+
+    FULL-VALUE oracle since r13: the ±1 plane matrix is md5-seeded
+    (`lsh_planes`), so the whole bucketing + multi-probe + exact-decimal
+    rerank pipeline replays inside DuckDB as plane literals
+    (`_lsh_pairs_ctes`) — what r1-r12 recorded rows-only is now a hash
+    gate. The brute-force twin `embedding_topk_cosine` stays the accuracy
+    baseline; the recall test pins multi-probe >= single-probe.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_topk_frame(emb)
@@ -362,22 +455,6 @@ def lsh_topk_frame(emb: DataFrame, dim: int = 64) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .orderBy("qid", "rnk")
     )
-
-
-def lsh_planes(dim: int = 64) -> list[list[float]]:
-    """The deterministic ±1 hyperplane matrix (md5-seeded, no RNG state).
-
-    Module-level so the SQL-literal twin (`queries/approx_checks.py`) can
-    replicate the exact same planes inside DuckDB oracle SQL — which makes
-    the LSH bucketing fully oracle-checkable after all."""
-
-    def sign(plane: int, d: int) -> int:
-        import hashlib
-
-        h = hashlib.md5(f"plane{plane}_dim{d}".encode()).hexdigest()
-        return 1 if int(h[:8], 16) % 2 == 0 else -1
-
-    return [[float(sign(p, d)) for d in range(dim)] for p in range(N_PLANES)]
 
 
 def _lsh_probed_scores(emb: DataFrame, dim: int = 64) -> DataFrame:

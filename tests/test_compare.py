@@ -126,40 +126,36 @@ def test_driver_window_composition_is_pinned():
     put five a10_ aliases in this window; all five went driver-green in
     CORRECTNESS_r10, so round 11 RETIRED them and shipped an empty map.
 
-    Round 12 rotation (VERDICT r11 task #4 — window freshness): 110 of
-    160 queries last held a driver-green row in <= r10, so this round
-    re-rotates a full 50-slot window under a12_ aliases. Composition:
-    the task's named priorities (the adaptive/minhash family whose
-    candidate stage changed in r11, suffix array, the curation five,
-    plus kmeans_clusters which gained its first full-value oracle in
-    r12 per task #6 and has never been value-checked by the driver),
-    then the stalest oracle-backed names (last driver-green r4/r5).
-    Every a12_ alias sorts before every organic name, so the window is
-    exactly the 50 rotation values — nothing never-checked is
-    displaced, and the displaced organic head names are all
-    driver-green in earlier rounds with r09-anchored profile hash pins
-    covering them at value level this round.
+    Round 12 rotation (VERDICT r11 task #4 — window freshness) re-rotated
+    a full 50-slot window under a12_ aliases; all 50 went driver-green
+    with zero err rows in CORRECTNESS_r12, so round 13 RETIRES the set
+    per the standing discipline (VERDICT r12 task #2).
+
+    Round 13 rotation: only what round 13 semantically changes —
+    ann_lsh_topk and range_search_lsh gained FULL-VALUE DuckDB oracles
+    (VERDICT r12 task #1; previously rows-only), so each rotates in under
+    an a13_ alias for a driver-green row under its new oracle. The other
+    48 window slots revert to the alphabetical organic head — every one
+    of those names is driver-green in an earlier round, with r11-anchored
+    profile hash pins covering them at value level between windows.
     """
     from near_public_lakehouse_spark.queries import all_queries
     from near_public_lakehouse_spark.queries.registry import DRIVER_WINDOW_ROTATION
 
     window = sorted(all_queries())[:50]
-    assert window == sorted(DRIVER_WINDOW_ROTATION.values())
-    assert all(n.startswith("a12_") for n in window)
-    # task #4's named priorities all made the window
-    for name in (
-        "kmeans_clusters",
-        "minhash_lsh_adaptive",
-        "minhash_adaptive_bands_eval",
-        "near_dup_pairs_lsh",
-        "suffix_array_dup_positions",
-        "self_dedup_clean",
-        "mixture_rebalance_plan",
-        "perplexity_buckets",
-        "quality_mixture_sample",
-        "source_data_card",
-    ):
-        assert f"a12_{name}" in window, name
+    assert sorted(DRIVER_WINDOW_ROTATION.values()) == [
+        "a13_ann_lsh_topk",
+        "a13_range_search_lsh",
+    ]
+    # both r13 oracle conversions made the window, with real oracles
+    q = all_queries()
+    for alias in ("a13_ann_lsh_topk", "a13_range_search_lsh"):
+        assert alias in window, alias
+        assert q[alias].oracle, alias
+    # the rest of the window is the organic alphabetical head
+    assert window[2:] == [
+        n for n in sorted(all_queries()) if not n.startswith("a13_")
+    ][:48]
 
 
 def test_rotation_aliases_resolve_through_every_public_path():
