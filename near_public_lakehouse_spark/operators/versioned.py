@@ -882,6 +882,92 @@ def mirror_until_drained(
             return results
 
 
+def mirror_stream_batch_sink(target_dir: str, keys: list[str], app_id: str):
+    """foreachBatch sink applying one change-feed micro-batch as a
+    delete-propagating mirror — `mirror_into`'s net-reduce/guard/merge via
+    the shared `_apply_mirror_batch`, with the CONSUMED SOURCE VERSION
+    (the batch's max `_commit_version`) carried inside the target commit
+    as the txn watermark. That makes the sink idempotent under
+    foreachBatch's documented at-least-once replay: a batch redelivered
+    after checkpoint recovery finds `end <= last_committed_txn` and
+    no-ops. Returns the per-batch result dict, or None for empty/replayed
+    batches."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> dict | None:
+        spark = batch_df.sparkSession
+        top = batch_df.agg(F.max("_commit_version")).collect()[0][0]
+        if top is None:
+            return None  # reorganization-only window: no rows, no commit
+        end = int(top)
+        for _ in range(10):
+            base = latest_version(target_dir)
+            since = last_committed_txn(target_dir, app_id)
+            if since is not None and end <= since:
+                return None  # recognized replay (at-least-once delivery)
+            r = _apply_mirror_batch(
+                spark, batch_df, target_dir, base, keys, app_id, end, "mirror"
+            )
+            if r is not None:
+                return r
+        raise CommitConflict(f"mirror stream into {target_dir} lost 10 races")
+
+    return write_batch
+
+
+def mirror_stream(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    keys: list[str],
+    app_id: str | None = None,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """STREAMING twin of `mirror_until_drained` (VERDICT r12 task #3): a
+    real Structured Streaming query — `readStream` over the
+    `versioned_changes` Python data source (offsets = commit versions,
+    changed files read executor-side as Arrow batches;
+    `sources/versioned_stream.py`) into a `foreachBatch` sink built on the
+    same `_apply_mirror_batch` as the batch mirrors. This is the repo-side
+    shape of the reference's continuous publication consumer
+    (`NB/BQ Writer Stream.py:9-32`), with deletes propagated — the
+    downstream the reference's skipChangeCommits tail cannot have.
+
+    Exactly-once is double-locked: Spark's checkpoint replans identical
+    windows from the immutable log, and the consumed source version rides
+    inside every target commit (txn watermark), so a replayed micro-batch
+    no-ops — crash anywhere between target commit and checkpoint commit
+    and the restart converges. `available_now=True` drains the pending
+    window and stops (the availableNow restart pattern); False leaves a
+    continuous query running — call `.stop()` on the returned handle.
+
+    Returns the StreamingQuery. At every micro-batch boundary the target's
+    row set equals the source snapshot at the consumed version — the same
+    invariant as `mirror_into`, pinned against randomized commit histories
+    in tests/test_versioned_stream.py."""
+    from near_public_lakehouse_spark.sources.versioned_stream import (
+        VersionedChangesDataSource,
+    )
+
+    spark.dataSource.register(VersionedChangesDataSource)
+    app = app_id or f"mirror:{os.path.abspath(source_dir)}"
+    feed = (
+        spark.readStream.format("versioned_changes")
+        .option("path", source_dir)
+        .option("includeRemoves", "true")
+        .load()
+    )
+    sink = mirror_stream_batch_sink(target_dir, keys, app)
+    writer = feed.writeStream.foreachBatch(
+        lambda df, bid: sink(df, bid)
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def delta_mirror_into(
     spark: SparkSession,
     delta_table_dir: str,

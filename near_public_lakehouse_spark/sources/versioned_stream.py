@@ -1,0 +1,175 @@
+"""Structured-Streaming source over the versioned manifest store's change
+feed — the `readStream` twin of `operators.versioned.read_changes`, built
+on PySpark's Python DataSource API (public: pyspark.sql.datasource).
+
+    spark.dataSource.register(VersionedChangesDataSource)
+    feed = (spark.readStream.format("versioned_changes")
+            .option("path", table_dir).load())
+
+Offsets are COMMIT VERSIONS (`{"version": N}` = consumed through N), so
+Spark's own checkpointing provides exactly-once planning: a recovered
+query replans the same `(start, end]` window and `partitions()` is a pure
+function of the immutable log, so the replayed micro-batch is
+byte-identical. Each changed file becomes one input partition, read
+executor-side with pyarrow and emitted as Arrow RecordBatches — the
+driver touches only manifests (O(commits)), never rows, which is what
+keeps a 100 TB tail viable: per-trigger cost is O(files changed in the
+window), fanned out across the cluster.
+
+Options:
+- ``path`` (required): the versioned table directory.
+- ``includeRemoves`` (default true): rewrite commits surface as
+  file-granularity delete+insert pairs in a ``_change_type`` column —
+  the feed shape `mirror_stream` consumes (delete propagation). With
+  false, rewrite commits RAISE unless ``skipChangeCommits`` is set.
+- ``skipChangeCommits`` (default false): ignore rewrite commits wholesale
+  — the reference's append-only tail (`NB/BQ Writer Stream.py:9-15`,
+  `.option("skipChangeCommits", "true")`).
+
+Schema is pinned at stream start (the latest manifest's schema plus
+``_commit_version`` and, with removes, ``_change_type``); files written
+under an older schema null-fill missing columns, and columns added
+mid-stream surface on restart — the same contract Spark's own streaming
+sources document for schema evolution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import LongType, StringType, StructType
+
+
+def _bool_option(options, key: str, default: bool) -> bool:
+    raw = options.get(key)
+    if raw is None:
+        return default
+    return str(raw).strip().lower() in ("1", "true", "yes")
+
+
+class VersionedChangesDataSource(DataSource):
+    """`format("versioned_changes")` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "versioned_changes"
+
+    def _table_dir(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("versioned_changes requires .option('path', table_dir)")
+        return path
+
+    def schema(self) -> StructType:
+        from near_public_lakehouse_spark.operators.versioned import (
+            _read_manifest,
+            latest_version,
+        )
+
+        table_dir = self._table_dir()
+        v = latest_version(table_dir)
+        if v is None:
+            raise FileNotFoundError(f"{table_dir} has no versions to infer a schema from")
+        base = StructType.fromJson(json.loads(_read_manifest(table_dir, v)["schema"]))
+        out = base.add("_commit_version", LongType())
+        if _bool_option(self.options, "includeRemoves", True):
+            out = out.add("_change_type", StringType())
+        return out
+
+    def streamReader(self, schema: StructType) -> "VersionedChangesStreamReader":
+        return VersionedChangesStreamReader(
+            self._table_dir(),
+            schema,
+            include_removes=_bool_option(self.options, "includeRemoves", True),
+            skip_change_commits=_bool_option(self.options, "skipChangeCommits", False),
+        )
+
+
+class VersionedChangesStreamReader(DataSourceStreamReader):
+    def __init__(
+        self,
+        table_dir: str,
+        schema: StructType,
+        include_removes: bool,
+        skip_change_commits: bool,
+    ) -> None:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self._dir = table_dir
+        self._include_removes = include_removes
+        self._skip_change_commits = skip_change_commits
+        # pa.Schema pickles with the reader to executors; derived once.
+        self._arrow_schema = to_arrow_schema(schema)
+
+    # --- offsets: consumed-through commit version ------------------------
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}  # before v0: full-history catch-up first
+
+    def latestOffset(self) -> dict:
+        from near_public_lakehouse_spark.operators.versioned import latest_version
+
+        v = latest_version(self._dir)
+        return {"version": -1 if v is None else v}
+
+    # --- planning: driver-side log reads only ----------------------------
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        from near_public_lakehouse_spark.operators.versioned import _changes_plan
+
+        since = None if start["version"] < 0 else start["version"]
+        plan, _schema = _changes_plan(
+            self._dir,
+            since,
+            end["version"],
+            self._skip_change_commits,
+            include_removes=self._include_removes,
+        )
+        parts: list[InputPartition] = []
+        for v, added, removed in plan:
+            for f in removed:
+                parts.append(InputPartition((f, v, "delete")))
+            for f in added:
+                parts.append(InputPartition((f, v, "insert")))
+        if not parts:
+            # reorganization-only window: Spark still needs >=1 partition
+            # to run the (empty) micro-batch that advances the offset.
+            parts.append(InputPartition(None))
+        return parts
+
+    # --- executor-side: one changed file -> Arrow batches -----------------
+
+    def read(self, partition: InputPartition) -> Iterator:
+        if partition.value is None:
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rel_path, version, change = partition.value
+        tbl = pq.read_table(os.path.join(self._dir, rel_path))
+        n = tbl.num_rows
+        arrays = []
+        for field in self._arrow_schema:
+            if field.name == "_commit_version":
+                col = pa.array([version] * n, type=field.type)
+            elif field.name == "_change_type":
+                col = pa.array([change] * n, type=field.type)
+            elif field.name in tbl.column_names:
+                col = tbl.column(field.name).cast(field.type).combine_chunks()
+            else:
+                # pre-evolution file: null-fill the missing column
+                col = pa.nulls(n, type=field.type)
+            arrays.append(col)
+        yield from pa.table(arrays, schema=self._arrow_schema).to_batches()
+
+    def commit(self, end: dict) -> None:
+        # Offsets live in the query checkpoint; the log is immutable and
+        # vacuum-governed, so there is nothing to clean up per-batch.
+        return
