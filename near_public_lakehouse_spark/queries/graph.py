@@ -112,6 +112,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w",
         )
     )
+    return _pr_output(_pr_rounds(*_pr_setup(pairs)))
+
+
+def _pr_setup(pairs: DataFrame) -> tuple[DataFrame, DataFrame, float]:
+    """(contrib, rank0, n) from an undirected (a, b, w) pair list —
+    shared by the registry query and the adversarial-skew probes so they
+    measure the PRODUCTION frames."""
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
         .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
@@ -128,9 +135,31 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrib = edges.join(deg, "src").localCheckpoint()
     nodes = contrib.select(F.col("src").alias("node")).distinct().localCheckpoint()
     n = float(nodes.count())  # bounded driver scalar
-
     rank = nodes.select("node", F.round(F.lit(1.0) / F.lit(n), PR_DP).alias("rank"))
-    return _pr_output(_pr_rounds(contrib, rank, n))
+    return contrib, rank, n
+
+
+def _pr_round(contrib: DataFrame, rank: DataFrame, n: float) -> DataFrame:
+    """ONE power-iteration step — the join-aggregate whose skew behavior
+    the adversarial probe pins (tools/skew_probe_graph.py): the join on
+    `src` broadcasts the O(nodes) rank side under AQE (hot keys moot);
+    in the state-exceeds-broadcast regime it is an SMJ whose hot-src
+    partition is byte-proportional to the hot node's degree — visible to
+    AQE's skew split, unlike dedup's row-quadratic case. The groupBy(dst)
+    is sum-algebraic, so map-side partial aggregation collapses a hot
+    dst's contributions before the shuffle."""
+    return (
+        contrib.join(rank.withColumnRenamed("node", "src"), "src")
+        .groupBy("dst")
+        .agg(
+            F.round(
+                F.lit((1 - PR_DAMPING) / n)
+                + PR_DAMPING * F.sum(F.col("w") / F.col("deg") * F.col("rank")),
+                PR_DP,
+            ).alias("rank")
+        )
+        .withColumnRenamed("dst", "node")
+    )
 
 
 def _pr_rounds(
@@ -141,20 +170,7 @@ def _pr_rounds(
     join-aggregate over `contrib` (src, dst, w, deg), rank state
     localCheckpointed to keep lineage flat."""
     for _ in range(iters):
-        rank = (
-            contrib.join(rank.withColumnRenamed("node", "src"), "src")
-            .groupBy("dst")
-            .agg(
-                F.round(
-                    F.lit((1 - PR_DAMPING) / n)
-                    + PR_DAMPING
-                    * F.sum(F.col("w") / F.col("deg") * F.col("rank")),
-                    PR_DP,
-                ).alias("rank")
-            )
-            .withColumnRenamed("dst", "node")
-            .localCheckpoint()
-        )
+        rank = _pr_round(contrib, rank, n).localCheckpoint()
     return rank
 
 
@@ -246,19 +262,25 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bfs_output(_bfs_rounds(edges, dist))
 
 
+def _bfs_round(edges: DataFrame, dist: DataFrame) -> DataFrame:
+    """ONE frontier expansion: edge join + min-fold. min() is algebraic,
+    so a hot node's incoming expansions collapse map-side; the join skew
+    story is `_pr_round`'s (broadcast frontier, or byte-visible SMJ)."""
+    expanded = edges.join(
+        dist.withColumnRenamed("node", "src"), "src"
+    ).select(F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops"))
+    return (
+        dist.unionByName(expanded)
+        .groupBy("node")
+        .agg(F.min("hops").alias("hops"))
+    )
+
+
 def _bfs_rounds(edges: DataFrame, dist: DataFrame, iters: int = BFS_ITERS) -> DataFrame:
     """The min-plus frontier-expansion loop, shared by the registry query
     and the bucketed path: each round one edge join + min-fold."""
     for _ in range(iters):
-        expanded = edges.join(
-            dist.withColumnRenamed("node", "src"), "src"
-        ).select(F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops"))
-        dist = (
-            dist.unionByName(expanded)
-            .groupBy("node")
-            .agg(F.min("hops").alias("hops"))
-            .localCheckpoint()
-        )
+        dist = _bfs_round(edges, dist).localCheckpoint()
     return dist
 
 
@@ -385,29 +407,32 @@ def _hits_rounds(
     registry query (one edge frame both ways) and the bucketed path
     (one layout per join side — the half-iterations join on DIFFERENT
     keys, so each needs its own co-located layout)."""
-    from near_public_lakehouse_spark.functions.numeric import dsum
-
-    def _norm_round(raw: DataFrame) -> DataFrame:
-        mx = raw.agg(F.max("s").alias("mx"))
-        return raw.crossJoin(F.broadcast(mx)).select(
-            "node", F.round(F.col("s") / F.col("mx"), HITS_DP).alias("score")
-        )
-
     hub = None
     for _ in range(iters):
-        hub = _norm_round(
-            edges_by_supp.join(auth.withColumnRenamed("node", "supp"), "supp")
-            .groupBy("cust")
-            .agg(dsum(F.col("w") * F.col("score"), scale=15, precision=30).alias("s"))
-            .withColumnRenamed("cust", "node")
-        ).localCheckpoint()
-        auth = _norm_round(
-            edges_by_cust.join(hub.withColumnRenamed("node", "cust"), "cust")
-            .groupBy("supp")
-            .agg(dsum(F.col("w") * F.col("score"), scale=15, precision=30).alias("s"))
-            .withColumnRenamed("supp", "node")
-        ).localCheckpoint()
+        hub = _hits_half(edges_by_supp, auth, "supp", "cust").localCheckpoint()
+        auth = _hits_half(edges_by_cust, hub, "cust", "supp").localCheckpoint()
     return hub, auth
+
+
+def _hits_half(
+    edges: DataFrame, score: DataFrame, join_key: str, out_key: str
+) -> DataFrame:
+    """ONE half-iteration: neighbor dsum on `join_key`, max-normalized.
+    dsum is an algebraic decimal sum, so a hot `out_key`'s contributions
+    collapse map-side; the score-side join skew story is `_pr_round`'s
+    (broadcast under AQE, byte-visible SMJ beyond)."""
+    from near_public_lakehouse_spark.functions.numeric import dsum
+
+    raw = (
+        edges.join(score.withColumnRenamed("node", join_key), join_key)
+        .groupBy(out_key)
+        .agg(dsum(F.col("w") * F.col("score"), scale=15, precision=30).alias("s"))
+        .withColumnRenamed(out_key, "node")
+    )
+    mx = raw.agg(F.max("s").alias("mx"))
+    return raw.crossJoin(F.broadcast(mx)).select(
+        "node", F.round(F.col("s") / F.col("mx"), HITS_DP).alias("score")
+    )
 
 
 def _hits_output(hub: DataFrame, auth: DataFrame) -> DataFrame:

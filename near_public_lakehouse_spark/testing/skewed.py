@@ -96,3 +96,32 @@ def skewed_corpus(
             F.lit(""),
         ).alias("source"),
     )
+
+
+def skewed_graph(
+    spark: SparkSession, n_pairs: int, hot_frac: float = 0.9, n_cold_supp: int = 50
+) -> DataFrame:
+    """Power-law bipartite customer-supplier edge list for the graph-trio
+    skew probes (VERDICT r12 task #4): `hot_frac` of all (customer,
+    supplier) pairs name ONE supplier ('S0' — the one-supplier-on-90%-of-
+    lineitems case TPC-H's uniform generator never produces), the rest
+    spread over `n_cold_supp` cold suppliers. Output matches the shape
+    the production edge build emits AFTER its pair-count aggregate
+    (`graph_pagerank`'s `pairs`): (a, b, w) with distinct pairs, so the
+    probes exercise the per-round join-aggregate — the stage with the hot
+    key — not the skew-safe (partial-aggregated) build. Deterministic
+    (pure function of the pair index)."""
+    n_hot = int(n_pairs * hot_frac)
+    i = F.col("id")
+    # nullif: same nullability relaxation as skewed_corpus (Catalyst's
+    # Union constraint propagation chokes on non-nullable range attrs).
+    return spark.range(n_pairs).select(
+        F.nullif(F.concat(F.lit("C"), i.cast("string")), F.lit("")).alias("a"),
+        F.nullif(
+            F.when(i < n_hot, F.lit("S0")).otherwise(
+                F.concat(F.lit("S"), (F.lit(1) + i % n_cold_supp).cast("string"))
+            ),
+            F.lit(""),
+        ).alias("b"),
+        (F.lit(1.0) + (i % 3).cast("double")).alias("w"),
+    )

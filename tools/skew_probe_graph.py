@@ -1,0 +1,224 @@
+#!/usr/bin/env python
+"""Adversarial-skew probe for the graph trio (VERDICT r12 task #4).
+
+SCALE.md pins the graph queries' per-round shape on the SHIPPED TPC-H-ish
+graph, whose degree distribution is near-uniform; nothing measured what
+happens on power-law degree — one supplier on 90% of all pairs
+(`testing/skewed.skewed_graph`). This probe runs the TRUE production
+round frames (`graph._pr_setup` / `_pr_rounds` / `_hits_half`) at two
+sizes in three join regimes:
+
+- bcast: the default session — AQE broadcasts the O(nodes) rank side, so
+  the hot src key never shuffles. CLAIM: wall is flat in the skew (the
+  production regime until state exceeds broadcast).
+- smj: broadcast disabled (the state-exceeds-broadcast regime at toy
+  bytes). AQE's byte heuristics are blind at probe scale, so the hot
+  partition serializes into one task: max-task ~= wall is the measured
+  cliff.
+- smj_skewaqe: same regime with thresholds lowered to what the fixture's
+  90% ROW skew weighs at real scale. CLAIM: `skew=true` appears and
+  max-task drops toward wall/parallelism — the graph join's output is
+  row-LINEAR in the hot key (each edge meets exactly one rank row), so
+  unlike dedup's row-quadratic expansion the skew is byte-visible to AQE
+  exactly where it hurts, and no salted-join wiring is needed.
+
+Outputs one JSON line per (algo, n, regime) plus derived exponents —
+paste the table into SCALE.md.
+
+Usage:  python tools/skew_probe_graph.py [--sizes 20000 80000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import sys
+import time
+import urllib.request
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def _stage_ids(spark) -> set[int]:
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app}/stages", timeout=5
+        ) as r:
+            return {s["stageId"] for s in json.loads(r.read())}
+    except Exception:
+        return set()
+
+
+def _max_task_ms(spark, before: set[int]) -> tuple[float, float]:
+    """(max single-task ms, total task ms) across stages run since
+    `before` — the straggler evidence: a hot key serialized into one task
+    shows up as max ~= wall regardless of task count."""
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    mx = tot = 0.0
+    try:
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app}/stages", timeout=5
+        ) as r:
+            stages = json.loads(r.read())
+    except Exception:
+        return (0.0, 0.0)
+    for s in stages:
+        if s["stageId"] in before or s.get("status") not in ("COMPLETE", "ACTIVE"):
+            continue
+        tot += s.get("executorRunTime", 0)
+        try:
+            with urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app}/stages/{s['stageId']}/"
+                f"{s.get('attemptId', 0)}/taskSummary?quantiles=1.0",
+                timeout=5,
+            ) as r:
+                summ = json.loads(r.read())
+            mx = max(mx, float(summ.get("executorRunTime", [0.0])[0]))
+        except Exception:
+            pass
+    return (mx, tot)
+
+
+# what the fixture's ~90% row skew looks like to AQE at real scale,
+# shrunk to probe bytes (same emulation discipline as skew_probe_dedup)
+AQE_EMULATE_SCALE = {
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+}
+NO_BCAST = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", type=int, nargs=2, default=[20000, 80000])
+    ap.add_argument("--iters", type=int, default=4)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from near_public_lakehouse_spark.queries.graph import (
+        _hits_half,
+        _pr_rounds,
+        _pr_setup,
+    )
+    from near_public_lakehouse_spark.session import get_spark
+    from near_public_lakehouse_spark.testing.skewed import skewed_graph
+
+    spark = get_spark("skew-probe-graph", extra_conf={"spark.ui.enabled": "true"})
+    spark.sparkContext.setLogLevel("ERROR")
+    results: list[dict] = []
+
+    def with_confs(confs):
+        prev = {k: spark.conf.get(k, None) for k in confs}
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        return prev
+
+    def restore(prev):
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    for n_pairs in args.sizes:
+        pairs = skewed_graph(spark, n_pairs).localCheckpoint()
+        contrib, rank0, nn = _pr_setup(pairs)
+        bi = pairs.select(
+            F.col("a").alias("cust"), F.col("b").alias("supp"), "w"
+        ).localCheckpoint()
+        auth0 = bi.select(F.col("supp").alias("node")).distinct().select(
+            "node", F.lit(1.0).alias("score")
+        ).localCheckpoint()
+
+        for regime, confs in (
+            ("bcast", {}),
+            ("smj", NO_BCAST),
+            ("smj_skewaqe", NO_BCAST | AQE_EMULATE_SCALE),
+        ):
+            prev = with_confs(confs)
+            try:
+                for algo, run in (
+                    (
+                        "pagerank",
+                        lambda: _pr_rounds(contrib, rank0, nn, iters=args.iters)
+                        .count(),
+                    ),
+                    (
+                        "hits_half",
+                        lambda: _hits_half(bi, auth0, "supp", "cust").count(),
+                    ),
+                ):
+                    before = _stage_ids(spark)
+                    t0 = time.monotonic()
+                    out_rows = run()
+                    wall = time.monotonic() - t0
+                    mx, tot = _max_task_ms(spark, before)
+                    rec = {
+                        "algo": algo,
+                        "n_pairs": n_pairs,
+                        "regime": regime,
+                        "rows": out_rows,
+                        "wall_s": round(wall, 2),
+                        "max_task_s": round(mx / 1e3, 2),
+                        "task_total_s": round(tot / 1e3, 2),
+                    }
+                    print(json.dumps(rec), flush=True)
+                    results.append(rec)
+            finally:
+                restore(prev)
+
+    n1, n2 = args.sizes
+    lg = math.log(n2 / n1)
+    for algo in ("pagerank", "hits_half"):
+        for regime in ("bcast", "smj", "smj_skewaqe"):
+            a = next(
+                r
+                for r in results
+                if r["algo"] == algo and r["regime"] == regime and r["n_pairs"] == n1
+            )
+            b = next(
+                r
+                for r in results
+                if r["algo"] == algo and r["regime"] == regime and r["n_pairs"] == n2
+            )
+            print(
+                json.dumps(
+                    {
+                        "algo": algo,
+                        "regime": regime,
+                        "wall_exp": round(
+                            math.log(max(b["wall_s"], 0.01) / max(a["wall_s"], 0.01))
+                            / lg,
+                            3,
+                        ),
+                        "max_task_exp": round(
+                            math.log(
+                                max(b["max_task_s"], 0.01)
+                                / max(a["max_task_s"], 0.01)
+                            )
+                            / lg,
+                            3,
+                        ),
+                        "straggler_ratio_big": round(
+                            b["max_task_s"] / max(b["wall_s"], 0.01), 3
+                        ),
+                    }
+                ),
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()
