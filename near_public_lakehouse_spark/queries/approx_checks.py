@@ -5,11 +5,12 @@ Several registry queries are approximate/iterative and shipped
 gets a companion here that turns its accuracy contract into deterministic
 scalars a DuckDB oracle CAN check (VERDICT r5 task #6). The population has
 shrunk round over round: `kmeans_clusters` gained a full unrolled-CTE
-oracle in r12, and `ann_lsh_topk` / `range_search_lsh` gained full
-plane-literal oracles in r13 (VERDICT r12 task #1) — leaving only
-`pq_topk` (driver-trained codebook), `daily_active_users_approx` (HLL
-internals), and the BPE merge chain as rows-only, each still covered by
-its invariant twin below:
+oracle in r12; `ann_lsh_topk` / `range_search_lsh` gained full
+plane-literal oracles in r13 (VERDICT r12 task #1); and `pq_topk` moved
+onto the PQ_QUANT integer lattice in r13 so even codebook TRAINING
+replays in DuckDB — leaving only `daily_active_users_approx` (HLL
+internals) and the BPE merge chain as rows-only, each still covered by
+an invariant twin (here or in tests):
 
 - `approx_ann_lsh_recall` / `approx_range_search_recall` go further than
   the task asked: the sign-random-projection planes are a deterministic

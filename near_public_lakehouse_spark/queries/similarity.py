@@ -539,6 +539,22 @@ PQ_TRAIN_ITERS = 5  # fixed Lloyd iterations -> deterministic codebooks
 PQ_RERANK = 8 * TOP_K
 
 
+# Value lattice for the WHOLE PQ pipeline (train + encode + ADC): values
+# quantize to xq = floor(v * 1e6 + 0.5) as int64. Every distance, dot and
+# norm below is then EXACT integer arithmetic (|v| < ~1 -> |xq| <~ 1e6;
+# worst sums ~1e13 stay far inside both int64 and double's 2^53 exact
+# range), which is what makes codebook training — previously "not
+# expressible in SQL" — replay bit-identically as unrolled DuckDB CTEs
+# (the kmeans r12 precedent, extended to the training loop).
+PQ_QUANT = 10**6
+
+
+def _pq_quantize(X):
+    import numpy as np
+
+    return np.floor(X * float(PQ_QUANT) + 0.5).astype(np.int64)
+
+
 def train_pq_codebooks(emb: DataFrame, dim: int = 64):
     """Deterministic per-subspace k-means codebooks trained on a bounded
     driver-side sample (orderBy(vec_id).limit — stable under any
@@ -546,28 +562,162 @@ def train_pq_codebooks(emb: DataFrame, dim: int = 64):
     iteration count and argmin's first-index tie-break make the result
     reproducible everywhere. Training on a sample is the production PQ
     recipe (faiss does the same); the sample size, not the corpus size,
-    bounds driver memory."""
+    bounds driver memory.
+
+    r13: trains ON THE INTEGER LATTICE (see PQ_QUANT) — distances are
+    exact int64, the mean update rounds half-up via integer floor-div
+    ((2*s + n) // (2*n), floor semantics matching DuckDB's `//`), so the
+    returned (M, K, sub) codebook is int64 and the DuckDB oracle re-derives
+    it exactly."""
     import numpy as np
 
     sample = emb.orderBy("vec_id").limit(PQ_TRAIN_CAP).select("embedding").collect()
-    X = np.array([r.embedding for r in sample], dtype=np.float64)
+    X = np.array([r.embedding for r in sample], dtype=np.float64)[:, :dim]
+    Xq = _pq_quantize(X)
     sub = dim // PQ_M
-    books = np.zeros((PQ_M, PQ_K, sub))
+    books = np.zeros((PQ_M, PQ_K, sub), dtype=np.int64)
     for m in range(PQ_M):
-        Xm = X[:, m * sub : (m + 1) * sub]
+        Xm = Xq[:, m * sub : (m + 1) * sub]
         cb = Xm[:PQ_K].copy()
         for _ in range(PQ_TRAIN_ITERS):
             d2 = ((Xm[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
+            assign = d2.argmin(axis=1)  # first index on ties = lowest cid
             for k in range(PQ_K):
                 members = Xm[assign == k]
                 if len(members):
-                    cb[k] = members.mean(axis=0)
+                    s, n = members.sum(axis=0), len(members)
+                    cb[k] = (2 * s + n) // (2 * n)
         books[m] = cb
     return books
 
 
-@query("pq_topk", tags=("similarity", "ann", "pq"), oracle=None)
+def _pq_training_sql() -> str:
+    """a1..a{ITERS} assignment + cb1..cb{ITERS} codebook-update CTEs —
+    per-subspace Lloyd's unrolled over the integer lattice. Distances and
+    sums are exact integers; the mean update's (2*s + n) // (2*n) is
+    round-half-up via floor division, engine-identical (DuckDB `//` and
+    numpy's floor_divide both floor)."""
+    steps = []
+    for t in range(1, PQ_TRAIN_ITERS + 1):
+        steps.append(
+            f"""a{t} AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT s.vec_id, s.m, c.cid,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY sum((s.xq - c.cq) * (s.xq - c.cq)), c.cid
+           ) AS rn
+    FROM sexp s JOIN cb{t - 1} c ON c.m = s.m AND c.d = s.d
+    GROUP BY s.vec_id, s.m, c.cid
+  ) WHERE rn = 1
+),
+u{t} AS (
+  SELECT a.m, a.cid, s.d, sum(s.xq) AS ssum, count(*) AS n
+  FROM a{t} a JOIN sexp s ON s.vec_id = a.vec_id AND s.m = a.m
+  GROUP BY a.m, a.cid, s.d
+),
+cb{t} AS (
+  SELECT p.m, p.cid, p.d,
+         CAST(coalesce((2 * u.ssum + u.n) // (2 * u.n), p.cq) AS BIGINT) AS cq
+  FROM cb{t - 1} p LEFT JOIN u{t} u
+    ON u.m = p.m AND u.cid = p.cid AND u.d = p.d
+)"""
+        )
+    return ",\n".join(steps)
+
+
+_PQ_SUB = 64 // PQ_M
+
+_PQ_ORACLE = f"""
+WITH eexp AS (
+  SELECT vec_id,
+         CAST((d0 - 1) // {_PQ_SUB} AS INT) AS m,
+         CAST((d0 - 1) % {_PQ_SUB} AS INT) AS d,
+         CAST(floor(CAST(v AS DOUBLE) * {PQ_QUANT} + 0.5) AS BIGINT) AS xq
+  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS d0,
+               unnest(embedding) AS v
+        FROM embeddings)
+),
+samp AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {PQ_TRAIN_CAP}),
+sexp AS (SELECT e.* FROM eexp e JOIN samp USING (vec_id)),
+init AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+  FROM (SELECT vec_id FROM samp ORDER BY vec_id LIMIT {PQ_K})
+),
+cb0 AS (
+  SELECT s.m, i.cid, s.d, s.xq AS cq
+  FROM init i JOIN sexp s ON s.vec_id = i.vec_id
+),
+{_pq_training_sql()},
+codes AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT e.vec_id, e.m, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id, e.m
+             ORDER BY sum((e.xq - c.cq) * (e.xq - c.cq)), c.cid
+           ) AS rn
+    FROM eexp e JOIN cb{PQ_TRAIN_ITERS} c ON c.m = e.m AND c.d = e.d
+    GROUP BY e.vec_id, e.m, c.cid
+  ) WHERE rn = 1
+),
+cn2 AS (SELECT m, cid, sum(cq * cq) AS n2 FROM cb{PQ_TRAIN_ITERS} GROUP BY m, cid),
+qexp AS (SELECT * FROM eexp WHERE vec_id < {N_QUERY_VECS}),
+qn AS (SELECT vec_id AS qid, sum(xq * xq) AS qn2 FROM qexp GROUP BY vec_id),
+tbl AS (
+  SELECT q.vec_id AS qid, c.m, c.cid, sum(q.xq * c.cq) AS dt
+  FROM qexp q JOIN cb{PQ_TRAIN_ITERS} c ON c.m = q.m AND c.d = q.d
+  GROUP BY q.vec_id, c.m, c.cid
+),
+adc AS (
+  SELECT t.qid, co.vec_id AS cid, sum(t.dt) AS adot, sum(n.n2) AS an2
+  FROM codes co
+  JOIN tbl t ON t.m = co.m AND t.cid = co.cid
+  JOIN cn2 n ON n.m = co.m AND n.cid = co.cid
+  GROUP BY t.qid, co.vec_id
+),
+pq_scored AS (
+  SELECT a.qid, a.cid,
+         CAST(a.adot AS DOUBLE)
+         / (sqrt(CAST(q.qn2 AS DOUBLE)) * sqrt(CAST(a.an2 AS DOUBLE))) AS s
+  FROM adc a JOIN qn q USING (qid)
+  WHERE a.cid <> a.qid AND a.an2 > 0 AND q.qn2 > 0
+),
+cand AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid) AS rn
+    FROM pq_scored
+  ) WHERE rn <= {PQ_RERANK}
+),
+prods AS (
+  SELECT c.qid, c.cid, unnest(qe.embedding) AS qv, unnest(ce.embedding) AS cv
+  FROM cand c
+  JOIN embeddings qe ON qe.vec_id = c.qid
+  JOIN embeddings ce ON ce.vec_id = c.cid
+),
+dots AS (
+  SELECT qid, cid,
+         sum(CAST(CAST(qv AS DOUBLE) * CAST(cv AS DOUBLE) AS DECIMAL(30,15))) AS dot,
+         sum(CAST(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE) AS DECIMAL(30,15))) AS qnorm2,
+         sum(CAST(CAST(cv AS DOUBLE) * CAST(cv AS DOUBLE) AS DECIMAL(30,15))) AS cnorm2
+  FROM prods GROUP BY qid, cid
+),
+final AS (
+  SELECT qid, cid,
+         CAST(dot AS DOUBLE)
+         / (sqrt(CAST(qnorm2 AS DOUBLE)) * sqrt(CAST(cnorm2 AS DOUBLE))) AS cosine,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY CAST(dot AS DOUBLE)
+                    / (sqrt(CAST(qnorm2 AS DOUBLE)) * sqrt(CAST(cnorm2 AS DOUBLE))) DESC,
+                    cid) AS rnk
+  FROM dots
+)
+SELECT qid, cid, cosine, rnk FROM final WHERE rnk <= {TOP_K} ORDER BY qid, rnk
+"""
+
+
+@query("pq_topk", tags=("similarity", "ann", "pq"), oracle=_PQ_ORACLE)
 def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via product quantization + asymmetric distance computation
     (ADC) + exact rerank — the compressed-domain path for corpora too
@@ -587,9 +737,16 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches R vectors per query. This is the one place Python touches the
     hot path — intentionally, as the vectorized-numpy-over-Arrow pattern
     the PQ inner loop needs (gather + argpartition have no Column-API
-    equivalent); everything before and after stays JVM-side. No oracle:
-    codebook training isn't expressible in SQL — the recall contract vs
-    brute force is pinned in tests/test_ann_recall.py."""
+    equivalent); everything before and after stays JVM-side.
+
+    FULL-VALUE oracle since r13 (VERDICT r12 task #1 stretch): the whole
+    pipeline — codebook TRAINING included — runs on the PQ_QUANT integer
+    lattice, so every distance/dot/norm is exact int64 and the DuckDB
+    oracle replays training (unrolled per-subspace Lloyd's CTEs,
+    `_pq_training_sql`), encoding, ADC scoring and the exact-decimal
+    rerank bit-identically. What was "codebook training isn't expressible
+    in SQL" is now a hash gate; the recall contract vs brute force stays
+    pinned in tests/test_ann_recall.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_topk_frame(emb)
 
@@ -597,19 +754,24 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pq_topk_frame(emb: DataFrame, dim: int = 64) -> DataFrame:
     import numpy as np
 
-    books = train_pq_codebooks(emb, dim=dim)  # (M, K, sub)
+    books = train_pq_codebooks(emb, dim=dim)  # (M, K, sub) int64 lattice
     sub = dim // PQ_M
-    cnorm2 = (books**2).sum(axis=2)  # (M, K): centroid sq-norms per subspace
+    cnorm2 = (books**2).sum(axis=2)  # (M, K) int64: centroid sq-norms
 
     q_rows = sorted(
         emb.filter(F.col("vec_id") < N_QUERY_VECS).select("vec_id", "embedding").collect(),
         key=lambda r: r.vec_id,
     )
     qids = np.array([r.vec_id for r in q_rows])
-    Q = np.array([r.embedding for r in q_rows], dtype=np.float64)  # (nq, dim)
-    qnorm = np.sqrt((Q**2).sum(axis=1))
-    # ADC tables: tables[qi, m, k] = dot(q_sub, codebook[m, k])
-    tables = np.einsum("qms,mks->qmk", Q.reshape(len(Q), PQ_M, sub), books)
+    Qq = _pq_quantize(
+        np.array([r.embedding for r in q_rows], dtype=np.float64)[:, :dim]
+    )  # (nq, dim) int64
+    # Exact int sums convert to double exactly (<< 2^53), so every ADC
+    # score below is a quotient of correctly-rounded IEEE ops — the DuckDB
+    # oracle computes the bit-identical double.
+    qnorm = np.sqrt((Qq**2).sum(axis=1).astype(np.float64))
+    # ADC tables: tables[qi, m, k] = dot(q_sub, codebook[m, k]) — int64
+    tables = np.einsum("qms,mks->qmk", Qq.reshape(len(Qq), PQ_M, sub), books)
 
     def score(batches):
         import pandas as pd
@@ -618,19 +780,21 @@ def pq_topk_frame(emb: DataFrame, dim: int = 64) -> DataFrame:
             if not len(pdf):
                 continue
             X = np.stack(pdf["embedding"].to_numpy())[:, :dim].astype(np.float64)
+            Xq = _pq_quantize(X)
             cids = pdf["vec_id"].to_numpy()
-            Xs = X.reshape(len(X), PQ_M, sub)
-            # encode: nearest centroid per subspace (argmin -> first index)
+            Xs = Xq.reshape(len(Xq), PQ_M, sub)
+            # encode: nearest centroid per subspace (argmin -> first index;
+            # exact int64 distances, so ties and order are engine-free)
             d2 = ((Xs[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
             codes = d2.argmin(axis=2)  # (b, M)
             an2 = np.take_along_axis(cnorm2[None, :, :], codes[:, :, None], axis=2)
-            approx_norm = np.sqrt(an2.squeeze(-1).sum(axis=1))  # (b,)
+            approx_norm = np.sqrt(an2.squeeze(-1).sum(axis=1).astype(np.float64))
             out_q, out_c, out_s = [], [], []
             for qi in range(len(qids)):
-                t = tables[qi]  # (M, K)
+                t = tables[qi]  # (M, K) int64
                 approx_dot = np.take_along_axis(
                     t[None, :, :], codes[:, :, None], axis=2
-                ).squeeze(-1).sum(axis=1)
+                ).squeeze(-1).sum(axis=1).astype(np.float64)
                 with np.errstate(divide="ignore", invalid="ignore"):
                     s = approx_dot / (qnorm[qi] * approx_norm)
                 s = np.where(np.isfinite(s), s, -np.inf)

@@ -133,11 +133,14 @@ def test_driver_window_composition_is_pinned():
 
     Round 13 rotation: only what round 13 semantically changes —
     ann_lsh_topk and range_search_lsh gained FULL-VALUE DuckDB oracles
-    (VERDICT r12 task #1; previously rows-only), so each rotates in under
-    an a13_ alias for a driver-green row under its new oracle. The other
-    48 window slots revert to the alphabetical organic head — every one
-    of those names is driver-green in an earlier round, with r11-anchored
-    profile hash pins covering them at value level between windows.
+    (VERDICT r12 task #1; previously rows-only), and pq_topk's pipeline
+    moved onto the PQ_QUANT integer lattice so even codebook TRAINING
+    replays in DuckDB (task #1's stretch goal; output changes, so it
+    re-certifies). Each rotates in under an a13_ alias for a driver-green
+    row under its new oracle. The other 47 window slots revert to the
+    alphabetical organic head — every one of those names is driver-green
+    in an earlier round, with r11-anchored profile hash pins covering
+    them at value level between windows.
     """
     from near_public_lakehouse_spark.queries import all_queries
     from near_public_lakehouse_spark.queries.registry import DRIVER_WINDOW_ROTATION
@@ -145,17 +148,18 @@ def test_driver_window_composition_is_pinned():
     window = sorted(all_queries())[:50]
     assert sorted(DRIVER_WINDOW_ROTATION.values()) == [
         "a13_ann_lsh_topk",
+        "a13_pq_topk",
         "a13_range_search_lsh",
     ]
-    # both r13 oracle conversions made the window, with real oracles
+    # all three r13 oracle conversions made the window, with real oracles
     q = all_queries()
-    for alias in ("a13_ann_lsh_topk", "a13_range_search_lsh"):
+    for alias in ("a13_ann_lsh_topk", "a13_pq_topk", "a13_range_search_lsh"):
         assert alias in window, alias
         assert q[alias].oracle, alias
     # the rest of the window is the organic alphabetical head
-    assert window[2:] == [
+    assert window[3:] == [
         n for n in sorted(all_queries()) if not n.startswith("a13_")
-    ][:48]
+    ][:47]
 
 
 def test_rotation_aliases_resolve_through_every_public_path():
