@@ -882,6 +882,82 @@ def mirror_until_drained(
             return results
 
 
+def tail_stream_batch_sink(target_dir: str, app_id: str, transform=None):
+    """foreachBatch sink appending one change-feed micro-batch —
+    `tail_into`'s apply step with the consumed source version (the
+    batch's max `_commit_version`) as the txn watermark, so foreachBatch
+    at-least-once redelivery no-ops. `transform` must be deterministic
+    (the same contract tail_into and Structured Streaming document)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> dict | None:
+        top = batch_df.agg(F.max("_commit_version")).collect()[0][0]
+        if top is None:
+            return None  # reorganization-only window: no rows, no commit
+        end = int(top)
+        out = transform(batch_df) if transform is not None else batch_df
+        for _ in range(10):
+            base = latest_version(target_dir)
+            since = last_committed_txn(target_dir, app_id)
+            if since is not None and end <= since:
+                return None  # recognized replay
+            prior = _read_manifest(target_dir, base)["files"] if base is not None else []
+            new_files = _write_data(out, target_dir)
+            try:
+                return {
+                    "source_version": end,
+                    "target_version": _commit(
+                        target_dir, "tail", prior + new_files, base,
+                        out.schema.json(), txn={app_id: end},
+                    ),
+                    "n_files": len(new_files),
+                }
+            except CommitConflict:
+                continue  # orphaned data dir is invisible + vacuumable
+        raise CommitConflict(f"tail stream into {target_dir} lost 10 races")
+
+    return write_batch
+
+
+def tail_stream(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    transform=None,
+    app_id: str | None = None,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """STREAMING twin of `tail_until_drained` — the reference's exact
+    consumer shape (`NB/BQ Writer Stream.py:9-32`:
+    ``spark.readStream.option("skipChangeCommits", "true")`` + append
+    sink) as a real Structured Streaming query over the
+    `versioned_changes` source: rewrite commits are skipped WHOLESALE,
+    additions append to the target, and the consumed source version
+    rides inside every target commit (txn watermark) — the same
+    double-locked exactly-once as `mirror_stream`. Returns the
+    StreamingQuery (availableNow by default: drain and stop)."""
+    from near_public_lakehouse_spark.sources.versioned_stream import (
+        VersionedChangesDataSource,
+    )
+
+    spark.dataSource.register(VersionedChangesDataSource)
+    app = app_id or f"tail:{os.path.abspath(source_dir)}"
+    feed = (
+        spark.readStream.format("versioned_changes")
+        .option("path", source_dir)
+        .option("includeRemoves", "false")
+        .option("skipChangeCommits", "true")
+        .load()
+    )
+    sink = tail_stream_batch_sink(target_dir, app, transform)
+    writer = feed.writeStream.foreachBatch(lambda df, bid: sink(df, bid))
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def mirror_stream_batch_sink(target_dir: str, keys: list[str], app_id: str):
     """foreachBatch sink applying one change-feed micro-batch as a
     delete-propagating mirror — `mirror_into`'s net-reduce/guard/merge via

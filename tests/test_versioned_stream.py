@@ -201,3 +201,53 @@ def test_mirror_stream_guards_duplicate_key_source(spark, tmp_path):
     with pytest.raises(StreamingQueryException, match="unique-key contract"):
         q.awaitTermination(240)
         q.processAllAvailable()
+
+
+def test_tail_stream_skips_change_commits_and_appends(spark, tmp_path):
+    """The reference's consumer shape (skipChangeCommits append tail) as
+    a real stream: additions land, rewrite commits are skipped wholesale,
+    replay after a lost checkpoint no-ops via the txn watermark."""
+    s, t, ck = (str(tmp_path / n) for n in ("src", "dst", "ck"))
+    V.commit_overwrite(_df(spark, [(1, "a"), (2, "b")]), s)
+    q = V.tail_stream(spark, s, t, checkpoint_dir=ck)
+    assert q.awaitTermination(240)
+    got = V.read_version(spark, t)
+    assert sorted((r.k, r.v, r._commit_version) for r in got.collect()) == [
+        (1, "a", 0),
+        (2, "b", 0),
+    ]
+
+    V.versioned_upsert(spark, s, _df(spark, [(2, "B")]), ["k"])  # change commit
+    V.commit_append(_df(spark, [(3, "c")]), s)
+    q = V.tail_stream(spark, s, t, checkpoint_dir=ck)
+    assert q.awaitTermination(240)
+    rows = sorted((r.k, r.v) for r in V.read_version(spark, t).collect())
+    # the upsert's rewrite is SKIPPED (no (2, 'B')); the append arrives
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+    assert V.last_committed_txn(t, f"tail:{os.path.abspath(s)}") == V.latest_version(s)
+
+    import shutil
+
+    shutil.rmtree(ck)  # full redelivery: txn watermark recognizes replay
+    ver = V.latest_version(t)
+    q = V.tail_stream(spark, s, t, checkpoint_dir=str(tmp_path / "ck2"))
+    assert q.awaitTermination(240)
+    assert V.latest_version(t) == ver
+    assert sorted((r.k, r.v) for r in V.read_version(spark, t).collect()) == rows
+
+
+def test_tail_stream_transform_applies_per_batch(spark, tmp_path):
+    """The deterministic per-batch transform seam (tail_into parity)."""
+    from pyspark.sql import functions as F
+
+    s, t, ck = (str(tmp_path / n) for n in ("src", "dst", "ck"))
+    V.commit_overwrite(_df(spark, [(1, "a"), (2, "b")]), s)
+    q = V.tail_stream(
+        spark,
+        s,
+        t,
+        transform=lambda df: df.select("k", F.upper("v").alias("v")),
+        checkpoint_dir=ck,
+    )
+    assert q.awaitTermination(240)
+    assert _rows(V.read_version(spark, t)) == [(1, "A"), (2, "B")]
