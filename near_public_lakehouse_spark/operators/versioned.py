@@ -890,30 +890,51 @@ def tail_stream_batch_sink(target_dir: str, app_id: str, transform=None):
     (the same contract tail_into and Structured Streaming document)."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> dict | None:
-        top = batch_df.agg(F.max("_commit_version")).collect()[0][0]
-        if top is None:
-            return None  # reorganization-only window: no rows, no commit
-        end = int(top)
-        out = transform(batch_df) if transform is not None else batch_df
-        for _ in range(10):
-            base = latest_version(target_dir)
-            since = last_committed_txn(target_dir, app_id)
-            if since is not None and end <= since:
-                return None  # recognized replay
-            prior = _read_manifest(target_dir, base)["files"] if base is not None else []
-            new_files = _write_data(out, target_dir)
-            try:
-                return {
-                    "source_version": end,
-                    "target_version": _commit(
-                        target_dir, "tail", prior + new_files, base,
-                        out.schema.json(), txn={app_id: end},
-                    ),
-                    "n_files": len(new_files),
-                }
-            except CommitConflict:
-                continue  # orphaned data dir is invisible + vacuumable
-        raise CommitConflict(f"tail stream into {target_dir} lost 10 races")
+        # One materialization of the executor-side Arrow reads; the
+        # max-agg, the write, and any transform reuse it (r13 review:
+        # uncached foreachBatch input re-read the changed files per job).
+        batch_df.persist()
+        try:
+            top = batch_df.agg(F.max("_commit_version")).collect()[0][0]
+            if top is None:
+                return None  # reorganization-only window: no rows, no commit
+            end = int(top)
+            for _ in range(10):
+                base = latest_version(target_dir)
+                since = last_committed_txn(target_dir, app_id)
+                if since is not None and end <= since:
+                    return None  # recognized replay
+                # A redelivered window may OVERLAP the consumed one (fresh
+                # checkpoint against an advanced watermark): append only
+                # the rows past the watermark, or already-consumed rows
+                # would double-append — unlike the mirror, a tail cannot
+                # converge by rewrite (r13 review).
+                window = (
+                    batch_df.filter(F.col("_commit_version") > since)
+                    if since is not None
+                    else batch_df
+                )
+                out = transform(window) if transform is not None else window
+                prior = (
+                    _read_manifest(target_dir, base)["files"]
+                    if base is not None
+                    else []
+                )
+                new_files = _write_data(out, target_dir)
+                try:
+                    return {
+                        "source_version": end,
+                        "target_version": _commit(
+                            target_dir, "tail", prior + new_files, base,
+                            out.schema.json(), txn={app_id: end},
+                        ),
+                        "n_files": len(new_files),
+                    }
+                except CommitConflict:
+                    continue  # orphaned data dir is invisible + vacuumable
+            raise CommitConflict(f"tail stream into {target_dir} lost 10 races")
+        finally:
+            batch_df.unpersist()
 
     return write_batch
 
@@ -933,13 +954,18 @@ def tail_stream(
     sink) as a real Structured Streaming query over the
     `versioned_changes` source: rewrite commits are skipped WHOLESALE,
     additions append to the target, and the consumed source version
-    rides inside every target commit (txn watermark) — the same
-    double-locked exactly-once as `mirror_stream`. Returns the
-    StreamingQuery (availableNow by default: drain and stop)."""
+    rides inside every target commit (txn watermark); a redelivered
+    window that merely OVERLAPS the consumed one appends only the rows
+    past the watermark, so exactly-once holds even across a lost
+    checkpoint. Returns the StreamingQuery (availableNow by default:
+    drain and stop), or None when the source has no versions yet (batch
+    parity with tail_into)."""
     from near_public_lakehouse_spark.sources.versioned_stream import (
         VersionedChangesDataSource,
     )
 
+    if latest_version(source_dir) is None:
+        return None  # batch parity: tail_into no-ops on an unwritten source
     spark.dataSource.register(VersionedChangesDataSource)
     app = app_id or f"tail:{os.path.abspath(source_dir)}"
     feed = (
@@ -950,7 +976,7 @@ def tail_stream(
         .load()
     )
     sink = tail_stream_batch_sink(target_dir, app, transform)
-    writer = feed.writeStream.foreachBatch(lambda df, bid: sink(df, bid))
+    writer = feed.writeStream.foreachBatch(sink)
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     if available_now:
@@ -971,21 +997,40 @@ def mirror_stream_batch_sink(target_dir: str, keys: list[str], app_id: str):
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> dict | None:
         spark = batch_df.sparkSession
-        top = batch_df.agg(F.max("_commit_version")).collect()[0][0]
-        if top is None:
-            return None  # reorganization-only window: no rows, no commit
-        end = int(top)
-        for _ in range(10):
-            base = latest_version(target_dir)
-            since = last_committed_txn(target_dir, app_id)
-            if since is not None and end <= since:
-                return None  # recognized replay (at-least-once delivery)
-            r = _apply_mirror_batch(
-                spark, batch_df, target_dir, base, keys, app_id, end, "mirror"
-            )
-            if r is not None:
-                return r
-        raise CommitConflict(f"mirror stream into {target_dir} lost 10 races")
+        # One materialization of the executor-side Arrow reads: the
+        # max-agg, the key-contract guard and the net-reduce/merge all
+        # reuse it (r13 review: uncached foreachBatch input re-read the
+        # changed files once per job).
+        batch_df.persist()
+        try:
+            top = batch_df.agg(F.max("_commit_version")).collect()[0][0]
+            if top is None:
+                return None  # reorganization-only window: no rows, no commit
+            end = int(top)
+            for _ in range(10):
+                base = latest_version(target_dir)
+                since = last_committed_txn(target_dir, app_id)
+                if since is not None and end <= since:
+                    return None  # recognized replay (at-least-once delivery)
+                # An OVERLAPPING redelivery (fresh checkpoint against an
+                # advanced watermark) is safe for the mirror — the net
+                # reduce rewrites to the same snapshot — but the guard
+                # below would see the overlap's inserts without their
+                # pre-window deletes, so scope the window to the
+                # watermark for exactness of both.
+                window = (
+                    batch_df.filter(F.col("_commit_version") > since)
+                    if since is not None
+                    else batch_df
+                )
+                r = _apply_mirror_batch(
+                    spark, window, target_dir, base, keys, app_id, end, "mirror"
+                )
+                if r is not None:
+                    return r
+            raise CommitConflict(f"mirror stream into {target_dir} lost 10 races")
+        finally:
+            batch_df.unpersist()
 
     return write_batch
 
@@ -1017,14 +1062,17 @@ def mirror_stream(
     window and stops (the availableNow restart pattern); False leaves a
     continuous query running — call `.stop()` on the returned handle.
 
-    Returns the StreamingQuery. At every micro-batch boundary the target's
-    row set equals the source snapshot at the consumed version — the same
-    invariant as `mirror_into`, pinned against randomized commit histories
-    in tests/test_versioned_stream.py."""
+    Returns the StreamingQuery, or None when the source has no versions
+    yet (batch parity with mirror_into). At every micro-batch boundary the
+    target's row set equals the source snapshot at the consumed version —
+    the same invariant as `mirror_into`, pinned against randomized commit
+    histories in tests/test_versioned_stream.py."""
     from near_public_lakehouse_spark.sources.versioned_stream import (
         VersionedChangesDataSource,
     )
 
+    if latest_version(source_dir) is None:
+        return None  # batch parity: mirror_into no-ops on an unwritten source
     spark.dataSource.register(VersionedChangesDataSource)
     app = app_id or f"mirror:{os.path.abspath(source_dir)}"
     feed = (
@@ -1034,9 +1082,7 @@ def mirror_stream(
         .load()
     )
     sink = mirror_stream_batch_sink(target_dir, keys, app)
-    writer = feed.writeStream.foreachBatch(
-        lambda df, bid: sink(df, bid)
-    )
+    writer = feed.writeStream.foreachBatch(sink)
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     if available_now:

@@ -565,10 +565,12 @@ def train_pq_codebooks(emb: DataFrame, dim: int = 64):
     bounds driver memory.
 
     r13: trains ON THE INTEGER LATTICE (see PQ_QUANT) — distances are
-    exact int64, the mean update rounds half-up via integer floor-div
-    ((2*s + n) // (2*n), floor semantics matching DuckDB's `//`), so the
-    returned (M, K, sub) codebook is int64 and the DuckDB oracle re-derives
-    it exactly."""
+    exact int64, the mean update rounds half-up via integer FLOOR
+    division ((2*s + n) // (2*n); numpy floor_divide floors — the SQL
+    twin must emulate floor explicitly because DuckDB's `//` truncates
+    toward zero, see `_pq_training_sql`), so the returned (M, K, sub)
+    codebook is int64 and the DuckDB oracle re-derives it exactly —
+    pinned entry-by-entry in tests/test_ann_recall.py."""
     import numpy as np
 
     sample = emb.orderBy("vec_id").limit(PQ_TRAIN_CAP).select("embedding").collect()
@@ -594,9 +596,13 @@ def train_pq_codebooks(emb: DataFrame, dim: int = 64):
 def _pq_training_sql() -> str:
     """a1..a{ITERS} assignment + cb1..cb{ITERS} codebook-update CTEs —
     per-subspace Lloyd's unrolled over the integer lattice. Distances and
-    sums are exact integers; the mean update's (2*s + n) // (2*n) is
-    round-half-up via floor division, engine-identical (DuckDB `//` and
-    numpy's floor_divide both floor)."""
+    sums are exact integers; the mean update is round-half-up via FLOOR
+    division of (2*s + n) by (2*n). numpy's // floors, but DuckDB's `//`
+    TRUNCATES TOWARD ZERO (SELECT -7 // 2 = -3, numpy says -4 — the r13
+    review caught 503/1024 codebook entries diverging on this corpus's
+    negative means), so the SQL floors explicitly: subtract the
+    non-negative modulus ((t % d) + d) % d before dividing — the
+    numerator is then exactly divisible, where trunc == floor."""
     steps = []
     for t in range(1, PQ_TRAIN_ITERS + 1):
         steps.append(
@@ -618,7 +624,11 @@ u{t} AS (
 ),
 cb{t} AS (
   SELECT p.m, p.cid, p.d,
-         CAST(coalesce((2 * u.ssum + u.n) // (2 * u.n), p.cq) AS BIGINT) AS cq
+         CAST(coalesce(
+           ((2 * u.ssum + u.n)
+            - (((2 * u.ssum + u.n) % (2 * u.n)) + 2 * u.n) % (2 * u.n))
+           // (2 * u.n),
+           p.cq) AS BIGINT) AS cq
   FROM cb{t - 1} p LEFT JOIN u{t} u
     ON u.m = p.m AND u.cid = p.cid AND u.d = p.d
 )"""
@@ -797,15 +807,20 @@ def pq_topk_frame(emb: DataFrame, dim: int = 64) -> DataFrame:
                 ).squeeze(-1).sum(axis=1).astype(np.float64)
                 with np.errstate(divide="ignore", invalid="ignore"):
                     s = approx_dot / (qnorm[qi] * approx_norm)
-                s = np.where(np.isfinite(s), s, -np.inf)
-                s = np.where(cids == qids[qi], -np.inf, s)  # self-match out
-                r = min(PQ_RERANK, len(s))
+                # Drop (not pad with -inf) non-finite scores and the
+                # self-match: the oracle excludes zero-norm rows and
+                # cid <> qid in SQL, and keeping -inf padding here could
+                # leak excluded rows into the global top-R when a query
+                # has fewer than R finite candidates (r13 review).
+                keep = np.isfinite(s) & (cids != qids[qi])
+                sk, ck_ = s[keep], cids[keep]
+                r = min(PQ_RERANK, len(sk))
                 # batch-local top-R (by score desc, cid asc): a superset of
                 # every global top-R row, so the global cut is exact.
-                idx = np.lexsort((cids, -s))[:r]
+                idx = np.lexsort((ck_, -sk))[:r]
                 out_q.extend([qids[qi]] * len(idx))
-                out_c.extend(cids[idx])
-                out_s.extend(s[idx])
+                out_c.extend(ck_[idx])
+                out_s.extend(sk[idx])
             yield pd.DataFrame(
                 {"qid": out_q, "cid": out_c, "approx_cosine": out_s}
             )
@@ -876,7 +891,12 @@ def kmeans_fit(
       byte-identical assignments (pinned by tests/test_kmeans.py), and a
       DuckDB oracle can replay all {iters} iterations as unrolled CTEs;
     - an empty cluster keeps its previous centroid (no resampling — that
-      would need an RNG and break determinism).
+      would need an RNG and break determinism);
+    - domain: non-empty fixed-dim embeddings. Rows with an empty or null
+      embedding are OUTSIDE the clustering domain and return no
+      assignment (the r13 explode form drops them, which is also what
+      the DuckDB oracle's unnest has always done — the r12 HOF form
+      disagreed with its own oracle by assigning them cluster 0).
 
     At 100 TB: assignment stays embarrassingly parallel; the mean-update
     shuffle carries k*dim*partials rows. The driver round-trip per

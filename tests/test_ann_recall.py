@@ -165,3 +165,78 @@ def test_lsh_range_search_subset_and_recall(spark, planted):
     # every planted twin recovered
     for q in range(N_QUERY_VECS):
         assert (q, 1000 + q) in lsh_hits
+
+
+def test_pq_codebook_training_matches_duckdb_cte_exactly(spark):
+    """THE r13 review pin (finding #1): the integer-lattice codebook that
+    `train_pq_codebooks` computes in numpy must equal, ENTRY BY ENTRY,
+    the codebook the oracle's unrolled training CTEs derive in DuckDB on
+    the same data. This is stronger than the end-to-end hash gate — the
+    review showed 503/1024 entries diverging (DuckDB `//` truncates
+    toward zero, numpy floors) while the final top-K still coincided at
+    sf0.01, so only a codebook-level pin makes the divergence visible."""
+    import duckdb
+
+    from near_public_lakehouse_spark.queries.similarity import (
+        _PQ_SUB,
+        _pq_training_sql,
+        PQ_K,
+        PQ_M,
+        PQ_QUANT,
+        PQ_TRAIN_CAP,
+        PQ_TRAIN_ITERS,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT vec_id, embedding "
+        "FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')"
+    )
+    sql = f"""
+WITH eexp AS (
+  SELECT vec_id,
+         CAST((d0 - 1) // {_PQ_SUB} AS INT) AS m,
+         CAST((d0 - 1) % {_PQ_SUB} AS INT) AS d,
+         CAST(floor(CAST(v AS DOUBLE) * {PQ_QUANT} + 0.5) AS BIGINT) AS xq
+  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS d0,
+               unnest(embedding) AS v
+        FROM embeddings)
+),
+samp AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {PQ_TRAIN_CAP}),
+sexp AS (SELECT e.* FROM eexp e JOIN samp USING (vec_id)),
+init AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+  FROM (SELECT vec_id FROM samp ORDER BY vec_id LIMIT {PQ_K})
+),
+cb0 AS (
+  SELECT s.m, i.cid, s.d, s.xq AS cq
+  FROM init i JOIN sexp s ON s.vec_id = i.vec_id
+),
+{_pq_training_sql()}
+SELECT m, cid, d, cq FROM cb{PQ_TRAIN_ITERS} ORDER BY m, cid, d
+"""
+    duck = {(m, c, d): q for m, c, d, q in con.execute(sql).fetchall()}
+    books = None  # assigned below from the PRODUCTION trainer
+
+    from near_public_lakehouse_spark.queries.similarity import (
+        train_pq_codebooks,
+    )
+    from near_public_lakehouse_spark.sources.tables import load_table
+
+    books = train_pq_codebooks(
+        load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    )
+
+    assert len(duck) == PQ_M * PQ_K * _PQ_SUB
+    diffs = [
+        (m, c, d, int(books[m, c, d]), int(duck[(m, c, d)]))
+        for m in range(PQ_M)
+        for c in range(PQ_K)
+        for d in range(_PQ_SUB)
+        if int(books[m, c, d]) != int(duck[(m, c, d)])
+    ]
+    assert not diffs, f"{len(diffs)} codebook entries diverge, e.g. {diffs[:5]}"
+    # negative means actually occur on this corpus, so the floor-vs-trunc
+    # divergence the pin exists for is genuinely exercised
+    assert (books < 0).any()
+

@@ -251,3 +251,33 @@ def test_tail_stream_transform_applies_per_batch(spark, tmp_path):
     )
     assert q.awaitTermination(240)
     assert _rows(V.read_version(spark, t)) == [(1, "A"), (2, "B")]
+
+
+def test_tail_stream_overlapping_redelivery_appends_only_new_rows(spark, tmp_path):
+    """The r13 review pin (finding #2): a redelivered window that merely
+    OVERLAPS the consumed one (fresh checkpoint after the watermark
+    advanced, with NEW commits pending) must append only the rows past
+    the watermark — the naive end<=since guard alone would double-append
+    every already-consumed row."""
+    s, t = (str(tmp_path / n) for n in ("src", "dst"))
+    V.commit_overwrite(_df(spark, [(1, "a"), (2, "b")]), s)
+    q = V.tail_stream(spark, s, t, checkpoint_dir=str(tmp_path / "ck1"))
+    assert q.awaitTermination(240)
+
+    V.commit_append(_df(spark, [(3, "c")]), s)  # pending past the watermark
+    # FRESH checkpoint: the source redelivers (-1, 1] — overlapping (-1, 0]
+    q = V.tail_stream(spark, s, t, checkpoint_dir=str(tmp_path / "ck2"))
+    assert q.awaitTermination(240)
+    rows = [(r.k, r.v) for r in V.read_version(spark, t).collect()]
+    assert sorted(rows) == [(1, "a"), (2, "b"), (3, "c")]  # no duplicates
+    assert len(rows) == 3
+
+
+def test_stream_consumers_noop_on_unwritten_source(spark, tmp_path):
+    """Batch parity (r13 review finding #3): tail_into/mirror_into no-op
+    on a source with no versions; the stream consumers must too, not
+    crash in schema inference."""
+    s, t = (str(tmp_path / n) for n in ("src", "dst"))
+    assert V.tail_stream(spark, s, t) is None
+    assert V.mirror_stream(spark, s, t, ["k"]) is None
+    assert V.latest_version(t) is None

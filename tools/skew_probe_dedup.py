@@ -35,55 +35,14 @@ import json
 import math
 import sys
 import time
-import urllib.request
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def _stage_ids(spark) -> set[int]:
-    ui = spark.sparkContext.uiWebUrl
-    app = spark.sparkContext.applicationId
-    try:
-        with urllib.request.urlopen(
-            f"{ui}/api/v1/applications/{app}/stages", timeout=5
-        ) as r:
-            return {s["stageId"] for s in json.loads(r.read())}
-    except Exception:
-        return set()
-
-
-def _max_task_ms(spark, before: set[int]) -> tuple[float, float]:
-    """(max single-task ms, total task ms) across stages run since
-    `before` — the straggler evidence: a hot key serialized into one task
-    shows up as max ~= wall regardless of task count."""
-    ui = spark.sparkContext.uiWebUrl
-    app = spark.sparkContext.applicationId
-    mx = tot = 0.0
-    try:
-        with urllib.request.urlopen(
-            f"{ui}/api/v1/applications/{app}/stages", timeout=5
-        ) as r:
-            stages = json.loads(r.read())
-    except Exception:
-        return (0.0, 0.0)
-    for s in stages:
-        if s["stageId"] in before or s.get("status") not in ("COMPLETE", "ACTIVE"):
-            continue
-        tot += s.get("executorRunTime", 0)
-        try:
-            with urllib.request.urlopen(
-                f"{ui}/api/v1/applications/{app}/stages/{s['stageId']}/"
-                f"{s.get('attemptId', 0)}/taskSummary?quantiles=1.0",
-                timeout=5,
-            ) as r:
-                summ = json.loads(r.read())
-            mx = max(mx, float(summ.get("executorRunTime", [0.0])[0]))
-        except Exception:
-            pass
-    return (mx, tot)
-
+from tools.probe_common import max_task_ms as _max_task_ms
+from tools.probe_common import stage_ids as _stage_ids
 
 def main() -> None:
     ap = argparse.ArgumentParser()
