@@ -31,6 +31,18 @@ Schema is pinned at stream start (the latest manifest's schema plus
 under an older schema null-fill missing columns, and columns added
 mid-stream surface on restart — the same contract Spark's own streaming
 sources document for schema evolution.
+
+DELIBERATELY NO per-trigger rate limit (a maxFilesPerTrigger analog was
+built and reverted in r13): the plain Python MicroBatchStream protocol
+calls ``latestOffset()`` with NO start position and BEFORE
+``initialOffset()`` (verified by tracing), so a source-side cap must
+either clamp blind — risking an offset BEHIND a restarted query's
+checkpoint, which makes Spark replay already-committed versions into the
+sink — or not bound the first trigger at all, which is exactly the
+long-gap catch-up the cap exists for. Bounded catch-up therefore lives
+where the consumed position is knowable: the batch consumers'
+``max_versions_per_batch`` (tail/mirror_until_drained), the
+availableNow-restart pattern this repo ships.
 """
 
 from __future__ import annotations
