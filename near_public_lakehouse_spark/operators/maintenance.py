@@ -45,14 +45,48 @@ def compact_partitions(
 ) -> None:
     """OPTIMIZE [ZORDER BY]: rewrite (a subset of) partitions with
     `target_files_per_partition` files each, optionally sorted by
-    `zorder_cols` and bloom-filtered on `bloom_cols`."""
+    `zorder_cols` and bloom-filtered on `bloom_cols`.
+
+    REFUSES log-authoritative tables (a `_delta_log` present): this
+    rewrite trusts the raw directory, but a Delta-published table keeps
+    superseded part-files on disk as retention-governed tombstones — a
+    directory read would resurrect their rows into the compacted output
+    AND the swap would delete files the log's add actions still
+    reference, breaking every log reader and time travel (r13 review).
+    Compact those tables at the publish edge (the MERGE already
+    bin-packs per touched partition) or via the manifest store's
+    `versioned.commit_compact`."""
+    import os
+
     from near_public_lakehouse_spark.operators.merge import _recover
 
+    if os.path.isdir(os.path.join(table_path, "_delta_log")):
+        raise ValueError(
+            f"{table_path}: compact_partitions refused — the table is "
+            "log-authoritative (_delta_log present); a directory-walk "
+            "rewrite would resurrect tombstoned rows and orphan the "
+            "log's live files"
+        )
     _recover(table_path)
     df = spark.read.parquet(table_path)
     if partitions is not None:
         df = df.filter(F.col(partition_col).isin(partitions))
-    out = df.repartition(target_files_per_partition, F.col(partition_col))
+    # (partition, salt) keying: a plain repartition(N, partition_col)
+    # hashes ALL rows of one partition value into ONE task — N>1 was a
+    # silent no-op and the rewrite funneled each partition (or with the
+    # default N=1, the whole table) through a single core (r13 review).
+    if target_files_per_partition > 1:
+        salt = F.pmod(
+            F.hash(*[F.col(c) for c in df.columns]),
+            F.lit(target_files_per_partition),
+        )
+        out = df.repartition(
+            32 * target_files_per_partition, F.col(partition_col), salt
+        )
+    else:
+        out = df.repartition(
+            spark.sparkContext.defaultParallelism, F.col(partition_col)
+        )
     if zorder_cols:
         out = out.sortWithinPartitions(partition_col, *zorder_cols)
     # Crash-safe materialize-then-swap (shared with MERGE): never write

@@ -65,6 +65,22 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _partition_fence(source: DataFrame, partition_col: str):
+    """(touched partition values, null-safe fence column) for a keyed
+    MERGE: one bounded driver collect of the source's distinct partition
+    values, mirroring the reference's trailing date-window MERGE fences.
+    Null-safe because isin() never matches NULL — an unguarded fence
+    would exclude the null partition's target rows from the join and let
+    the swap replace __HIVE_DEFAULT_PARTITION__ with source-only rows.
+    Shared by both merge paths (r13 review: the two copies had already
+    begun to drift)."""
+    parts = [r[0] for r in source.select(partition_col).distinct().collect()]
+    fence = F.col(partition_col).isin([p for p in parts if p is not None])
+    if any(p is None for p in parts):
+        fence = fence | F.col(partition_col).isNull()
+    return parts, fence
+
+
 def merge_upsert(
     spark: SparkSession,
     target_path: str,
@@ -73,7 +89,6 @@ def merge_upsert(
     partition_col: str | None = None,
     when_matched_update: bool = True,
     ignore_null_updates: bool = False,
-    source_partitions: list | None = None,
 ) -> list | None:
     """MERGE `source` into the parquet table at `target_path` on `keys`.
 
@@ -84,7 +99,13 @@ def merge_upsert(
       `WHEN NOT MATCHED INSERT *` variants).
     - unmatched: inserted.
 
-    Source must be unique per key (pre-dedup with operators.scd.latest_by).
+    Source must be unique per key (pre-dedup with operators.scd.latest_by),
+    and `partition_col` must be STABLE per key: the fence only rewrites
+    partitions the source touches, so an update that MOVES a key to a new
+    partition value would leave the stale copy live in its old partition
+    (the same contract every partition-pruned Delta MERGE carries; the
+    published tables satisfy it because block_date is deterministic per
+    key — r13 review).
 
     Returns the distinct `partition_col` values the merge touched (the
     fence list), or None when unpartitioned / initial full write — callers
@@ -102,22 +123,7 @@ def merge_upsert(
     target = read_table(spark, target_path)
     parts: list | None = None
     if partition_col:
-        # Fence the rewrite to partitions the source actually touches —
-        # bounded driver collect (dates), mirrors the reference's trailing
-        # date-window MERGE fences. Callers that already computed the
-        # distinct source partitions (publish intent markers) pass them in
-        # to skip the duplicate job.
-        parts = (
-            list(source_partitions)
-            if source_partitions is not None
-            else [r[0] for r in source.select(partition_col).distinct().collect()]
-        )
-        # Null-safe fence: isin() never matches NULL, which would exclude
-        # the null partition's target rows from the join and then let the
-        # swap replace __HIVE_DEFAULT_PARTITION__ with source-only rows.
-        fence = F.col(partition_col).isin([p for p in parts if p is not None])
-        if any(p is None for p in parts):
-            fence = fence | F.col(partition_col).isNull()
+        parts, fence = _partition_fence(source, partition_col)
         target = target.filter(fence)
 
     merged = merged_frame(
@@ -250,7 +256,6 @@ def merge_upsert_logged(
     partition_col: str | None = None,
     when_matched_update: bool = True,
     ignore_null_updates: bool = False,
-    source_partitions: list | None = None,
 ) -> tuple[list | None, list[str]]:
     """Log-authoritative MERGE for tables whose live file set is defined
     by their `_delta_log` (the published Delta tables): the target is read
@@ -269,6 +274,11 @@ def merge_upsert_logged(
     Silver Pipeline.py:95-96`), which keeps time travel replayable inside
     the window.
 
+    Shares `merge_upsert`'s contracts: source unique per key, and
+    `partition_col` STABLE per key (the fence only rewrites touched
+    partitions — a key that moved partitions would leave its stale copy
+    live; block_date is deterministic per key for every published table).
+
     Crash safety is INHERENT here, with no intent marker: nothing mutates
     the log-defined live state until the sync commit, so a crash at any
     point (tmp write, install, pre-sync) leaves only unreferenced orphan
@@ -283,11 +293,7 @@ def merge_upsert_logged(
     reader = DeltaLogReader(table_dir)
     parts: list | None = None
     if partition_col:
-        parts = (
-            list(source_partitions)
-            if source_partitions is not None
-            else [r[0] for r in source.select(partition_col).distinct().collect()]
-        )
+        parts, fence = _partition_fence(source, partition_col)
         # Prune the target read to the touched partitions through the
         # protocol reader's data skipping (null-safe 'in'): per-publish
         # read cost is O(files in touched partitions), not O(table).
@@ -300,9 +306,6 @@ def merge_upsert_logged(
 
         pv_strs = [partition_value_str(p) for p in parts]
         target = reader.to_df(spark, where=[(partition_col, "in", pv_strs)])
-        fence = F.col(partition_col).isin([p for p in parts if p is not None])
-        if any(p is None for p in parts):
-            fence = fence | F.col(partition_col).isNull()
         target = target.filter(fence)
     else:
         target = reader.to_df(spark)

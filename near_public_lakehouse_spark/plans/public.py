@@ -296,7 +296,11 @@ def public_logs(
         "index_in_execution_outcome_logs",
         "log",
         F.when(
-            F.col("log").startswith("EVENT_JSON"), F.substring("log", 12, 2**24)
+            # the NEP-297 prefix is 'EVENT_JSON:' (11 chars) — checking
+            # only the 10-char stem while skipping 11 chars turned a log
+            # like 'EVENT_JSONIC...' into a garbage non-null event
+            # (r13 review)
+            F.col("log").startswith("EVENT_JSON:"), F.substring("log", 12, 2**24)
         ).alias("event"),
         _processed(processed_time),
     )
@@ -525,10 +529,6 @@ def publish_public_table(
         except FileNotFoundError:
             pass
 
-    incoming: list | None = None
-    if part is not None:
-        incoming = [r[0] for r in df.select(part).distinct().collect()]
-
     touched, installed = merge_upsert_logged(
         spark,
         table_dir,
@@ -536,7 +536,6 @@ def publish_public_table(
         keys,
         partition_col=part,
         when_matched_update=False,
-        source_partitions=incoming,
     )
     sync_delta_log_from_dir(
         table_dir,
@@ -581,14 +580,52 @@ def export_public_avro(
         DeltaLogReader,
     )
 
+    # A table this deployment never published has no _delta_log yet:
+    # skip it like an empty slice (the reference prints "No records")
+    # instead of aborting the whole hourly pass (r13 review).
+    table_dir = os.path.join(out_dir, name)
+    if not os.path.isdir(os.path.join(table_dir, "_delta_log")):
+        return None
     # Read through the Delta log, never the raw directory: published
     # tables retain tombstoned part-files on disk, and a directory read
     # would double-count every superseded row.
-    df = DeltaLogReader(os.path.join(out_dir, name)).to_df(spark).filter(
-        F.col("_processed_time") == F.lit(processed_time).cast("timestamp")
+    reader = DeltaLogReader(table_dir)
+    slice_filter = F.col("_processed_time") == F.lit(processed_time).cast(
+        "timestamp"
     )
-    if not df.head(1):
+    # Two-pass slice read (r13 review): _processed_time has no usable
+    # footer stats (Spark writes INT96 timestamps, which parquet excludes
+    # from min/max), so a one-pass read scans every live file's every
+    # column each hour — O(table). Pass 1 discovers the slice's files
+    # with a COLUMN-PRUNED scan (one timestamp column + file names);
+    # pass 2 reads only those files in full. Falls back to the one-pass
+    # read if file attribution is unavailable (e.g. a future DV table
+    # where to_df composes joins).
+    full = reader.to_df(spark)
+    hits = [
+        r[0]
+        for r in full.filter(slice_filter)
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    ]
+    if not hits:
         return None
+    prefix = "file://"
+    root = os.path.abspath(table_dir)
+    rel: set[str] = set()
+    for h in hits:
+        p = h[len(prefix):] if h.startswith(prefix) else h
+        if not p or not os.path.abspath(p).startswith(root + os.sep):
+            rel = set()
+            break  # unattributable: fall back to the one-pass read
+        rel.add(os.path.relpath(os.path.abspath(p), root))
+    df = full.filter(slice_filter)
+    if rel:
+        try:
+            df = reader.to_df(spark, paths=rel).filter(slice_filter)
+        except Exception:
+            pass  # e.g. hive-encoded partition dirs: one-pass fallback
     ts = datetime.strptime(processed_time, "%Y-%m-%d %H:%M:%S")
     # export_hourly's scheme is <base>/<fmt>/<table>/<Y/m/d/H>, so passing
     # out_dir as base yields the reference's `.../avro/{table}/{Y/m/d/H}`.

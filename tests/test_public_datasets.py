@@ -206,12 +206,42 @@ def test_logs_event_json_split_matches_duckdb(pipe):
     expected = con.execute(
         f"""
         SELECT receipt_id, index_in_execution_outcome_logs, log,
-               CASE WHEN starts_with(log, 'EVENT_JSON') THEN log[12:] END
+               CASE WHEN starts_with(log, 'EVENT_JSON:') THEN log[12:] END
         FROM {_scan(pipe, 'silver_execution_outcome_logs')}
         """
     ).fetchall()
     assert got == set(map(tuple, expected))
     assert any(e is not None for *_, e in got)  # EVENT_JSON rows decoded
+
+
+def test_logs_event_prefix_requires_colon(spark):
+    """NEP-297's prefix is 'EVENT_JSON:' (11 chars). The extractor skips
+    11 chars, so the predicate must verify the colon too — a log like
+    'EVENT_JSONIC ...' previously produced a garbage non-null event
+    (r13 review)."""
+    from near_public_lakehouse_spark.plans.public import public_logs
+
+    rows = [
+        ("EVENT_JSON:{\"standard\":\"x\"}", "{\"standard\":\"x\"}"),
+        ("EVENT_JSONIC standard test", None),
+        ("EVENT_JSON", None),
+        ("plain log line", None),
+    ]
+    df = spark.createDataFrame(
+        [
+            ("2024-03-05", 1, "2024-03-05 07:00:00", "SUCCESS", "a.near",
+             f"r{i}", 0, log)
+            for i, (log, _) in enumerate(rows)
+        ],
+        "block_date string, block_height long, block_timestamp_utc string, "
+        "status string, executor_account_id string, receipt_id string, "
+        "index_in_execution_outcome_logs int, log string",
+    )
+    got = {
+        r.log: r.event
+        for r in public_logs(df, "2024-03-05 07:00:00").collect()
+    }
+    assert got == dict(rows)
 
 
 # --- ft / nft transfers -----------------------------------------------------
@@ -502,6 +532,58 @@ def test_export_public_avro_copies(pipe, spark, tmp_path):
 
     # a window with no published rows: no folder, no files
     assert export_public_avro(spark, "logs", out, "2030-01-01 00:00:00") is None
+
+
+def test_export_public_avro_all_skips_unpublished_tables(pipe, spark, tmp_path):
+    """A deployment that has only published SOME tables (supported: the
+    per-table streaming entry points) must still get its hourly avro
+    copies — unpublished tables skip like empty slices instead of
+    aborting the whole pass with FileNotFoundError (r13 review)."""
+    from near_public_lakehouse_spark.plans.public import (
+        PUBLIC_TABLE_KEYS,
+        export_public_avro_all,
+        publish_public_table,
+    )
+
+    df = pipe.read("public_logs")
+    out = str(tmp_path / "pub")
+    publish_public_table(spark, "logs", df, out)
+    res = export_public_avro_all(spark, out, PROCESSED)
+    assert set(res) == set(PUBLIC_TABLE_KEYS)
+    assert res["logs"] is not None
+    assert all(v is None for k, v in res.items() if k != "logs")
+
+
+def test_export_avro_slice_exact_after_second_publish(pipe, spark, tmp_path):
+    """The r13 two-pass slice read (file discovery via a column-pruned
+    scan, then a paths-restricted read) must stay EXACT when a LATER
+    publish rewrites partitions — slice rows then live in files added by
+    the newer commit, mixed with newer rows."""
+    from near_public_lakehouse_spark.operators.export import read_export
+    from near_public_lakehouse_spark.plans.public import (
+        export_public_avro,
+        publish_public_table,
+    )
+
+    df = pipe.read("public_logs")
+    out = str(tmp_path / "pub")
+    publish_public_table(spark, "logs", df, out)  # slice @PROCESSED
+    later = "2024-03-05 08:00:00"
+    publish_public_table(
+        spark,
+        "logs",
+        df.limit(2).withColumn(
+            "_processed_time", F.lit(later).cast("timestamp")
+        ),
+        out,
+    )  # partition rewrite: PROCESSED rows now live in the NEW files
+
+    folder = export_public_avro(spark, "logs", out, PROCESSED)
+    back = read_export(spark, folder, "avro")
+    # insert-only merge: every original row still carries PROCESSED
+    assert back.count() == df.count()
+    f2 = export_public_avro(spark, "logs", out, later)
+    assert f2 is None or read_export(spark, f2, "avro").count() <= 2
 
 
 def test_streaming_actions_folds_to_batch_with_late_dims(pipe, spark, tmp_path):
