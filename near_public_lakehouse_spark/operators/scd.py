@@ -25,19 +25,49 @@ from pyspark.sql import functions as F
 
 from near_public_lakehouse_spark.operators.merge import _recover, read_table, table_exists
 
-SEQ_COL = "__scd_seq__"
+def _orderable(dt) -> bool:
+    """Spark can ORDER BY atomics, arrays and structs of orderables —
+    but never maps (AnalysisException); skip them in tiebreaks."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
 
 
 def latest_by(df: DataFrame, keys: list[str], sequence_by: str) -> DataFrame:
     """Arg-max dedup: latest row per key by the sequence column (ties broken
-    deterministically by all remaining columns)."""
-    tiebreak = [c for c in df.columns if c not in keys and c != sequence_by]
+    deterministically by the remaining ORDERABLE columns — map-typed
+    columns can't ORDER BY and are skipped, r13 review)."""
+    types = {f.name: f.dataType for f in df.schema.fields}
+    tiebreak = [
+        c
+        for c in df.columns
+        if c not in keys and c != sequence_by and _orderable(types[c])
+    ]
     w = Window.partitionBy(*keys).orderBy(
         F.desc(sequence_by), *[F.desc(c) for c in tiebreak]
     )
     return df.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") == 1).drop(
         "__rn__"
     )
+
+
+def _align_columns(a: DataFrame, b: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Null-fill each frame's missing columns so both carry the UNION of
+    the two schemas (a's column order first) — the sidecar drift policy
+    applied at the operator level."""
+    a_types = {f.name: f.dataType for f in a.schema.fields}
+    b_types = {f.name: f.dataType for f in b.schema.fields}
+    for c in [c for c in b.columns if c not in a_types]:
+        a = a.withColumn(c, F.lit(None).cast(b_types[c]))
+    for c in [c for c in a_types if c not in b_types]:
+        b = b.withColumn(c, F.lit(None).cast(a_types[c]))
+    return a, b.select(*a.columns)
 
 
 def apply_changes(
@@ -47,16 +77,47 @@ def apply_changes(
     keys: list[str],
     sequence_by: str,
     ignore_null_updates: bool = False,
+    n_buckets: int | None = None,
 ) -> None:
-    """Batch core: upsert `updates` into the SCD1 table at `target_path`."""
+    """Batch core: upsert `updates` into the SCD1 table at `target_path`.
+
+    ``n_buckets`` is the 100 TB path SCD2 already had (r13 review: SCD1
+    rewrote its ENTIRE state per micro-batch): the table is laid out
+    partitioned on a key-hash bucket, a batch reads and rewrites ONLY the
+    buckets its keys touch, untouched partition dirs are never opened.
+    Same layout-constant contract as `apply_changes_scd2`."""
     src = latest_by(updates, keys, sequence_by)
     _recover(target_path)
     if not table_exists(target_path):
-        src.write.mode("overwrite").parquet(target_path)
+        if n_buckets:
+            src.withColumn(BUCKET_COL, _bucket_of(keys, n_buckets)).write.mode(
+                "overwrite"
+            ).partitionBy(BUCKET_COL).parquet(target_path)
+        else:
+            src.write.mode("overwrite").parquet(target_path)
         return
 
+    if n_buckets:
+        touched = [
+            r[0]
+            for r in src.select(_bucket_of(keys, n_buckets).alias("b"))
+            .distinct()
+            .collect()
+        ]
+        tgt = (
+            read_table(spark, target_path)
+            .filter(F.col(BUCKET_COL).isin(touched))  # partition-pruned scan
+            .drop(BUCKET_COL)
+        )
+    else:
+        tgt = read_table(spark, target_path)
+    # Schema drift (T8, r13 review): after a restart with a widened
+    # stream schema the batch carries columns the stored table lacks
+    # (and vice versa after a source narrowed) — align both sides to the
+    # UNION with null-fill, the sidecar policy (drift-as-nulls, never a
+    # drop), instead of failing analysis or silently dropping data.
+    src, tgt = _align_columns(src, tgt)
     out_cols = list(src.columns)
-    tgt = read_table(spark, target_path)
     # Explicit presence markers, not key nullability: eqNullSafe join keys
     # mean a legitimately-NULL key column still matches, and keys[0].isNull()
     # would then bypass the sequence guard (see merge_upsert).
@@ -67,8 +128,11 @@ def apply_changes(
     )
     s_seq, t_seq = F.col(f"s.{sequence_by}"), F.col(f"t.{sequence_by}")
     # A source row applies if the key is new, or its sequence is >= stored.
+    # NULL guard (r13 review): a stored NULL sequence must LOSE to any
+    # arriving update — bare `s_seq >= NULL` is SQL NULL, which made
+    # `False | NULL` falsy and the NULL-sequence row immortal.
     src_wins = F.col("t.__tgt__").isNull() | (
-        F.col("s.__src__").isNotNull() & (s_seq >= t_seq)
+        F.col("s.__src__").isNotNull() & (t_seq.isNull() | (s_seq >= t_seq))
     )
     out = []
     for c in out_cols:
@@ -83,7 +147,11 @@ def apply_changes(
 
     from near_public_lakehouse_spark.operators.merge import _rewrite
 
-    _rewrite(spark, merged, target_path, None)
+    if n_buckets:
+        merged = merged.withColumn(BUCKET_COL, _bucket_of(keys, n_buckets))
+        _rewrite(spark, merged, target_path, BUCKET_COL)
+    else:
+        _rewrite(spark, merged, target_path, None)
 
 
 def apply_changes_stream(
@@ -93,9 +161,11 @@ def apply_changes_stream(
     sequence_by: str,
     checkpoint: str,
     ignore_null_updates: bool = False,
+    n_buckets: int | None = None,
 ):
     """Streaming APPLY CHANGES: foreachBatch(apply_changes) with
-    availableNow semantics left to the caller's trigger choice."""
+    availableNow semantics left to the caller's trigger choice.
+    Forward ``n_buckets`` for large dimensions (see apply_changes)."""
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         apply_changes(
@@ -105,6 +175,7 @@ def apply_changes_stream(
             keys,
             sequence_by,
             ignore_null_updates=ignore_null_updates,
+            n_buckets=n_buckets,
         )
 
     return (
@@ -120,17 +191,29 @@ def apply_changes_stream(
 START_COL = "__scd_start__"
 END_COL = "__scd_end__"
 CURRENT_COL = "__scd_current__"
+# Every sequence value observed inside a version's value-run — retained so
+# rebuilds see the COMPLETE change set (see scd2_history's convergence note).
+SEQS_COL = "__scd_seqs__"
 
 
 def scd2_history(changes: DataFrame, keys: list[str], sequence_by: str) -> DataFrame:
     """Pure transform: a change stream -> SCD2 history rows.
 
-    Collapses same-sequence duplicates (latest_by tiebreak), drops no-op
-    changes (all tracked columns equal to the previous version's), then
-    derives validity: ``__scd_start__`` = the row's sequence,
-    ``__scd_end__`` = next version's sequence (NULL while current),
-    ``__scd_current__`` = end is NULL. Gaps-and-islands over one window
-    partition per key — a single shuffle on the keys.
+    Collapses same-sequence duplicates (latest_by tiebreak), groups
+    consecutive equal-value changes into RUNS (gaps-and-islands), and
+    emits one version row per run: ``__scd_start__`` = the run's first
+    sequence, ``__scd_end__`` = next run's start (NULL while current),
+    ``__scd_current__`` = end is NULL — so a reaffirming no-op change
+    never opens a version. One shuffle on the keys.
+
+    CONVERGENCE (r13 review): the run's FULL sequence set rides along in
+    ``__scd_seqs__``. The r12 form dropped no-op rows outright, which
+    made `apply_changes_scd2` order-SENSITIVE: with {A@1 x, A@3 x}
+    applied first, the reaffirmation at 3 was unrecoverable, so a late
+    {A@2 y} rebuilt to current=y@2 where the all-at-once order yields
+    x@3. Retaining every observed (key, sequence) makes the stored state
+    the exact SET of changes ever applied — set union is order-free, so
+    the rebuild is a pure function of the inputs again.
     """
     tracked = [c for c in changes.columns if c not in keys and c != sequence_by]
     # Collapse duplicates of the SAME (key, sequence) — unlike SCD1, every
@@ -144,13 +227,35 @@ def scd2_history(changes: DataFrame, keys: list[str], sequence_by: str) -> DataF
     # non-null value is False there unless the value itself is NULL — guard
     # with an explicit is-first marker instead.
     is_first = F.lag(sequence_by).over(w).isNull()
-    changed = src.withColumn("__keep__", is_first | ~same_as_prev).filter(
-        F.col("__keep__")
-    ).drop("__keep__")
-    w2 = Window.partitionBy(*keys).orderBy(F.asc(sequence_by))
+    runs = src.withColumn(
+        "__run__",
+        F.sum((is_first | ~same_as_prev).cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    # One row per run (its first — all rows in a run share tracked values
+    # by construction), carrying the run's full sequence list. Window
+    # aggregates, not groupBy: tracked columns may be ungroupable types.
+    wrun = Window.partitionBy(*keys, "__run__")
+    first_in_run = F.row_number().over(wrun.orderBy(F.asc(sequence_by)))
+    collapsed = (
+        runs.withColumn(
+            SEQS_COL,
+            F.sort_array(
+                F.collect_list(sequence_by).over(
+                    wrun.rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                )
+            ),
+        )
+        .withColumn("__rn__", first_in_run)
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__", "__run__")
+    )
     return (
-        changed.withColumn(START_COL, F.col(sequence_by))
-        .withColumn(END_COL, F.lead(sequence_by).over(w2))
+        collapsed.withColumn(START_COL, F.col(sequence_by))
+        .withColumn(END_COL, F.lead(sequence_by).over(w))
         .withColumn(CURRENT_COL, F.col(END_COL).isNull())
     )
 
@@ -189,23 +294,37 @@ def apply_changes_scd2(
     list is a bounded (<= n_buckets) driver-side collect — the same
     control-plane pattern as merge.py's partition fencing.
     """
-    data_cols = [c for c in updates.columns]
     _recover(target_path)
+    internal = {START_COL, END_COL, CURRENT_COL, SEQS_COL, BUCKET_COL}
+
+    def _stored_changes(stored: DataFrame) -> DataFrame:
+        # Recover the COMPLETE change set from history rows: one change
+        # per sequence the run observed (reaffirming no-ops included),
+        # not just the run representative — the convergence requirement
+        # (see scd2_history). Column set comes from the STORED schema
+        # (minus the SCD internals), then aligns with the updates via
+        # _align_columns — schema drift in either direction null-fills
+        # instead of failing the select (r13 review).
+        data = [
+            c for c in stored.columns if c not in internal and c != sequence_by
+        ]
+        return stored.select(*data, F.explode(SEQS_COL).alias(sequence_by))
+
     if not table_exists(target_path):
         hist = scd2_history(updates, keys, sequence_by)
-        writer = hist
         if n_buckets:
-            writer = hist.withColumn(BUCKET_COL, _bucket_of(keys, n_buckets))
-            writer.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(target_path)
+            hist = hist.withColumn(BUCKET_COL, _bucket_of(keys, n_buckets))
+            hist.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(target_path)
         else:
-            writer.write.mode("overwrite").parquet(target_path)
+            hist.write.mode("overwrite").parquet(target_path)
         return
 
     from near_public_lakehouse_spark.operators.merge import _rewrite
 
     if not n_buckets:
-        stored = read_table(spark, target_path).select(*data_cols)
-        hist = scd2_history(stored.unionByName(updates), keys, sequence_by)
+        stored = _stored_changes(read_table(spark, target_path))
+        upd, stored = _align_columns(updates, stored)
+        hist = scd2_history(stored.unionByName(upd), keys, sequence_by)
         _rewrite(spark, hist, target_path, None)
         return
 
@@ -215,12 +334,12 @@ def apply_changes_scd2(
         .distinct()
         .collect()
     ]
-    stored = (
+    stored = _stored_changes(
         read_table(spark, target_path)
         .filter(F.col(BUCKET_COL).isin(touched))  # partition-pruned scan
-        .select(*data_cols)
     )
-    hist = scd2_history(stored.unionByName(updates), keys, sequence_by).withColumn(
+    upd, stored = _align_columns(updates, stored)
+    hist = scd2_history(stored.unionByName(upd), keys, sequence_by).withColumn(
         BUCKET_COL, _bucket_of(keys, n_buckets)
     )
     _rewrite(spark, hist, target_path, BUCKET_COL)

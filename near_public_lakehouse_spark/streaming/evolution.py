@@ -136,7 +136,16 @@ def probe_json_schema(
         return None
     names.sort()
     sample = [p for _, p in names[-probe_files:]]
-    return spark.read.format("json").load(sample).schema
+    # ignoreMissingFiles: a file can vanish between the walk above and
+    # the Spark job (live landing zone with compaction/retention) — the
+    # probe must degrade to the surviving sample, not die at stream
+    # start (r13 review; completes the r8 TOCTOU fix).
+    return (
+        spark.read.format("json")
+        .option("ignoreMissingFiles", "true")
+        .load(sample)
+        .schema
+    )
 
 
 def read_json_evolving(

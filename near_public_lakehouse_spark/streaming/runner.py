@@ -109,13 +109,18 @@ class Pipeline:
     def read(self, name: str) -> DataFrame:
         """Read a materialized table. The schema sidecar (written at build
         time) makes empty tables readable — a schema-less parquet read of a
-        zero-file directory cannot infer one."""
+        zero-file directory cannot infer one, and a foreachBatch node whose
+        availableNow stream processed ZERO batches never created the
+        directory at all (sidecar present, path absent — r13 review):
+        both read as an empty frame with the declared schema."""
         sidecar = self._sidecar(name)
         if os.path.exists(sidecar):
             from pyspark.sql.types import StructType
 
             with open(sidecar) as f:
                 schema = StructType.fromJson(__import__("json").loads(f.read()))
+            if not os.path.isdir(self.path(name)):
+                return self.spark.createDataFrame([], schema)
             return self.spark.read.schema(schema).parquet(self.path(name))
         return self.spark.read.parquet(self.path(name))
 
@@ -125,8 +130,13 @@ class Pipeline:
         Stateful (apply-fn) nodes are refreshed into a FRESH path and
         swapped in: applying straight onto a previously populated target
         would fold the new change feed into the old state — rows deleted
-        upstream would survive a "full refresh". The swap is a directory
-        rename, so a crash leaves either the old or the new table.
+        upstream would survive a "full refresh". The swap is
+        park-then-install renames with recovery at entry: a crash between
+        the two renames leaves the old table PARKED, and the next run
+        restores it before doing anything else (the merge._recover
+        discipline — r13 review: the prior form had a window where
+        neither copy existed and the next run deleted the parked copy
+        before the rebuild succeeded).
         """
         built: dict[str, DataFrame] = dict(sources)
         for t in self._topo_order():
@@ -138,9 +148,13 @@ class Pipeline:
 
                 path = self.path(t.name)
                 tmp, parked = path + ".__refresh__", path + ".__old__"
+                # recovery: a parked dir with no live table is the only
+                # copy (crash between park and install) — restore first
+                if os.path.isdir(parked) and not os.path.isdir(path):
+                    os.rename(parked, path)
                 shutil.rmtree(tmp, ignore_errors=True)
-                shutil.rmtree(parked, ignore_errors=True)
                 t.apply(self.spark, df, tmp)
+                shutil.rmtree(parked, ignore_errors=True)
                 if os.path.isdir(path):
                     os.rename(path, parked)
                 os.rename(tmp, path)
@@ -168,11 +182,21 @@ class Pipeline:
         stream source); remaining deps are read as static parquet.
         """
         for t in self._topo_order():
-            root = None
-            for d in t.deps:
-                if d in stream_sources:
-                    root = d
-                    break
+            # the caller's explicit fact side wins (r13 review: the
+            # parameter was documented but never consulted, so the first
+            # stream-capable dep silently became the checkpointed stream)
+            if (
+                stream_root is not None
+                and stream_root in t.deps
+                and stream_root in stream_sources
+            ):
+                root = stream_root
+            else:
+                root = None
+                for d in t.deps:
+                    if d in stream_sources:
+                        root = d
+                        break
             inputs: dict[str, DataFrame] = {}
             for d in t.deps:
                 if d == root:

@@ -533,3 +533,142 @@ def test_merge_unpartitioned_crash_after_install_no_duplicates(spark, target, mo
     merge_upsert(spark, target, df2, ["k"])  # recovery + re-apply
     assert _rows(spark, target) == {1: ("a", 1), 2: ("B", 2)}
     assert _os.path.isdir(_os.path.join(target, "_delta_log"))
+
+
+def test_scd2_late_change_splits_reaffirmed_run(spark, target, tmp_path):
+    """THE r13 review scenario: {A@1 x, A@3 x} applied first (the seq-3
+    reaffirmation is a no-op and opens no version), then a LATE {A@2 y}.
+    Convergence demands the rebuilt history equal the all-at-once order:
+    x [1,2), y [2,3), x [3,null) with current=x — the r12 form lost the
+    reaffirmation and landed on current=y."""
+    from near_public_lakehouse_spark.operators.scd import apply_changes_scd2
+
+    schema = "k int, v string, seq int"
+    one = str(tmp_path / "one")
+    apply_changes_scd2(
+        spark,
+        one,
+        spark.createDataFrame([(1, "x", 1), (1, "y", 2), (1, "x", 3)], schema),
+        ["k"],
+        "seq",
+    )
+    apply_changes_scd2(
+        spark, target, spark.createDataFrame([(1, "x", 1), (1, "x", 3)], schema),
+        ["k"], "seq",
+    )
+    # before the late row: one collapsed version, reaffirmation retained
+    assert _hist(spark, target) == [(1, "x", 1, None, True)]
+    apply_changes_scd2(
+        spark, target, spark.createDataFrame([(1, "y", 2)], schema), ["k"], "seq"
+    )
+    assert _hist(spark, target) == _hist(spark, one) == [
+        (1, "x", 1, 2, False),
+        (1, "y", 2, 3, False),
+        (1, "x", 3, None, True),
+    ]
+
+
+def test_scd1_null_stored_sequence_is_updatable(spark, target):
+    """r13 review: a stored row with a NULL sequence must LOSE to any
+    sequenced update — bare `s_seq >= NULL` is SQL NULL and made the row
+    immortal."""
+    from near_public_lakehouse_spark.operators.scd import apply_changes
+
+    apply_changes(
+        spark,
+        target,
+        spark.createDataFrame([(1, "old", None)], "k int, v string, seq int"),
+        ["k"],
+        "seq",
+    )
+    apply_changes(
+        spark,
+        target,
+        spark.createDataFrame([(1, "new", 10)], "k int, v string, seq int"),
+        ["k"],
+        "seq",
+    )
+    rows = [(r.k, r.v, r.seq) for r in spark.read.parquet(target).collect()]
+    assert rows == [(1, "new", 10)]
+
+
+def test_latest_by_skips_map_typed_tiebreak(spark):
+    """r13 review: ORDER BY on a map column raises — the tiebreak must
+    skip unorderable types instead of making the operator unusable for
+    tables with map metadata columns."""
+    from near_public_lakehouse_spark.operators.scd import latest_by
+
+    df = spark.createDataFrame(
+        [(1, 10, {"a": "1"}, "x"), (1, 20, {"b": "2"}, "y")],
+        "k int, seq int, meta map<string,string>, v string",
+    )
+    out = latest_by(df, ["k"], "seq").collect()
+    assert len(out) == 1 and out[0].seq == 20 and out[0].v == "y"
+
+
+def test_scd1_bucketed_matches_unbucketed(spark, target, tmp_path):
+    """r13: SCD1 gains the key-hash bucketed layout SCD2 already had —
+    batches touch only their keys' buckets; results identical to the
+    flat layout (ignoring the internal bucket column)."""
+    from near_public_lakehouse_spark.operators.scd import (
+        BUCKET_COL,
+        apply_changes,
+    )
+
+    rows = [(i, f"v{i % 3}", 10) for i in range(20)] + [(5, "w", 20), (7, "w", 20)]
+    flat = str(tmp_path / "flat")
+    for path, nb in ((flat, None), (target, 4)):
+        for batch in (rows[:10], rows[10:]):
+            apply_changes(
+                spark,
+                path,
+                spark.createDataFrame(batch, "k int, v string, seq int"),
+                ["k"],
+                "seq",
+                n_buckets=nb,
+            )
+    a = sorted((r.k, r.v, r.seq) for r in spark.read.parquet(flat).collect())
+    b = sorted(
+        (r.k, r.v, r.seq)
+        for r in spark.read.parquet(target).drop(BUCKET_COL).collect()
+    )
+    assert a == b and len(b) == 20
+
+
+def test_scd1_bucketed_touches_only_affected_partitions(spark, target):
+    """One-key batch against a bucketed SCD1 table: untouched bucket
+    dirs keep their files byte-for-byte (never opened or rewritten)."""
+    import os
+
+    from near_public_lakehouse_spark.operators.scd import (
+        BUCKET_COL,
+        apply_changes,
+    )
+
+    init = spark.createDataFrame(
+        [(i, "a", 10) for i in range(64)], "k int, v string, seq int"
+    )
+    apply_changes(spark, target, init, ["k"], "seq", n_buckets=8)
+
+    def part_files():
+        out = {}
+        for d in os.listdir(target):
+            if d.startswith(f"{BUCKET_COL}="):
+                pdir = os.path.join(target, d)
+                out[d] = sorted(os.listdir(pdir))
+        return out
+
+    before = part_files()
+    apply_changes(
+        spark,
+        target,
+        spark.createDataFrame([(5, "w", 20)], "k int, v string, seq int"),
+        ["k"],
+        "seq",
+        n_buckets=8,
+    )
+    after = part_files()
+    changed = [d for d in before if before[d] != after.get(d)]
+    assert len(changed) == 1  # exactly the touched bucket
+    got = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert got[5] == "w" and len(got) == 64

@@ -178,3 +178,138 @@ def test_bronze_block_source_evolves_new_field(spark, tmp_path):
     rows = {r.author: r.latest_protocol_version for r in evolved.collect()}
     assert rows["v2.alice"] == 73
     assert sum(1 for v in rows.values() if v is None) == 4  # backfilled nulls
+
+
+def test_scd_nodes_survive_schema_drift(spark, tmp_path):
+    """r13 review (T8 through APPLY nodes): an SCD target built before a
+    field addition must accept a widened batch — pre-drift rows
+    null-backfill — and a batch missing a target column must NOT drop
+    that column's stored data (drift-as-nulls, never a drop, at the
+    operator level, not just the sidecar)."""
+    from near_public_lakehouse_spark.operators.scd import (
+        apply_changes,
+        apply_changes_scd2,
+    )
+
+    # SCD1: widen, then narrow
+    t1 = str(tmp_path / "scd1")
+    apply_changes(
+        spark, t1,
+        spark.createDataFrame([(1, "a", 10)], "k int, v string, seq int"),
+        ["k"], "seq",
+    )
+    apply_changes(
+        spark, t1,
+        spark.createDataFrame(
+            [(2, "b", 20, 9.5)], "k int, v string, seq int, score double"
+        ),
+        ["k"], "seq",
+    )
+    rows = {r.k: r for r in spark.read.parquet(t1).collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
+    apply_changes(  # narrowed batch: stored `score` must survive
+        spark, t1,
+        spark.createDataFrame([(2, "b2", 30)], "k int, v string, seq int"),
+        ["k"], "seq",
+    )
+    rows = {r.k: r for r in spark.read.parquet(t1).collect()}
+    assert rows[2].v == "b2" and "score" in rows[2].asDict()
+
+    # SCD2: widened batch against a pre-drift history
+    t2 = str(tmp_path / "scd2")
+    apply_changes_scd2(
+        spark, t2,
+        spark.createDataFrame([(1, "a", 10)], "k int, v string, seq int"),
+        ["k"], "seq",
+    )
+    apply_changes_scd2(
+        spark, t2,
+        spark.createDataFrame(
+            [(1, "b", 20, "x")], "k int, v string, seq int, extra string"
+        ),
+        ["k"], "seq",
+    )
+    hist = sorted(
+        (r.k, r.v, r.extra) for r in spark.read.parquet(t2).collect()
+    )
+    assert hist == [(1, "a", None), (1, "b", "x")]
+
+
+def test_runner_read_handles_zero_batch_apply_node(spark, tmp_path):
+    """r13 review: a foreachBatch node whose availableNow stream processed
+    ZERO batches writes its sidecar but never creates the directory — a
+    dependent's read() must yield an empty typed frame, not
+    PATH_NOT_FOUND."""
+    from near_public_lakehouse_spark.streaming.runner import Pipeline
+
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    pipe = Pipeline(spark, out)
+    with open(os.path.join(out, "ghost.schema.json"), "w") as fh:
+        fh.write(_s(("k", LongType())).json())
+    got = pipe.read("ghost")
+    assert got.columns == ["k"] and got.count() == 0
+
+
+def test_runner_batch_swap_recovers_parked_state(spark, tmp_path):
+    """r13 review: a crash between park and install leaves only the
+    parked copy; the next run_batch must restore it before rebuilding
+    (previously it rmtree'd the sole surviving copy up front)."""
+    from near_public_lakehouse_spark.streaming.runner import Pipeline
+
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    pipe = Pipeline(spark, out)
+
+    def apply_fn(s, df, path):
+        df.write.mode("overwrite").parquet(path)
+
+    @pipe.table("state", deps=["src"], partition_by=None, apply=apply_fn)
+    def _state(s, inputs):
+        return inputs["src"]
+
+    src = spark.createDataFrame([(1, "a")], "k int, v string")
+    # simulate the crash window: parked dir exists, live path does not
+    parked = os.path.join(out, "state.__old__")
+    spark.createDataFrame([(9, "old")], "k int, v string").write.parquet(parked)
+    assert not os.path.isdir(os.path.join(out, "state"))
+    pipe.run_batch({"src": src})
+    rows = [(r.k, r.v) for r in pipe.read("state").collect()]
+    assert rows == [(1, "a")]  # rebuilt fresh, recovery didn't crash
+    assert not os.path.isdir(parked)
+
+
+def test_runner_stream_root_is_honored(spark, tmp_path):
+    """r13 review: run_incremental's documented stream_root parameter was
+    accepted and ignored — the caller's explicit fact side must be the
+    streaming dep, the other stream-capable dep read as batch."""
+    from near_public_lakehouse_spark.streaming.runner import Pipeline
+
+    land_a, land_b = str(tmp_path / "a"), str(tmp_path / "b")
+    for d, k in ((land_a, 1), (land_b, 2)):
+        os.makedirs(d)
+        with open(os.path.join(d, "f.json"), "w") as fh:
+            fh.write(json.dumps({"k": k}) + "\n")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    os.makedirs(out)
+    pipe = Pipeline(spark, out)
+    seen: dict[str, bool] = {}
+
+    @pipe.table("t", deps=["a", "b"], partition_by=None)
+    def _t(s, inputs):
+        seen.update({d: inputs[d].isStreaming for d in inputs})
+        return inputs["b"] if inputs["b"].isStreaming else inputs["a"]
+
+    schema = _s(("k", LongType()))
+
+    def mk(path):
+        def src(s, streaming):
+            r = s.readStream if streaming else s.read
+            return r.schema(schema).json(path)
+
+        return src
+
+    pipe.run_incremental(
+        {"a": mk(land_a), "b": mk(land_b)}, ckpt, stream_root="b"
+    )
+    assert seen == {"a": False, "b": True}
