@@ -19,6 +19,10 @@ from near_public_lakehouse_spark.operators.merge import merge_upsert
 
 def date_slices(start: date, end: date, slice_days: int) -> list[tuple[date, date]]:
     """Inclusive [start, end] split into [lo, hi] windows of <= slice_days."""
+    if slice_days < 1:
+        # guard: 0 would make `cur` never advance — an infinite driver
+        # loop appending empty slices until OOM (r13 review)
+        raise ValueError(f"slice_days must be >= 1, got {slice_days}")
     out = []
     cur = start
     while cur <= end:

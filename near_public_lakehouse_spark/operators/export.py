@@ -207,6 +207,9 @@ def avro_stream_sink(
     from near_public_lakehouse_spark.functions.time import NS_PER_HOUR, _floordiv
 
     _require_local_path(base_path, "avro_stream_sink (its hour markers)")
+    # staging also uses driver-local open/listdir/rmtree (_BATCH_HI,
+    # _WATERMARK, retention sweep) — same guard (r13 review)
+    _require_local_path(staging_path, "avro_stream_sink (its staging state)")
 
     def _publish(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -220,12 +223,26 @@ def avro_stream_sink(
         wm_path = os.path.join(staging_path, "_WATERMARK")
         hi = None
         if os.path.exists(wm_path):
-            with open(wm_path) as fh:
-                hi = json.load(fh).get("hi")
+            # tolerate a truncated/corrupt watermark as absent — the same
+            # crash-mid-write discipline as publish.py's _CURSOR (r13
+            # review: a JSONDecodeError here wedged every restart)
+            try:
+                with open(wm_path) as fh:
+                    obj = json.load(fh)
+                hi = obj.get("hi") if isinstance(obj, dict) else None
+                if not isinstance(hi, int):
+                    hi = None
+            except (json.JSONDecodeError, OSError):
+                hi = None
         if bhi is not None and (hi is None or int(bhi) > hi):
             hi = int(bhi)
-            with open(wm_path, "w") as fh:
+            # atomic replace: a crash never leaves a half-written file
+            tmp_wm = f"{wm_path}.tmp.{os.getpid()}"
+            with open(tmp_wm, "w") as fh:
                 json.dump({"hi": hi}, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp_wm, wm_path)
         if now_fn is not None:
             now = now_fn()
         elif hi is None:

@@ -113,6 +113,12 @@ def publish_stream(
     sequence value acked so far — the durable twin of the reference's
     per-block height log (main.rs:63-66).
     """
+    from near_public_lakehouse_spark.operators.export import _require_local_path
+
+    # markers and _CURSOR use driver-local os/open — an object-store URI
+    # would silently become a literal local dir and lose the replay fence
+    # on driver failover (r13 review; export.py grew the same guard in r6)
+    _require_local_path(state_path, "publish_stream (its markers + cursor)")
     os.makedirs(f"{state_path}/published", exist_ok=True)
 
     def _publish(batch_df: DataFrame, batch_id: int) -> None:
@@ -121,15 +127,23 @@ def publish_stream(
             return  # replayed batch, already acked
         from pyspark.sql import functions as F
 
-        publish_rows(
-            batch_df,
-            transport_factory,
-            key_col=key_col,
-            seq_col=seq_col,
-            ordered=ordered,
-            chunk_size=chunk_size,
-        )
-        hi = batch_df.agg(F.max(F.col(seq_col).cast("long")).alias("hi")).collect()[0].hi
+        # one materialization for the two actions below (publish pass +
+        # max-seq agg previously recomputed the whole batch — r13 review)
+        batch_df.persist()
+        try:
+            publish_rows(
+                batch_df,
+                transport_factory,
+                key_col=key_col,
+                seq_col=seq_col,
+                ordered=ordered,
+                chunk_size=chunk_size,
+            )
+            hi = batch_df.agg(
+                F.max(F.col(seq_col).cast("long")).alias("hi")
+            ).collect()[0].hi
+        finally:
+            batch_df.unpersist()
         cursor_path = f"{state_path}/_CURSOR"
         cur = None
         if os.path.exists(cursor_path):
@@ -157,6 +171,19 @@ def publish_stream(
             os.replace(tmp, cursor_path)
         with open(marker, "w") as fh:
             fh.write("")
+        # Bounded marker state: only the checkpoint's trailing batches can
+        # ever replay, so markers far behind this batch are dead weight —
+        # an unbounded one-file-per-batch directory otherwise (r13 review).
+        floor = batch_id - 1000
+        if floor > 0 and batch_id % 100 == 0:
+            pub_dir = f"{state_path}/published"
+            for n in os.listdir(pub_dir):
+                if n.startswith("batch_"):
+                    try:
+                        if int(n[6:]) < floor:
+                            os.remove(os.path.join(pub_dir, n))
+                    except (ValueError, OSError):
+                        pass
 
     writer = stream_df.writeStream.foreachBatch(_publish).option(
         "checkpointLocation", checkpoint_path

@@ -113,13 +113,41 @@ def _avro_name(s: str) -> str:
     return out if out and not out[0].isdigit() else f"_{out}"
 
 
-def avro_schema_of(schema: T.StructType, name: str = "row") -> dict:
+_AVRO_NAME_RE = None
+
+
+def _require_avro_name(s: str) -> None:
+    """Avro spec names match [A-Za-z_][A-Za-z0-9_]*. FIELD names must be
+    preserved verbatim (they round-trip back into Spark column names), so
+    an illegal one is an ERROR with a rename hint — silently writing it
+    would produce files org.apache.avro's Schema.Parser rejects, breaking
+    the JVM-compatibility contract (r13 review; spark-avro errors the
+    same way)."""
+    global _AVRO_NAME_RE
+    if _AVRO_NAME_RE is None:
+        import re
+
+        _AVRO_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+    if not _AVRO_NAME_RE.match(s):
+        raise ValueError(
+            f"column name {s!r} is not a legal avro name "
+            "([A-Za-z_][A-Za-z0-9_]*); rename it before export "
+            "(df.withColumnRenamed)"
+        )
+
+
+def avro_schema_of(
+    schema: T.StructType, name: str = "row", _seen: set[str] | None = None
+) -> dict:
     """Spark StructType -> avro record schema (JSON-able dict).
 
     Nested record names derive from the FIELD PATH (``row_a_b``), which is
     deterministic across processes/reruns (the idempotent-export contract
-    needs byte-identical rewrites) and collision-free between siblings —
-    avro's Schema.Parser rejects duplicate record names."""
+    needs byte-identical rewrites). Sibling fields whose sanitized paths
+    collide (``a.b`` vs ``a_b`` both map to ``row_a_b``) are disambiguated
+    with a deterministic numeric suffix — avro's Schema.Parser rejects
+    duplicate record names (r13 review). Field names themselves must be
+    legal avro names and are validated, not rewritten."""
 
     def field_type(dt: T.DataType, path: str) -> object:
         if type(dt) in _PRIMITIVES:
@@ -141,11 +169,20 @@ def avro_schema_of(schema: T.StructType, name: str = "row") -> dict:
                 item = ["null", item]
             return {"type": "array", "items": item}
         if isinstance(dt, T.StructType):
-            return avro_schema_of(dt, name=path)
+            rec = path
+            if rec in seen:
+                i = 2
+                while f"{rec}_{i}" in seen:
+                    i += 1
+                rec = f"{rec}_{i}"
+            seen.add(rec)
+            return avro_schema_of(dt, name=rec, _seen=seen)
         raise TypeError(f"no avro mapping for Spark type {dt}")
 
+    seen = _seen if _seen is not None else {name}
     fields = []
     for f in schema.fields:
+        _require_avro_name(f.name)
         ft = field_type(f.dataType, f"{name}_{_avro_name(f.name)}")
         fields.append(
             {"name": f.name, "type": ["null", ft] if f.nullable else ft}
@@ -193,12 +230,11 @@ def spark_schema_of(avro: dict) -> T.StructType:
             return T.StructType(inner_fields), nullable
         raise TypeError(f"unsupported avro type {ft}")
 
-    return T.StructType(
-        [
-            T.StructField(f["name"], data_type(f["type"])[0], data_type(f["type"])[1])
-            for f in avro["fields"]
-        ]
-    )
+    out = []
+    for f in avro["fields"]:
+        dt, nullable = data_type(f["type"])  # once per field (r13 review)
+        out.append(T.StructField(f["name"], dt, nullable))
+    return T.StructType(out)
 
 
 # ---------------------------------------------------------------------------
@@ -380,8 +416,11 @@ def _write_ocf(out, schema_json: str, field_encoders, rows, sync: bytes, codec: 
     return n_total
 
 
-def decode_ocf(raw: bytes) -> tuple[T.StructType, list[dict]]:
-    """Decode one OCF byte string -> (spark schema, row dicts)."""
+def iter_ocf_blocks(raw: bytes):
+    """(spark schema, block iterator): each yielded item is ONE avro
+    block's row dicts — the bounded-memory decode unit (r13 review:
+    decoding a whole multi-GB file into one Python list OOMed where the
+    format's own block structure already bounds working set)."""
     buf = io.BytesIO(raw)
     if buf.read(4) != MAGIC:
         raise ValueError("not an avro object container file")
@@ -402,24 +441,39 @@ def decode_ocf(raw: bytes) -> tuple[T.StructType, list[dict]]:
     sschema = spark_schema_of(schema)
     decs = [_field_decoder(f) for f in sschema.fields]
     names = [f.name for f in sschema.fields]
+
+    def blocks():
+        while True:
+            head = buf.read(1)
+            if not head:
+                break
+            buf.seek(-1, 1)
+            count = _read_zigzag(buf)
+            size = _read_zigzag(buf)
+            data = buf.read(size)
+            if codec == "deflate":
+                data = zlib.decompress(data, -15)
+            elif codec != "null":
+                raise ValueError(f"unsupported avro codec {codec!r}")
+            bbuf = io.BytesIO(data)
+            block = [
+                {n: d(bbuf) for n, d in zip(names, decs)} for _ in range(count)
+            ]
+            if buf.read(16) != sync:
+                raise ValueError("sync marker mismatch (corrupt block)")
+            yield block
+
+    return sschema, blocks()
+
+
+def decode_ocf(raw: bytes) -> tuple[T.StructType, list[dict]]:
+    """Decode one OCF byte string -> (spark schema, row dicts). Whole-file
+    convenience over `iter_ocf_blocks` — use the iterator form where the
+    file can be large."""
+    sschema, blocks = iter_ocf_blocks(raw)
     rows: list[dict] = []
-    while True:
-        head = buf.read(1)
-        if not head:
-            break
-        buf.seek(-1, 1)
-        count = _read_zigzag(buf)
-        size = _read_zigzag(buf)
-        data = buf.read(size)
-        if codec == "deflate":
-            data = zlib.decompress(data, -15)
-        elif codec != "null":
-            raise ValueError(f"unsupported avro codec {codec!r}")
-        bbuf = io.BytesIO(data)
-        for _ in range(count):
-            rows.append({n: d(bbuf) for n, d in zip(names, decs)})
-        if buf.read(16) != sync:
-            raise ValueError("sync marker mismatch (corrupt block)")
+    for block in blocks:
+        rows.extend(block)
     return sschema, rows
 
 
@@ -501,9 +555,12 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         )
         for batch in batches:
             for raw in batch.column(0).to_pylist():
-                _, rows = decode_ocf(raw)
-                if rows:
-                    yield pa.RecordBatch.from_pylist(rows, schema=arrow_schema)
+                _, blocks = iter_ocf_blocks(raw)
+                for rows in blocks:  # bounded: one avro block at a time
+                    if rows:
+                        yield pa.RecordBatch.from_pylist(
+                            rows, schema=arrow_schema
+                        )
 
     return binary.mapInArrow(decode_partition, schema)
 

@@ -23,11 +23,18 @@ from near_public_lakehouse_spark.session import configure_runtime
 
 def _reader(spark: SparkSession, streaming: bool, max_files: int | None):
     configure_runtime(spark)
+    if max_files is not None and max_files < 1:
+        raise ValueError(f"max_files must be >= 1, got {max_files}")
     if streaming:
         r = spark.readStream
-        if max_files:
+        if max_files is not None:
             r = r.option("maxFilesPerTrigger", max_files)
         return r
+    if max_files is not None:
+        # batch reads have no per-trigger bound — refusing beats the
+        # caller believing ingestion is bounded while the whole path is
+        # scanned (r13 review)
+        raise ValueError("max_files only applies to streaming reads")
     return spark.read
 
 

@@ -166,6 +166,8 @@ def read_json_evolving(
     observed = probe_json_schema(spark, path, glob, probe_files)
     schema = declared if observed is None else merge_schemas(declared, observed)
     reader = spark.readStream if streaming else spark.read
+    if max_files is not None and not streaming:
+        raise ValueError("max_files only applies to streaming reads")
     if streaming and max_files:
         reader = reader.option("maxFilesPerTrigger", max_files)
     reader = reader.format("json").schema(schema)

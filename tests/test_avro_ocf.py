@@ -264,3 +264,82 @@ def test_fuzzed_rows_roundtrip(spark, tmp_path):
         n += 1
     reader.close()
     assert 0 < n <= 200
+
+
+def test_avro_field_names_validated(spark):
+    """r13 review: an illegal avro field name must ERROR with a rename
+    hint — silently writing it produces files org.apache.avro rejects."""
+    import pytest
+
+    from near_public_lakehouse_spark.sources.avro_ocf import avro_schema_of
+
+    ok = spark.createDataFrame([(1,)], "block_height long").schema
+    avro_schema_of(ok)  # legal: fine
+    bad = spark.createDataFrame([(1,)], "`block-height` long").schema
+    with pytest.raises(ValueError, match="not a legal avro name"):
+        avro_schema_of(bad)
+
+
+def test_avro_sibling_record_names_disambiguate(spark):
+    """r13 review: sibling struct fields whose sanitized paths collide
+    ('a.b' and 'a_b' both map to row_a_b) must get distinct record names
+    — avro's Schema.Parser rejects duplicates. Field names with dots are
+    illegal avro names (caught above), so build the collision from
+    underscores vs nesting."""
+    from pyspark.sql import types as T
+
+    from near_public_lakehouse_spark.sources.avro_ocf import avro_schema_of
+
+    inner = T.StructType([T.StructField("x", T.LongType(), True)])
+    schema = T.StructType(
+        [
+            T.StructField("a_b", inner, True),
+            T.StructField("a", T.StructType(
+                [T.StructField("b", inner, True)]
+            ), True),
+        ]
+    )
+    avro = avro_schema_of(schema)
+
+    names: list[str] = []
+
+    def walk(node):
+        if isinstance(node, dict):
+            if node.get("type") == "record":
+                names.append(node["name"])
+                for f in node["fields"]:
+                    walk(f["type"])
+            elif node.get("type") == "array":
+                walk(node["items"])
+        elif isinstance(node, list):
+            for x in node:
+                walk(x)
+
+    walk(avro)
+    assert len(names) == len(set(names)), names
+
+
+def test_read_avro_decodes_per_block(spark, tmp_path):
+    """r13 review: the reader must decode one avro BLOCK at a time, not
+    materialize a whole file's rows — pinned by round-tripping a
+    multi-block file through iter_ocf_blocks and the Spark reader."""
+    from near_public_lakehouse_spark.sources.avro_ocf import (
+        iter_ocf_blocks,
+        read_avro,
+        write_avro,
+    )
+
+    df = spark.range(0, 500).selectExpr(
+        "id AS k", "cast(id * 1.5 as double) AS v"
+    ).repartition(1)
+    path = str(tmp_path / "av")
+    write_avro(df, path)
+    import glob as _g
+
+    raw = open(_g.glob(path + "/*.avro")[0], "rb").read()
+    _, blocks = iter_ocf_blocks(raw)
+    sizes = [len(b) for b in blocks]
+    assert sum(sizes) == 500
+    back = read_avro(spark, path)
+    assert back.count() == 500
+    assert back.agg({"k": "sum"}).collect()[0][0] == sum(range(500))
