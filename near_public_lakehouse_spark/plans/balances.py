@@ -192,10 +192,18 @@ def silver_accounts_daily_ft_balances(
     value)."""
     ac = account_changes.filter(F.col("block_date") <= F.lit(epoch_date))
     w = Window.partitionBy("affected_account_id").orderBy(F.desc("block_height"))
+    # deterministic tiebreak on lockup_account_id: an owner mapped to
+    # multiple lockup rows in `amb` ties on the joined change row, and an
+    # unordered rn==1 dropped an arbitrary one per run (r13 review). NEAR
+    # lockup accounts are hash-derived 1:1 per owner, so in practice one
+    # row survives either way — the order just makes which one stable.
+    w_amb = Window.partitionBy("affected_account_id").orderBy(
+        F.desc("block_height"), F.asc("lockup_account_id")
+    )
     latest = (
         amb.filter(F.col("first_account_change_date") <= F.lit(epoch_date))
         .join(ac, "affected_account_id")
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rn", F.row_number().over(w_amb))
         .filter(F.col("rn") == 1)
     )
     # latest change per LOCKUP account: semi-join first so the window
@@ -216,7 +224,20 @@ def silver_accounts_daily_ft_balances(
             ).alias("lockup_liquid"),
         )
     )
-    r = rewards.filter(F.col("epoch_date") == F.lit(epoch_date))
+    # rewards grain is (validator, delegator, epoch): a delegator on
+    # multiple validators has several rows — SUM to the account grain
+    # before joining, or the left joins fan the snapshot out into
+    # duplicate rows per account (r13 review).
+    dec = lambda c: F.sum(F.col(c).cast("decimal(38,0)")).cast("string")  # noqa: E731
+    r = (
+        rewards.filter(F.col("epoch_date") == F.lit(epoch_date))
+        .groupBy("delegator_id")
+        .agg(
+            dec("unstaked").alias("unstaked"),
+            dec("staked").alias("staked"),
+            dec("reward").alias("reward"),
+        )
+    )
     r_acct = r.select(
         F.col("delegator_id").alias("affected_account_id"),
         F.col("unstaked").alias("unstaked_not_liquid"),

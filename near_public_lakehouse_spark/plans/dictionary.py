@@ -54,3 +54,12 @@ def undocumented_columns(view_name: str, df: DataFrame) -> list[str]:
     """Columns of `df` missing a dictionary entry for `view_name`."""
     documented = DICTIONARY.get(view_name, {})
     return [c for c in df.columns if c not in documented]
+
+
+def stale_documented_columns(view_name: str, df: DataFrame) -> list[str]:
+    """The other drift direction (r13 review): dictionary entries whose
+    column no longer exists on the view — the published dictionary would
+    otherwise keep advertising a removed column forever."""
+    documented = DICTIONARY.get(view_name, {})
+    have = set(df.columns)
+    return [c for c in documented if c not in have]

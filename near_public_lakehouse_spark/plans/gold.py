@@ -17,9 +17,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StructType
 
 from near_public_lakehouse_spark.plans.lockup import locked_amount_udf
 
@@ -78,21 +77,25 @@ def validators_udf(client: Callable[[str], list[dict]]):
     schema = _parse_datatype_string(f"array<struct<{VALIDATOR_SCHEMA}>>")
 
     def call(epoch_id: str):
+        # the WHOLE call — RPC and row parsing — is the sentinel scope: a
+        # malformed payload (None, non-list, '"n/a"' counters) must return
+        # the None sentinel like the sibling delegators_udf, not raise in
+        # the executor and fail the task 4x (r13 review)
         try:
             rows = client(epoch_id)
+            return [
+                (
+                    r.get("account_id"),
+                    r.get("public_key"),
+                    bool(r.get("is_slashed", False)),
+                    str(r.get("stake", "0")),
+                    int(r.get("num_produced_blocks", 0)),
+                    int(r.get("num_expected_blocks", 0)),
+                )
+                for r in rows
+            ]
         except Exception:
-            return None  # error sentinel, filtered downstream
-        return [
-            (
-                r.get("account_id"),
-                r.get("public_key"),
-                bool(r.get("is_slashed", False)),
-                str(r.get("stake", "0")),
-                int(r.get("num_produced_blocks", 0)),
-                int(r.get("num_expected_blocks", 0)),
-            )
-            for r in rows
-        ]
+            return None  # error sentinel — surfaced by the builders below
 
     return udf(call, schema)
 
@@ -129,16 +132,40 @@ def delegators_udf(client: Callable[[str, int, int, int], list[dict]]):
     return udf(call, schema)
 
 
+def _raise_on_rpc_failures(tagged: DataFrame, what: str, key: str) -> DataFrame:
+    """The None sentinel means an epoch/pool VANISHES from the feed — and
+    a LAG-based reward downstream would then book two epochs' growth as
+    one (r13 review: plain explode() swallowed the sentinel silently).
+    Failures now fail the BUILD with the offending keys (bounded collect:
+    failures only), keeping the UDF's task-level no-retry behavior."""
+    failed = [r[0] for r in tagged.filter(F.col("__arr__").isNull()).select(key).limit(20).collect()]
+    if failed:
+        raise RuntimeError(
+            f"{what}: RPC failed for {key}={failed} — refusing to publish "
+            "a feed with silent gaps (a LAG-based reward would span them)"
+        )
+    return tagged
+
+
 def silver_epochs_validators(
     epochs: DataFrame, client: Callable[[str], list[dict]]
 ) -> DataFrame:
     """Explode the per-epoch validator set (U2 + UDTF idiom:
-    array-returning UDF then posexplode — SURVEY §2.12)."""
-    v = epochs.select(
+    array-returning UDF then posexplode — SURVEY §2.12). An RPC failure
+    RAISES with the failed epoch ids (see _raise_on_rpc_failures)."""
+    tagged = epochs.select(
         "epoch_id",
         "epoch_max_block_height",
         "epoch_end_date",
-        F.explode(validators_udf(client)("epoch_id")).alias("v"),
+        validators_udf(client)("epoch_id").alias("__arr__"),
+    ).localCheckpoint()  # one UDF execution serves the check AND the explode
+    v = _raise_on_rpc_failures(
+        tagged, "silver_epochs_validators", "epoch_id"
+    ).select(
+        "epoch_id",
+        "epoch_max_block_height",
+        "epoch_end_date",
+        F.explode("__arr__").alias("v"),
     )
     return v.select(
         "epoch_id",
@@ -156,14 +183,24 @@ def silver_epochs_validators(
 def silver_epochs_validator_delegators(
     validators: DataFrame, client: Callable[[str, int, int, int], list[dict]]
 ) -> DataFrame:
-    """Per-validator delegator extraction (U3; Epochs pipeline :313-321)."""
-    d = validators.select(
+    """Per-validator delegator extraction (U3; Epochs pipeline :313-321).
+    An RPC failure RAISES with the failed pools (see
+    _raise_on_rpc_failures)."""
+    tagged = validators.select(
         "epoch_id",
         "epoch_max_block_height",
         "validator_account_id",
-        F.explode(
-            delegators_udf(client)("validator_account_id", "epoch_max_block_height")
-        ).alias("d"),
+        delegators_udf(client)(
+            "validator_account_id", "epoch_max_block_height"
+        ).alias("__arr__"),
+    ).localCheckpoint()  # one UDF execution serves the check AND the explode
+    d = _raise_on_rpc_failures(
+        tagged, "silver_epochs_validator_delegators", "validator_account_id"
+    ).select(
+        "epoch_id",
+        "epoch_max_block_height",
+        "validator_account_id",
+        F.explode("__arr__").alias("d"),
     )
     return d.select(
         "epoch_id",
@@ -256,9 +293,14 @@ def gold_aggregated_circulating_supply(
     """
     days = daily_latest_blocks(s_blocks)
     h = F.col("day_max_block_height")
+    # NULL-tolerant on BOTH bounds (r13 review): a lockup created before
+    # the dataset's genesis has creation NULL from the conditional MIN —
+    # it is alive until its observed deletion, and dropping it overstated
+    # circulating supply (balances.silver_lockup_amount_account_daily,
+    # the sibling of this join, already kept it).
     alive = lockups.join(
         F.broadcast(days),
-        (F.col("creation_block_height") <= h)
+        (F.col("creation_block_height").isNull() | (F.col("creation_block_height") <= h))
         & (F.col("deletion_block_height").isNull() | (F.col("deletion_block_height") >= h)),
         "inner",
     ).join(lockup_state, "lockup_account_id", "left")
@@ -266,10 +308,21 @@ def gold_aggregated_circulating_supply(
         "locked_amount",
         locked_amount_udf()("state_json", F.col("day_max_block_timestamp"), F.col("code_hash")),
     )
-    daily_locked = locked.groupBy("block_date", "day_max_block_height", "day_total_supply").agg(
+    per_day = locked.groupBy("block_date").agg(
         F.sum(F.col("locked_amount").cast("decimal(38,0)")).alias("total_locked"),
         F.count(F.lit(1)).alias("n_lockups"),
         F.count(F.when(F.col("locked_amount").isNull(), 1)).alias("n_errors"),
+    )
+    # Drive the output from DAYS, not from alive lockups (r13 review): a
+    # day with zero alive lockups must still publish a row with
+    # total_locked = 0 — the inner join above dropped it entirely.
+    daily_locked = days.join(per_day, "block_date", "left").select(
+        "block_date",
+        "day_max_block_height",
+        "day_total_supply",
+        "total_locked",
+        F.coalesce(F.col("n_lockups"), F.lit(0)).alias("n_lockups"),
+        F.coalesce(F.col("n_errors"), F.lit(0)).alias("n_errors"),
     )
     total = F.col("day_total_supply").cast("decimal(38,0)")
     return (

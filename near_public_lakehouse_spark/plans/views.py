@@ -81,8 +81,14 @@ def accounts_view(tx_actions: DataFrame, receipt_actions: DataFrame) -> DataFram
     from pyspark.sql import Window
 
     unioned = signals(tx_actions).unionByName(signals(receipt_actions))
+    # same-block ties: deletion OUTRANKS creation/transfer — the string
+    # tie-break had TRANSFER alphabetically beating DELETE_ACCOUNT, so an
+    # account deleted in the same block as its refund transfer reported
+    # is_active=true (r13 review)
     w = Window.partitionBy("account_id").orderBy(
-        F.desc("block_timestamp"), F.desc("last_action_kind")
+        F.desc("block_timestamp"),
+        F.desc(F.col("last_action_kind") == "DELETE_ACCOUNT"),
+        F.desc("last_action_kind"),
     )
     return (
         unioned.withColumn("rn", F.row_number().over(w))

@@ -182,3 +182,31 @@ def test_daily_snapshot_lockup_liquid_from_lockup_changes(spark):
     )
     rows = {r.account_id: r for r in snap.collect()}
     assert rows["whale.near"].lockup_liquid == 1234.25
+
+
+def test_daily_snapshot_sums_multi_validator_rewards(spark):
+    """r13 review: rewards grain is (validator, delegator, epoch) — a
+    delegator staked with TWO validators must yield ONE snapshot row with
+    the summed reward, not a fanned-out duplicate per validator."""
+    ac = spark.createDataFrame(
+        [(1, "2024-01-01", "whale.near", str(20_000 * YOCTO), str(0), 100)],
+        "block_height long, block_date string, affected_account_id string, "
+        "nonstaked_balance string, staked_balance string, storage_usage long",
+    ).withColumn("block_date", F.col("block_date").cast("date"))
+    lockups = spark.createDataFrame(
+        [], "owner_account_id string, lockup_account_id string"
+    )
+    amb = B.silver_accounts_with_min_balances(ac, lockups, nf_accounts=[])
+    rewards = spark.createDataFrame(
+        [
+            ("whale.near", "2024-01-02", str(1 * YOCTO), str(2 * YOCTO), str(3 * YOCTO)),
+            ("whale.near", "2024-01-02", str(10 * YOCTO), str(20 * YOCTO), str(30 * YOCTO)),
+        ],
+        "delegator_id string, epoch_date string, unstaked string, staked string, reward string",
+    ).withColumn("epoch_date", F.col("epoch_date").cast("date"))
+    snap = B.silver_accounts_daily_ft_balances(
+        amb, ac, rewards, epoch_date="2024-01-02", epoch_block_height=2
+    ).collect()
+    assert len(snap) == 1  # no fan-out
+    w = snap[0]
+    assert (w.staked, w.reward) == (str(22 * YOCTO), str(33 * YOCTO))

@@ -169,3 +169,68 @@ def test_circulating_supply(spark, s_blocks, lockup_world):
     # circulating = total - locked, exact decimal strings
     assert int(d24.circulating_supply) == int(d24.total_supply)
     assert all(r.n_errors == 0 for r in cs)
+
+
+def test_circulating_supply_zero_lockup_days_and_null_creation(spark, s_blocks):
+    """r13 review: (a) a day with ZERO alive lockups must still publish a
+    row with total_locked = 0 (the inner join from lockups dropped it);
+    (b) a lockup whose creation predates the dataset (creation NULL from
+    the conditional MIN) is alive until its observed deletion, matching
+    the balances-side twin — dropping it overstated circulating supply."""
+    lockups = spark.createDataFrame(
+        [("old.lockup.near", None, 1060, None)],
+        "lockup_account_id string, creation_block_height long, "
+        "deletion_block_height long, creation_block_timestamp long",
+    )
+    state = spark.createDataFrame(
+        [
+            (
+                "old.lockup.near",
+                json.dumps(
+                    {
+                        "lockup_amount": str(50 * YOCTO),
+                        "release_duration": str(20 * DAY_NS),
+                    }
+                ),
+                "other",
+            )
+        ],
+        "lockup_account_id string, state_json string, code_hash string",
+    )
+    cs = gold.gold_aggregated_circulating_supply(s_blocks, lockups, state).collect()
+    by_date = {str(r.block_date): r for r in cs}
+    n_days = s_blocks.select("block_date").distinct().count()
+    assert len(cs) == n_days  # EVERY day publishes a row
+    # pre-deletion day: the unknown-creation lockup counts as alive
+    d0 = by_date["2020-10-13"]
+    assert d0.n_lockups == 1
+    assert 0 < int(d0.total_locked_supply) <= 50 * YOCTO
+    # post-deletion day: zero alive lockups, row still present with 0
+    d24 = by_date["2020-11-06"]
+    assert d24.n_lockups == 0
+    assert int(d24.total_locked_supply) == 0
+    assert int(d24.circulating_supply) == int(d24.total_supply)
+
+
+def test_validators_udf_malformed_payload_is_sentinel_and_build_raises(
+    spark, s_blocks
+):
+    """r13 review: row PARSING is inside the sentinel scope (a '"n/a"'
+    counter or a None payload must not fail the Spark task), and the
+    builder surfaces the failed epochs loudly instead of letting explode
+    swallow them (a LAG reward would silently span the gap)."""
+    import pytest
+
+    epochs = gold.silver_epochs(s_blocks)
+
+    def flaky(epoch_id: str):
+        return None  # malformed: not a list
+
+    with pytest.raises(Exception, match="RPC failed for epoch_id"):
+        gold.silver_epochs_validators(epochs, flaky).collect()
+
+    def bad_counters(epoch_id: str):
+        return [{"account_id": "v1", "num_produced_blocks": "n/a"}]
+
+    with pytest.raises(Exception, match="RPC failed for epoch_id"):
+        gold.silver_epochs_validators(epochs, bad_counters).collect()

@@ -116,3 +116,26 @@ def test_event_contract_materialized_views(silver):
         "contract_account_id",
     }
     assert nmv.count() == nmv.distinct().count() > 0
+
+
+def test_accounts_view_same_block_delete_outranks_transfer(spark):
+    """r13 review: a DELETE_ACCOUNT sharing a block_timestamp with the
+    deletion-refund TRANSFER must win the tie — the string tie-break had
+    TRANSFER alphabetically outranking it, reporting a deleted account
+    as active."""
+    from near_public_lakehouse_spark.plans.views import accounts_view
+
+    import pyspark.sql.functions as F  # noqa: F401
+
+    rows = spark.createDataFrame(
+        [
+            ("alice.near", 1000, "CREATE_ACCOUNT"),
+            ("alice.near", 2000, "DELETE_ACCOUNT"),
+            ("alice.near", 2000, "TRANSFER"),  # refund leg, same block
+        ],
+        "receiver_account_id string, block_timestamp long, action_kind string",
+    )
+    empty = rows.limit(0)
+    out = {r.account_id: r for r in accounts_view(rows, empty).collect()}
+    assert out["alice.near"].is_active is False
+    assert out["alice.near"].last_action_kind == "DELETE_ACCOUNT"
