@@ -540,7 +540,18 @@ def _log_has_removes(log_dir: str) -> bool:
                 for line in fh:
                     if not line.strip():
                         continue
-                    if "remove" in json.loads(line):
+                    # Defensive parse (ADVICE r13): a truncated/corrupt
+                    # line fails CLOSED (treat as has-removes — refusing
+                    # a reconcile is recoverable, resurrecting tombstoned
+                    # rows is not), and membership is only tested on
+                    # dicts — `"remove" in <top-level JSON string>` is a
+                    # substring match, the exact false-positive the r12
+                    # rewrite was meant to eliminate.
+                    try:
+                        obj = json.loads(line)
+                    except json.JSONDecodeError:
+                        return True
+                    if isinstance(obj, dict) and "remove" in obj:
                         return True
     return False
 

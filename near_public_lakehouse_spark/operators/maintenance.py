@@ -76,10 +76,22 @@ def compact_partitions(
     # silent no-op and the rewrite funneled each partition (or with the
     # default N=1, the whole table) through a single core (r13 review).
     if target_files_per_partition > 1:
-        salt = F.pmod(
-            F.hash(*[F.col(c) for c in df.columns]),
-            F.lit(target_files_per_partition),
+        # hash() rejects MapType inputs (AnalysisException unless the
+        # legacy conf is flipped), and this repo's tables do carry map
+        # columns — salt only on hashable columns, falling back to a
+        # pmod of a stable rand-free expression when nothing qualifies
+        # (ADVICE r13). _orderable's type filter matches exactly the
+        # set hash() accepts here (maps are the only offender).
+        from near_public_lakehouse_spark.operators.scd import _orderable
+
+        types = {f.name: f.dataType for f in df.schema.fields}
+        hashable = [c for c in df.columns if _orderable(types[c])]
+        salt_src = (
+            F.hash(*[F.col(c) for c in hashable])
+            if hashable
+            else F.spark_partition_id()
         )
+        salt = F.pmod(salt_src, F.lit(target_files_per_partition))
         out = df.repartition(
             32 * target_files_per_partition, F.col(partition_col), salt
         )

@@ -104,6 +104,7 @@ def publish_stream(
     ordered: str = "per_key",
     chunk_size: int = DEFAULT_CHUNK,
     available_now: bool = True,
+    replay_fence: int | None = 1000,
 ):
     """Streaming publisher: each micro-batch is published then fenced.
 
@@ -112,6 +113,18 @@ def publish_stream(
     re-sends that single batch). `<state_path>/_CURSOR` tracks the max
     sequence value acked so far — the durable twin of the reference's
     per-block height log (main.rs:63-66).
+
+    ``replay_fence`` bounds marker state: markers more than this many
+    batches behind the newest are pruned, so the no-op fence only covers
+    the trailing ``replay_fence`` batches. A NORMAL restart replays at
+    most the trailing uncommitted batches, well inside any sane fence —
+    but restoring an old checkpoint backup, or pointing a FRESH
+    checkpoint at the same ``state_path``, replays batch ids whose
+    markers may already be pruned and re-publishes them (duplicates
+    beyond the documented crash-gap window; ADVICE r13). If either
+    recovery mode is on the table, pass ``replay_fence=None`` to keep
+    every marker (one empty file per batch), or size the fence to the
+    deepest checkpoint rollback you will ever restore.
     """
     from near_public_lakehouse_spark.operators.export import _require_local_path
 
@@ -174,8 +187,14 @@ def publish_stream(
         # Bounded marker state: only the checkpoint's trailing batches can
         # ever replay, so markers far behind this batch are dead weight —
         # an unbounded one-file-per-batch directory otherwise (r13 review).
-        floor = batch_id - 1000
-        if floor > 0 and batch_id % 100 == 0:
+        # replay_fence=None keeps everything (deep-rollback recovery; see
+        # docstring / ADVICE r13).
+        if replay_fence is None:
+            return
+        floor = batch_id - replay_fence
+        # Amortized directory sweep: every fence/10 batches (>=1), so the
+        # directory holds at most ~1.1x the fence in markers.
+        if floor > 0 and batch_id % max(1, replay_fence // 10) == 0:
             pub_dir = f"{state_path}/published"
             for n in os.listdir(pub_dir):
                 if n.startswith("batch_"):

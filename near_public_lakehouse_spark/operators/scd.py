@@ -308,6 +308,14 @@ def apply_changes_scd2(
         data = [
             c for c in stored.columns if c not in internal and c != sequence_by
         ]
+        if SEQS_COL not in stored.columns:
+            # Pre-r13 on-disk format: versions carry no sequence-set
+            # column. Each stored version contributes its own start
+            # sequence as the (only) observed change — the r12-era
+            # semantics — so old tables keep applying instead of dying
+            # on an unresolved-column AnalysisException, and the next
+            # rewrite migrates them to the SEQS_COL layout (ADVICE r13).
+            return stored.select(*data, F.col(sequence_by))
         return stored.select(*data, F.explode(SEQS_COL).alias(sequence_by))
 
     if not table_exists(target_path):
