@@ -29,6 +29,8 @@ then passes the driver's 6 dp float canonicalization with margin.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -38,6 +40,61 @@ from near_public_lakehouse_spark.sources.tables import load_table
 PR_DAMPING = 0.85
 PR_ITERS = 10
 PR_DP = 12  # per-iteration rounding keeps both engines in lockstep
+
+# ---------------------------------------------------------------------------
+# Round-join regime auto-select (VERDICT r13 task #1). The r13 probe
+# measured a real cliff: while the O(nodes) rank/score state fits a
+# broadcast, AQE's per-round BroadcastHashJoin wins decisively — but at
+# nodes ~ edges the default regime rebuilds an O(nodes) broadcast hash
+# table EVERY round and degrades 2-5x vs a plain shuffled SMJ (SCALE.md
+# 4M-pair table: PR 62 s bcast vs 37 s SMJ; HITS half 28 s vs 6 s).
+# Selection was manual; now each iterative query estimates its state
+# frame's broadcast weight in the SAME driver aggregate that already
+# sizes the graph and pins the per-round join strategy accordingly:
+# broadcastable -> leave the join unhinted (today's AQE-broadcast plan,
+# bench plans byte-identical), else -> hint("merge") on the state side,
+# which JoinSelection honors under AQE re-planning, keeping
+# OptimizeSkewedJoin available (the probe's smj_skewaqe row). Mirrors
+# the dedup hot-group detection pattern (adaptive_lsh.py: one bounded
+# aggregate decides the physical strategy).
+
+# Per-entry cost of the state row inside a broadcast HashedRelation:
+# 8-byte score/rank plus key+entry overhead. Fitted against the probe:
+# 1M nodes (~47 MB at this constant) already sits past the default
+# 10 MB threshold and SMJ indeed wins there (4.6 s vs 5.6 s); TPC-H
+# sf0.1's ~16k nodes (~0.8 MB) stay comfortably under and broadcast
+# wins (bench plans unchanged).
+STATE_ROW_OVERHEAD = 40
+
+_SIZE_RE = re.compile(r"^(-?\d+)\s*([kmgtp]?i?b?)$")
+_SIZE_UNIT = {
+    "": 1,
+    "b": 1,
+    **{
+        p + s: 1024 ** e
+        for e, p in enumerate("kmgtp", start=1)
+        for s in ("", "b", "ib")
+    },
+}
+
+
+def _parse_size_bytes(raw: str) -> int:
+    """Spark size-string -> bytes ('10MB', '10m', '10485760', '-1')."""
+    m = _SIZE_RE.match(str(raw).strip().lower())
+    unit = _SIZE_UNIT.get(m.group(2)) if m else None
+    if unit is None:
+        return -1  # unparseable: treat as broadcast-disabled (safe regime)
+    return int(m.group(1)) * unit
+
+
+def _state_broadcastable(spark: SparkSession, rows: int, name_bytes: int) -> bool:
+    """One-line regime pick: does an O(rows) state frame (node name +
+    8-byte score) fit the session's broadcast threshold? `rows`/`name_bytes`
+    come from the caller's existing driver aggregate — no extra job."""
+    thr = _parse_size_bytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    )
+    return thr > 0 and name_bytes + rows * STATE_ROW_OVERHEAD <= thr
 
 
 def _pr_iteration_sql() -> str:
@@ -116,9 +173,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pr_setup(pairs: DataFrame) -> tuple[DataFrame, DataFrame, float]:
-    """(contrib, rank0, n) from an undirected (a, b, w) pair list —
-    shared by the registry query and the adversarial-skew probes so they
-    measure the PRODUCTION frames."""
+    """(contrib, rank0, n, broadcast_state) from an undirected (a, b, w)
+    pair list — shared by the registry query and the adversarial-skew
+    probes so they measure the PRODUCTION frames. The 4th element is the
+    auto-picked round-join regime (see `_state_broadcastable`)."""
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
         .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
@@ -134,22 +192,39 @@ def _pr_setup(pairs: DataFrame) -> tuple[DataFrame, DataFrame, float]:
     # the measured trade and the regime where co-location wins).
     contrib = edges.join(deg, "src").localCheckpoint()
     nodes = contrib.select(F.col("src").alias("node")).distinct().localCheckpoint()
-    n = float(nodes.count())  # bounded driver scalar
+    # The node count (needed for the teleport term anyway) and the state
+    # frame's broadcast weight come from ONE bounded driver aggregate —
+    # the regime pick costs no extra job (VERDICT r13 task #1).
+    stats = nodes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.length("node")), F.lit(0)).alias("name_bytes"),
+    ).collect()[0]
+    n = float(stats["n"])
+    bcast = _state_broadcastable(
+        nodes.sparkSession, int(stats["n"]), int(stats["name_bytes"])
+    )
     rank = nodes.select("node", F.round(F.lit(1.0) / F.lit(n), PR_DP).alias("rank"))
-    return contrib, rank, n
+    return contrib, rank, n, bcast
 
 
-def _pr_round(contrib: DataFrame, rank: DataFrame, n: float) -> DataFrame:
+def _pr_round(
+    contrib: DataFrame, rank: DataFrame, n: float, broadcast_state: bool = True
+) -> DataFrame:
     """ONE power-iteration step — the join-aggregate whose skew behavior
     the adversarial probe pins (tools/skew_probe_graph.py): the join on
     `src` broadcasts the O(nodes) rank side under AQE (hot keys moot);
-    in the state-exceeds-broadcast regime it is an SMJ whose hot-src
-    partition is byte-proportional to the hot node's degree — visible to
-    AQE's skew split, unlike dedup's row-quadratic case. The groupBy(dst)
-    is sum-algebraic, so map-side partial aggregation collapses a hot
-    dst's contributions before the shuffle."""
+    in the state-exceeds-broadcast regime (`broadcast_state=False`, the
+    `_pr_setup` auto-pick) the state side carries a merge hint, so the
+    round is an SMJ whose hot-src partition is byte-proportional to the
+    hot node's degree — visible to AQE's skew split, unlike dedup's
+    row-quadratic case. The groupBy(dst) is sum-algebraic, so map-side
+    partial aggregation collapses a hot dst's contributions before the
+    shuffle."""
+    state = rank.withColumnRenamed("node", "src")
+    if not broadcast_state:
+        state = state.hint("merge")
     return (
-        contrib.join(rank.withColumnRenamed("node", "src"), "src")
+        contrib.join(state, "src")
         .groupBy("dst")
         .agg(
             F.round(
@@ -163,14 +238,19 @@ def _pr_round(contrib: DataFrame, rank: DataFrame, n: float) -> DataFrame:
 
 
 def _pr_rounds(
-    contrib: DataFrame, rank: DataFrame, n: float, iters: int = PR_ITERS
+    contrib: DataFrame,
+    rank: DataFrame,
+    n: float,
+    broadcast_state: bool = True,
+    iters: int = PR_ITERS,
 ) -> DataFrame:
     """The PageRank power-iteration loop, shared by the ad-hoc registry
     query and the bucketed production path: each round is ONE
     join-aggregate over `contrib` (src, dst, w, deg), rank state
-    localCheckpointed to keep lineage flat."""
+    localCheckpointed to keep lineage flat. `broadcast_state` is
+    `_pr_setup`'s auto-picked regime (4th tuple element)."""
     for _ in range(iters):
-        rank = _pr_round(contrib, rank, n).localCheckpoint()
+        rank = _pr_round(contrib, rank, n, broadcast_state).localCheckpoint()
     return rank
 
 
@@ -394,37 +474,71 @@ def link_analysis_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     auth = edges.select(F.col("supp").alias("node")).distinct().select(
         "node", F.lit(1.0).alias("score")
     )
-    return _hits_output(*_hits_rounds(edges, edges, auth))
+    return _hits_output(*_hits_rounds(edges, edges, auth, *_hits_regimes(edges)))
+
+
+def _hits_regimes(edges: DataFrame) -> tuple[bool, bool]:
+    """(bcast_auth, bcast_hub) from ONE bounded aggregate over the
+    bipartite edge list: the two half-iterations carry DIFFERENT state
+    frames (auth is O(suppliers), hub is O(customers)), so each gets its
+    own broadcast-vs-merge pick. approx_count_distinct is plenty for a
+    regime threshold; max(length) upper-bounds the name bytes."""
+    s = edges.agg(
+        F.approx_count_distinct("cust").alias("nc"),
+        F.approx_count_distinct("supp").alias("ns"),
+        F.coalesce(F.max(F.length("cust")), F.lit(0)).alias("lc"),
+        F.coalesce(F.max(F.length("supp")), F.lit(0)).alias("ls"),
+    ).collect()[0]
+    spark = edges.sparkSession
+    return (
+        _state_broadcastable(spark, int(s["ns"]), int(s["ns"]) * int(s["ls"])),
+        _state_broadcastable(spark, int(s["nc"]), int(s["nc"]) * int(s["lc"])),
+    )
 
 
 def _hits_rounds(
     edges_by_supp: DataFrame,
     edges_by_cust: DataFrame,
     auth: DataFrame,
+    bcast_auth: bool = True,
+    bcast_hub: bool = True,
     iters: int = HITS_ITERS,
 ) -> tuple[DataFrame, DataFrame]:
     """The alternating hub/authority half-iterations, shared by the
     registry query (one edge frame both ways) and the bucketed path
     (one layout per join side — the half-iterations join on DIFFERENT
-    keys, so each needs its own co-located layout)."""
+    keys, so each needs its own co-located layout). The two bcast_*
+    flags are `_hits_regimes`' auto-picked per-half join strategies."""
     hub = None
     for _ in range(iters):
-        hub = _hits_half(edges_by_supp, auth, "supp", "cust").localCheckpoint()
-        auth = _hits_half(edges_by_cust, hub, "cust", "supp").localCheckpoint()
+        hub = _hits_half(
+            edges_by_supp, auth, "supp", "cust", bcast_auth
+        ).localCheckpoint()
+        auth = _hits_half(
+            edges_by_cust, hub, "cust", "supp", bcast_hub
+        ).localCheckpoint()
     return hub, auth
 
 
 def _hits_half(
-    edges: DataFrame, score: DataFrame, join_key: str, out_key: str
+    edges: DataFrame,
+    score: DataFrame,
+    join_key: str,
+    out_key: str,
+    broadcast_state: bool = True,
 ) -> DataFrame:
     """ONE half-iteration: neighbor dsum on `join_key`, max-normalized.
     dsum is an algebraic decimal sum, so a hot `out_key`'s contributions
     collapse map-side; the score-side join skew story is `_pr_round`'s
-    (broadcast under AQE, byte-visible SMJ beyond)."""
+    (broadcast under AQE while the state fits, merge-hinted SMJ beyond —
+    the `_hits_regimes` auto-pick)."""
     from near_public_lakehouse_spark.functions.numeric import dsum
 
+    state = score.withColumnRenamed("node", join_key)
+    if not broadcast_state:
+        state = state.hint("merge")
     raw = (
-        edges.join(score.withColumnRenamed("node", join_key), join_key)
+        edges.join(state, join_key)
         .groupBy(out_key)
         .agg(dsum(F.col("w") * F.col("score"), scale=15, precision=30).alias("s"))
         .withColumnRenamed(out_key, "node")
@@ -515,9 +629,14 @@ def pagerank_from_bucketed(spark: SparkSession, by_src_table: str) -> DataFrame:
     the node/degree derivations read co-located buckets with no Exchange."""
     contrib = spark.table(by_src_table)
     nodes = contrib.select(F.col("src").alias("node")).distinct().localCheckpoint()
-    n = float(nodes.count())
+    stats = nodes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.length("node")), F.lit(0)).alias("name_bytes"),
+    ).collect()[0]
+    n = float(stats["n"])
+    bcast = _state_broadcastable(spark, int(stats["n"]), int(stats["name_bytes"]))
     rank = nodes.select("node", F.round(F.lit(1.0) / F.lit(n), PR_DP).alias("rank"))
-    return _pr_output(_pr_rounds(contrib, rank, n))
+    return _pr_output(_pr_rounds(contrib, rank, n, bcast))
 
 
 def bfs_from_bucketed(spark: SparkSession, by_src_table: str) -> DataFrame:
@@ -539,4 +658,4 @@ def hits_from_bucketed(
     auth = e_supp.select(F.col("supp").alias("node")).distinct().select(
         "node", F.lit(1.0).alias("score")
     )
-    return _hits_output(*_hits_rounds(e_supp, e_cust, auth))
+    return _hits_output(*_hits_rounds(e_supp, e_cust, auth, *_hits_regimes(e_supp)))

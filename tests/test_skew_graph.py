@@ -68,7 +68,7 @@ def test_pagerank_identical_across_join_regimes_under_skew(spark):
     discipline (PR_DP after every iteration) is what makes this exact —
     any plan-dependent drift would compound over 10 rounds and fail."""
     pairs = skewed_graph(spark, N_PAIRS).localCheckpoint()
-    contrib, rank0, n = _pr_setup(pairs)
+    contrib, rank0, n, _bc = _pr_setup(pairs)
 
     def run():
         out = _pr_rounds(contrib, rank0, n, iters=4)
@@ -104,7 +104,7 @@ def test_default_regime_broadcasts_rank_side(spark):
     cannot straggle. This is the plan the 100 TB design runs until state
     exceeds broadcast; beyond it, the skew-split pin below takes over."""
     pairs = skewed_graph(spark, N_PAIRS).localCheckpoint()
-    contrib, rank0, n = _pr_setup(pairs)
+    contrib, rank0, n, _bc = _pr_setup(pairs)
     one = _pr_round(contrib, rank0, n)
     one.collect()
     plan = one._jdf.queryExecution().executedPlan().toString()
@@ -121,7 +121,7 @@ def test_smj_regime_aqe_skew_split_engages(spark):
     the per-round join output is row-LINEAR in the hot key, so the skew
     is byte-visible exactly where it hurts."""
     pairs = skewed_graph(spark, N_PAIRS).localCheckpoint()
-    contrib, rank0, n = _pr_setup(pairs)
+    contrib, rank0, n, _bc = _pr_setup(pairs)
     base = _pr_round(contrib, rank0, n)
     want = sorted((r.node, r.rank) for r in base.collect())
 
@@ -143,7 +143,7 @@ def test_round_aggregates_are_map_side_partial(spark):
     aggregate upstream of the exchange and the hot dst ships one partial
     row per map partition, not one row per edge."""
     pairs = skewed_graph(spark, N_PAIRS).localCheckpoint()
-    contrib, rank0, n = _pr_setup(pairs)
+    contrib, rank0, n, _bc = _pr_setup(pairs)
 
     frames = {
         "pagerank": _pr_round(contrib, rank0, n),
@@ -203,3 +203,104 @@ def test_bfs_and_hits_outputs_plan_independent_under_skew(spark):
         assert run() == base
     finally:
         _with_confs(spark, prev)
+
+
+# --- r14: round-join regime auto-select (VERDICT r13 task #1) ---------------
+
+
+def test_state_broadcastable_threshold_math(spark):
+    from near_public_lakehouse_spark.queries.graph import (
+        STATE_ROW_OVERHEAD,
+        _parse_size_bytes,
+        _state_broadcastable,
+    )
+
+    assert _parse_size_bytes("10MB") == 10 * 1024**2
+    assert _parse_size_bytes("10m") == 10 * 1024**2
+    assert _parse_size_bytes("10485760") == 10 * 1024**2
+    assert _parse_size_bytes("64KB") == 64 * 1024
+    assert _parse_size_bytes("-1") == -1
+    assert _parse_size_bytes("garbage") == -1
+
+    prev = _with_confs(spark, {"spark.sql.autoBroadcastJoinThreshold": "10MB"})
+    try:
+        # ~16k TPC-H-graph nodes: well under -> broadcast regime
+        assert _state_broadcastable(spark, 16_000, 16_000 * 7)
+        # 1M nodes (the measured SMJ-wins size): over -> merge regime
+        assert not _state_broadcastable(spark, 1_000_000, 1_000_000 * 7)
+        boundary = (10 * 1024**2) // (STATE_ROW_OVERHEAD + 7)
+        assert _state_broadcastable(spark, boundary, boundary * 7)
+    finally:
+        _with_confs(spark, prev)
+    # broadcast disabled entirely -> never broadcast the state
+    prev = _with_confs(spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"})
+    try:
+        assert not _state_broadcastable(spark, 10, 70)
+    finally:
+        _with_confs(spark, prev)
+
+
+def test_auto_pick_responds_to_session_threshold(spark):
+    """The regime the production setup picks follows the session's
+    broadcast threshold: default confs -> broadcast (today's bench
+    plans), tiny threshold (emulating nodes~edges at real scale) ->
+    merge. Both PageRank's setup and HITS' per-half pick."""
+    from near_public_lakehouse_spark.queries.graph import _hits_regimes
+
+    pairs = skewed_graph(spark, N_PAIRS).localCheckpoint()
+    bi = pairs.select(
+        F.col("a").alias("cust"), F.col("b").alias("supp"), "w"
+    ).localCheckpoint()
+
+    *_, bc = _pr_setup(pairs)
+    assert bc is True
+    assert _hits_regimes(bi) == (True, True)
+
+    prev = _with_confs(spark, {"spark.sql.autoBroadcastJoinThreshold": "1KB"})
+    try:
+        *_, bc_small = _pr_setup(pairs)
+        assert bc_small is False
+        assert _hits_regimes(bi) == (False, False)
+    finally:
+        _with_confs(spark, prev)
+
+
+def test_merge_regime_pins_smj_even_where_aqe_would_broadcast(spark):
+    """The load-bearing physical guarantee: when the auto-pick says the
+    state exceeds broadcast, the merge hint must hold under AQE — at
+    probe bytes AQE WOULD runtime-convert this join to a broadcast (the
+    default-regime pin above proves it), so SortMergeJoin appearing here
+    proves the hint survives adaptive re-planning. Outputs bit-identical
+    to the broadcast regime (the per-iteration rounding discipline)."""
+    pairs = skewed_graph(spark, N_PAIRS).localCheckpoint()
+    contrib, rank0, n, _bc = _pr_setup(pairs)
+
+    base = _pr_round(contrib, rank0, n, broadcast_state=True)
+    want = sorted((r.node, r.rank) for r in base.collect())
+
+    one = _pr_round(contrib, rank0, n, broadcast_state=False)
+    got = sorted((r.node, r.rank) for r in one.collect())
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert got == want
+    assert "SortMergeJoin" in plan, plan[:2000]
+    assert "BroadcastHashJoin" not in plan, plan[:2000]
+
+
+def test_hits_merge_regime_pins_smj_and_matches(spark):
+    pairs = skewed_graph(spark, N_PAIRS).localCheckpoint()
+    bi = pairs.select(
+        F.col("a").alias("cust"), F.col("b").alias("supp"), "w"
+    ).localCheckpoint()
+    auth0 = bi.select(F.col("supp").alias("node")).distinct().select(
+        "node", F.lit(1.0).alias("score")
+    )
+    want = sorted(
+        (r.node, r.score)
+        for r in _hits_half(bi, auth0, "supp", "cust", True).collect()
+    )
+    one = _hits_half(bi, auth0, "supp", "cust", False)
+    got = sorted((r.node, r.score) for r in one.collect())
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert got == want
+    assert "SortMergeJoin" in plan, plan[:2000]
+    assert "BroadcastHashJoin" not in plan, plan[:2000]

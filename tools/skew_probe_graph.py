@@ -21,6 +21,12 @@ sizes in three join regimes:
   row-LINEAR in the hot key (each edge meets exactly one rank row), so
   unlike dedup's row-quadratic expansion the skew is byte-visible to AQE
   exactly where it hurts, and no salted-join wiring is needed.
+- auto (r14, VERDICT r13 task #1): the production auto-pick —
+  `_pr_setup`/`_hits_regimes` estimate the state frame's broadcast
+  weight against the session threshold and either leave the round join
+  unhinted (AQE broadcast) or merge-hint the state side. CLAIM: the
+  auto row matches the best manual regime at both sizes (each JSON row
+  records which regime it picked).
 
 Outputs one JSON line per (algo, n, regime) plus derived exponents —
 paste the table into SCALE.md.
@@ -68,6 +74,7 @@ def main() -> None:
 
     from near_public_lakehouse_spark.queries.graph import (
         _hits_half,
+        _hits_regimes,
         _pr_rounds,
         _pr_setup,
     )
@@ -93,32 +100,58 @@ def main() -> None:
 
     for n_pairs in args.sizes:
         pairs = skewed_graph(spark, n_pairs).localCheckpoint()
-        contrib, rank0, nn = _pr_setup(pairs)
+        contrib, rank0, nn, pr_bc = _pr_setup(pairs)
         bi = pairs.select(
             F.col("a").alias("cust"), F.col("b").alias("supp"), "w"
         ).localCheckpoint()
         auth0 = bi.select(F.col("supp").alias("node")).distinct().select(
             "node", F.lit(1.0).alias("score")
         ).localCheckpoint()
+        bc_auth, _bc_hub = _hits_regimes(bi)
 
         for regime, confs in (
             ("bcast", {}),
+            ("auto", {}),
             ("smj", NO_BCAST),
             ("smj_skewaqe", NO_BCAST | AQE_EMULATE_SCALE),
         ):
             prev = with_confs(confs)
             try:
-                for algo, run in (
-                    (
-                        "pagerank",
-                        lambda: _pr_rounds(contrib, rank0, nn, iters=args.iters)
-                        .count(),
-                    ),
-                    (
-                        "hits_half",
-                        lambda: _hits_half(bi, auth0, "supp", "cust").count(),
-                    ),
-                ):
+                if regime == "auto":
+                    # production path: the auto-picked per-round strategy
+                    # under the UNTOUCHED session confs
+                    runs = (
+                        (
+                            "pagerank",
+                            lambda: _pr_rounds(
+                                contrib, rank0, nn, pr_bc, iters=args.iters
+                            ).count(),
+                            "bcast" if pr_bc else "smj",
+                        ),
+                        (
+                            "hits_half",
+                            lambda: _hits_half(
+                                bi, auth0, "supp", "cust", bc_auth
+                            ).count(),
+                            "bcast" if bc_auth else "smj",
+                        ),
+                    )
+                else:
+                    runs = (
+                        (
+                            "pagerank",
+                            lambda: _pr_rounds(
+                                contrib, rank0, nn, iters=args.iters
+                            ).count(),
+                            None,
+                        ),
+                        (
+                            "hits_half",
+                            lambda: _hits_half(bi, auth0, "supp", "cust").count(),
+                            None,
+                        ),
+                    )
+                for algo, run, picked in runs:
                     before = _stage_ids(spark)
                     t0 = time.monotonic()
                     out_rows = run()
@@ -133,6 +166,8 @@ def main() -> None:
                         "max_task_s": round(mx / 1e3, 2),
                         "task_total_s": round(tot / 1e3, 2),
                     }
+                    if picked is not None:
+                        rec["picked"] = picked
                     print(json.dumps(rec), flush=True)
                     results.append(rec)
             finally:
@@ -141,7 +176,7 @@ def main() -> None:
     n1, n2 = args.sizes
     lg = math.log(n2 / n1)
     for algo in ("pagerank", "hits_half"):
-        for regime in ("bcast", "smj", "smj_skewaqe"):
+        for regime in ("bcast", "auto", "smj", "smj_skewaqe"):
             a = next(
                 r
                 for r in results
