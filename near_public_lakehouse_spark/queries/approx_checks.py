@@ -8,7 +8,7 @@ shrunk round over round: `kmeans_clusters` gained a full unrolled-CTE
 oracle in r12; `ann_lsh_topk` / `range_search_lsh` gained full
 plane-literal oracles in r13 (VERDICT r12 task #1); and `pq_topk` moved
 onto the PQ_QUANT integer lattice in r13 so even codebook TRAINING
-replays in DuckDB — leaving only `daily_active_users_approx` (HLL
+replays in DuckDB — leaving only `sketch_dau_hll` (HLL
 internals) and the BPE merge chain as rows-only, each still covered by
 an invariant twin (here or in tests):
 

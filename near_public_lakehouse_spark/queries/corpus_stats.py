@@ -537,7 +537,7 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     superset-free bound for the global K), the classic KMV merge. Here
     the exact count shares the same distinct stream, so the probe costs
     nothing extra. HLL (approx_count_distinct) remains the register-
-    bounded alternative (`daily_active_users_approx`); KMV is the one
+    bounded alternative (`sketch_dau_hll`); KMV is the one
     you can hash-verify and MERGE across shards losslessly."""
     docs = load_table(spark, sf_dir, "documents")
     h = source_token_hashes(docs)

@@ -131,35 +131,37 @@ def test_driver_window_composition_is_pinned():
     with zero err rows in CORRECTNESS_r12, so round 13 RETIRES the set
     per the standing discipline (VERDICT r12 task #2).
 
-    Round 13 rotation: only what round 13 semantically changes —
-    ann_lsh_topk and range_search_lsh gained FULL-VALUE DuckDB oracles
-    (VERDICT r12 task #1; previously rows-only), and pq_topk's pipeline
-    moved onto the PQ_QUANT integer lattice so even codebook TRAINING
-    replays in DuckDB (task #1's stretch goal; output changes, so it
-    re-certifies). Each rotates in under an a13_ alias for a driver-green
-    row under its new oracle. The other 47 window slots revert to the
-    alphabetical organic head — every one of those names is driver-green
-    in an earlier round, with r11-anchored profile hash pins covering
-    them at value level between windows.
+    Round 13 rotation put a13_ aliases on the three ANN oracle
+    conversions (ann_lsh_topk, pq_topk, range_search_lsh); all three went
+    driver-green with hash_match in CORRECTNESS_r13, so round 14 RETIRES
+    the set (VERDICT r13 task #2; ROTATION_HISTORY.json carries the r13
+    map) and ships an EMPTY rotation — round 14 adds no queries and
+    changes no verified semantics. The window is the pure alphabetical
+    organic head, every name driver-green in an earlier round.
+
+    Round 14 also removes the window's one permanent `err: no_oracle` row
+    (VERDICT r13 task #3): the HLL sketch query registers as
+    sketch_dau_hll (outside the window; old name resolves via
+    ABSORBED_NAMES), its oracle-checked error-bound twin approx_dau_error
+    stays in the window — so EVERY window row now carries a real oracle
+    and CORRECTNESS_r14 should show zero err rows.
     """
     from near_public_lakehouse_spark.queries import all_queries
     from near_public_lakehouse_spark.queries.registry import DRIVER_WINDOW_ROTATION
 
-    window = sorted(all_queries())[:50]
-    assert sorted(DRIVER_WINDOW_ROTATION.values()) == [
-        "a13_ann_lsh_topk",
-        "a13_pq_topk",
-        "a13_range_search_lsh",
-    ]
-    # all three r13 oracle conversions made the window, with real oracles
+    assert DRIVER_WINDOW_ROTATION == {}
     q = all_queries()
-    for alias in ("a13_ann_lsh_topk", "a13_pq_topk", "a13_range_search_lsh"):
-        assert alias in window, alias
-        assert q[alias].oracle, alias
-    # the rest of the window is the organic alphabetical head
-    assert window[3:] == [
-        n for n in sorted(all_queries()) if not n.startswith("a13_")
-    ][:47]
+    names = sorted(q)
+    window = names[:50]
+    # no alias names anywhere: the rotation is fully retired
+    assert not any(n.startswith("a13_") for n in names)
+    # every window row is oracle-checked — zero err-shaped rows by design
+    assert [n for n in window if not q[n].oracle] == []
+    # the sketch twin pair: bound-checked form in the window, raw sketch out
+    assert "approx_dau_error" in window
+    assert "sketch_dau_hll" in names and "sketch_dau_hll" not in window
+    # the rename keeps resolving
+    assert q["daily_active_users_approx"].name == "sketch_dau_hll"
 
 
 def test_rotation_aliases_resolve_through_every_public_path():

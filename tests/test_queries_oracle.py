@@ -43,13 +43,13 @@ def test_approx_distinct_within_error_bound(spark):
     """The HLL sketch twin must track the exact count within ~3x rsd."""
     from near_public_lakehouse_spark.queries.events import (
         daily_active_users,
-        daily_active_users_approx,
+        sketch_dau_hll,
     )
 
     exact = {r.event_date: r.active_users for r in daily_active_users(spark, SF_DIR).collect()}
     approx = {
         r.event_date: r.approx_active_users
-        for r in daily_active_users_approx(spark, SF_DIR).collect()
+        for r in sketch_dau_hll(spark, SF_DIR).collect()
     }
     assert set(exact) == set(approx)
     for d, n in exact.items():
