@@ -9,18 +9,75 @@ Usage:
 Timing counts the full query build + collect (driver-equivalent work);
 each query runs once — this is a profiling sweep, not a steady-state
 benchmark (bench.py is that).
+
+Contention flag (VERDICT r13 task #4): PROFILE_r13's timing column was
+polluted by a concurrently-running gate runner (unchanged queries read
+1.5-2.3x slower at identical plans/hashes), which is exactly the noise
+that hides the next real regression. The sweep can't multi-run like
+bench.py, so each query instead measures FOREIGN CPU: system-wide busy
+jiffies (/proc/stat) minus this process tree's jiffies over the query's
+wall window. More than half an external core on average flags the row
+`contended` with the foreign-core figure, so a polluted timing column is
+self-diagnosing in both the JSONL stream and the markdown table.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 sys.path.insert(0, ".")
 
 from pyspark.sql import SparkSession  # noqa: E402
+
+FOREIGN_CORES_FLAG = 0.5  # avg external cores during the query => contended
+
+
+def _proc_tree_cpu_jiffies(root_pid: int) -> int:
+    """Sum utime+stime jiffies over `root_pid` and every descendant
+    (RUSAGE_CHILDREN only counts reaped children — the live JVM child
+    would be invisible to it)."""
+    info: dict[int, tuple[int, int]] = {}  # pid -> (ppid, jiffies)
+    for p in os.listdir("/proc"):
+        if not p.isdigit():
+            continue
+        try:
+            with open(f"/proc/{p}/stat") as fh:
+                s = fh.read()
+        except OSError:
+            continue  # raced a process exit
+        rest = s[s.rindex(")") + 2 :].split()
+        info[int(p)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+    kids: dict[int, list[int]] = {}
+    for pid, (ppid, _) in info.items():
+        kids.setdefault(ppid, []).append(pid)
+    total, stack = 0, [root_pid]
+    while stack:
+        pid = stack.pop()
+        if pid in info:
+            total += info[pid][1]
+            stack.extend(kids.get(pid, ()))
+    return total
+
+
+def _cpu_snapshot() -> tuple[int, int]:
+    """(system busy jiffies, own process-tree jiffies)."""
+    with open("/proc/stat") as fh:
+        vals = [int(x) for x in fh.readline().split()[1:]]
+    busy = sum(vals) - vals[3] - vals[4]  # minus idle + iowait
+    return busy, _proc_tree_cpu_jiffies(os.getpid())
+
+
+def _foreign_cores(before: tuple[int, int], after: tuple[int, int], wall: float) -> float:
+    """Average EXTERNAL cores busy during the window."""
+    if wall <= 0:
+        return 0.0
+    hz = os.sysconf("SC_CLK_TCK")
+    foreign = max(0, (after[0] - before[0]) - (after[1] - before[1])) / hz
+    return foreign / wall
 
 
 def main() -> None:
@@ -64,6 +121,7 @@ def main() -> None:
             timings.append(rec)
             print(json.dumps(rec), flush=True)
             continue
+        cpu0 = _cpu_snapshot()
         t0 = time.monotonic()
         df = rows = None
         try:
@@ -71,6 +129,10 @@ def main() -> None:
             rows = df.collect()
             dt = time.monotonic() - t0
             rec = {"name": name, "sec": round(dt, 3), "rows": len(rows)}
+            fc = _foreign_cores(cpu0, _cpu_snapshot(), dt)
+            if fc > FOREIGN_CORES_FLAG:
+                rec["contended"] = True
+                rec["foreign_cores"] = round(fc, 2)
         except Exception as exc:  # keep sweeping; a failure is a finding
             rec = {"name": name, "sec": None, "rows": None, "err": str(exc)[:200]}
         timings.append(rec)
@@ -115,16 +177,21 @@ def main() -> None:
         f.write(f"# Registry profile — {len(queries)} queries\n\n")
         f.write(f"Scale: `{args.sf_dir}` on local[32]; one run per query "
                 f"(build + collect).\n\n")
+        contended = [t for t in ok if t.get("contended")]
         f.write(f"Total: {sum(t['sec'] for t in ok):.1f} s over {len(ok)} queries; "
                 f"{errors} errors; {len(skipped)} audit-grade eval queries "
                 f"timing-skipped (sampled twins profile them; sf0.01 hashes "
-                f"below still cover them; re-include with --audit).\n\n")
+                f"below still cover them; re-include with --audit); "
+                f"{len(contended)} timings CONTENDED (> {FOREIGN_CORES_FLAG} "
+                f"avg external cores during the query — treat those wall "
+                f"times as noise; hashes are unaffected).\n\n")
         f.write("## Top 10 slowest (sf0.1)\n\n| query | sec | rows |\n|---|---|---|\n")
         for t in slowest:
             f.write(f"| {t['name']} | {t['sec']} | {t['rows']} |\n")
-        f.write("\n## All timings (sf0.1)\n\n| query | sec | rows |\n|---|---|---|\n")
+        f.write("\n## All timings (sf0.1)\n\n| query | sec | rows | contended |\n|---|---|---|---|\n")
         for t in timings:
-            f.write(f"| {t['name']} | {t['sec']} | {t['rows']} |\n")
+            fc = f"yes ({t['foreign_cores']} cores)" if t.get("contended") else ""
+            f.write(f"| {t['name']} | {t['sec']} | {t['rows']} | {fc} |\n")
         if hashes:
             f.write("\n## Strict-harness result hashes (sf0.01)\n\n")
             f.write("Canonical md5 over (sorted columns, canonicalized sorted rows) —\n")
