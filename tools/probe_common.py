@@ -50,3 +50,69 @@ def max_task_ms(spark, before: set[int]) -> tuple[float, float]:
         except Exception:
             pass
     return (mx, tot)
+
+
+def release_session_state(spark) -> None:
+    """Between-measurement hygiene (the profile tool's r6 finding, now
+    shared by the probes): accumulated localCheckpoint RDD blocks and
+    per-round broadcast hash tables are only reclaimed by the
+    ContextCleaner after a GC — without this, consecutive measurements on
+    one session read 2-4x apart on identical code (r14 probe finding)."""
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
+
+def proc_tree_cpu_jiffies(root_pid: int) -> int:
+    """Sum utime+stime jiffies over `root_pid` and every descendant
+    (RUSAGE_CHILDREN only counts reaped children — the live JVM child
+    would be invisible to it)."""
+    import os
+
+    info: dict[int, tuple[int, int]] = {}
+    for p in os.listdir("/proc"):
+        if not p.isdigit():
+            continue
+        try:
+            with open(f"/proc/{p}/stat") as fh:
+                s = fh.read()
+        except OSError:
+            continue  # raced a process exit
+        rest = s[s.rindex(")") + 2 :].split()
+        info[int(p)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+    kids: dict[int, list[int]] = {}
+    for pid, (ppid, _) in info.items():
+        kids.setdefault(ppid, []).append(pid)
+    total, stack = 0, [root_pid]
+    while stack:
+        pid = stack.pop()
+        if pid in info:
+            total += info[pid][1]
+            stack.extend(kids.get(pid, ()))
+    return total
+
+
+def cpu_snapshot() -> tuple[int, int]:
+    """(system busy jiffies, own process-tree jiffies)."""
+    import os
+
+    with open("/proc/stat") as fh:
+        vals = [int(x) for x in fh.readline().split()[1:]]
+    busy = sum(vals) - vals[3] - vals[4]  # minus idle + iowait
+    return busy, proc_tree_cpu_jiffies(os.getpid())
+
+
+def foreign_cores(before: tuple[int, int], after: tuple[int, int], wall: float) -> float:
+    """Average EXTERNAL cores busy during the window — contention
+    evidence for a single-run measurement that cannot multi-run."""
+    import os
+
+    if wall <= 0:
+        return 0.0
+    hz = os.sysconf("SC_CLK_TCK")
+    foreign = max(0, (after[0] - before[0]) - (after[1] - before[1])) / hz
+    return foreign / wall

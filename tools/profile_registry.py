@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 import sys
 import time
 
@@ -33,51 +32,10 @@ sys.path.insert(0, ".")
 
 from pyspark.sql import SparkSession  # noqa: E402
 
+from tools.probe_common import cpu_snapshot as _cpu_snapshot  # noqa: E402
+from tools.probe_common import foreign_cores as _foreign_cores  # noqa: E402
+
 FOREIGN_CORES_FLAG = 0.5  # avg external cores during the query => contended
-
-
-def _proc_tree_cpu_jiffies(root_pid: int) -> int:
-    """Sum utime+stime jiffies over `root_pid` and every descendant
-    (RUSAGE_CHILDREN only counts reaped children — the live JVM child
-    would be invisible to it)."""
-    info: dict[int, tuple[int, int]] = {}  # pid -> (ppid, jiffies)
-    for p in os.listdir("/proc"):
-        if not p.isdigit():
-            continue
-        try:
-            with open(f"/proc/{p}/stat") as fh:
-                s = fh.read()
-        except OSError:
-            continue  # raced a process exit
-        rest = s[s.rindex(")") + 2 :].split()
-        info[int(p)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
-    kids: dict[int, list[int]] = {}
-    for pid, (ppid, _) in info.items():
-        kids.setdefault(ppid, []).append(pid)
-    total, stack = 0, [root_pid]
-    while stack:
-        pid = stack.pop()
-        if pid in info:
-            total += info[pid][1]
-            stack.extend(kids.get(pid, ()))
-    return total
-
-
-def _cpu_snapshot() -> tuple[int, int]:
-    """(system busy jiffies, own process-tree jiffies)."""
-    with open("/proc/stat") as fh:
-        vals = [int(x) for x in fh.readline().split()[1:]]
-    busy = sum(vals) - vals[3] - vals[4]  # minus idle + iowait
-    return busy, _proc_tree_cpu_jiffies(os.getpid())
-
-
-def _foreign_cores(before: tuple[int, int], after: tuple[int, int], wall: float) -> float:
-    """Average EXTERNAL cores busy during the window."""
-    if wall <= 0:
-        return 0.0
-    hz = os.sysconf("SC_CLK_TCK")
-    foreign = max(0, (after[0] - before[0]) - (after[1] - before[1])) / hz
-    return foreign / wall
 
 
 def main() -> None:

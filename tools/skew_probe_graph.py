@@ -47,7 +47,10 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
+from tools.probe_common import cpu_snapshot as _cpu_snapshot
+from tools.probe_common import foreign_cores as _foreign_cores
 from tools.probe_common import max_task_ms as _max_task_ms
+from tools.probe_common import release_session_state as _release
 from tools.probe_common import stage_ids as _stage_ids
 
 # what the fixture's ~90% row skew looks like to AQE at real scale,
@@ -68,6 +71,16 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", type=int, nargs=2, default=[20000, 80000])
     ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument(
+        "--runs",
+        type=int,
+        default=2,
+        help="timed runs per (algo, size, regime) cell; MIN is reported. "
+        "r14 probe hygiene: single-run cells on one long-lived session "
+        "read 2-4x apart on identical code (accumulated broadcast/"
+        "checkpoint blocks until GC) — min-of-N with a forced GC between "
+        "runs is the comparable number.",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -152,24 +165,34 @@ def main() -> None:
                         ),
                     )
                 for algo, run, picked in runs:
-                    before = _stage_ids(spark)
-                    t0 = time.monotonic()
-                    out_rows = run()
-                    wall = time.monotonic() - t0
-                    mx, tot = _max_task_ms(spark, before)
-                    rec = {
-                        "algo": algo,
-                        "n_pairs": n_pairs,
-                        "regime": regime,
-                        "rows": out_rows,
-                        "wall_s": round(wall, 2),
-                        "max_task_s": round(mx / 1e3, 2),
-                        "task_total_s": round(tot / 1e3, 2),
-                    }
+                    best = None
+                    walls = []
+                    for _ in range(max(1, args.runs)):
+                        _release(spark)
+                        cpu0 = _cpu_snapshot()
+                        before = _stage_ids(spark)
+                        t0 = time.monotonic()
+                        out_rows = run()
+                        wall = time.monotonic() - t0
+                        mx, tot = _max_task_ms(spark, before)
+                        fc = _foreign_cores(cpu0, _cpu_snapshot(), wall)
+                        walls.append(round(wall, 2))
+                        if best is None or wall < best["wall_s"]:
+                            best = {
+                                "algo": algo,
+                                "n_pairs": n_pairs,
+                                "regime": regime,
+                                "rows": out_rows,
+                                "wall_s": round(wall, 2),
+                                "max_task_s": round(mx / 1e3, 2),
+                                "task_total_s": round(tot / 1e3, 2),
+                                "foreign_cores": round(fc, 2),
+                            }
+                    best["runs"] = walls
                     if picked is not None:
-                        rec["picked"] = picked
-                    print(json.dumps(rec), flush=True)
-                    results.append(rec)
+                        best["picked"] = picked
+                    print(json.dumps(best), flush=True)
+                    results.append(best)
             finally:
                 restore(prev)
 
