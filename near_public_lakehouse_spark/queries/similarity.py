@@ -555,7 +555,18 @@ def _pq_quantize(X):
     return np.floor(X * float(PQ_QUANT) + 0.5).astype(np.int64)
 
 
-def train_pq_codebooks(emb: DataFrame, dim: int = 64):
+def _pq_train_sample(emb: DataFrame):
+    """The bounded training sample as collected rows (vec_id, embedding),
+    ordered by vec_id — ONE driver job shared by codebook training and
+    the query-vector fetch (every vec_id < N_QUERY_VECS is among the
+    PQ_TRAIN_CAP smallest vec_ids, so `pq_topk_frame` reuses this collect
+    instead of running a second filter job; r14 perf recovery)."""
+    return (
+        emb.orderBy("vec_id").limit(PQ_TRAIN_CAP).select("vec_id", "embedding").collect()
+    )
+
+
+def train_pq_codebooks(emb: DataFrame, dim: int = 64, sample=None):
     """Deterministic per-subspace k-means codebooks trained on a bounded
     driver-side sample (orderBy(vec_id).limit — stable under any
     partitioning). Init = the first PQ_K sample sub-vectors; a fixed
@@ -573,7 +584,8 @@ def train_pq_codebooks(emb: DataFrame, dim: int = 64):
     pinned entry-by-entry in tests/test_ann_recall.py."""
     import numpy as np
 
-    sample = emb.orderBy("vec_id").limit(PQ_TRAIN_CAP).select("embedding").collect()
+    if sample is None:
+        sample = _pq_train_sample(emb)
     X = np.array([r.embedding for r in sample], dtype=np.float64)[:, :dim]
     Xq = _pq_quantize(X)
     sub = dim // PQ_M
@@ -764,13 +776,16 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pq_topk_frame(emb: DataFrame, dim: int = 64) -> DataFrame:
     import numpy as np
 
-    books = train_pq_codebooks(emb, dim=dim)  # (M, K, sub) int64 lattice
+    sample = _pq_train_sample(emb)  # ONE driver job: training + queries
+    books = train_pq_codebooks(emb, dim=dim, sample=sample)
     sub = dim // PQ_M
     cnorm2 = (books**2).sum(axis=2)  # (M, K) int64: centroid sq-norms
 
+    # every vec_id < N_QUERY_VECS is among the PQ_TRAIN_CAP smallest, so
+    # the query vectors ride the training collect (identical row set to
+    # the old filter job; r14 perf recovery)
     q_rows = sorted(
-        emb.filter(F.col("vec_id") < N_QUERY_VECS).select("vec_id", "embedding").collect(),
-        key=lambda r: r.vec_id,
+        (r for r in sample if r.vec_id < N_QUERY_VECS), key=lambda r: r.vec_id
     )
     qids = np.array([r.vec_id for r in q_rows])
     Qq = _pq_quantize(
@@ -834,17 +849,22 @@ def pq_topk_frame(emb: DataFrame, dim: int = 64) -> DataFrame:
         .filter(F.col("rn") <= PQ_RERANK)
         .select("qid", "cid")
     )
-    # Exact decimal rerank of the bounded candidate set.
+    # Exact decimal rerank of the bounded candidate set. The candidate
+    # norm is computed ABOVE the join (r14 perf recovery): projecting it
+    # onto `cf` before the join evaluated the interpreted decimal-HOF
+    # fold for EVERY corpus row — O(corpus) folds to rerank O(queries*R)
+    # candidates, the exact shape that cannot survive 100 TB. Post-join
+    # the fold runs only on the joined candidates; values are identical
+    # (same expression, same rows), so the oracle hash cannot move.
     norm = F.sqrt(_dot_dec_col(F.col("embedding"), F.col("embedding")).cast("double"))
     qf = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), norm.alias("qnorm")
     )
-    cf = emb.select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), norm.alias("cnorm")
-    )
+    cf = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
     joined = cand.join(cf, "cid").join(F.broadcast(qf), "qid")
+    cnorm = F.sqrt(_dot_dec_col(F.col("ce"), F.col("ce")).cast("double"))
     cosine = _dot_dec_col(F.col("qe"), F.col("ce")).cast("double") / (
-        F.col("qnorm") * F.col("cnorm")
+        F.col("qnorm") * cnorm
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
     return (
