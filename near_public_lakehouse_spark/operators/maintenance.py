@@ -85,7 +85,15 @@ def compact_partitions(
         from near_public_lakehouse_spark.operators.scd import _orderable
 
         types = {f.name: f.dataType for f in df.schema.fields}
-        hashable = [c for c in df.columns if _orderable(types[c])]
+        # partition_col is excluded from the salt input: it is constant
+        # within a partition, so hashing it alone would make the salt a
+        # per-partition CONSTANT and silently reintroduce the r13
+        # single-task no-op for tables whose payload is all map columns
+        # (r14 review). When no non-partition column is hashable, fall
+        # back to the physical partition id — uneven but task-spreading.
+        hashable = [
+            c for c in df.columns if c != partition_col and _orderable(types[c])
+        ]
         salt_src = (
             F.hash(*[F.col(c) for c in hashable])
             if hashable

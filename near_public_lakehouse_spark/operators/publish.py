@@ -132,6 +132,10 @@ def publish_stream(
     # would silently become a literal local dir and lose the replay fence
     # on driver failover (r13 review; export.py grew the same guard in r6)
     _require_local_path(state_path, "publish_stream (its markers + cursor)")
+    if replay_fence is not None and replay_fence < 1:
+        # a non-positive fence would prune the marker of the batch just
+        # written, destroying the crash-gap no-op fence (r14 review)
+        raise ValueError(f"replay_fence must be >= 1 or None, got {replay_fence}")
     os.makedirs(f"{state_path}/published", exist_ok=True)
 
     def _publish(batch_df: DataFrame, batch_id: int) -> None:

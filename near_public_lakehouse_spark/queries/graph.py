@@ -172,7 +172,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pr_output(_pr_rounds(*_pr_setup(pairs)))
 
 
-def _pr_setup(pairs: DataFrame) -> tuple[DataFrame, DataFrame, float]:
+def _pr_setup(pairs: DataFrame) -> tuple[DataFrame, DataFrame, float, bool]:
     """(contrib, rank0, n, broadcast_state) from an undirected (a, b, w)
     pair list — shared by the registry query and the adversarial-skew
     probes so they measure the PRODUCTION frames. The 4th element is the

@@ -68,9 +68,14 @@ def release_session_state(spark) -> None:
 
 
 def proc_tree_cpu_jiffies(root_pid: int) -> int:
-    """Sum utime+stime jiffies over `root_pid` and every descendant
-    (RUSAGE_CHILDREN only counts reaped children — the live JVM child
-    would be invisible to it)."""
+    """Sum utime+stime (+cutime+cstime) jiffies over `root_pid` and every
+    live descendant. cutime/cstime fold in each process's already-REAPED
+    children (r14 review: a PySpark python worker that exits inside the
+    measurement window vanishes from a live-only walk, and its CPU would
+    be misattributed to FOREIGN load — the JVM reaps it, so its final
+    jiffies land in the JVM's cutime and stay in the own-tree sum).
+    RUSAGE_CHILDREN alone can't do this: it only covers children of the
+    CALLING process, not the JVM's."""
     import os
 
     info: dict[int, tuple[int, int]] = {}
@@ -83,7 +88,10 @@ def proc_tree_cpu_jiffies(root_pid: int) -> int:
         except OSError:
             continue  # raced a process exit
         rest = s[s.rindex(")") + 2 :].split()
-        info[int(p)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+        # fields after comm: state ppid ... utime(11) stime(12) cutime(13)
+        # cstime(14) — cutime/cstime are reaped-children totals
+        own = int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
+        info[int(p)] = (int(rest[1]), own)
     kids: dict[int, list[int]] = {}
     for pid, (ppid, _) in info.items():
         kids.setdefault(ppid, []).append(pid)
@@ -102,7 +110,13 @@ def cpu_snapshot() -> tuple[int, int]:
 
     with open("/proc/stat") as fh:
         vals = [int(x) for x in fh.readline().split()[1:]]
-    busy = sum(vals) - vals[3] - vals[4]  # minus idle + iowait
+    # busy = everything minus idle(3) + iowait(4); guest(8)/guest_nice(9)
+    # are ALREADY folded into user/nice, so subtract them too or KVM-host
+    # guest load double-counts and spuriously flags contention (r14
+    # review; fields may be absent on old kernels).
+    busy = sum(vals) - vals[3] - vals[4]
+    if len(vals) > 9:
+        busy -= vals[8] + vals[9]
     return busy, proc_tree_cpu_jiffies(os.getpid())
 
 
