@@ -943,25 +943,50 @@ ORDER BY n_occurrences DESC, ngram
 """
 
 
+def mg_fold(counts: dict[str, int], items, capacity: int) -> dict[str, int]:
+    """ONE batched-decrement Misra-Gries step: fold `items` (iterable of
+    (gram, count)) into `counts`, then on overflow subtract the
+    d-th-smallest counter value from all and drop <=0 entries — the
+    standard generalization, same lower-bound guarantee. The SHARED
+    kernel (r14 review: the streaming bucket summary carried a verbatim
+    copy) for the batch per-partition summary below and
+    `streaming/jobs.streaming_frequent_ngrams`'s per-bucket state."""
+    for g, c in items:
+        counts[g] = counts.get(g, 0) + int(c)
+    over = len(counts) - capacity
+    if over > 0:
+        cut = sorted(counts.values())[over - 1]
+        counts = {g: c - cut for g, c in counts.items() if c > cut}
+    return counts
+
+
+def mg_ngram_col(width: int = MG_NGRAM_W):
+    """The `width`-token sliding-window phrase column (array<string>)
+    over `text` — shared by `frequent_ngram_mining` and both streaming
+    boilerplate jobs (r14 review: three verbatim copies)."""
+    toks = tokens_col()
+    nwin = F.size(toks) - width + 1
+    return F.when(
+        F.size(toks) >= width,
+        F.transform(
+            F.sequence(F.lit(1), nwin),
+            lambda i: F.array_join(F.slice(toks, i, width), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def mg_candidates(wins: DataFrame, capacity: int) -> DataFrame:
     """Per-partition Misra-Gries over a single `ngram` string column:
     at most `capacity` candidate rows per partition, guaranteed to
     contain every item whose PARTITION count exceeds N_p/capacity (so,
     by pigeonhole over the union, every item whose GLOBAL count exceeds
-    N/capacity survives in at least one partition). Batched decrement:
-    on overflow the d-th-smallest counter value is subtracted from all
-    and <=0 entries drop — the standard generalization, same bound."""
+    N/capacity survives in at least one partition)."""
     import pandas as pd
 
     def _mg(batches):
         counts: dict[str, int] = {}
         for pdf in batches:
-            for g, c in pdf["ngram"].value_counts().items():
-                counts[g] = counts.get(g, 0) + int(c)
-            over = len(counts) - capacity
-            if over > 0:
-                cut = sorted(counts.values())[over - 1]
-                counts = {g: c - cut for g, c in counts.items() if c > cut}
+            counts = mg_fold(counts, pdf["ngram"].value_counts().items(), capacity)
         yield pd.DataFrame({"ngram": list(counts.keys())})
 
     return wins.mapInPandas(_mg, "ngram string")
@@ -1005,16 +1030,7 @@ def frequent_ngram_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold and one candidate count for the broadcast decision.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col()
-    nwin = F.size(toks) - MG_NGRAM_W + 1
-    grams = F.when(
-        F.size(toks) >= MG_NGRAM_W,
-        F.transform(
-            F.sequence(F.lit(1), nwin),
-            lambda i: F.array_join(F.slice(toks, i, MG_NGRAM_W), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    wins = docs.select(F.explode(grams).alias("ngram")).localCheckpoint()
+    wins = docs.select(F.explode(mg_ngram_col()).alias("ngram")).localCheckpoint()
     total = wins.count()  # free: localCheckpoint already materialized
     threshold = max(
         MG_MIN_SUPPORT, (total + MG_SUPPORT_DIVISOR - 1) // MG_SUPPORT_DIVISOR

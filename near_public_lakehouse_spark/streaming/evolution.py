@@ -136,16 +136,33 @@ def probe_json_schema(
         return None
     names.sort()
     sample = [p for _, p in names[-probe_files:]]
-    # ignoreMissingFiles: a file can vanish between the walk above and
-    # the Spark job (live landing zone with compaction/retention) — the
-    # probe must degrade to the surviving sample, not die at stream
-    # start (r13 review; completes the r8 TOCTOU fix).
-    return (
-        spark.read.format("json")
-        .option("ignoreMissingFiles", "true")
-        .load(sample)
-        .schema
-    )
+    # A file can vanish between the walk above and the Spark job (live
+    # landing zone with compaction/retention). ignoreMissingFiles only
+    # covers files that disappear AFTER Spark's own listing (FileScanRDD
+    # task time); an explicitly-listed path deleted before that raises
+    # PATH_NOT_FOUND in DataSource path resolution, which the r13 fix
+    # never reached (r14 review). So: catch it, re-filter the sample to
+    # survivors, retry bounded; degrade to None when everything vanished.
+    from pyspark.errors import AnalysisException
+
+    for _ in range(3):
+        if not sample:
+            return None
+        try:
+            return (
+                spark.read.format("json")
+                .option("ignoreMissingFiles", "true")
+                .load(sample)
+                .schema
+            )
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" not in str(exc):
+                raise
+            survivors = [p for p in sample if os.path.exists(p)]
+            if len(survivors) == len(sample):
+                raise  # error wasn't about OUR files vanishing: surface it
+            sample = survivors
+    return None  # pathological churn: every retry lost files; probe later
 
 
 def read_json_evolving(

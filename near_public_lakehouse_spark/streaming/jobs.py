@@ -39,6 +39,19 @@ def enable_rocksdb_state_store(spark: SparkSession) -> None:
         spark.conf.set(k, v)
 
 
+def _file_stream(spark, path: str, max_files_per_trigger: int | None = None):
+    """Schema-pinned parquet file stream over `path` — the setup every
+    streaming_* constructor used to repeat verbatim (17 copies, r14
+    review): peek the batch schema, apply the optional per-trigger file
+    cap, read through `_stream_path`. One place to fix the next
+    schema-peek edge case."""
+    schema = spark.read.parquet(path).schema
+    r = spark.readStream
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.schema(schema).parquet(_stream_path(path))
+
+
 def _stream_path(path: str) -> str:
     """FileStreamSource treats a concrete file path as its basePath and
     rejects it ("must be a directory"). A single-file GLOB anchors
@@ -59,11 +72,7 @@ def read_events_stream(
     from near_public_lakehouse_spark.session import configure_runtime
 
     configure_runtime(spark)
-    schema = spark.read.parquet(events_dir).schema
-    r = spark.readStream
-    if max_files_per_trigger:
-        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = r.schema(schema).parquet(_stream_path(events_dir))
+    df = _file_stream(spark, events_dir, max_files_per_trigger)
     return df.withColumn(
         "event_time",
         F.timestamp_micros(F.floor(F.col("ts").cast("decimal(38,0)") / F.lit(1000)).cast("bigint")),
@@ -167,7 +176,66 @@ SESSION_OUTPUT_SCHEMA = (
     "user_id bigint, session_start timestamp, last_seen timestamp, "
     "n_events bigint, total_value double"
 )
-SESSION_STATE_SCHEMA = "start_us bigint, last_us bigint, n bigint, total double"
+# r14 state format (BREAKS pre-r14 sessionizer checkpoints — Spark's
+# state-schema check fails LOUDLY, start a fresh checkpoint): the state
+# is now the full set of OPEN sessions as parallel arrays, not one
+# (start, last, n, total) tuple. The single-tuple fold silently merged a
+# within-watermark late event that predated the open session into it
+# (r14 review) — correct sessionization over an out-of-order stream
+# needs every not-yet-emittable session in state, which is exactly what
+# the native session_window keeps too.
+SESSION_STATE_SCHEMA = (
+    "starts array<bigint>, lasts array<bigint>, "
+    "ns array<bigint>, totals array<double>"
+)
+
+
+def _sessions_fold(sessions, events, gap_us):
+    """Interval-merge sessionization kernel, shared by BOTH custom
+    sessionizers so they cannot drift: fold (t_us, value) events into a
+    list of [start_us, last_us, n, total] sessions. An event merges every
+    session whose gap-extended window it touches (it can BRIDGE two
+    sessions); otherwise it opens a new one. Ordering-free: any arrival
+    order folds to the same session set, which is what makes the
+    cross-batch late-event case correct."""
+    for t_us, v in events:
+        val = 0.0 if v is None or v != v else float(v)  # None/NaN-safe
+        merged = [t_us, t_us, 1, val]
+        keep = []
+        for s in sessions:
+            if s[0] <= t_us + gap_us and t_us <= s[1] + gap_us:
+                merged[0] = min(merged[0], s[0])
+                merged[1] = max(merged[1], s[1])
+                merged[2] += s[2]
+                merged[3] += s[3]
+            else:
+                keep.append(s)
+        keep.append(merged)
+        sessions = keep
+    return sorted(sessions, key=lambda s: (s[0], s[1]))
+
+
+def _sessions_split_closed(sessions, wm_us, gap_us):
+    """(closed, open): a session is CLOSED once the watermark passed its
+    gap-extended end — no admissible future event can touch it (late rows
+    beyond the watermark are dropped before the operator)."""
+    closed = [s for s in sessions if s[1] + gap_us <= wm_us]
+    open_ = [s for s in sessions if s[1] + gap_us > wm_us]
+    return closed, open_
+
+
+def _pack_sessions(sessions):
+    return (
+        [s[0] for s in sessions],
+        [s[1] for s in sessions],
+        [s[2] for s in sessions],
+        [s[3] for s in sessions],
+    )
+
+
+def _unpack_sessions(packed):
+    starts, lasts, ns, totals = packed
+    return [list(t) for t in zip(starts, lasts, ns, totals)]
 
 
 def user_sessions_stateful(
@@ -183,57 +251,76 @@ def user_sessions_stateful(
     custom conversion funnels); sessions double as the demo because
     `session_event_stats` is its built-in twin to validate against.
 
-    Scale notes: state is one tiny tuple per live (user) key, Arrow-batched
-    per group; timeout eviction keeps state bounded by the watermark.
+    r14: the fold is the shared interval-merge kernel `_sessions_fold`
+    over ALL open sessions, not a single-tuple append — a within-watermark
+    late event that PREDATES the open session now correctly opens (or
+    bridges) its own earlier session instead of silently inflating the
+    current one (r14 review; cross-batch out-of-order pinned in
+    tests/test_sessions.py). Sessions emit when the watermark passes
+    their gap-extended end — at input time when possible, else at the
+    timer guarding the earliest open session. State schema changed
+    (arrays); pre-r14 sessionizer checkpoints fail Spark's state-schema
+    check loudly — restart them fresh.
+
+    Scale notes: state is the open-session set per live (user) key —
+    bounded by the watermark horizon over gap, the same bound
+    session_window's state manager has; Arrow-batched per group; timer
+    eviction keeps state out of heap once keys go quiet.
     """
     import pandas as pd  # noqa: PLC0415 — executor-side import
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_us = gap_minutes * 60 * 1_000_000
+    gap_ms = gap_minutes * 60 * 1000
+
+    def _timeout_ms(open_, wm_us):
+        # guard the EARLIEST still-open session; the us->ms floor could
+        # land exactly on the watermark, which Spark rejects — clamp past
+        return max(min(s[1] for s in open_) // 1000 + gap_ms, wm_us // 1000 + 1)
+
+    def _emit(user_id, closed):
+        return pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed),
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _, _ in closed],
+                "last_seen": [pd.Timestamp(e, unit="us") for _, e, _, _ in closed],
+                "n_events": [c for _, _, c, _ in closed],
+                "total_value": [tv for _, _, _, tv in closed],
+            }
+        )
 
     def fn(key: tuple, pdfs, state: GroupState):
         (user_id,) = key
+        wm_us = state.getCurrentWatermarkMs() * 1000
         if state.hasTimedOut:
-            start_us, last_us, n, total = state.get
-            state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [user_id],
-                    "session_start": [pd.Timestamp(start_us, unit="us")],
-                    "last_seen": [pd.Timestamp(last_us, unit="us")],
-                    "n_events": [n],
-                    "total_value": [total],
-                }
+            closed, open_ = _sessions_split_closed(
+                _unpack_sessions(state.get), wm_us, gap_us
             )
+            if open_:
+                state.update(_pack_sessions(open_))
+                state.setTimeoutTimestamp(_timeout_ms(open_, wm_us))
+            else:
+                state.remove()
+            if closed:
+                yield _emit(user_id, closed)
             return
-        start_us = last_us = None
-        n, total = 0, 0.0
-        if state.exists:
-            start_us, last_us, n, total = state.get
-        closed = []
+        sessions = _unpack_sessions(state.get) if state.exists else []
         rows = pd.concat(list(pdfs)).sort_values("event_time")
-        for t, v in zip(rows["event_time"], rows["value"]):
-            t_us = int(t.value // 1000)  # pandas ns -> us
-            if start_us is None:
-                start_us, last_us, n, total = t_us, t_us, 0, 0.0
-            elif t_us - last_us > gap_us:
-                closed.append((start_us, last_us, n, total))
-                start_us, last_us, n, total = t_us, t_us, 0, 0.0
-            n += 1
-            total += 0.0 if v is None or v != v else float(v)  # None/NaN-safe
-            last_us = max(last_us, t_us)
-        state.update((start_us, last_us, n, total))
-        state.setTimeoutTimestamp((last_us // 1000) + gap_minutes * 60 * 1000)
+        events = [
+            (int(t.value // 1000), v)  # pandas ns -> us
+            for t, v in zip(rows["event_time"], rows["value"])
+        ]
+        sessions = _sessions_fold(sessions, events, gap_us)
+        # sessions already closable (the watermark advanced past them
+        # while other keys kept the query busy) emit NOW, not at timeout
+        closed, open_ = _sessions_split_closed(sessions, wm_us, gap_us)
+        if open_:
+            state.update(_pack_sessions(open_))
+            state.setTimeoutTimestamp(_timeout_ms(open_, wm_us))
+        else:  # unreachable with input rows (they outrun the watermark)
+            state.remove()
         if closed:
-            yield pd.DataFrame(
-                {
-                    "user_id": [user_id] * len(closed),
-                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _, _ in closed],
-                    "last_seen": [pd.Timestamp(e, unit="us") for _, e, _, _ in closed],
-                    "n_events": [c for _, _, c, _ in closed],
-                    "total_value": [tv for _, _, _, tv in closed],
-                }
-            )
+            yield _emit(user_id, closed)
 
     return (
         events.select("user_id", "event_time", "value")
@@ -316,35 +403,50 @@ def user_sessions_tws(
 
         def handleInputRows(self, key, rows, timerValues: TimerValues):
             (user_id,) = key
-            start_us = last_us = None
-            n, total = 0, 0.0
-            if self._state.exists():
-                start_us, last_us, n, total = tuple(self._state.get())
-            closed = []
+            wm_us = timerValues.getCurrentWatermarkInMs() * 1000
+            sessions = (
+                _unpack_sessions(tuple(self._state.get()))
+                if self._state.exists()
+                else []
+            )
             batch = pd.concat(list(rows)).sort_values("event_time")
-            for t, v in zip(batch["event_time"], batch["value"]):
-                t_us = int(t.value // 1000)
-                if start_us is None:
-                    start_us, last_us, n, total = t_us, t_us, 0, 0.0
-                elif t_us - last_us > gap_us:
-                    closed.append((start_us, last_us, n, total))
-                    start_us, last_us, n, total = t_us, t_us, 0, 0.0
-                n += 1
-                total += 0.0 if v is None or v != v else float(v)
-                last_us = max(last_us, t_us)
-            self._state.update((start_us, last_us, n, total))
+            events = [
+                (int(t.value // 1000), v)
+                for t, v in zip(batch["event_time"], batch["value"])
+            ]
+            sessions = _sessions_fold(sessions, events, gap_us)
+            closed, open_ = _sessions_split_closed(sessions, wm_us, gap_us)
             for expiry_ms in list(self._handle.listTimers()):
                 self._handle.deleteTimer(expiry_ms)
-            self._handle.registerTimer(last_us // 1000 + gap_ms)
+            if open_:
+                self._state.update(_pack_sessions(open_))
+                self._handle.registerTimer(
+                    max(min(s[1] for s in open_) // 1000 + gap_ms, wm_us // 1000 + 1)
+                )
+            else:
+                self._state.clear()
             if closed:
                 yield _session_df(user_id, closed)
 
         def handleExpiredTimer(self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo):
             (user_id,) = key
             if self._state.exists():
-                start_us, last_us, n, total = tuple(self._state.get())
-                self._state.clear()
-                yield _session_df(user_id, [(start_us, last_us, n, total)])
+                wm_us = timerValues.getCurrentWatermarkInMs() * 1000
+                closed, open_ = _sessions_split_closed(
+                    _unpack_sessions(tuple(self._state.get())), wm_us, gap_us
+                )
+                if open_:
+                    self._state.update(_pack_sessions(open_))
+                    self._handle.registerTimer(
+                        max(
+                            min(s[1] for s in open_) // 1000 + gap_ms,
+                            wm_us // 1000 + 1,
+                        )
+                    )
+                else:
+                    self._state.clear()
+                if closed:
+                    yield _session_df(user_id, closed)
 
         def close(self) -> None:
             pass
@@ -386,11 +488,7 @@ def streaming_decontamination(
     """
     from near_public_lakehouse_spark.queries.text import decontaminate, doc_ngrams
 
-    schema = spark.read.parquet(docs_path).schema
-    r = spark.readStream
-    if max_files_per_trigger:
-        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = r.schema(schema).parquet(_stream_path(docs_path))
+    stream = _file_stream(spark, docs_path, max_files_per_trigger)
     corpus = doc_ngrams(stream).filter(F.col("doc_id") % 97 != 0)
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -427,11 +525,7 @@ def streaming_incremental_dedup(
     the curation loop, and it lives in the table, not the stream."""
     from near_public_lakehouse_spark.queries.dedup import incremental_dedup_frames
 
-    schema = spark.read.parquet(docs_path).schema
-    r = spark.readStream
-    if max_files_per_trigger:
-        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = r.schema(schema).parquet(_stream_path(docs_path))
+    stream = _file_stream(spark, docs_path, max_files_per_trigger)
     incoming = stream.filter(F.col("doc_id") % 10 == 0)
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -476,24 +570,10 @@ def streaming_frequent_ngrams(
     import pandas as pd  # noqa: PLC0415 — executor-side import
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from near_public_lakehouse_spark.queries.text import MG_NGRAM_W
+    from near_public_lakehouse_spark.queries.text import mg_fold, mg_ngram_col
 
-    schema = spark.read.parquet(docs_path).schema
-    r = spark.readStream
-    if max_files_per_trigger:
-        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = r.schema(schema).parquet(_stream_path(docs_path))
-
-    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    nwin = F.size(toks) - MG_NGRAM_W + 1
-    grams = F.when(
-        F.size(toks) >= MG_NGRAM_W,
-        F.transform(
-            F.sequence(F.lit(1), nwin),
-            lambda i: F.array_join(F.slice(toks, i, MG_NGRAM_W), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    wins = stream.select(F.explode(grams).alias("ngram")).select(
+    stream = _file_stream(spark, docs_path, max_files_per_trigger)
+    wins = stream.select(F.explode(mg_ngram_col()).alias("ngram")).select(
         "ngram",
         (F.abs(F.xxhash64("ngram")) % n_buckets).cast("int").alias("bucket"),
     )
@@ -507,12 +587,7 @@ def streaming_frequent_ngrams(
             counts = dict(zip(grams_l, counts_l))
         for pdf in pdfs:
             total += len(pdf)
-            for g, c in pdf["ngram"].value_counts().items():
-                counts[g] = counts.get(g, 0) + int(c)
-            over = len(counts) - capacity
-            if over > 0:
-                cut = sorted(counts.values())[over - 1]
-                counts = {g: c - cut for g, c in counts.items() if c > cut}
+            counts = mg_fold(counts, pdf["ngram"].value_counts().items(), capacity)
         state.update((list(counts.keys()), [int(c) for c in counts.values()], total))
         yield pd.DataFrame(
             {
@@ -575,23 +650,10 @@ def streaming_boilerplate_decontamination(
     crossing the threshold cannot retro-flag docs already emitted;
     re-running the batch decontamination over the full corpus is the
     compaction that restores symmetry."""
-    from near_public_lakehouse_spark.queries.text import MG_NGRAM_W, mg_candidates
+    from near_public_lakehouse_spark.queries.text import mg_candidates, mg_ngram_col
 
-    schema = spark.read.parquet(docs_path).schema
-    r = spark.readStream
-    if max_files_per_trigger:
-        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = r.schema(schema).parquet(_stream_path(docs_path))
-
-    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    nwin = F.size(toks) - MG_NGRAM_W + 1
-    grams = F.when(
-        F.size(toks) >= MG_NGRAM_W,
-        F.transform(
-            F.sequence(F.lit(1), nwin),
-            lambda i: F.array_join(F.slice(toks, i, MG_NGRAM_W), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    stream = _file_stream(spark, docs_path, max_files_per_trigger)
+    grams = mg_ngram_col()
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
@@ -675,11 +737,7 @@ def streaming_substring_clean(
         doc_windows,
     )
 
-    schema = spark.read.parquet(docs_path).schema
-    r = spark.readStream
-    if max_files_per_trigger:
-        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = r.schema(schema).parquet(_stream_path(docs_path))
+    stream = _file_stream(spark, docs_path, max_files_per_trigger)
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
@@ -718,7 +776,7 @@ def compact_substring_index(
     index_path: str,
     checkpoint: str | None = None,
     key_col: str | Sequence[str] = "h",
-    count_col: str = "n_docs",
+    count_col: str | Sequence[str] = "n_docs",
 ) -> int:
     """Fold a streaming per-batch count index (`batch_id=N` dirs of
     (key..., count) partial counts) into one aggregated dir. Serves the
@@ -813,11 +871,23 @@ def compact_substring_index(
         return 0
     read_paths = list(dirs) + ([target] if os.path.exists(target) else [])
     keys = [key_col] if isinstance(key_col, str) else list(key_col)
-    merged = (
-        spark.read.option("basePath", index_path)
-        .parquet(*read_paths)
-        .groupBy(*keys)
-        .agg(F.sum(count_col).alias(count_col))
+    sum_cols = [count_col] if isinstance(count_col, str) else list(count_col)
+    src = spark.read.option("basePath", index_path).parquet(*read_paths)
+    # Preserve EVERY index column (r14 review: the old fold kept only
+    # (keys, count_col), so compacting the CDC/winnowing/DSIR indexes —
+    # which this docstring advertises — destroyed columns their
+    # *_from_state readers aggregate). Merge rule mirrors the readers:
+    # listed count columns SUM (partial counts), every other non-key
+    # column MIN (the readers' own fold for chunk_len/example_doc_id —
+    # min of mins commutes, so compact-then-read == read-all-dirs).
+    others = [
+        c
+        for c in src.columns
+        if c not in keys and c not in sum_cols and c != "batch_id"
+    ]
+    merged = src.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sum_cols],
+        *[F.min(c).alias(c) for c in others],
     )
     merged.write.mode("overwrite").parquet(tmp)
     with open(os.path.join(tmp, "_FOLDED"), "w") as fh:
@@ -886,11 +956,7 @@ def streaming_adaptive_thresholds(
         sig_key_col,
     )
 
-    schema = spark.read.parquet(docs_path).schema
-    r = spark.readStream
-    if max_files_per_trigger:
-        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = r.schema(schema).parquet(_stream_path(docs_path))
+    stream = _file_stream(spark, docs_path, max_files_per_trigger)
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
@@ -941,11 +1007,15 @@ def data_card_from_state(spark: SparkSession, index_path: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.sum("n").alias("n_docs_fp"),
-            F.count(F.lit(1)).alias("n_distinct_fp"),
+            # count(col), not count(*): a NULL fingerprint (empty text)
+            # is a group here but batch countDistinct EXCLUDES it — the
+            # r14 review parity fix
+            F.count("fingerprint").alias("n_distinct_fp"),
         )
     )
     sums = (
         spark.read.option("basePath", f"{index_path}/sums")
+        .option("mergeSchema", "true")
         .parquet(f"{index_path}/sums/batch_id=*")
         .groupBy("source")
         .agg(
@@ -954,6 +1024,12 @@ def data_card_from_state(spark: SparkSession, index_path: str) -> DataFrame:
             F.sum("total_bpe_tokens").alias("total_bpe_tokens"),
             F.sum("n_quality_fail").alias("n_quality_fail"),
             F.sum("sum_q").alias("sum_q"),
+            # batch mean_quality is avg(q) = sum over NON-NULL q only; a
+            # doc with no tokens has NULL q and must not dilute the mean
+            # (r14 review). Old state dirs predate n_q: mergeSchema reads
+            # them as NULL, and their rows fall back to n_docs (the
+            # pre-fix denominator) so mixed-era state stays readable.
+            F.sum(F.coalesce(F.col("n_q"), F.col("n_docs"))).alias("n_q"),
         )
     )
     return sums.join(fp, "source").select(
@@ -963,7 +1039,7 @@ def data_card_from_state(spark: SparkSession, index_path: str) -> DataFrame:
         "total_bpe_tokens",
         (F.col("n_docs_fp") - F.col("n_distinct_fp")).alias("n_exact_dup_docs"),
         "n_quality_fail",
-        (F.col("sum_q") / F.col("n_docs")).alias("mean_quality"),
+        (F.col("sum_q") / F.col("n_q")).alias("mean_quality"),
     )
 
 
@@ -997,11 +1073,7 @@ def streaming_source_data_card(
     incremental dedup index maintains); everything else is O(sources)."""
     from near_public_lakehouse_spark.queries.curation import card_row_metrics
 
-    schema = spark.read.parquet(docs_path).schema
-    r = spark.readStream
-    if max_files_per_trigger:
-        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = r.schema(schema).parquet(_stream_path(docs_path))
+    stream = _file_stream(spark, docs_path, max_files_per_trigger)
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
@@ -1020,6 +1092,7 @@ def streaming_source_data_card(
                 F.sum("n_bpe").alias("total_bpe_tokens"),
                 F.sum("qfail").alias("n_quality_fail"),
                 F.sum("q").alias("sum_q"),
+                F.count("q").alias("n_q"),  # avg(q) denominator parity
             )
             .write.mode("overwrite")
             .parquet(f"{index_path}/sums/batch_id={batch_id}")
@@ -1088,11 +1161,7 @@ def streaming_quality_mixture(
     )
     from near_public_lakehouse_spark.queries.text import tokens_col
 
-    schema = spark.read.parquet(docs_path).schema
-    r = spark.readStream
-    if max_files_per_trigger:
-        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = r.schema(schema).parquet(_stream_path(docs_path))
+    stream = _file_stream(spark, docs_path, max_files_per_trigger)
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
@@ -1173,7 +1242,7 @@ def streaming_dsir_importance(
     space regardless of stream length:
       {index_path}/buckets/batch_id=N  (b, rc, tc) — this batch's raw /
         target bucket counts; folds with compact_substring_index
-        (key_col="b", count_col=["rc", "tc"] via two passes) or stays
+        (key_col="b", count_col=["rc", "tc"] — one pass, r14) or stays
         partitioned — either way the fold read is <= 4096 rows per dir.
       {index_path}/totals/batch_id=N   (n_raw, n_tgt) — one row.
       {index_path}/scores/batch_id=N   the product: per-doc importance.
@@ -1187,11 +1256,7 @@ def streaming_dsir_importance(
         dsir_feature_stream,
     )
 
-    schema = spark.read.parquet(docs_path).schema
-    r = spark.readStream
-    if max_files_per_trigger:
-        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = r.schema(schema).parquet(_stream_path(docs_path))
+    stream = _file_stream(spark, docs_path, max_files_per_trigger)
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
@@ -1290,11 +1355,7 @@ def streaming_cdc_chunks(
     documents."""
     from near_public_lakehouse_spark.queries.dedup import cdc_chunk_instances
 
-    schema = spark.read.parquet(docs_path).schema
-    r = spark.readStream
-    if max_files_per_trigger:
-        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = r.schema(schema).parquet(_stream_path(docs_path))
+    stream = _file_stream(spark, docs_path, max_files_per_trigger)
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         (
@@ -1406,11 +1467,7 @@ def streaming_sequence_packing(
     )
     from near_public_lakehouse_spark.queries.text import tokens_col
 
-    schema = spark.read.parquet(docs_path).schema
-    r = spark.readStream
-    if max_files_per_trigger:
-        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = r.schema(schema).parquet(_stream_path(docs_path))
+    stream = _file_stream(spark, docs_path, max_files_per_trigger)
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         lens = batch_df.select(
@@ -1467,11 +1524,7 @@ def streaming_winnowing(
     replay-idempotent overwrite dirs, compactable by fingerprint."""
     from near_public_lakehouse_spark.queries.dedup import winnowing_selections
 
-    schema = spark.read.parquet(docs_path).schema
-    r = spark.readStream
-    if max_files_per_trigger:
-        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = r.schema(schema).parquet(_stream_path(docs_path))
+    stream = _file_stream(spark, docs_path, max_files_per_trigger)
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         fp = winnowing_selections(batch_df).select(
@@ -1534,11 +1587,7 @@ def streaming_weighted_sample(
     batches before compaction (re-fold partials into one dir)."""
     from near_public_lakehouse_spark.queries.sampling import weighted_sample_frame
 
-    schema = spark.read.parquet(docs_path).schema
-    r = spark.readStream
-    if max_files_per_trigger:
-        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = r.schema(schema).parquet(_stream_path(docs_path))
+    stream = _file_stream(spark, docs_path, max_files_per_trigger)
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         weighted_sample_frame(batch_df).drop("rnk").write.mode("overwrite").parquet(
@@ -1583,11 +1632,7 @@ def streaming_retrieval_index(
     from near_public_lakehouse_spark.queries.retrieval import _postings
     from near_public_lakehouse_spark.queries.text import tokens_col
 
-    schema = spark.read.parquet(docs_path).schema
-    r = spark.readStream
-    if max_files_per_trigger:
-        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = r.schema(schema).parquet(_stream_path(docs_path))
+    stream = _file_stream(spark, docs_path, max_files_per_trigger)
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         _postings(batch_df).write.mode("overwrite").parquet(
@@ -1665,11 +1710,7 @@ def streaming_public_table(
     (e.g. public_logs) taking (silver_df, processed_time)."""
     from near_public_lakehouse_spark.plans.public import publish_public_table
 
-    schema = spark.read.parquet(silver_path).schema
-    r = spark.readStream
-    if max_files_per_trigger:
-        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = r.schema(schema).parquet(_stream_path(silver_path))
+    stream = _file_stream(spark, silver_path, max_files_per_trigger)
 
     def _batch(batch_df: DataFrame, _batch_id: int) -> None:
         publish_public_table(spark, table, build(batch_df, processed_time), out_dir)
@@ -1755,13 +1796,18 @@ def _fold_actions_batch(
     publish_public_table(spark, "actions", result, out_dir)
 
     # Park only facts still WAITING on a dimension — not facts the
-    # pipeline drops semantically (an origins row with '' transaction
-    # hash never publishes, in batch or stream; parking those would grow
-    # pending state without bound). Every other join in public_actions is
-    # a pure equi-join with no filter, so absence there = not-arrived-yet.
+    # pipeline drops semantically (an origins row with '' OR NULL
+    # transaction hash never publishes: batch filters != '', which
+    # excludes NULL too, so the detector must match BOTH or a NULL-hash
+    # fact re-parks and re-joins five dimensions every trigger forever —
+    # r14 review). Every other join in public_actions is a pure
+    # equi-join with no filter, so absence there = not-arrived-yet.
     dropped = facts.join(
         dims["silver_receipt_originated_from_transaction"]
-        .filter(F.col("originated_from_transaction_hash") == "")
+        .filter(
+            F.col("originated_from_transaction_hash").isNull()
+            | (F.col("originated_from_transaction_hash") == "")
+        )
         .select("block_date", "receipt_id"),
         ["block_date", "receipt_id"],
         "left_semi",
@@ -1792,11 +1838,7 @@ def streaming_public_actions(
     import os
 
     fact_path = silver_paths[ACTIONS_FACT]
-    schema = spark.read.parquet(fact_path).schema
-    r = spark.readStream
-    if max_files_per_trigger:
-        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = r.schema(schema).parquet(_stream_path(fact_path))
+    stream = _file_stream(spark, fact_path, max_files_per_trigger)
     pending = os.path.join(checkpoint, "pending_facts")
 
     def _batch(batch_df: DataFrame, _bid: int) -> None:
@@ -1922,11 +1964,7 @@ def streaming_public_supply(
     tests/test_streaming_gold_publish.py."""
     import os
 
-    schema = spark.read.parquet(gold_supply_path).schema
-    r = spark.readStream
-    if max_files_per_trigger:
-        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = r.schema(schema).parquet(_stream_path(gold_supply_path))
+    stream = _file_stream(spark, gold_supply_path, max_files_per_trigger)
     pending = os.path.join(checkpoint, "pending_supply")
 
     def _batch(batch_df: DataFrame, _bid: int) -> None:
@@ -1965,24 +2003,65 @@ def flush_pending_supply(
 
 
 def _fold_balances_batch(
-    spark: SparkSession, changes: DataFrame, state: str, epoch_date: str
+    spark: SparkSession, changes: DataFrame, state: str, epoch_date: str,
+    pending: str,
 ) -> None:
     """One micro-batch of the near_balances daily-latest fold: incoming
     account_change rows within the epoch fence fold into one-row-per-
     account state, SEQUENCE BY block_height — a late or out-of-order
     change row folds to the same state as a full recompute, and a replay
     of the same rows is a fixpoint. State is O(accounts seen), never the
-    change history."""
+    change history.
+
+    Rows DATED PAST the epoch fence PARK under `pending` instead of being
+    dropped (r14 review): the stream checkpoint marks their files
+    processed, so a silent drop would lose them for every later epoch —
+    the same policy as the actions/supply twins. Each batch re-offers the
+    parked set against the CURRENT fence, so re-running the consumer
+    with the next epoch_date folds them in with no checkpoint reset
+    (`flush_pending_balances` does it without new input). A NULL
+    block_date folds now (it can never satisfy a later fence; parking it
+    would re-park forever)."""
     import os
 
     from near_public_lakehouse_spark.operators.scd import latest_by
 
     _recover_pending(state)
-    fresh = changes.filter(F.col("block_date") <= F.lit(epoch_date))
+    _recover_pending(pending)
+    if os.path.isdir(pending):
+        changes = changes.unionByName(spark.read.parquet(pending))
+    changes = changes.localCheckpoint()
+    beyond = changes.filter(F.col("block_date") > F.lit(epoch_date))
+    fresh = changes.filter(
+        F.coalesce(F.col("block_date") <= F.lit(epoch_date), F.lit(True))
+    )
     if os.path.isdir(state):
         fresh = fresh.unionByName(spark.read.parquet(state))
     folded = latest_by(fresh, ["affected_account_id"], "block_height")
     _swap_dir(state, folded)
+    _swap_dir(pending, beyond)
+
+
+def flush_pending_balances(
+    spark: SparkSession, changes_path: str, checkpoint: str, epoch_date: str
+) -> int:
+    """Re-offer parked future-epoch change rows against a (typically
+    advanced) epoch fence without new stream input — call after bumping
+    the consumer's epoch_date at epoch close. Returns the number still
+    parked (rows dated past even the new fence keep waiting)."""
+    import os
+
+    pending = os.path.join(checkpoint, "pending_balances")
+    _recover_pending(pending)
+    if not os.path.isdir(pending):
+        return 0
+    empty = spark.read.parquet(changes_path).limit(0)
+    _fold_balances_batch(
+        spark, empty, os.path.join(checkpoint, "balances_state"), epoch_date, pending
+    )
+    return (
+        spark.read.parquet(pending).count() if os.path.isdir(pending) else 0
+    )
 
 
 def streaming_public_balances(
@@ -2008,15 +2087,12 @@ def streaming_public_balances(
     through latest-row-per-account selections (both W1 windows)."""
     import os
 
-    schema = spark.read.parquet(changes_path).schema
-    r = spark.readStream
-    if max_files_per_trigger:
-        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = r.schema(schema).parquet(_stream_path(changes_path))
+    stream = _file_stream(spark, changes_path, max_files_per_trigger)
     state = os.path.join(checkpoint, "balances_state")
+    pending = os.path.join(checkpoint, "pending_balances")
 
     def _batch(batch_df: DataFrame, _bid: int) -> None:
-        _fold_balances_batch(spark, batch_df, state, epoch_date)
+        _fold_balances_batch(spark, batch_df, state, epoch_date, pending)
 
     return (
         stream.writeStream.foreachBatch(_batch)

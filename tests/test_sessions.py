@@ -118,3 +118,92 @@ def test_transform_with_state_sessionizer_matches(spark, staged, tmp_path):
     rows = spark.sql("SELECT * FROM sessions_tws").collect()
     got = {(r.user_id, _start_hour(r.session_start), r.n_events, r.total_value) for r in rows}
     assert got == EXPECTED_CLOSED
+
+
+# --- r14: cross-batch OUT-OF-ORDER events (review finding #1) ---------------
+#
+# gap 4h, watermark 1 day. The pre-r14 single-tuple fold merged any
+# within-watermark late event into the OPEN session regardless of its
+# time; the interval-merge kernel must instead:
+# - user 7: b0 has h10, h11 (open [10,11]); b1 delivers LATE h2 (own
+#   earlier session — 8h before the open start) and LATE h7 (extends the
+#   open session's start backward: 10-7 <= gap). Closed: (2.0, n=1) and
+#   (7.0, n=3).
+# - user 9: b0 has h3 and h10 (two open sessions); b1's LATE h6.5
+#   BRIDGES them (3.5h to each side) into one session [3,10] n=3.
+# - user 8 at h50 (b2) pushes the watermark to h26, closing everything
+#   above; its own session stays open and must not appear.
+
+EXPECTED_OOO = {
+    (7, 2.0, 1, 5.0),
+    (7, 7.0, 3, 6.0),
+    (9, 3.0, 3, 30.0),
+}
+
+
+@pytest.fixture(scope="module")
+def staged_ooo(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("session_events_ooo"))
+    b0 = [
+        (0, BASE + 10 * NS_H, 7, "view", 1.0),
+        (1, BASE + 11 * NS_H, 7, "view", 2.0),
+        (2, BASE + 3 * NS_H, 9, "view", 10.0),
+        (3, BASE + 10 * NS_H, 9, "view", 10.0),
+    ]
+    b1 = [
+        (4, BASE + 2 * NS_H, 7, "view", 5.0),  # late: own earlier session
+        (5, BASE + 7 * NS_H, 7, "view", 3.0),  # late: extends start backward
+        (6, BASE + 13 * NS_H // 2, 9, "view", 10.0),  # late: bridges two
+    ]
+    b2 = [(7, BASE + 50 * NS_H, 8, "view", 99.0)]
+    for i, rows in enumerate([b0, b1, b2]):
+        _write(spark, root, rows, i)
+    return root
+
+
+def test_stateful_sessionizer_handles_cross_batch_late_events(
+    spark, staged_ooo, tmp_path
+):
+    ev = jobs.read_events_stream(
+        spark, os.path.join(staged_ooo, "b*"), max_files_per_trigger=1
+    )
+    sess = jobs.user_sessions_stateful(ev, gap_minutes=240, watermark="1 day")
+    jobs.run_to_memory(sess, "sessions_ooo_state", str(tmp_path / "ck1"))
+    rows = spark.sql("SELECT * FROM sessions_ooo_state").collect()
+    got = {
+        (r.user_id, _start_hour(r.session_start), r.n_events, r.total_value)
+        for r in rows
+    }
+    assert got == EXPECTED_OOO
+
+
+def test_session_window_matches_stateful_on_late_events(spark, staged_ooo, tmp_path):
+    """The native twin agrees — so the custom kernel's late-event
+    semantics are session_window's, not an approximation."""
+    ev = jobs.read_events_stream(
+        spark, os.path.join(staged_ooo, "b*"), max_files_per_trigger=1
+    )
+    agg = jobs.session_event_stats(ev, gap="4 hours", watermark="1 day")
+    jobs.run_to_memory(agg, "sessions_ooo_native", str(tmp_path / "ck2"))
+    rows = spark.sql("SELECT * FROM sessions_ooo_native").collect()
+    got = {
+        (r.user_id, _start_hour(r.session_start), r.n_events, r.total_value)
+        for r in rows
+    }
+    assert got == EXPECTED_OOO
+
+
+def test_tws_sessionizer_handles_cross_batch_late_events(spark, staged_ooo, tmp_path):
+    pytest.importorskip("google.protobuf")
+    jobs.enable_rocksdb_state_store(spark)
+    ev = jobs.read_events_stream(
+        spark, os.path.join(staged_ooo, "b*"), max_files_per_trigger=1
+    )
+    sess = jobs.user_sessions_tws(ev, gap_minutes=240, watermark="1 day")
+    jobs.run_to_memory(sess, "sessions_ooo_tws", str(tmp_path / "ck3"))
+    rows = spark.sql("SELECT * FROM sessions_ooo_tws").collect()
+    got = {
+        (r.user_id, _start_hour(r.session_start), r.n_events, r.total_value)
+        for r in rows
+    }
+    assert got == EXPECTED_OOO
