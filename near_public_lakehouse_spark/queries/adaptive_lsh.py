@@ -53,6 +53,7 @@ from pyspark.sql import functions as F
 
 from near_public_lakehouse_spark.queries.dedup import (
     DTOKS_SQL,
+    jaccard_cols,
     _band_key_df,
     _band_keys_sql,
     _dtoks_col,
@@ -90,7 +91,14 @@ def _s2_band_cols():
             F.col("sig")[band * S2_BAND_SIZE + k].cast("string")
             for k in range(S2_BAND_SIZE)
         ]
-        cols.append(F.concat(F.lit(f"s2:{band}:"), F.concat_ws("_", *parts)))
+        # NULL for zero-token docs — the oracle's `||` NULL-propagates
+        # (r14 review; see dedup._fixed_band_cols)
+        cols.append(
+            F.when(
+                F.col("sig")[0].isNotNull(),
+                F.concat(F.lit(f"s2:{band}:"), F.concat_ws("_", *parts)),
+            )
+        )
     return cols
 
 
@@ -198,7 +206,16 @@ def _adaptive_pairs(docs: DataFrame) -> DataFrame:
     what the direct doc-level join produced. Cross-group pairs keep the
     per-pair agreement test at least(thr_a, thr_b).
     """
-    sigs = _sig_df(docs, "source").localCheckpoint()
+    return _adaptive_pairs_from_sigs(_sig_df(docs, "source").localCheckpoint())
+
+
+def _adaptive_pairs_from_sigs(sigs: DataFrame) -> DataFrame:
+    """`_adaptive_pairs` over an already-CHECKPOINTED (doc_id, source,
+    sig) frame — split out (r14 review) so the eval scorecards can feed
+    ONE materialized signature frame to every consumer instead of
+    re-running the tokenize + 12-minhash chain per consumer (the exact
+    CPU constant optimization #1 above exists to avoid, paid ~4x by
+    `_bands_eval_frame` before the split)."""
     keys = _s2_keys_from_sigs(sigs)
     cfg = _source_thresholds(keys)
     sk = sigs.withColumn("sk", sig_key_col())
@@ -213,7 +230,7 @@ def _adaptive_pairs(docs: DataFrame) -> DataFrame:
     n_docs = sigs.count()  # free: localCheckpoint already materialized it
     small = n_docs <= _dd.VERIFY_BROADCAST_MAX_REPS
     n_part = int(
-        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        sigs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
     gflat = grp.select(
         "gid",
@@ -293,32 +310,37 @@ def _adaptive_pairs(docs: DataFrame) -> DataFrame:
 WITHIN_HOT_GROUP_MEMBERS = 50_000
 
 
-def _within_group_pairs(members: DataFrame, n_docs: int | None = None) -> DataFrame:
-    """(doc_a < doc_b) pairs within each (source, sk) signature group,
-    with hot groups (> WITHIN_HOT_GROUP_MEMBERS members) routed through a
-    salted self-join so no single task owns a hot group's m^2/2 share.
+def _within_group_pairs(
+    members: DataFrame,
+    n_docs: int | None = None,
+    keys: tuple[str, ...] = ("source", "sk"),
+) -> DataFrame:
+    """(doc_a < doc_b) pairs within each `keys` signature group, with hot
+    groups (> WITHIN_HOT_GROUP_MEMBERS members) routed through a salted
+    self-join so no single task owns a hot group's m^2/2 share. `keys` is
+    ("source", "sk") for the adaptive path and ("sk",) for the fixed-band
+    path (dedup._grouped_band_pairs — r14 review: it previously ran a
+    plain self-join with the same single-task cliff the adaptive twin had
+    already fenced).
 
     `n_docs` (total member count, already materialized by the caller)
     skips the detection aggregate entirely when the corpus is provably
     too small to contain a hot group — max group size <= n_docs, so
     local/bench runs pay ZERO extra jobs (r12 review finding)."""
-    xa = members.select(
-        "source", "sk", F.col("doc_id").alias("da")
-    )
-    ya = members.select(
-        "source", "sk", F.col("doc_id").alias("db")
-    )
+    keys = list(keys)
+    xa = members.select(*keys, F.col("doc_id").alias("da"))
+    ya = members.select(*keys, F.col("doc_id").alias("db"))
 
     def plain(x: DataFrame, y: DataFrame) -> DataFrame:
         return (
-            x.join(y, ["source", "sk"])
+            x.join(y, keys)
             .filter(F.col("da") < F.col("db"))
             .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"))
         )
 
     if n_docs is not None and n_docs <= WITHIN_HOT_GROUP_MEMBERS:
         return plain(xa, ya)
-    counts = members.groupBy("source", "sk").count()
+    counts = members.groupBy(*keys).count()
     max_group = counts.agg(F.max("count")).first()[0] or 0
     if max_group <= WITHIN_HOT_GROUP_MEMBERS:
         return plain(xa, ya)
@@ -329,19 +351,17 @@ def _within_group_pairs(members: DataFrame, n_docs: int | None = None) -> DataFr
     # groups exceeding the threshold number at most corpus/threshold —
     # a bounded, broadcastable key list by construction
     hot_keys = F.broadcast(
-        counts.filter(F.col("count") > WITHIN_HOT_GROUP_MEMBERS).select(
-            "source", "sk"
-        )
+        counts.filter(F.col("count") > WITHIN_HOT_GROUP_MEMBERS).select(*keys)
     )
     cold = plain(
-        xa.join(hot_keys, ["source", "sk"], "left_anti"),
-        ya.join(hot_keys, ["source", "sk"], "left_anti"),
+        xa.join(hot_keys, keys, "left_anti"),
+        ya.join(hot_keys, keys, "left_anti"),
     )
     hot = (
         salted_join(
-            xa.join(hot_keys, ["source", "sk"], "left_semi"),
-            ya.join(hot_keys, ["source", "sk"], "left_semi"),
-            ["source", "sk"],
+            xa.join(hot_keys, keys, "left_semi"),
+            ya.join(hot_keys, keys, "left_semi"),
+            keys,
             buckets=n_part,
         )
         .filter(F.col("da") < F.col("db"))
@@ -352,7 +372,11 @@ def _within_group_pairs(members: DataFrame, n_docs: int | None = None) -> DataFr
 
 def _fixed_pairs(docs: DataFrame) -> DataFrame:
     """The fixed 4x3 candidate set (same plan as minhash_lsh_candidates)."""
-    sigs = _band_key_df(docs)
+    return _fixed_pairs_from_keys(_band_key_df(docs))
+
+
+def _fixed_pairs_from_keys(band_keys: DataFrame) -> DataFrame:
+    sigs = band_keys
     a = sigs.alias("a")
     b = sigs.alias("b")
     return (
@@ -368,7 +392,11 @@ def _fixed_pairs(docs: DataFrame) -> DataFrame:
 
 def _superset_pairs(docs: DataFrame) -> DataFrame:
     """All size-2 band candidates (no agreement filter)."""
-    keys = _s2_keys_df(docs).select("doc_id", "band_key")
+    return _superset_pairs_from_keys(_s2_keys_df(docs))
+
+
+def _superset_pairs_from_keys(s2_keys: DataFrame) -> DataFrame:
+    keys = s2_keys.select("doc_id", "band_key")
     a = keys.alias("a")
     b = keys.alias("b")
     return (
@@ -383,16 +411,19 @@ def _superset_pairs(docs: DataFrame) -> DataFrame:
 
 
 def _scored_superset(sup: DataFrame, docs: DataFrame) -> DataFrame:
+    return _scored_superset_from_sigs(sup, _sig_df(docs, "source"))
+
+
+def _scored_superset_from_sigs(sup: DataFrame, sigs: DataFrame) -> DataFrame:
     """Reattach per-doc signatures and per-source thresholds to superset
     pairs. The per-doc signature table is O(corpus) rows, so it joins back
     via plain SHUFFLE hash joins on doc_a/doc_b — broadcasting it is an
     executor OOM at scale (VERDICT r6/r7 task #2; fixed round 8). Only
     the per-SOURCE cfg table (bounded rows) is broadcast. Plan shape
     pinned in tests/test_plan_shapes.py."""
-    keys = _s2_keys_df(docs)
-    cfg = _source_thresholds(keys)
+    cfg = _source_thresholds(_s2_keys_from_sigs(sigs))
     flat = (
-        _sig_df(docs, "source")
+        sigs
         .join(F.broadcast(cfg), "source")
         .select(
             "doc_id",
@@ -418,8 +449,7 @@ def _truth_within(sup: DataFrame, docs: DataFrame) -> DataFrame:
     shuffle joins, never broadcast (VERDICT r6/r7 task #2; fixed round 8,
     plan-pinned)."""
     toks = docs.select("doc_id", _dtoks_col().alias("t"))
-    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
-    union = F.size(F.col("ta")) + F.size(F.col("tb")) - inter
+    _, _, jac = jaccard_cols(F.col("ta"), F.col("tb"))
     return (
         sup.join(
             toks.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta")),
@@ -429,7 +459,7 @@ def _truth_within(sup: DataFrame, docs: DataFrame) -> DataFrame:
             toks.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb")),
             "doc_b",
         )
-        .filter(inter.cast("double") / union >= 0.8)
+        .filter(jac >= 0.8)
         .select("doc_a", "doc_b")
     )
 
@@ -564,7 +594,7 @@ def minhash_adaptive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     of all-pairs quadratic. Diagnostic query: runtime is bounded by the
     superset pair count, same as the candidate generators themselves —
     AUDIT-GRADE by design (full corpus, exact integers); the routine
-    health-check is `minhash_adaptive_eval_sampled` at ~1/16 the pair
+    health-check is `minhash_adaptive_eval_sampled` at ~1/44 the pair
     workload."""
     docs = load_table(spark, sf_dir, "documents")
     return _adaptive_eval_frame(docs)
@@ -581,10 +611,21 @@ def _adaptive_eval_frame(docs: DataFrame) -> DataFrame:
     # INDEPENDENTLY so the superset check stays a real check (deriving
     # fixed membership from the superset rows would make
     # `superset_violations = 0` tautological).
-    sup = _superset_pairs(docs).localCheckpoint()
-    fixed = _fixed_pairs(docs).localCheckpoint()
+    # ONE materialized signature frame for superset, fixed membership and
+    # the scored reattach (r14 review — see _bands_eval_frame); fixed
+    # membership still comes from its OWN band join over those sig
+    # values, so the superset check stays a real check.
+    from near_public_lakehouse_spark.queries import dedup as _dd
 
-    scored = _scored_superset(sup, docs)
+    sigs = _sig_df(docs, "source").localCheckpoint()
+    sup = _superset_pairs_from_keys(_s2_keys_from_sigs(sigs)).localCheckpoint()
+    fixed = _fixed_pairs_from_keys(
+        sigs.select(
+            "doc_id", F.explode(F.array(*_dd._fixed_band_cols())).alias("band_key")
+        )
+    ).localCheckpoint()
+
+    scored = _scored_superset_from_sigs(sup, sigs)
     agree = None
     for i in range(N_HASHES):
         t = (F.col(f"h{i}_x") == F.col(f"h{i}_y")).cast("int")
@@ -746,8 +787,7 @@ def _assignments_frame(docs: DataFrame) -> DataFrame:
             "doc_a",
             "doc_b",
         )
-    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
-    union = F.size(F.col("toks_a")) + F.size(F.col("toks_b")) - inter
+    _, _, jac = jaccard_cols(F.col("toks_a"), F.col("toks_b"))
     # Size prefilter, IMPLIED by the Jaccard bound (J <= min/max of the
     # set sizes, so J >= t forces min >= t * max): two int comparisons
     # short-circuit the array_intersect — the dominant verify CPU — for
@@ -757,7 +797,7 @@ def _assignments_frame(docs: DataFrame) -> DataFrame:
     verified = (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
-        .filter(size_ok & ((inter.cast("double") / union) >= VERIFY_JACCARD))
+        .filter(size_ok & (jac >= VERIFY_JACCARD))
         .select("doc_a", "doc_b")
     )
     exact = fam.filter(F.col("doc_id") != F.col("keeper")).select(
@@ -825,7 +865,11 @@ def _pairs_from_flat(flat: DataFrame) -> DataFrame:
 
 
 def _banded_flat(docs: DataFrame) -> DataFrame:
-    keys = _s2_keys_df(docs)
+    return _banded_flat_from_sigs(_sig_df(docs, "source"))
+
+
+def _banded_flat_from_sigs(sigs: DataFrame) -> DataFrame:
+    keys = _s2_keys_from_sigs(sigs)
     cfg = _source_thresholds(keys)
     return (
         keys.join(F.broadcast(cfg), "source")
@@ -935,12 +979,21 @@ def minhash_adaptive_bands_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bands_eval_frame(docs: DataFrame) -> DataFrame:
-    adapt = _adaptive_pairs(docs).localCheckpoint()
-    banded = _pairs_from_flat(_banded_flat(docs)).localCheckpoint()
-    keys = _s2_keys_df(docs)
-    cfg = _source_thresholds(keys).localCheckpoint()
+    # ONE materialized signature frame feeds all four consumers (adaptive
+    # pairs, banded pairs, cfg, superset) — previously each recomputed
+    # the tokenize + 12-minhash chain from `docs`, paying the dominant
+    # per-doc HOF CPU ~4x (r14 review). Values are identical by
+    # construction (the sig chain is deterministic), so the oracle
+    # hashes cannot move; only the truth join re-tokenizes (it needs the
+    # token SETS, which the sig frame deliberately does not carry).
+    sigs = _sig_df(docs, "source").localCheckpoint()
+    adapt = _adaptive_pairs_from_sigs(sigs).localCheckpoint()
+    banded = _pairs_from_flat(_banded_flat_from_sigs(sigs)).localCheckpoint()
+    cfg = _source_thresholds(_s2_keys_from_sigs(sigs)).localCheckpoint()
 
-    truth = _truth_within(_superset_pairs(docs), docs).localCheckpoint()
+    truth = _truth_within(
+        _superset_pairs_from_keys(_s2_keys_from_sigs(sigs)), docs
+    ).localCheckpoint()
 
     def n(df: DataFrame, name: str) -> DataFrame:
         return df.agg(F.count(F.lit(1)).alias(name))
@@ -1000,8 +1053,8 @@ def _sampled_docs(docs: DataFrame) -> DataFrame:
 )
 def minhash_adaptive_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The adaptive-vs-fixed scorecard over a seeded deterministic
-    {EVAL_SAMPLE_PCT}% document sample — same frames, same integers
-    semantics, ~1/16 the pair workload. The routine health-check;
+    15% document sample (EVAL_SAMPLE_PCT) — same frames, same integer
+    semantics, ~(0.15)^2 ~= 1/44 the pair workload. The routine health-check;
     `minhash_adaptive_eval` remains the audit-grade exact version."""
     docs = load_table(spark, sf_dir, "documents")
     return _adaptive_eval_frame(_sampled_docs(docs))
@@ -1014,7 +1067,7 @@ def minhash_adaptive_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def minhash_adaptive_bands_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The band-count-adaptation scorecard over the same seeded
-    {EVAL_SAMPLE_PCT}% document sample — routine health-check twin of the
-    audit-grade `minhash_adaptive_bands_eval`."""
+    15% document sample (EVAL_SAMPLE_PCT) — routine health-check twin of
+    the audit-grade `minhash_adaptive_bands_eval`."""
     docs = load_table(spark, sf_dir, "documents")
     return _bands_eval_frame(_sampled_docs(docs))

@@ -152,9 +152,7 @@ def _jaccard_pairs(
     d = d.join(F.broadcast(ok), ["source", "len_bucket"])
     a = d.alias("a")
     b = d.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
-    union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
-    jac = inter.cast("double") / union
+    _, _, jac = jaccard_cols(F.col("a.toks"), F.col("b.toks"))
     return (
         a.join(
             b,
@@ -217,6 +215,16 @@ def _sig_df(docs: DataFrame, *extra: str) -> DataFrame:
     return docs.select("doc_id", *extra, sig_expr.alias("sig"))
 
 
+def jaccard_cols(ta, tb):
+    """(intersection size, union size, jaccard) over two token-array
+    columns — THE dedup similarity, shared by every verify site in this
+    module and adaptive_lsh (r14 review: five verbatim copies could
+    silently drift)."""
+    inter = F.size(F.array_intersect(ta, tb))
+    union = F.size(ta) + F.size(tb) - inter
+    return inter, union, inter.cast("double") / union
+
+
 def sig_key_col():
     """Compact deterministic identity key for a full 12-hash signature —
     the groupable stand-in for the array itself (md5 over the joined
@@ -224,21 +232,39 @@ def sig_key_col():
     grouping by the array). Shared by the fixed-band group compression
     here, the adaptive calibration (queries/adaptive_lsh.py), and the
     streaming state fold (streaming/jobs.py)."""
-    return F.md5(
-        F.concat_ws("_", *[F.col("sig")[i].cast("string") for i in range(len(MINHASH_A))])
+    # NULL for a zero-token doc (its min-hashes are all NULL): concat_ws
+    # SKIPS NULLs, so every empty doc would otherwise share md5("") and
+    # the group machinery would pair them all — while the DuckDB oracle's
+    # NULL-propagating `||` emits nothing (r14 review). A NULL key makes
+    # every sk equi-join/self-join skip these rows, matching the oracle.
+    return F.when(
+        F.col("sig")[0].isNotNull(),
+        F.md5(
+            F.concat_ws(
+                "_", *[F.col("sig")[i].cast("string") for i in range(len(MINHASH_A))]
+            )
+        ),
     )
 
 
 def _fixed_band_cols():
+    # NULL band keys for zero-token docs (see sig_key_col): the oracle's
+    # `||` yields NULL there, and concat(lit, concat_ws(...)) would
+    # otherwise emit '0:'..'3:' keys that mutually collide every empty
+    # doc — O(n_empty^2) candidates the oracle never produces (r14
+    # review; same guard in adaptive_lsh._s2_band_cols).
     return [
-        F.concat(
-            F.lit(f"{band}:"),
-            F.concat_ws(
-                "_",
-                *[
-                    F.col("sig")[band * BAND_SIZE + k].cast("string")
-                    for k in range(BAND_SIZE)
-                ],
+        F.when(
+            F.col("sig")[0].isNotNull(),
+            F.concat(
+                F.lit(f"{band}:"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col("sig")[band * BAND_SIZE + k].cast("string")
+                        for k in range(BAND_SIZE)
+                    ],
+                ),
             ),
         )
         for band in range(N_BANDS)
@@ -253,7 +279,9 @@ def _band_key_df(docs: DataFrame) -> DataFrame:
     )
 
 
-def _grouped_band_pairs(sigs: DataFrame, wide: bool = False) -> DataFrame:
+def _grouped_band_pairs(
+    sigs: DataFrame, wide: bool = False, n_docs: int | None = None
+) -> DataFrame:
     """The DISTINCT fixed-band collision pair set (doc_a < doc_b) over a
     (doc_id, sig) frame, with the quadratic band self-join run on
     IDENTICAL-SIGNATURE GROUPS (the round-11 move that brought the
@@ -308,13 +336,20 @@ def _grouped_band_pairs(sigs: DataFrame, wide: bool = False) -> DataFrame:
             F.greatest("da", "db").alias("doc_b"),
         )
     )
-    x = members.alias("x")
-    y = members.alias("y")
-    within = x.join(
-        y,
-        (F.col("x.sk") == F.col("y.sk")) & (F.col("x.doc_id") < F.col("y.doc_id")),
-    ).select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-    return cross.unionByName(within)
+    # Within-group pairing via the adaptive path's shared hot-group
+    # machinery (r14 review: this used to be a plain self-join, leaving
+    # the single-task m^2/2 cliff open on the fixed-band engine that the
+    # adaptive twin had already fenced — a >50k-member identical-sig
+    # group is only ~MBs of shuffle, invisible to AQE's byte-based skew
+    # split, yet quadratic CPU). `n_docs` skips detection when the
+    # caller's materialized count proves no group can be hot.
+    from near_public_lakehouse_spark.queries.adaptive_lsh import (
+        _within_group_pairs,
+    )
+
+    return cross.unionByName(
+        _within_group_pairs(members, n_docs=n_docs, keys=("sk",))
+    )
 
 
 @query(
@@ -428,7 +463,13 @@ def simhash_frame(docs: DataFrame) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda a, x: a + x,
     )
-    return docs.select("doc_id", fingerprint.alias("simhash"))
+    # Zero-token docs are OUTSIDE the fingerprint domain: the oracle's
+    # unnest produces no rows for them, while the HOF fold would keep the
+    # zero accumulator and emit (doc_id, 0) — a row-count divergence on
+    # any corpus with an empty doc (r14 review).
+    return docs.filter(F.size(hashes) > 0).select(
+        "doc_id", fingerprint.alias("simhash")
+    )
 
 
 # Embedding-cosine near-dup: pairs above this similarity are duplicates.
@@ -695,7 +736,9 @@ def _lsh_verified_pairs(fam: DataFrame) -> DataFrame:
     # compression both re-enter them); candidates come from the
     # signature-GROUP band join — the identical pair set with the
     # quadratic stage on groups (see _grouped_band_pairs).
-    cand = _grouped_band_pairs(_sig_df(reps).localCheckpoint(), wide=bcast)
+    cand = _grouped_band_pairs(
+        _sig_df(reps).localCheckpoint(), wide=bcast, n_docs=n_reps
+    )
     if bcast:
         # The broadcast verify join below runs map-side at the candidate
         # frame's parallelism; spread the pairs explicitly past AQE's
@@ -710,9 +753,7 @@ def _lsh_verified_pairs(fam: DataFrame) -> DataFrame:
     tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     if bcast:
         ta, tb = F.broadcast(ta), F.broadcast(tb)
-    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
-    union = F.size(F.col("toks_a")) + F.size(F.col("toks_b")) - inter
-    jac = inter.cast("double") / union
+    _, _, jac = jaccard_cols(F.col("toks_a"), F.col("toks_b"))
     return (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
@@ -1090,12 +1131,11 @@ def incremental_dedup_frames(incoming: DataFrame, corpus: DataFrame) -> DataFram
     cand = inc_bk.join(cor_bk, "band_key").select("doc_id", "cdoc").distinct()
     inc_toks = incoming.select("doc_id", _dtoks_col().alias("itoks"))
     cor_toks = corpus.select(F.col("doc_id").alias("cdoc"), _dtoks_col().alias("ctoks"))
-    inter = F.size(F.array_intersect(F.col("itoks"), F.col("ctoks")))
-    union = F.size(F.col("itoks")) + F.size(F.col("ctoks")) - inter
+    _, _, jac = jaccard_cols(F.col("itoks"), F.col("ctoks"))
     near = (
         cand.join(inc_toks, "doc_id")
         .join(cor_toks, "cdoc")
-        .filter(inter.cast("double") / union >= INC_JACCARD_THRESHOLD)
+        .filter(jac >= INC_JACCARD_THRESHOLD)
         .groupBy("doc_id")
         .agg(F.min("cdoc").alias("near_match"))
     )
@@ -1512,7 +1552,7 @@ def cdc_chunk_instances(docs: DataFrame) -> DataFrame:
 def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking dedup: every document is split at
     content-determined boundaries (a token whose 32-bit md5 hash is
-    0 mod {CDC_MOD} ends a chunk), chunks are fingerprinted, and chunk
+    0 mod CDC_MOD=8 ends a chunk), chunks are fingerprinted, and chunk
     families occurring more than once are reported with occurrence/doc
     counts. Boundaries move WITH the content, so two documents sharing a
     long span produce identical chunks even when the span sits at
@@ -1524,7 +1564,7 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode until chunks exist, no Python); then ONE shuffle keyed on
     chunk_hash whose partial aggregation collapses duplicates map-side.
     State per key is a counter, never chunk text — the hash is the key.
-    At 100 TB the chunk-instance stream is ~n_tokens/{CDC_MOD} rows of
+    At 100 TB the chunk-instance stream is ~n_tokens/CDC_MOD rows of
     (hash, doc_id), the same order as any shingle pipeline here."""
     docs = load_table(spark, sf_dir, "documents")
     inst = cdc_chunk_instances(docs).drop("chunk")
@@ -1639,8 +1679,8 @@ def winnowing_selections(docs: DataFrame) -> DataFrame:
 @query("winnowing_matches", tags=("dedup", "beyond-reference"), oracle=_WIN_ORACLE)
 def winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (Schleimer et al., SIGMOD'03 — the MOSS fingerprinting
-    scheme): per document, hash every {WIN_K}-token k-gram, slide a
-    {WIN_W}-wide window over the hash stream, and select each window's
+    scheme): per document, hash every WIN_K=3-token k-gram, slide a
+    WIN_W=4-wide window over the hash stream, and select each window's
     rightmost minimal hash; fingerprints shared by >= 2 documents are
     reported. The density guarantee (one fingerprint per {WIN_W} k-grams,
     every shared run >= {WIN_W + WIN_K - 1} tokens detected) is what
