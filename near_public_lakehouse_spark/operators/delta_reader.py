@@ -136,6 +136,43 @@ class DeltaSnapshot:
 _PRUNE_OPS = ("=", "<", "<=", ">", ">=", "in")
 
 
+def _decoded_file_path(F):
+    """`_metadata.file_path` as a RAW filesystem path expression:
+    Spark reports a URI (space -> %20 etc.) while the DV row pairs and
+    partition-value frames carry os.path.abspath strings — one encoded
+    character made every identity match miss, silently resurrecting
+    DV-deleted rows and nulling reconstituted partition columns (r14
+    review). url_decode undoes %XX; '+' is pre-escaped because it is a
+    LITERAL in a URI path but decodes to space under form rules."""
+    return F.url_decode(
+        F.regexp_replace(F.col("_metadata.file_path"), r"\+", "%2B")
+    )
+
+
+def _parse_ts(v):
+    """ISO-ish timestamp string -> tz-aware datetime (naive = UTC, the
+    Delta stats convention), or None when unparseable. Lexicographic
+    comparison of timestamp stats mis-prunes when an external writer
+    emits fractional-seconds or zone suffixes ('...00.000Z' >
+    '...00') — r14 review; datetimes compare chronologically."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        dt = v
+    elif isinstance(v, str):
+        try:
+            dt = _dt.datetime.fromisoformat(
+                v.strip().replace(" ", "T", 1).replace("Z", "+00:00")
+            )
+        except ValueError:
+            return None
+    else:
+        return None
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=_dt.timezone.utc)
+    return dt
+
+
 def _excluded_by_bounds(op: str, lo, hi, v) -> bool:
     """True iff NO x with lo <= x <= hi can satisfy `x op v`. A missing
     bound (None) is unbounded on that side, so exclusion is never
@@ -228,9 +265,11 @@ def prune_snapshot_files(snap: DeltaSnapshot, where) -> DeltaSnapshot:
             if t == "boolean":
                 return raw == "true"
             if t.startswith("timestamp"):
-                # spec serializes pv as '2021-01-01 00:00:00' while stats
-                # use ISO-T; normalize so one literal serves both paths.
-                return raw.replace(" ", "T", 1)
+                # spec serializes pv as '2021-01-01 00:00:00'; parse to a
+                # datetime so comparison is chronological, not
+                # lexicographic (r14 review)
+                ts = _parse_ts(raw)
+                return ts if ts is not None else _UNKNOWN
             if t in ("string", "date"):
                 return raw  # ISO dates compare lexicographically == chronologically
         except (ValueError, ArithmeticError):
@@ -260,8 +299,9 @@ def prune_snapshot_files(snap: DeltaSnapshot, where) -> DeltaSnapshot:
                     if isinstance(v, str):
                         return v.lower() == "true"
                     return _UNKNOWN
-                if t.startswith("timestamp") and isinstance(v, str):
-                    return v.replace(" ", "T", 1)
+                if t.startswith("timestamp"):
+                    ts = _parse_ts(v)
+                    return ts if ts is not None else _UNKNOWN
             except (ValueError, TypeError, ArithmeticError):
                 return _UNKNOWN
         return v
@@ -317,8 +357,22 @@ def prune_snapshot_files(snap: DeltaSnapshot, where) -> DeltaSnapshot:
             else:
                 if st is None:
                     st = json.loads(a["stats"]) if a.get("stats") else {}
+                if op == "in" and any(x is None for x in v):
+                    # null-safe IN on a DATA column: the file may hold
+                    # NULL rows the bounds can't see (bounds only cover
+                    # non-null values). Exclusion needs nullCount == 0;
+                    # without it, keep (r14 review — a [None]-only list
+                    # previously pruned EVERY file vacuously).
+                    nc = (st.get("nullCount") or {}).get(key)
+                    if not isinstance(nc, int) or nc > 0:
+                        continue
                 lo = (st.get("minValues") or {}).get(key)
                 hi = (st.get("maxValues") or {}).get(key)
+                t = fields.get(col, {}).get("type")
+                if isinstance(t, str) and t.startswith("timestamp"):
+                    # unparseable bound -> None = unbounded (never
+                    # excludes through that side)
+                    lo, hi = _parse_ts(lo), _parse_ts(hi)
                 try:
                     if _excluded_by_bounds(op, lo, hi, lit):
                         excluded = True
@@ -692,7 +746,7 @@ class DeltaLogReader:
         def tag(frame):
             return frame.select(
                 "*",
-                F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/").alias(
+                F.regexp_replace(_decoded_file_path(F), "^file:/*", "/").alias(
                     "__df_file"
                 ),
                 F.col("_metadata.row_index").alias("__df_row"),
@@ -899,7 +953,7 @@ class DeltaLogReader:
             g = spark.read.schema(phys).parquet(*group_paths)
             g = g.select(
                 "*",
-                F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/").alias(
+                F.regexp_replace(_decoded_file_path(F), "^file:/*", "/").alias(
                     "__df_file"
                 ),
                 F.col("_metadata.row_index").alias("__df_row"),

@@ -213,6 +213,7 @@ def _commit(
     schema_json: str,
     data_change: bool = True,
     txn: dict[str, int] | None = None,
+    meta: dict | None = None,
 ) -> int:
     version = 0 if base_version is None else base_version + 1
     # Data-skipping stats: reuse the predecessor's entries for carried-over
@@ -233,6 +234,8 @@ def _commit(
     }
     if txn:
         manifest["txn"] = txn
+    if meta:
+        manifest["meta"] = meta
     _publish(table_dir, version, manifest)
     return version
 
@@ -292,7 +295,10 @@ def files_for_version(
     v = latest_version(table_dir) if version is None else version
     if v is None or not os.path.exists(_manifest_path(table_dir, v)):
         raise FileNotFoundError(f"{table_dir} has no version {version!r}")
-    m = _read_manifest(table_dir, v)
+    return _files_from_manifest(_read_manifest(table_dir, v), predicate)
+
+
+def _files_from_manifest(m: dict, predicate: list[tuple] | None) -> list[str]:
     files = m["files"]
     if predicate:
         stats = m.get("stats", {})
@@ -323,7 +329,9 @@ def read_version(
         raise FileNotFoundError(
             f"version {v} of {table_dir} was vacuumed (missing {missing[:3]}...)"
         )
-    files = files_for_version(table_dir, v, predicate)
+    # one manifest read serves the vacuum check AND the pruning (the
+    # files_for_version call here used to re-stat + re-parse it, r14)
+    files = _files_from_manifest(m, predicate)
     from pyspark.sql.types import StructType
 
     if not files:
@@ -518,12 +526,25 @@ def history(table_dir: str) -> list[dict]:
     ]
 
 
-def vacuum(table_dir: str, retain_last: int = 1) -> list[str]:
+def vacuum(
+    table_dir: str, retain_last: int = 1, min_age_seconds: float = 3600.0
+) -> list[str]:
     """Drop data files referenced ONLY by versions older than the last
     `retain_last` manifests (and orphaned commit dirs no manifest ever
     published). Returns the removed table-relative paths. Manifests of
     vacuumed versions are kept — history stays listable, reads of those
-    versions fail with an explicit error (Delta behaves the same)."""
+    versions fail with an explicit error (Delta behaves the same).
+
+    ``min_age_seconds``: an UNREFERENCED commit dir younger than this is
+    left alone — it is indistinguishable from a concurrent writer's
+    in-flight commit (data written, manifest not yet linked), and
+    deleting it would corrupt the version that writer is about to
+    publish (r14 review; real Delta VACUUM has a retention window for
+    exactly this race). Commit dirs referenced only by OLD versions are
+    age-exempt: a manifest already points at them, so no in-flight
+    publish can adopt them. Pass 0 only when no writer can be live."""
+    import time
+
     versions = _versions(table_dir)
     keep_versions = versions[-retain_last:] if retain_last else []
     live: set[str] = set()
@@ -536,12 +557,22 @@ def vacuum(table_dir: str, retain_last: int = 1) -> list[str]:
     ever_referenced: set[str] = set()
     for v in versions:
         ever_referenced.update(_read_manifest(table_dir, v)["files"])
+    now = time.time()
     for commit in sorted(os.listdir(data_root)):
         cdir = os.path.join(data_root, commit)
         rel = [os.path.join(_DATA, commit, n) for n in sorted(os.listdir(cdir))]
         if any(f in live for f in rel):
             continue
-        # Entire commit dir is dead: old-version-only or orphaned crash.
+        if not any(f in ever_referenced for f in rel):
+            # No manifest ever pointed here: crash orphan OR an in-flight
+            # commit racing us — only age can tell them apart.
+            try:
+                age = now - os.path.getmtime(cdir)
+            except OSError:
+                continue  # raced the writer's own cleanup
+            if age < min_age_seconds:
+                continue
+        # Dead: old-version-only, or an orphan past the in-flight window.
         removed.extend(rel)
         shutil.rmtree(cdir)
     return removed
@@ -597,27 +628,27 @@ def tail_into(
             floor = -1 if since is None else since
             end = min(src_latest, floor + max_versions_per_batch)
         if since is not None and end <= since:
-            return {"source_version": since, "target_version": base, "n_files": 0}
+            # already drained: marked so tail_until_drained can skip it —
+            # appending a no-op dict broke the "one result per batch that
+            # did work" contract its mirror twin honors (r14 review)
+            return {
+                "source_version": since,
+                "target_version": base,
+                "n_files": 0,
+                "drained": True,
+            }
         plan, _schema = _changes_plan(source_dir, since, end, skip_change_commits)
         prior = _read_manifest(target_dir, base)["files"] if base is not None else []
         if not plan:
             # Nothing added in the window (compaction / skipped change
-            # commits): advance the watermark with a data-less commit — the
-            # file set is unchanged, so downstream feeds see nothing.
-            prior_schema = (
-                _read_manifest(target_dir, base)["schema"] if base is not None else _schema or "{}"
-            )
-            try:
-                return {
-                    "source_version": end,
-                    "target_version": _commit(
-                        target_dir, "tail", prior, base, prior_schema,
-                        data_change=False, txn={app: end},
-                    ),
-                    "n_files": 0,
-                }
-            except CommitConflict:
-                continue
+            # commits): advance the watermark with a data-less commit via
+            # the SHARED helper (this branch was an inline copy of
+            # _watermark_only_commit, r14 review).
+            r = _watermark_only_commit(target_dir, base, app, end, "tail", _schema)
+            if r is None:
+                continue  # lost the commit race: re-derive and retry
+            r["n_files"] = r.pop("n_rows")
+            return r
         batch = read_changes(
             spark, source_dir, since_version=since, end_version=end,
             skip_change_commits=skip_change_commits,
@@ -732,12 +763,9 @@ def _watermark_only_commit(
     """Advance a consumer watermark with a data-less commit that reuses
     the target's current files (tail_into's empty-window branch, shared by
     the mirrors). None on a lost commit race (caller retries)."""
-    prior = _read_manifest(target_dir, base)["files"] if base is not None else []
-    prior_schema = (
-        _read_manifest(target_dir, base)["schema"]
-        if base is not None
-        else fallback_schema or "{}"
-    )
+    m = _read_manifest(target_dir, base) if base is not None else None
+    prior = m["files"] if m is not None else []
+    prior_schema = m["schema"] if m is not None else fallback_schema or "{}"
     try:
         return {
             "source_version": end,
@@ -847,7 +875,7 @@ def tail_until_drained(
             skip_change_commits=skip_change_commits,
             max_versions_per_batch=max_versions_per_batch,
         )
-        if r["source_version"] is None:
+        if r["source_version"] is None or r.get("drained"):
             return results
         results.append(r)
         if src_latest is not None and r["source_version"] >= src_latest:
@@ -1289,6 +1317,7 @@ def versioned_scd2(
                     _write_data(hist, table_dir),
                     None,
                     hist.schema.json(),
+                    meta={"scd2_n_buckets": int(n_buckets or 0)},
                 )
             except CommitConflict:
                 continue
@@ -1297,7 +1326,18 @@ def versioned_scd2(
             f.get("name") == BUCKET_COL
             for f in json.loads(m["schema"]).get("fields", [])
         )
-        if n_buckets and stored_has_buckets:
+        # The bucket count is a LAYOUT constant: pruning with a different
+        # modulus than the stored rows were bucketed under silently
+        # corrupts the history (a touched key's old rows can land in
+        # "untouched" — r14 review). Every scd2 commit records its count
+        # in manifest meta; the pruned path runs ONLY when the recorded
+        # count matches the requested one. A mismatch — or a pre-r14
+        # table with buckets but no recorded count — takes the full
+        # rewrite below, which re-buckets under the requested count and
+        # records it (the documented migration path, correct at any
+        # count, just not incremental).
+        recorded_buckets = m.get("meta", {}).get("scd2_n_buckets")
+        if n_buckets and stored_has_buckets and recorded_buckets == n_buckets:
             touched = sorted(
                 r[0]
                 for r in changes.select(_bucket_of(keys, n_buckets).alias("b"))
@@ -1330,7 +1370,10 @@ def versioned_scd2(
             )
             files = keep + _write_data(out, table_dir)
             try:
-                return _commit(table_dir, "scd2", files, base, out.schema.json())
+                return _commit(
+                    table_dir, "scd2", files, base, out.schema.json(),
+                    meta={"scd2_n_buckets": int(n_buckets)},
+                )
             except CommitConflict:
                 continue
         stored = read_version(spark, table_dir, base).select(*data_cols)
@@ -1342,7 +1385,10 @@ def versioned_scd2(
             hist = hist.repartition(n_buckets, BUCKET_COL)
         files = _write_data(hist, table_dir)
         try:
-            return _commit(table_dir, "scd2", files, base, hist.schema.json())
+            return _commit(
+                table_dir, "scd2", files, base, hist.schema.json(),
+                meta={"scd2_n_buckets": int(n_buckets or 0)},
+            )
         except CommitConflict:
             continue
     raise CommitConflict(f"scd2 apply into {table_dir} lost {_retries} races")

@@ -170,9 +170,13 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         arrays = []
         for field in self._arrow_schema:
             if field.name == "_commit_version":
-                col = pa.array([version] * n, type=field.type)
+                # pa.repeat, NOT pa.array([v] * n): the list form builds
+                # an n-element Python-object list per file read (hundreds
+                # of MB transiently on a 10M-row file, GIL-bound) in the
+                # stream's hot path (r14 review)
+                col = pa.repeat(pa.scalar(version, type=field.type), n)
             elif field.name == "_change_type":
-                col = pa.array([change] * n, type=field.type)
+                col = pa.repeat(pa.scalar(change, type=field.type), n)
             elif field.name in tbl.column_names:
                 col = tbl.column(field.name).cast(field.type).combine_chunks()
             else:

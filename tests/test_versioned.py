@@ -94,7 +94,12 @@ def test_orphaned_data_is_invisible_and_vacuumed(spark, tmp_path):
     V.commit_overwrite(_df(spark, [(1, "a")]), t)
     V._write_data(_df(spark, [(99, "crash")]), t)  # no manifest => orphan
     assert _rows(V.read_version(spark, t)) == [(1, "a")]
-    removed = V.vacuum(t, retain_last=1)
+    # r14: a FRESH unreferenced dir is inside the in-flight retention
+    # window (it could be a live writer's commit-in-progress) — the
+    # default vacuum must spare it; min_age_seconds=0 is the explicit
+    # "no writer is live" crash cleanup.
+    assert V.vacuum(t, retain_last=1) == []
+    removed = V.vacuum(t, retain_last=1, min_age_seconds=0)
     assert removed  # the orphan's files
     assert _rows(V.read_version(spark, t)) == [(1, "a")]
 
@@ -269,8 +274,9 @@ def test_tail_into_crash_before_publish_replays_cleanly(spark, tmp_path):
     r = V.tail_into(spark, s, t)
     assert r["source_version"] == 1
     assert sorted(r.k for r in V.read_version(spark, t).collect()) == [1, 2]
-    # The crashed attempt's data dir is reclaimable.
-    assert V.vacuum(t, retain_last=2)
+    # The crashed attempt's data dir is reclaimable (min_age_seconds=0:
+    # the test KNOWS no writer is live; the default spares fresh orphans).
+    assert V.vacuum(t, retain_last=2, min_age_seconds=0)
 
 
 def test_tail_into_source_compaction_advances_watermark_invisibly(spark, tmp_path):
