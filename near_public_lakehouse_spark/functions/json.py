@@ -15,9 +15,12 @@ from pyspark.sql import functions as F
 def j(col: Column | str, path: str) -> Column:
     """Databricks ``col:path`` -> OSS ``get_json_object``.
 
-    `path` is dotted (``a.b.c``); bracket segments may be embedded
-    (``a["weird key"]``). Returns STRING (null on missing/malformed), the
-    same permissive contract as the Databricks operator.
+    `path` is dotted (``a.b.c``); bracket segments may be embedded but
+    must be SINGLE-quoted (``a['weird key']``) — Spark's JSON-path parser
+    silently returns NULL for every row on a double-quoted segment (r14
+    review, verified), indistinguishable from the missing-key contract.
+    Returns STRING (null on missing/malformed), the same permissive
+    contract as the Databricks operator.
     """
     c = F.col(col) if isinstance(col, str) else col
     jsonpath = "$." + path if not path.startswith("$") else path

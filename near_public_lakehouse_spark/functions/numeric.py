@@ -20,15 +20,38 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def _checked_dec(c: Column | str, scale: int, precision: int) -> Column:
+    """Addend cast that fails LOUDLY on overflow: with the session's
+    ANSI-off contract, a value past decimal(precision,scale) casts to
+    NULL and F.sum would silently skip it — an "exact" total quietly
+    short of the truth, and davg a mean of a subset (r14 review). A
+    genuine NULL input stays NULL (SQL aggregate semantics); only
+    non-NULL-input-to-NULL-cast raises, map-side, per offending row."""
+    src = _col(c)
+    dec = src.cast(f"decimal({precision},{scale})")
+    return F.when(
+        src.isNotNull() & dec.isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(f"dsum/davg overflow: decimal({precision},{scale}) "
+                      "cannot hold "),
+                src.cast("string"),
+            )
+        ).cast(f"decimal({precision},{scale})"),
+    ).otherwise(dec)
+
+
 def dsum(c: Column | str, scale: int = 6, precision: int = 28) -> Column:
     """Order-independent sum: cast addends to DECIMAL, sum exactly, emit
-    DOUBLE. ``scale=6`` covers the testdata's 2-dp money and 4-dp products."""
-    return F.sum(_col(c).cast(f"decimal({precision},{scale})")).cast("double")
+    DOUBLE. ``scale=6`` covers the testdata's 2-dp money and 4-dp
+    products; an addend the decimal can't hold raises instead of
+    silently vanishing from the total (see `_checked_dec`)."""
+    return F.sum(_checked_dec(c, scale, precision)).cast("double")
 
 
 def davg(c: Column | str, scale: int = 6, precision: int = 28) -> Column:
     """Deterministic mean: exact decimal sum, one double division."""
-    dec = _col(c).cast(f"decimal({precision},{scale})")
+    dec = _checked_dec(c, scale, precision)
     return (F.sum(dec).cast("double") / F.count(dec)).cast("double")
 
 

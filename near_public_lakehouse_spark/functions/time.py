@@ -25,9 +25,18 @@ def _col(c: Column | str) -> Column:
 def _floordiv(c: Column | str, divisor: int) -> Column:
     """Exact integer floor-division. `/` on BIGINT is DOUBLE division in
     Spark SQL and a ~1.7e18 ns value exceeds double's 2^53 exact range, so
-    `floor(ns/1000)` can round UP by one microsecond. Divide in DECIMAL
-    (exact) instead and floor that."""
-    q = _col(c).cast("decimal(38,0)") / F.lit(divisor).cast("decimal(19,0)")
+    `floor(ns/1000)` can round UP by one microsecond. Decimal division
+    alone is ALSO not enough (r14 review, verified): Spark types
+    decimal(38,0)/decimal(19,0) as decimal(38,6) and CheckOverflow rounds
+    the quotient HALF_UP to 6 dp BEFORE floor, so any value in the last
+    divisor*5e-7 ns of a unit flipped up a whole bucket (the last 43.2 ms
+    of every day for ns_to_date). Subtract the modulus first: the
+    numerator is then EXACTLY divisible, the 6-dp quotient is the true
+    integer, and floor is a no-op. pmod keeps floor semantics for
+    negative inputs."""
+    a = _col(c).cast("decimal(38,0)")
+    d = F.lit(divisor).cast("decimal(19,0)")
+    q = (a - F.pmod(a, d)) / d
     return F.floor(q).cast("bigint")
 
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from near_public_lakehouse_spark.functions.time import ns_to_date
+from near_public_lakehouse_spark.functions.time import ns_to_date, ns_to_micros
 from near_public_lakehouse_spark.plans.schemas import (
     EXECUTION_OUTCOME_DDL,
     RECEIPT_DDL,
@@ -33,9 +33,7 @@ def _ts_cols(ns: Column) -> list[Column]:
     Silver Lake Mainnet.sql:19-22."""
     return [
         ns.cast("bigint").alias("block_timestamp"),
-        F.timestamp_micros(F.floor(ns.cast("decimal(38,0)") / F.lit(1000)).cast("bigint")).alias(
-            "block_timestamp_utc"
-        ),
+        F.timestamp_micros(ns_to_micros(ns)).alias("block_timestamp_utc"),
         ns_to_date(ns).alias("block_date"),
     ]
 

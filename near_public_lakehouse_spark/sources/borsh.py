@@ -147,6 +147,15 @@ def _decode_at(schema, data: bytes, pos: int):
     if kind == "vec":
         (n,) = struct.unpack("<I", _take(data, pos, 4))
         pos += 4
+        if n > len(data) - pos:
+            # every element consumes >= 1 byte, so a length prefix past
+            # the remaining input is corrupt — without this bound a
+            # 4-byte payload of 0xffffffff loops 2^32-1 times on a
+            # zero-width element schema (r14 review; the codec is the
+            # documented extension point, not just the lockup contract)
+            raise BorshError(
+                f"vec length {n} exceeds remaining input ({len(data) - pos} bytes)"
+            )
         items = []
         for _ in range(n):
             item, pos = _decode_at(schema[1], data, pos)
@@ -288,6 +297,11 @@ def decode_lockup_state(raw: bytes) -> dict:
         out["termination_status"] = vi["value"]["status"]["variant"]
     elif vi["variant"] == "VestingHash":
         out["vesting_hash_len"] = len(vi["value"])
+        # hex (JSON-safe) so encode_lockup_state is a true inverse — the
+        # r14 review found the hash silently dropped on round-trip,
+        # re-encoding as the None variant (locked-amount math then treats
+        # the account as unvested)
+        out["vesting_hash"] = bytes(vi["value"]).hex()
     si = c["staking_information"]
     if si is not None:
         out["staking_pool_account_id"] = si["staking_pool_account_id"]
@@ -326,7 +340,11 @@ def encode_lockup_state(state: dict) -> bytes:
             },
         }
     elif state.get("vesting_hash") is not None:
-        vi = {"variant": "VestingHash", "value": bytes(state["vesting_hash"])}
+        vh = state["vesting_hash"]
+        vi = {
+            "variant": "VestingHash",
+            "value": bytes.fromhex(vh) if isinstance(vh, str) else bytes(vh),
+        }
     else:
         vi = {"variant": "None"}
     si = None

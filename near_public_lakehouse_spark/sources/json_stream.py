@@ -21,21 +21,41 @@ from near_public_lakehouse_spark.plans.schemas import BLOCK_SCHEMA, SHARD_SCHEMA
 from near_public_lakehouse_spark.session import configure_runtime
 
 
-def _reader(spark: SparkSession, streaming: bool, max_files: int | None):
+def _read_json(
+    spark: SparkSession,
+    path: str,
+    schema,
+    glob: str,
+    streaming: bool,
+    max_files: int | None,
+    evolve: bool,
+) -> DataFrame:
+    """The one shared source body (r14 review: read_blocks/read_shards
+    were full copies, and the r13 max_files validation had already landed
+    on only ONE of the two code paths). Validation runs BEFORE the
+    evolve branch so both paths reject max_files < 1 and batch+max_files
+    identically."""
     configure_runtime(spark)
     if max_files is not None and max_files < 1:
         raise ValueError(f"max_files must be >= 1, got {max_files}")
-    if streaming:
-        r = spark.readStream
-        if max_files is not None:
-            r = r.option("maxFilesPerTrigger", max_files)
-        return r
-    if max_files is not None:
+    if max_files is not None and not streaming:
         # batch reads have no per-trigger bound — refusing beats the
         # caller believing ingestion is bounded while the whole path is
         # scanned (r13 review)
         raise ValueError("max_files only applies to streaming reads")
-    return spark.read
+    if evolve:
+        from near_public_lakehouse_spark.streaming.evolution import read_json_evolving
+
+        return read_json_evolving(
+            spark, path, schema, glob=glob,
+            streaming=streaming, max_files=max_files,
+        )
+    r = spark.readStream if streaming else spark.read
+    if streaming and max_files is not None:
+        r = r.option("maxFilesPerTrigger", max_files)
+    return (
+        r.format("json").schema(schema).option("pathGlobFilter", glob).load(path)
+    )
 
 
 def read_blocks(
@@ -52,20 +72,8 @@ def read_blocks(
     `allowFieldAddition`): the declared schema widens by the probed
     on-disk schema before the read, so new JSON fields land as columns
     instead of being dropped (streaming/evolution.py; T8)."""
-    if evolve:
-        from near_public_lakehouse_spark.streaming.evolution import read_json_evolving
-
-        configure_runtime(spark)
-        return read_json_evolving(
-            spark, path, BLOCK_SCHEMA, glob="*block.json",
-            streaming=streaming, max_files=max_files,
-        )
-    return (
-        _reader(spark, streaming, max_files)
-        .format("json")
-        .schema(BLOCK_SCHEMA)
-        .option("pathGlobFilter", "*block.json")
-        .load(path)
+    return _read_json(
+        spark, path, BLOCK_SCHEMA, "*block.json", streaming, max_files, evolve
     )
 
 
@@ -78,18 +86,6 @@ def read_shards(
 ) -> DataFrame:
     """`*shard*.json` files -> bronze chunks/shards (one row per shard).
     ``evolve=True``: see `read_blocks` — same T8 field-addition path."""
-    if evolve:
-        from near_public_lakehouse_spark.streaming.evolution import read_json_evolving
-
-        configure_runtime(spark)
-        return read_json_evolving(
-            spark, path, SHARD_SCHEMA, glob="*shard*.json",
-            streaming=streaming, max_files=max_files,
-        )
-    return (
-        _reader(spark, streaming, max_files)
-        .format("json")
-        .schema(SHARD_SCHEMA)
-        .option("pathGlobFilter", "*shard*.json")
-        .load(path)
+    return _read_json(
+        spark, path, SHARD_SCHEMA, "*shard*.json", streaming, max_files, evolve
     )

@@ -112,8 +112,25 @@ def probe_json_schema(
 ) -> StructType | None:
     """Infer the current on-disk JSON schema from at most `probe_files`
     NEWEST matching files (bounded — never a full-landing-zone pass).
-    Returns None when nothing matches yet."""
+    Returns None when nothing matches yet.
+
+    Local filesystem ONLY — and loudly so (r14 review): os.walk yields
+    nothing for an object-store URI, which would read as "no files yet"
+    and silently disable the advertised field-addition propagation (new
+    JSON fields dropped with no error — the exact T8 gap this module
+    closes). A real deployment probes through its object-store listing
+    API; until that seam exists, refusing beats lying."""
     import fnmatch
+
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    if scheme and scheme != "file":
+        raise ValueError(
+            f"probe_json_schema walks the LOCAL filesystem; {path!r} has "
+            f"scheme {scheme!r} — schema evolution cannot be probed there "
+            "(an empty walk would silently disable field addition)"
+        )
+    if path.startswith("file://"):
+        path = path[len("file://"):]  # os.walk needs the raw path
 
     # Capture mtime DURING the walk (r8 ADVICE): sorting with
     # key=os.path.getmtime after the fact is a TOCTOU on a live landing

@@ -73,10 +73,9 @@ def read_events_stream(
 
     configure_runtime(spark)
     df = _file_stream(spark, events_dir, max_files_per_trigger)
-    return df.withColumn(
-        "event_time",
-        F.timestamp_micros(F.floor(F.col("ts").cast("decimal(38,0)") / F.lit(1000)).cast("bigint")),
-    )
+    from near_public_lakehouse_spark.functions.time import ns_to_micros
+
+    return df.withColumn("event_time", F.timestamp_micros(ns_to_micros("ts")))
 
 
 def hourly_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
