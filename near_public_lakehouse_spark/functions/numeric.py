@@ -62,3 +62,13 @@ def yocto_to_near(c: Column | str, dp: int = 2) -> Column:
     Epochs and validators Silver Pipeline.py:401-403.
     """
     return F.round(_col(c).cast("decimal(38,0)") / F.lit(10.0) ** 24, dp)
+
+
+def md5_prefix_int(c: Column, width: int = 8) -> Column:
+    """First `width` hex chars of md5(c) as a BIGINT — the repo's
+    cross-engine seeded-hash idiom (DuckDB twin:
+    ``conv(substring(md5(x), 1, w), 16, 10)``). ONE definition (r14
+    review: at least eight hand-rolled copies lived across the query
+    files, each independently re-audited for width/radix agreement with
+    its oracle)."""
+    return F.conv(F.substring(F.md5(c), 1, width), 16, 10).cast("bigint")

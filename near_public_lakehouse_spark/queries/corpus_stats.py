@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from near_public_lakehouse_spark.functions.numeric import md5_prefix_int
+
 from near_public_lakehouse_spark.functions.time import NS_PER_DAY, _floordiv
 from near_public_lakehouse_spark.queries.registry import query
 from near_public_lakehouse_spark.queries.similarity import (
@@ -465,9 +467,7 @@ def source_token_hashes(docs: DataFrame) -> DataFrame:
         docs.select("source", F.explode(tokens_col()).alias("token"))
         .select(
             "source",
-            F.conv(F.substring(F.md5("token"), 1, 8), 16, 10)
-            .cast("bigint")
-            .alias("hv"),
+            md5_prefix_int(F.col("token")).alias("hv"),
         )
         .distinct()
     )

@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from near_public_lakehouse_spark.functions.numeric import md5_prefix_int
+
 from near_public_lakehouse_spark.queries.registry import query
 from near_public_lakehouse_spark.queries.text import (
     BPE_PAT,
@@ -47,6 +49,7 @@ from near_public_lakehouse_spark.queries.text import (
     STOPWORDS,
     TOKENS_SQL,
     _BPE_SQL_PAT,
+    mg_ngram_col,
     tokens_col,
 )
 from near_public_lakehouse_spark.sources.tables import load_table
@@ -190,11 +193,9 @@ def shard_col(seed: str = SHARD_SEED, n_shards: int = N_SHARDS):
     noise. The seed versions the placement: re-sharding for a new
     training run is a seed bump, not a data rewrite."""
     return (
-        F.conv(
-            F.substring(F.md5(F.concat_ws(":", F.lit(seed), F.col("doc_id").cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("bigint")
+        md5_prefix_int(
+            F.concat_ws(":", F.lit(seed), F.col("doc_id").cast("string"))
+        )
         % n_shards
     )
 
@@ -358,7 +359,9 @@ def source_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # perplexity_buckets: corpus composition by unigram-LM quality band
 
-LM_ALPHA = 0.5  # matches corpus_stats.unigram_logprob_scores
+# ONE canonical alpha (r14 review: two independent constants whose only
+# sync was a comment) — imported from the scorer that defines the model.
+from near_public_lakehouse_spark.queries.corpus_stats import LM_ALPHA  # noqa: E402
 
 
 @query(
@@ -403,23 +406,9 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    tot = freq.agg(
-        F.sum("cnt").cast("double").alias("n_total"),
-        F.count(F.lit(1)).cast("double").alias("vocab"),
-    )
-    logp = F.log(
-        (F.col("cnt").cast("double") + F.lit(LM_ALPHA))
-        / (F.col("n_total") + F.lit(LM_ALPHA) * F.col("vocab"))
-    )
-    doc = (
-        tok.join(freq, "token")
-        .crossJoin(F.broadcast(tot))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.avg(logp).alias("avg_logprob"),
-        )
-    )
+    # the shared scorer, not an inline copy (r14 review: three copies of
+    # the add-alpha logp formula existed; same aggregates, same order)
+    doc = unigram_scores_against(tok, freq, with_n_tokens=True)
     return (
         doc.select(
             F.floor(F.col("avg_logprob")).cast("bigint").alias("logprob_bucket"),
@@ -480,7 +469,9 @@ ORDER BY doc_id
 """
 
 
-def unigram_scores_against(tok: DataFrame, freq: DataFrame) -> DataFrame:
+def unigram_scores_against(
+    tok: DataFrame, freq: DataFrame, with_n_tokens: bool = False
+) -> DataFrame:
     """(doc_id, avg_logprob): mean add-alpha unigram log-probability of
     each document's tokens under the GIVEN frequency table — the shared
     scoring seam between the batch sampler (freq from the same corpus)
@@ -494,11 +485,14 @@ def unigram_scores_against(tok: DataFrame, freq: DataFrame) -> DataFrame:
         (F.col("cnt").cast("double") + F.lit(LM_ALPHA))
         / (F.col("n_total") + F.lit(LM_ALPHA) * F.col("vocab"))
     )
+    aggs = [F.avg(logp).alias("avg_logprob")]
+    if with_n_tokens:
+        aggs.insert(0, F.count(F.lit(1)).alias("n_tokens"))
     return (
         tok.join(freq, "token")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
-        .agg(F.avg(logp).alias("avg_logprob"))
+        .agg(*aggs)
     )
 
 
@@ -517,15 +511,9 @@ def mixture_keep(doc: DataFrame, mu: DataFrame) -> DataFrame:
         .otherwise(QMS_KEEP_TAIL)
     )
     bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.lit(QMS_SEED), F.col("doc_id").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
+        md5_prefix_int(
+            F.concat_ws(":", F.lit(QMS_SEED), F.col("doc_id").cast("string"))
+        )
         % 1000
     )
     return (
@@ -597,11 +585,6 @@ FROM bg JOIN lr USING (b)
 GROUP BY doc_id ORDER BY doc_id
 """
 
-_BIGRAMS_EXPR = (
-    "transform(sequence(1, size(filter(split(text, ' '), x -> x != '')) - 1),"
-    " i -> concat(element_at(filter(split(text, ' '), x -> x != ''), i), ' ',"
-    "             element_at(filter(split(text, ' '), x -> x != ''), i + 1)))"
-)
 
 
 @query(
@@ -638,13 +621,15 @@ def dsir_feature_stream(docs: DataFrame) -> DataFrame:
     bucket space. Pure scan-side projection — no shuffle."""
     return (
         docs.filter(F.size(tokens_col()) >= 2)
-        .select("doc_id", "lang", F.explode(F.expr(_BIGRAMS_EXPR)).alias("g"))
+        # mg_ngram_col(2), not an inline transform (r14 review: the
+        # third verbatim copy of the bigram window, re-tokenizing the
+        # row per element — O(L^2)/row on the DSIR feature path)
+        .select("doc_id", "lang", F.explode(mg_ngram_col(2)).alias("g"))
         .select(
             "doc_id",
             "lang",
             (
-                F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("bigint")
-                % DSIR_BUCKETS
+                md5_prefix_int(F.col("g")) % DSIR_BUCKETS
             ).alias("b"),
         )
     )
@@ -772,15 +757,9 @@ def sampling_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = dsir_doc_scores(bg, dsir_log_ratios(raw, tgt, tots))
     u = (
         (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{DSIR_SEED}:"), F.col("doc_id").cast("string"))),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("bigint")
+            md5_prefix_int(
+                F.concat(F.lit(f"{DSIR_SEED}:"), F.col("doc_id").cast("string"))
+            )
             % 1000000
         ).cast("double")
         + 0.5

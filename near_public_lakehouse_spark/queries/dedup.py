@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from near_public_lakehouse_spark.functions.numeric import md5_prefix_int
+
 from near_public_lakehouse_spark.queries.registry import query
 from near_public_lakehouse_spark.queries.text import TOKENS_SQL
 from near_public_lakehouse_spark.sources.tables import load_table
@@ -47,7 +49,7 @@ def _dtoks_col():
 def _tokhash_col(toks):
     return F.transform(
         toks,
-        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
+        lambda t: md5_prefix_int(t),
     )
 
 

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from near_public_lakehouse_spark.functions.numeric import md5_prefix_int
+
 from near_public_lakehouse_spark.queries.registry import query
 from near_public_lakehouse_spark.queries.text import TOKENS_SQL, tokens_col
 from near_public_lakehouse_spark.sources.tables import load_table
@@ -24,7 +26,7 @@ EN_RATE, OTHER_RATE = 10, 30
 
 def _bucket_col(key):
     """Deterministic 0..99 bucket from a key column — identical on DuckDB."""
-    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("bigint") % 100
+    return md5_prefix_int(key.cast("string")) % 100
 
 
 BUCKET_SQL = "('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 8))::BIGINT % 100"

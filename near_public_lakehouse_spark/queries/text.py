@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from near_public_lakehouse_spark.functions.numeric import md5_prefix_int
+
 from near_public_lakehouse_spark.queries.registry import query
 from near_public_lakehouse_spark.sources.tables import load_table
 
@@ -206,22 +208,28 @@ def predicted_lang_col():
     )
 
 
+# ONE copy of the marker-ladder CASE (r14 review: language_id's oracle
+# carried a verbatim second copy that had to be edited in lockstep).
+_LANG_PRED_SQL = f"""
+CASE
+  WHEN {_marker_sql("en")} >= greatest({_marker_sql("fr")}, {_marker_sql("es")},
+       {_marker_sql("de")}, {_marker_sql("zh")}) AND {_marker_sql("en")} > 0 THEN 'en'
+  WHEN {_marker_sql("fr")} >= greatest({_marker_sql("es")}, {_marker_sql("de")},
+       {_marker_sql("zh")}) AND {_marker_sql("fr")} > 0 THEN 'fr'
+  WHEN {_marker_sql("es")} >= greatest({_marker_sql("de")}, {_marker_sql("zh")})
+       AND {_marker_sql("es")} > 0 THEN 'es'
+  WHEN {_marker_sql("de")} >= {_marker_sql("zh")} AND {_marker_sql("de")} > 0 THEN 'de'
+  WHEN {_marker_sql("zh")} > 0 THEN 'zh'
+  ELSE 'und'
+END
+"""
+
+
 @query(
     "language_id",
     tags=("text",),
     oracle=f"""
-SELECT doc_id, lang AS labeled_lang,
-       CASE
-         WHEN {_marker_sql("en")} >= greatest({_marker_sql("fr")}, {_marker_sql("es")},
-              {_marker_sql("de")}, {_marker_sql("zh")}) AND {_marker_sql("en")} > 0 THEN 'en'
-         WHEN {_marker_sql("fr")} >= greatest({_marker_sql("es")}, {_marker_sql("de")},
-              {_marker_sql("zh")}) AND {_marker_sql("fr")} > 0 THEN 'fr'
-         WHEN {_marker_sql("es")} >= greatest({_marker_sql("de")}, {_marker_sql("zh")})
-              AND {_marker_sql("es")} > 0 THEN 'es'
-         WHEN {_marker_sql("de")} >= {_marker_sql("zh")} AND {_marker_sql("de")} > 0 THEN 'de'
-         WHEN {_marker_sql("zh")} > 0 THEN 'zh'
-         ELSE 'und'
-       END AS predicted_lang
+SELECT doc_id, lang AS labeled_lang, {_LANG_PRED_SQL} AS predicted_lang
 FROM documents
 ORDER BY doc_id
 """,
@@ -347,12 +355,14 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning also matches doc_id-keyed downstream filters.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col()
-    bigrams = F.expr(
-        "transform(sequence(1, greatest(size(filter(split(text, ' '), x -> x != '')) - 1, 0)),"
-        " i -> concat(element_at(filter(split(text, ' '), x -> x != ''), i), ' ',"
-        "             element_at(filter(split(text, ' '), x -> x != ''), i + 1)))"
-    )
+    # mg_ngram_col(2), not an inline transform (r14 review): the inline
+    # form re-tokenized the row inside the lambda (O(L^2)/row, the exact
+    # HOF-CSE trap the gopher gate's docstring documents) AND crashed on
+    # <2-token docs — sequence(1, 0) DESCENDS in Spark ([1, 0]), so
+    # element_at(toks, 0) raises INVALID_INDEX_OF_ZERO even with ANSI
+    # off, where the oracle's generate_series(1,0) is simply empty. The
+    # shared window column carries the size guard.
+    bigrams = mg_ngram_col(2)
     cnt = (
         docs.select("doc_id", F.explode(bigrams).alias("bigram"))
         .groupBy("doc_id", "bigram")
@@ -643,7 +653,7 @@ def benchmark_decontamination_hashed(spark: SparkSession, sf_dir: str) -> DataFr
     hash_ngs = F.array_distinct(
         F.transform(
             F.col("ngs"),
-            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint"),
+            lambda g: md5_prefix_int(g, 15),
         )
     )
     hashed = with_ngs.select("doc_id", hash_ngs.alias("ngs"))
@@ -778,7 +788,7 @@ list_filter([
 WITH t AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
 m AS (
   SELECT doc_id, len(toks) AS n_tokens,
-         list_sum(list_transform(toks, w -> CAST(strlen(w) AS DOUBLE)))
+         list_sum(list_transform(toks, w -> CAST(length(w) AS DOUBLE)))
            / len(toks) AS mean_word_len,
          len(list_distinct(list_filter(toks, x -> x IN {STOP_SQL})))
            AS n_stop_distinct
@@ -838,9 +848,15 @@ def gopher_repetition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         "t",
+        # size guard, not greatest(...,0): sequence(1, 0) DESCENDS
+        # ([1, 0]) and element_at(t, 0) raises INVALID_INDEX_OF_ZERO on a
+        # <2-token doc (r14 review) — the oracle COALESCEs such docs to
+        # zero shares, so the row must exist with an empty bigram array
         F.expr(
-            "transform(sequence(1, greatest(size(t) - 1, 0)),"
-            " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            "CASE WHEN size(t) >= 2 THEN"
+            " transform(sequence(1, size(t) - 1),"
+            "  i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            " ELSE array() END"
         ).alias("bg"),
     )
     n = F.size(F.col("t"))
@@ -1149,21 +1165,6 @@ def bigram_pmi_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("pmi"), "w1", "w2")
     )
-
-
-_LANG_PRED_SQL = f"""
-CASE
-  WHEN {_marker_sql("en")} >= greatest({_marker_sql("fr")}, {_marker_sql("es")},
-       {_marker_sql("de")}, {_marker_sql("zh")}) AND {_marker_sql("en")} > 0 THEN 'en'
-  WHEN {_marker_sql("fr")} >= greatest({_marker_sql("es")}, {_marker_sql("de")},
-       {_marker_sql("zh")}) AND {_marker_sql("fr")} > 0 THEN 'fr'
-  WHEN {_marker_sql("es")} >= greatest({_marker_sql("de")}, {_marker_sql("zh")})
-       AND {_marker_sql("es")} > 0 THEN 'es'
-  WHEN {_marker_sql("de")} >= {_marker_sql("zh")} AND {_marker_sql("de")} > 0 THEN 'de'
-  WHEN {_marker_sql("zh")} > 0 THEN 'zh'
-  ELSE 'und'
-END
-"""
 
 
 @query(
