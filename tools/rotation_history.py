@@ -32,6 +32,27 @@ def main() -> None:
         }
         if aliases:
             rounds[rnd] = dict(sorted(aliases.items()))
+    # Fold in the LIVE rotation from the registry: the driver writes
+    # CORRECTNESS_r{N}.json only after the round closes, so an active
+    # rotation would otherwise be invisible here until round N+1 — the
+    # exact r13 bookkeeping gap VERDICT r14 task #2 says not to repeat.
+    # The alias prefix names the round (a15_ -> r15).
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    from near_public_lakehouse_spark.queries.registry import (
+        DRIVER_WINDOW_ROTATION,
+    )
+
+    live: dict[str, dict[str, str]] = {}
+    for organic, alias in DRIVER_WINDOW_ROTATION.items():
+        m = ALIAS_RE.match(alias)
+        if m:
+            live.setdefault("r" + m.group(1)[1:].zfill(2), {})[alias] = organic
+    for rnd, aliases in live.items():
+        merged = {**rounds.get(rnd, {}), **aliases}
+        rounds[rnd] = dict(sorted(merged.items()))
+    rounds = dict(sorted(rounds.items()))
     out = {
         "rule": "a<N>_<name> is an alias of <name>; union coverage across "
         "rounds is computed alias-adjusted (strip the a<N>_ prefix)",
