@@ -1184,6 +1184,92 @@ def delta_mirror_into(
     raise CommitConflict(f"delta mirror into {target_dir} lost {_retries} races")
 
 
+def delta_mirror_stream(
+    spark: SparkSession,
+    delta_table_dir: str,
+    target_dir: str,
+    keys: list[str],
+    app_id: str | None = None,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """STREAMING twin of `delta_mirror_into` (VERDICT r14 task #4): a real
+    Structured Streaming query — `readStream` over the `delta_changes`
+    Python data source (offsets = Delta commit versions, changed files
+    read executor-side with the full protocol semantics: deletion
+    vectors, column mapping, partition reconstitution;
+    `sources/delta_stream.py`) into the SAME `mirror_stream_batch_sink`
+    as the manifest-store mirror. This is the repo-side shape of the
+    reference's continuous publication consumer (`NB/BQ Writer
+    Stream.py:9-32`) with deletes propagated.
+
+    Exactly-once is double-locked exactly as in `mirror_stream`: Spark's
+    checkpoint replans identical windows from the immutable _delta_log,
+    and the consumed DELTA version rides inside every target commit (txn
+    watermark), so a replayed or overlapping micro-batch no-ops /
+    re-scopes. `available_now=True` drains the pending window and stops.
+    Returns the StreamingQuery. Same contract as the batch drain: the
+    window's JSON commits must exist and removed files must be inside
+    the publish-side vacuum retention window."""
+    from near_public_lakehouse_spark.sources.delta_stream import (
+        DeltaChangesDataSource,
+    )
+
+    spark.dataSource.register(DeltaChangesDataSource)
+    app = app_id or f"delta-mirror:{os.path.abspath(delta_table_dir)}"
+    feed = (
+        spark.readStream.format("delta_changes")
+        .option("path", delta_table_dir)
+        .option("includeRemoves", "true")
+        .load()
+    )
+    sink = mirror_stream_batch_sink(target_dir, keys, app)
+    writer = feed.writeStream.foreachBatch(sink)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def delta_tail_stream(
+    spark: SparkSession,
+    delta_table_dir: str,
+    target_dir: str,
+    transform=None,
+    app_id: str | None = None,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """The reference's EXACT consumer shape over a published Delta table
+    (`NB/BQ Writer Stream.py:9-15`: ``spark.readStream.option(
+    "skipChangeCommits", "true")`` + append sink) as a real Structured
+    Streaming query over the `delta_changes` source: rewrite commits
+    skipped wholesale, additions appended via `tail_stream_batch_sink`
+    (txn-watermarked, overlap-scoped — exactly-once across lost
+    checkpoints). Returns the StreamingQuery."""
+    from near_public_lakehouse_spark.sources.delta_stream import (
+        DeltaChangesDataSource,
+    )
+
+    spark.dataSource.register(DeltaChangesDataSource)
+    app = app_id or f"delta-tail:{os.path.abspath(delta_table_dir)}"
+    feed = (
+        spark.readStream.format("delta_changes")
+        .option("path", delta_table_dir)
+        .option("includeRemoves", "false")
+        .option("skipChangeCommits", "true")
+        .load()
+    )
+    sink = tail_stream_batch_sink(target_dir, app, transform)
+    writer = feed.writeStream.foreachBatch(sink)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def idempotent_batch_sink(table_dir: str, app_id: str, transform=None):
     """foreachBatch sink into a versioned table with Delta's idempotent-
     write contract: the Structured Streaming `batch_id` is committed as

@@ -1,0 +1,436 @@
+"""Streaming source over the *Delta-protocol* change feed (VERDICT r14
+task #4): `sources/delta_stream.py` (offsets = Delta commit versions,
+changed files read executor-side with full protocol semantics — DVs,
+column mapping, partition reconstitution) + the `delta_mirror_stream` /
+`delta_tail_stream` consumers in operators/versioned.py. The reference's
+publication consumer is a continuous stream over the published Delta
+table (`NB/BQ Writer Stream.py:9-15`); until this round the repo's only
+Delta-side consumer was the `delta_mirror_into` batch drain loop."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from near_public_lakehouse_spark.operators import versioned as V
+from near_public_lakehouse_spark.operators.delta_export import write_delta_log
+from near_public_lakehouse_spark.operators.delta_reader import DeltaLogReader
+from near_public_lakehouse_spark.sources.delta_stream import DeltaChangesDataSource
+
+
+def _df(spark, rows, schema="k int, v string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def _rows(df):
+    return sorted((r.k, r.v) for r in df.collect())
+
+
+def _collect_stream(spark, d, **options):
+    """Drain the delta_changes source once (availableNow) into a list."""
+    spark.dataSource.register(DeltaChangesDataSource)
+    got: list = []
+    reader = spark.readStream.format("delta_changes").option("path", d)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(lambda df, bid: got.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240), "availableNow drain did not finish"
+    return got
+
+
+def test_delta_changes_stream_matches_batch_feed(spark, tmp_path):
+    """The readStream source returns exactly the rows of the batch
+    `DeltaLogReader.read_changes(include_removes=True)` over the same
+    window — executor-side pyarrow reads included."""
+    d = str(tmp_path / "t")
+    V.commit_overwrite(_df(spark, [(1, "a"), (2, "b")]), d)
+    V.versioned_upsert(spark, d, _df(spark, [(2, "B"), (3, "c")]), ["k"])
+    V.commit_append(_df(spark, [(4, "d")]), d)
+    write_delta_log(d)
+
+    got = _collect_stream(spark, d)
+    want = DeltaLogReader(d).read_changes(spark, include_removes=True).collect()
+    shape = lambda rs: sorted(  # noqa: E731
+        (r.k, r.v, r._commit_version, r._change_type) for r in rs
+    )
+    assert shape(got) == shape(want)
+    assert len(got) == len(want)
+
+
+def test_delta_changes_stream_resumes_from_checkpoint(spark, tmp_path):
+    """Offsets are Delta commit versions: a second drain with the same
+    checkpoint delivers only the NEW window, and the replanned batch
+    equals the batch feed over exactly that window."""
+    d = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    V.commit_overwrite(_df(spark, [(1, "a")]), d)
+    write_delta_log(d)
+
+    spark.dataSource.register(DeltaChangesDataSource)
+    got: list = []
+
+    def drain():
+        q = (
+            spark.readStream.format("delta_changes")
+            .option("path", d)
+            .load()
+            .writeStream.foreachBatch(lambda df, bid: got.extend(df.collect()))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(240)
+
+    drain()
+    assert [(r.k, r._commit_version, r._change_type) for r in got] == [(1, 0, "insert")]
+
+    got.clear()
+    V.commit_append(_df(spark, [(2, "b")]), d)
+    V.versioned_upsert(spark, d, _df(spark, [(1, "A")]), ["k"])
+    write_delta_log(d)
+    drain()
+    want = (
+        DeltaLogReader(d)
+        .read_changes(spark, since_version=0, include_removes=True)
+        .collect()
+    )
+    shape = lambda rs: sorted(  # noqa: E731
+        (r.k, r.v, r._commit_version, r._change_type) for r in rs
+    )
+    assert shape(got) == shape(want)
+
+
+def test_delta_changes_stream_applies_deletion_vectors(spark, tmp_path):
+    """A file carrying a DV streams with the deleted row indices masked
+    out executor-side — same rows as the batch reader."""
+    d = _build_dv_table(spark, tmp_path)
+    got = _collect_stream(spark, d)
+    assert sorted((r.k, r.v) for r in got) == [
+        (0, "r0"),
+        (2, "r2"),
+        (4, "r4"),
+        (5, "r5"),
+    ]
+    assert {r._change_type for r in got} == {"insert"}
+    want = {tuple(x) for x in DeltaLogReader(d).to_df(spark).collect()}
+    assert {(r.k, r.v) for r in got} == want
+
+
+def _build_dv_table(spark, tmp_path):
+    import json
+
+    from test_delta_reader import _dv_file, _ser64
+
+    d = str(tmp_path / "dvt")
+    os.makedirs(os.path.join(d, "_delta_log"))
+    spark.createDataFrame(
+        [(i, f"r{i}") for i in range(6)], "k long, v string"
+    ).coalesce(1).write.parquet(d + "/data")
+    part = [f for f in os.listdir(d + "/data") if f.endswith(".parquet")][0]
+    os.rename(os.path.join(d, "data", part), os.path.join(d, "part-0.parquet"))
+    dv = _dv_file(d, _ser64({1, 3}), "00112233-4455-6677-8899-aabbccddeeff", prefix="ab")
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+    ]}
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": "t-dv", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": json.dumps(schema), "partitionColumns": [],
+                      "configuration": {"delta.enableDeletionVectors": "true"},
+                      "createdTime": 0}},
+        {"add": {"path": "part-0.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "stats": json.dumps({"numRecords": 6}),
+                 "deletionVector": dv}},
+    ]
+    with open(os.path.join(d, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    return d
+
+
+def test_delta_changes_stream_column_mapping_name_mode(spark, tmp_path):
+    """NAME-mode column mapping: the stream surfaces LOGICAL names,
+    including nested struct / array-of-struct children — matching the
+    batch reader row for row."""
+    from test_delta_reader import _mapped_table
+
+    d = _mapped_table(spark, tmp_path)
+    got = _collect_stream(spark, d)
+    assert len(got) == 3
+    rows = {r.id: r for r in got}
+    assert rows[1].person.name == "alice" and rows[1].person.age == 30
+    assert rows[1].tags[0].key == "x" and rows[1].tags[0].n == 1
+    assert rows[2].person.name is None and rows[2].person.age == 40
+    assert rows[3].person is None and rows[3].tags is None
+    assert {r._change_type for r in got} == {"insert"}
+
+
+def test_delta_changes_stream_column_mapping_id_mode(spark, tmp_path):
+    """ID-mode: two files with DIFFERENT physical column names but stable
+    parquet footer field ids — the stream resolves by field id per file,
+    exactly like the batch reader."""
+    import json
+
+    from test_delta_reader import _id_mapped_file
+
+    d = str(tmp_path / "idt")
+    os.makedirs(os.path.join(d, "_delta_log"))
+    _id_mapped_file(spark, os.path.join(d, "part-0.parquet"),
+                    ["zz_old_k", "zz_old_v"], [1, 2], [(1, "a"), (2, "b")])
+    _id_mapped_file(spark, os.path.join(d, "part-1.parquet"),
+                    ["qq_new_k", "qq_new_v"], [1, 2], [(3, "c")])
+
+    def fld(name, typ, phys, fid):
+        return {"name": name, "type": typ, "nullable": True,
+                "metadata": {"delta.columnMapping.physicalName": phys,
+                             "delta.columnMapping.id": fid}}
+
+    schema = {"type": "struct", "fields": [
+        fld("id", "long", "col-a", 1), fld("val", "string", "col-b", 2),
+    ]}
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "t-id", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": json.dumps(schema), "partitionColumns": [],
+                      "configuration": {"delta.columnMapping.mode": "id",
+                                        "delta.columnMapping.maxColumnId": "2"},
+                      "createdTime": 0}},
+        {"add": {"path": "part-0.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "part-1.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(os.path.join(d, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+
+    got = _collect_stream(spark, d)
+    assert {(r.id, r.val) for r in got} == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_delta_changes_stream_reconstitutes_partition_values(spark, tmp_path):
+    """Partition columns absent from the data files come back from
+    add.partitionValues with the declared types — DATE casts, NULL
+    values, composed with a DV on the same file (the batch test's
+    scenario, streamed)."""
+    import json
+
+    from test_delta_reader import _dv_file, _ser64
+
+    d = str(tmp_path / "pt")
+    os.makedirs(os.path.join(d, "_delta_log"))
+    for i, rows in enumerate([[(1, "a"), (2, "b")], [(3, "c")], [(4, "d")]]):
+        spark.createDataFrame(rows, "k long, v string").coalesce(1).write.parquet(
+            d + f"/data{i}"
+        )
+        part = [f for f in os.listdir(d + f"/data{i}") if f.endswith(".parquet")][0]
+        os.rename(os.path.join(d, f"data{i}", part), os.path.join(d, f"part-{i}.parquet"))
+
+    def plain(name, typ):
+        return {"name": name, "type": typ, "nullable": True, "metadata": {}}
+
+    schema = {"type": "struct", "fields": [
+        plain("k", "long"), plain("v", "string"),
+        plain("ds", "date"), plain("region", "integer"),
+    ]}
+    dv = _dv_file(d, _ser64({0}), "00112233-4455-6677-8899-aabbccddee01")
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": "t-part", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": json.dumps(schema),
+                      "partitionColumns": ["ds", "region"],
+                      "configuration": {}, "createdTime": 0}},
+        {"add": {"path": "part-0.parquet",
+                 "partitionValues": {"ds": "2024-03-01", "region": "7"},
+                 "size": 1, "modificationTime": 0, "dataChange": True,
+                 "deletionVector": dv}},  # deletes k=1 (row 0 of this file)
+        {"add": {"path": "part-1.parquet",
+                 "partitionValues": {"ds": "2024-03-02", "region": None},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "part-2.parquet",
+                 "partitionValues": {"ds": None, "region": "9"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(os.path.join(d, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+
+    got = _collect_stream(spark, d)
+    rows = {r.k: (str(r.ds), r.region) for r in got}
+    assert rows == {
+        2: ("2024-03-01", 7),
+        3: ("2024-03-02", None),
+        4: ("None", 9),
+    }
+
+
+def test_delta_mirror_stream_equals_drain_loop(spark, tmp_path):
+    """THE parity criterion: an evolving published Delta table drained
+    through BOTH consumers — the batch `delta_mirror_into` loop and the
+    streaming `delta_mirror_stream` — lands identical targets equal to
+    the source snapshot at every drain point, rewrites included."""
+    d = str(tmp_path / "src")
+    tb = str(tmp_path / "dst_batch")
+    ts = str(tmp_path / "dst_stream")
+    ck = str(tmp_path / "ck")
+
+    def publish_and_check(step):
+        write_delta_log(d)
+        V.delta_mirror_into(spark, d, tb, ["k"])
+        q = V.delta_mirror_stream(spark, d, ts, ["k"], checkpoint_dir=ck)
+        assert q.awaitTermination(240), f"stream drain hung @{step}"
+        src = sorted(tuple(x) for x in DeltaLogReader(d).to_df(spark).collect())
+        assert sorted(tuple(x) for x in V.read_version(spark, tb).collect()) == src
+        assert sorted(tuple(x) for x in V.read_version(spark, ts).collect()) == src
+
+    V.commit_overwrite(_df(spark, [(1, "a"), (2, "b")]), d)
+    publish_and_check(0)
+    V.versioned_upsert(spark, d, _df(spark, [(2, "B"), (3, "c")]), ["k"])
+    publish_and_check(1)  # rewrite window: delete+insert propagation
+    V.commit_append(_df(spark, [(4, "d")]), d)
+    V.commit_compact(spark, d, target_files=1)
+    publish_and_check(2)  # append + reorg noise
+    V.commit_overwrite(_df(spark, [(9, "z")]), d)
+    publish_and_check(3)  # keys dropped by overwrite land as deletes
+
+
+def test_delta_mirror_stream_replay_after_lost_checkpoint_is_noop(spark, tmp_path):
+    """The double lock, Delta-side: blow the query checkpoint away so the
+    source redelivers the full history — the txn watermark inside the
+    target commits recognizes the replay and commits nothing."""
+    import shutil
+
+    d, t, ck = (str(tmp_path / n) for n in ("src", "dst", "ck"))
+    V.commit_overwrite(_df(spark, [(1, "a"), (2, "b")]), d)
+    V.versioned_upsert(spark, d, _df(spark, [(2, "B")]), ["k"])
+    write_delta_log(d)
+    q = V.delta_mirror_stream(spark, d, t, ["k"], checkpoint_dir=ck)
+    assert q.awaitTermination(240)
+    rows, ver = _rows(V.read_version(spark, t)), V.latest_version(t)
+
+    shutil.rmtree(ck)
+    q = V.delta_mirror_stream(
+        spark, d, t, ["k"], checkpoint_dir=str(tmp_path / "ck2")
+    )
+    assert q.awaitTermination(240)
+    assert _rows(V.read_version(spark, t)) == rows
+    assert V.latest_version(t) == ver  # recognized replay: zero commits
+
+
+def test_delta_tail_stream_skips_change_commits(spark, tmp_path):
+    """The reference's exact consumer shape over the published table:
+    skipChangeCommits tail — additions land, the upsert's rewrite is
+    skipped wholesale, and the consumer watermark reaches the tip."""
+    d, t, ck = (str(tmp_path / n) for n in ("src", "dst", "ck"))
+    V.commit_overwrite(_df(spark, [(1, "a"), (2, "b")]), d)
+    write_delta_log(d)
+    q = V.delta_tail_stream(spark, d, t, checkpoint_dir=ck)
+    assert q.awaitTermination(240)
+    assert _rows(V.read_version(spark, t)) == [(1, "a"), (2, "b")]
+
+    V.versioned_upsert(spark, d, _df(spark, [(2, "B")]), ["k"])  # change commit
+    V.commit_append(_df(spark, [(3, "c")]), d)
+    write_delta_log(d)
+    q = V.delta_tail_stream(spark, d, t, checkpoint_dir=ck)
+    assert q.awaitTermination(240)
+    # the rewrite is SKIPPED (no (2, 'B')); the append arrives once
+    assert _rows(V.read_version(spark, t)) == [(1, "a"), (2, "b"), (3, "c")]
+    assert (
+        V.last_committed_txn(t, f"delta-tail:{os.path.abspath(d)}")
+        == DeltaLogReader(d).versions[-1]
+    )
+
+
+@pytest.mark.parametrize("seed", [11])
+def test_delta_stream_consumers_survive_random_crash_schedules(spark, tmp_path, seed):
+    """The crash-schedule property (VERDICT r13 task #6) extended to the
+    Delta-protocol source (r14 task #4 'done' criterion): a seeded commit
+    history exported to _delta_log after every mutation, drained through
+    delta_mirror_stream and delta_tail_stream while checkpoints are
+    randomly LOST or ROLLED BACK to an earlier drain's snapshot.
+    Invariants at every drain: mirror target == Delta snapshot; tail
+    target holds initial rows plus every appended row exactly once."""
+    import random
+    import shutil
+
+    rng = random.Random(seed)
+    d = str(tmp_path / "src")
+    tm = str(tmp_path / "dst_mirror")
+    tt = str(tmp_path / "dst_tail")
+    ck_m = str(tmp_path / "ck_mirror")
+    ck_t = str(tmp_path / "ck_tail")
+    snaps: list[str] = []
+
+    state: dict[int, str] = {1: "a", 2: "b"}
+    next_key = 3
+    V.commit_overwrite(_df(spark, sorted(state.items())), d)
+    write_delta_log(d)
+    expected_tail: list[tuple[int, str]] = sorted(state.items())
+
+    def drain_and_check(step):
+        q = V.delta_mirror_stream(spark, d, tm, ["k"], checkpoint_dir=ck_m)
+        assert q.awaitTermination(240), f"mirror drain hung @{step}"
+        q = V.delta_tail_stream(spark, d, tt, checkpoint_dir=ck_t)
+        assert q.awaitTermination(240), f"tail drain hung @{step}"
+        src = sorted(tuple(x) for x in DeltaLogReader(d).to_df(spark).collect())
+        assert (
+            sorted(tuple(x) for x in V.read_version(spark, tm).collect()) == src
+        ), f"mirror@{step}"
+        got = [(r.k, r.v) for r in V.read_version(spark, tt).collect()]
+        assert sorted(got) == sorted(expected_tail), f"tail@{step}"
+        assert len(got) == len(expected_tail), f"tail dup@{step}"
+
+    drain_and_check("init")
+
+    for step in range(6):
+        op = rng.choice(["overwrite", "upsert", "append", "compact"])
+        if op == "overwrite":
+            keep = {k: v for k, v in state.items() if rng.random() < 0.5} or {
+                next_key: f"n{step}"
+            }
+            next_key += next_key in keep
+            state = dict(keep)
+            V.commit_overwrite(_df(spark, sorted(state.items())), d)
+        elif op == "upsert":
+            touched = rng.sample(sorted(state), min(2, len(state))) if state else []
+            rows = [(k, f"u{step}") for k in touched] + [(next_key, f"i{step}")]
+            state.update(dict(rows))
+            next_key += 1
+            V.versioned_upsert(spark, d, _df(spark, rows), ["k"])
+        elif op == "append":
+            rows = [(next_key, f"a{step}")]
+            state.update(dict(rows))
+            next_key += 1
+            V.commit_append(_df(spark, rows), d)
+            expected_tail.extend(rows)
+        else:
+            V.commit_compact(spark, d, target_files=1)
+        write_delta_log(d)
+
+        crash = rng.random()
+        if crash < 0.25:
+            for ck in (ck_m, ck_t):
+                shutil.rmtree(ck, ignore_errors=True)
+        elif crash < 0.5 and snaps:
+            snap = rng.choice(snaps)
+            for ck, tag in ((ck_m, "m"), (ck_t, "t")):
+                shutil.rmtree(ck, ignore_errors=True)
+                shutil.copytree(f"{snap}_{tag}", ck)
+
+        if rng.random() < 0.6:
+            drain_and_check(step)
+            snap = str(tmp_path / f"snap{step}")
+            shutil.copytree(ck_m, f"{snap}_m")
+            shutil.copytree(ck_t, f"{snap}_t")
+            snaps.append(snap)
+
+    drain_and_check("final")
