@@ -266,14 +266,21 @@ def approx_dau_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "ann", "pq", "invariant-twin"),
     oracle=f"""
 WITH {_EXACT_TOPK_CTES.lstrip()},
+qn AS (
+  SELECT vec_id AS qid, sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS n2
+  FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings
+        WHERE vec_id < {N_QUERY_VECS})
+  GROUP BY vec_id
+),
 per_q AS (
   SELECT q.vec_id AS qid,
          CAST((SELECT count(*) FROM exact_topk e WHERE e.qid = q.vec_id) AS BIGINT) AS n_exact
   FROM embeddings q WHERE q.vec_id < {N_QUERY_VECS}
 )
-SELECT qid, n_exact, n_exact AS n_approx,
+SELECT p.qid, p.n_exact,
+       CASE WHEN qn.n2 > 0 THEN p.n_exact ELSE CAST(0 AS BIGINT) END AS n_approx,
        TRUE AS rankwise_bound_ok
-FROM per_q ORDER BY qid
+FROM per_q p JOIN qn ON qn.qid = p.qid ORDER BY p.qid
 """,
 )
 def approx_pq_score_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -285,23 +292,47 @@ def approx_pq_score_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound to TRUE. A PQ bug that inflates scores (bad rerank) or loses
     candidates (bad encode — count shrinks) goes driver-red."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # Row-presence markers, not count(cosine): a zero-norm query's cosine
+    # is NULL on both engines but its top-k ROWS still exist, and the
+    # oracle counts rows — count(cosine) undercounted them to 0 (r15
+    # differential fuzz, zero-vector class). The rank bound is vacuous
+    # where both sides are degenerate (NULL vs NULL); a one-sided NULL is
+    # still a real violation.
     exact = embedding_topk_frame(emb).select(
-        "qid", F.col("rnk").alias("rnk"), F.col("cosine").alias("exact_cosine")
+        "qid",
+        F.col("rnk").alias("rnk"),
+        F.col("cosine").alias("exact_cosine"),
+        F.lit(1).alias("has_exact"),
     )
     pq = pq_topk_frame(emb).select(
-        "qid", F.col("rnk").alias("rnk"), F.col("cosine").alias("pq_cosine")
+        "qid",
+        F.col("rnk").alias("rnk"),
+        F.col("cosine").alias("pq_cosine"),
+        F.lit(1).alias("has_pq"),
     )
     joined = exact.join(pq, ["qid", "rnk"], "full")
     return (
         joined.groupBy("qid")
         .agg(
-            F.count(F.col("exact_cosine")).alias("n_exact"),
-            F.count(F.col("pq_cosine")).alias("n_approx"),
+            F.count(F.col("has_exact")).alias("n_exact"),
+            F.count(F.col("has_pq")).alias("n_approx"),
             F.min(
+                # degenerate exact rank (NULL cosine: a zero-norm query)
+                # with no PQ row is vacuous — PQ drops non-finite scores
+                # by design; everything else one-sided is a violation
                 F.when(
+                    F.col("exact_cosine").isNull() & F.col("has_pq").isNull(),
+                    F.lit(True),
+                )
+                .when(
+                    F.col("has_exact").isNull() | F.col("has_pq").isNull(),
+                    F.lit(False),
+                )
+                .when(
                     F.col("pq_cosine").isNull() | F.col("exact_cosine").isNull(),
                     F.lit(False),
-                ).otherwise(F.col("pq_cosine") <= F.col("exact_cosine") + F.lit(1e-12))
+                )
+                .otherwise(F.col("pq_cosine") <= F.col("exact_cosine") + F.lit(1e-12))
             ).alias("rankwise_bound_ok"),
         )
         .orderBy("qid")
@@ -335,6 +366,15 @@ def approx_kmeans_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     assigned, centroids, inertia = kmeans_fit(emb)
+    if not centroids:
+        # empty corpus: nothing was trained or assigned — every invariant
+        # holds vacuously, matching the oracle's count(*)=0 row (r15
+        # differential fuzz, empty-table class)
+        return spark.createDataFrame(
+            [(0, 0, True, True, True)],
+            "n_points BIGINT, n_assigned BIGINT, k_within_budget BOOLEAN, "
+            "inertia_monotone BOOLEAN, reassign_non_increasing BOOLEAN",
+        )
     stats = assigned.agg(
         F.count(F.lit(1)).alias("n_assigned"),
         F.countDistinct("cluster_id").alias("k_used"),

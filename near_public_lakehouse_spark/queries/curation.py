@@ -122,8 +122,12 @@ def self_dedup_frame(docs: DataFrame) -> DataFrame:
             "doc_id",
             F.expr("size(toks)").alias("n_tokens"),
             F.expr("size(toks) - size(kept)").alias("removed_toks"),
+            # nullif: concat_ws never returns NULL, but the oracle's
+            # array_to_string over an empty (or NULL-text) kept list is
+            # NULL — and tokens are non-empty strings, so '' can only
+            # mean "nothing survived" (r15 differential fuzz finding).
             F.expr(
-                "concat_ws(' ', transform(kept, j -> element_at(toks, j)))"
+                "nullif(concat_ws(' ', transform(kept, j -> element_at(toks, j))), '')"
             ).alias("cleaned_text"),
         )
     )

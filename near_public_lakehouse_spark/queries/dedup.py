@@ -1289,9 +1289,11 @@ ka AS (
 )
 SELECT t.doc_id,
        CAST(len(t.toks) AS BIGINT) AS n_toks,
-       coalesce(ka.kept_toks, 0) AS kept_toks,
+       CASE WHEN t.toks IS NULL THEN NULL
+            ELSE coalesce(ka.kept_toks, 0) END AS kept_toks,
        CAST(len(t.toks) AS BIGINT) - coalesce(ka.kept_toks, 0) AS removed_toks,
-       CASE WHEN coalesce(ka.kept_toks, 0) = CAST(len(t.toks) AS BIGINT)
+       CASE WHEN t.toks IS NULL THEN NULL
+            WHEN coalesce(ka.kept_toks, 0) = CAST(len(t.toks) AS BIGINT)
             THEN t.text ELSE coalesce(ka.cleaned_text, '') END AS cleaned_text
 FROM t LEFT JOIN ka USING (doc_id)
 ORDER BY doc_id
@@ -1652,11 +1654,20 @@ def winnowing_selections(docs: DataFrame) -> DataFrame:
     doc-keyed consumer."""
     t = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     base = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= WIN_K)
+    # The transform is TOTAL (CASE-guarded) even though `base` already
+    # filters size(t) >= WIN_K: when the explode below inlines this
+    # expression, Catalyst may merge and REORDER the filter conjuncts so
+    # size(hs) >= WIN_W evaluates before the size(t) guard — on a
+    # sub-WIN_K doc sequence(1, 0) then DESCENDS into slice(t, 0, k),
+    # which throws (r15 differential fuzz; the repo-wide sequence-empty
+    # trap, this time via filter reordering rather than a missing guard).
     hs = base.select(
         "doc_id",
         F.expr(
+            f"CASE WHEN size(t) >= {WIN_K} THEN "
             f"transform(sequence(1, size(t) - {WIN_K - 1}),"
-            f" i -> cast(conv(substring(md5(concat_ws(' ', slice(t, i, {WIN_K}))), 1, 8), 16, 10) AS BIGINT))"
+            f" i -> cast(conv(substring(md5(concat_ws(' ', slice(t, i, {WIN_K}))), 1, 8), 16, 10) AS BIGINT)) "
+            f"ELSE cast(array() AS array<bigint>) END"
         ).alias("hs"),
     ).filter(F.size("hs") >= WIN_W)
     ks = hs.select(

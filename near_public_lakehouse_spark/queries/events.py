@@ -26,6 +26,28 @@ from near_public_lakehouse_spark.functions.time import (
 from near_public_lakehouse_spark.queries.registry import query
 from near_public_lakehouse_spark.sources.tables import load_table
 
+# Defensive "$.k as BIGINT" for the hostile-JSON domain (r15 differential
+# fuzz): the engine contract is "integer-shaped extraction or NULL",
+# pinned with the SAME integer regex on both engines because their casts
+# disagree off-domain — DuckDB VARCHAR->BIGINT rounds '0.5' to 1, Spark's
+# non-ANSI cast truncates it to 0. Oracle side: json_extract_string must
+# be CASE-guarded behind json_valid (DuckDB RAISES on malformed JSON and
+# does not short-circuit AND), where Spark's get_json_object just
+# returns NULL. On integer-valued props (all driver data): identity.
+_INT_RE = "^-?[0-9]+$"
+_K_STR_SQL = "(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END)"
+_K_INT_SQL = (
+    f"CASE WHEN regexp_matches(coalesce({_K_STR_SQL}, ''), '{_INT_RE}') "
+    f"THEN CAST({_K_STR_SQL} AS BIGINT) END"
+)
+
+
+def _k_int_col():
+    """Spark twin of _K_INT_SQL: get_json_object already NULLs malformed
+    payloads; the regex pins the integer cast domain."""
+    s = j("props", "k")
+    return F.when(s.rlike(_INT_RE), s.cast("bigint"))
+
 
 @query(
     "daily_active_users",
@@ -96,9 +118,9 @@ def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "props_json_extract",
     tags=("§2.10-json",),
-    oracle="""
+    oracle=f"""
 SELECT event_type,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       {_K_INT_SQL} % 10 AS k_bucket,
        count(*) AS n_events,
        CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
 FROM events
@@ -114,7 +136,7 @@ def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy(
             "event_type",
-            (j("props", "k").cast("bigint") % 10).alias("k_bucket"),
+            (_k_int_col() % 10).alias("k_bucket"),
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -438,12 +460,12 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "props_variant_stats",
     tags=("§2.10-json", "variant", "beyond-reference"),
-    oracle="""
+    oracle=f"""
 SELECT event_type,
        count(*) AS n_events,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+       CAST(sum({_K_INT_SQL}) AS BIGINT) AS sum_k,
+       min({_K_INT_SQL}) AS min_k,
+       max({_K_INT_SQL}) AS max_k
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -460,7 +482,13 @@ def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     typed lookup — no re-tokenizing, shredded-friendly at rest.
     """
     ev = load_table(spark, sf_dir, "events")
-    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    # try_parse_json: a malformed payload must NULL out, not fail the
+    # pipeline (parse_json raises); the string-extract + integer-regex
+    # guard pins the same domain as the oracle — variant_get's direct
+    # "bigint" cast and DuckDB's VARCHAR cast disagree on non-integer
+    # numerics (r15 differential fuzz, hostile-JSON class).
+    ks = F.expr("variant_get(try_parse_json(props), '$.k', 'string')")
+    k = F.when(ks.rlike(_INT_RE), ks.cast("bigint"))
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")

@@ -249,6 +249,12 @@ def _pr_rounds(
     join-aggregate over `contrib` (src, dst, w, deg), rank state
     localCheckpointed to keep lineage flat. `broadcast_state` is
     `_pr_setup`'s auto-picked regime (4th tuple element)."""
+    if n == 0:
+        # empty graph: no nodes, no rounds — rank0 is already the empty
+        # frame with the (node, rank) schema, and building a round would
+        # divide by the node count (r15 differential fuzz, empty-table
+        # class)
+        return rank
     for _ in range(iters):
         rank = _pr_round(contrib, rank, n, broadcast_state).localCheckpoint()
     return rank

@@ -125,9 +125,16 @@ def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        count(TRY_CAST(event_type AS BIGINT)) AS numeric_types,
-       count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS numeric_props,
-       count(CASE WHEN TRY_CAST(json_extract_string(props, '$.missing') AS BIGINT)
-                  IS NULL THEN 1 END) AS null_extractions
+       count(CASE WHEN regexp_matches(coalesce(
+                    CASE WHEN json_valid(props)
+                         THEN json_extract_string(props, '$.k') END, ''),
+                    '^-?[0-9]+$')
+                  THEN 1 END) AS numeric_props,
+       count(CASE WHEN NOT regexp_matches(coalesce(
+                    CASE WHEN json_valid(props)
+                         THEN json_extract_string(props, '$.missing') END, ''),
+                    '^-?[0-9]+$')
+                  THEN 1 END) AS null_extractions
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -143,12 +150,23 @@ def try_cast_defensive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.try_to_number(F.col("event_type"), F.lit("999999"))).alias(
                 "numeric_types"
             ),
+            # the integer regex pins the cast domain on both engines:
+            # Spark's non-ANSI try_cast truncates '0.5' to 0 while
+            # DuckDB's rounds it to 1 (r15 differential fuzz) — an
+            # integer-shaped check is the deterministic common ground
             F.count(
-                F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
+                F.when(
+                    F.expr("get_json_object(props, '$.k')").rlike("^-?[0-9]+$"), 1
+                )
             ).alias("numeric_props"),
             F.count(
                 F.when(
-                    F.expr("try_cast(get_json_object(props, '$.missing') AS BIGINT)").isNull(),
+                    ~F.coalesce(
+                        F.expr("get_json_object(props, '$.missing')").rlike(
+                            "^-?[0-9]+$"
+                        ),
+                        F.lit(False),
+                    ),
                     1,
                 )
             ).alias("null_extractions"),
@@ -173,13 +191,19 @@ def select_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     "transform_hof",
     tags=("G5",),
     oracle="""
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents)
 SELECT doc_id,
-       array_to_string(list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
-                                      t -> upper(t) || '(' || CAST(length(t) AS VARCHAR) || ')'),
-                       ' ') AS annotated,
-       list_reduce(list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
-                   t -> length(t)), (a, b) -> a + b) AS total_token_chars
-FROM documents
+       CASE WHEN toks IS NULL THEN NULL
+            ELSE coalesce(array_to_string(list_transform(toks,
+                   t -> upper(t) || '(' || CAST(length(t) AS VARCHAR) || ')'), ' '), '')
+       END AS annotated,
+       CASE WHEN toks IS NULL THEN NULL
+            WHEN len(toks) = 0 THEN 0
+            ELSE list_reduce(list_transform(toks, t -> length(t)), (a, b) -> a + b)
+       END AS total_token_chars
+FROM t
 ORDER BY doc_id
 LIMIT 100
 """,
@@ -279,7 +303,8 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("G3",),
     oracle="""
 SELECT k AS prop_key, count(*) AS n_events
-FROM (SELECT unnest(json_keys(props)) AS k FROM events)
+FROM (SELECT unnest(CASE WHEN json_valid(props) THEN json_keys(props) END) AS k
+      FROM events)
 GROUP BY k
 ORDER BY k
 """,
@@ -352,15 +377,32 @@ def order_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from near_public_lakehouse_spark.functions.numeric import dsum
 
     o = load_table(spark, sf_dir, "orders")
-    return (
+    # The () grouping set is a separate global aggregate, not rollup's
+    # own grand-total row: ANSI (and DuckDB) emit the grand total even
+    # over EMPTY input, while Spark's rollup emits zero rows there (r15
+    # differential fuzz, empty-table class). Excluding rollup's gid=3 row
+    # and unioning the always-1-row agg is identical on non-empty input.
+    levels = (
         o.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.grouping_id().alias("gid"),
             F.count(F.lit(1)).alias("n_orders"),
             dsum("o_totalprice").alias("total_price"),
         )
+        .filter(F.col("gid") != 3)
         .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price")
-        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )
+    total = o.agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total_price")
+    ).select(
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        F.lit(3).cast("bigint").alias("gid"),
+        "n_orders",
+        "total_price",
+    )
+    return levels.unionByName(total).orderBy(
+        "gid", "o_orderstatus", "o_orderpriority"
     )
 
 
@@ -386,14 +428,28 @@ def status_segment_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    return (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .cube("o_orderstatus", "c_mktsegment")
+    joined = o.join(c, o.o_custkey == c.c_custkey)
+    # () grouping set via a separate global aggregate — same ANSI
+    # empty-input reasoning as order_status_rollup (r15 fuzz finding).
+    levels = (
+        joined.cube("o_orderstatus", "c_mktsegment")
         .agg(
             F.grouping_id().alias("gid"),
             F.count(F.lit(1)).alias("n_orders"),
             dsum("o_totalprice").alias("total_price"),
         )
+        .filter(F.col("gid") != 3)
         .select("o_orderstatus", "c_mktsegment", "gid", "n_orders", "total_price")
-        .orderBy("gid", "o_orderstatus", "c_mktsegment")
+    )
+    total = joined.agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total_price")
+    ).select(
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        F.lit(3).cast("bigint").alias("gid"),
+        "n_orders",
+        "total_price",
+    )
+    return levels.unionByName(total).orderBy(
+        "gid", "o_orderstatus", "c_mktsegment"
     )

@@ -777,6 +777,14 @@ def pq_topk_frame(emb: DataFrame, dim: int = 64) -> DataFrame:
     import numpy as np
 
     sample = _pq_train_sample(emb)  # ONE driver job: training + queries
+    if not sample:
+        # Empty corpus: nothing to train on and no query vectors — the
+        # empty top-k frame with the production schema, instead of numpy
+        # indexing into a 0-row training matrix (r15 differential fuzz,
+        # empty-table class).
+        return emb.sparkSession.createDataFrame(
+            [], "qid long, cid long, cosine double, rnk int"
+        )
     books = train_pq_codebooks(emb, dim=dim, sample=sample)
     sub = dim // PQ_M
     cnorm2 = (books**2).sum(axis=2)  # (M, K) int64: centroid sq-norms
@@ -928,6 +936,18 @@ def kmeans_fit(
         [float(x) for x in r.embedding]
         for r in emb.orderBy("vec_id").limit(k).select("embedding").collect()
     ]
+    if not init:
+        # Empty corpus (an empty partition at 100 TB, an empty fuzz
+        # table): no centroids to train — return the empty assignment
+        # frame with the production schema instead of indexing into an
+        # empty init list (r15 differential fuzz, empty-table class).
+        empty = emb.select(
+            "vec_id",
+            "embedding",
+            F.lit(None).cast("int").alias("cluster_id"),
+            F.lit(None).cast(_ACC_DEC).alias("sq_dist"),
+        )
+        return empty, [], []
     centroids = init
     inertia_history: list[float] = []
     assigned = None

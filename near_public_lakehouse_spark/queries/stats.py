@@ -411,7 +411,10 @@ def quantile_select_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         import math
 
         k = max(1, math.ceil(p * n))
-        rows.append((p, k, kth_smallest(li, "l_extendedprice", k)))
+        # empty input: the oracle's OFFSET over an empty subquery is a
+        # NULL scalar — selection has nothing to select (r15 differential
+        # fuzz, empty-table class)
+        rows.append((p, k, kth_smallest(li, "l_extendedprice", k) if n else None))
     return spark.createDataFrame(rows, "pct double, k bigint, value double").orderBy(
         "pct"
     )

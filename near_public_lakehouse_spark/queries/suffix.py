@@ -59,12 +59,15 @@ def distributed_dense_rank(df: DataFrame, key_cols: list[str], out: str = "rank"
     for r in counts:
         offsets[r._pid] = acc
         acc += r._n
-    omap = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    )
-    return local.withColumn(out, F.col("_lrank") + omap[F.col("_pid")]).drop(
-        "_pid", "_lrank"
-    )
+    if offsets:
+        omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+        rank = F.col("_lrank") + omap[F.col("_pid")]
+    else:
+        # empty input: F.create_map() is map<void,void> and indexing it
+        # fails analysis — the rank column is type-only on a 0-row frame
+        # (r15 differential fuzz, empty-table class)
+        rank = F.col("_lrank") + F.lit(0)
+    return local.withColumn(out, rank).drop("_pid", "_lrank")
 
 
 def distributed_exclusive_cumsum(

@@ -267,10 +267,16 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     norm = F.lower(F.trim(F.col("text")))
     norm_tokens = F.filter(F.split(norm, " "), lambda x: x != "")
+    # Zero-token docs get a NULL shingle fingerprint, not md5('') — the
+    # oracle's array_to_string([]) is NULL, and a shared empty-content
+    # hash would bucket every empty doc into one dedup cluster (the same
+    # class as the r14 LSH NULL-guard; r15 differential fuzz finding).
     return docs.select(
         "doc_id",
         F.md5(norm).alias("fingerprint"),
-        F.md5(F.array_join(norm_tokens, " ")).alias("shingle_fingerprint"),
+        F.when(
+            F.size(norm_tokens) > 0, F.md5(F.array_join(norm_tokens, " "))
+        ).alias("shingle_fingerprint"),
     ).orderBy("doc_id")
 
 
@@ -455,13 +461,20 @@ def doc_ngrams(docs: DataFrame) -> DataFrame:
     """(doc_id, ngs): per-document distinct token NGRAM_N-grams — shared by
     the batch query and the streaming twin (streaming/jobs.py)."""
     toks = tokens_col()
-    ngs = F.when(
-        F.size(toks) >= NGRAM_N,
-        F.expr(
-            f"array_distinct(transform(sequence(1, size(filter(split(text,' '), x -> x != '')) - {NGRAM_N - 1}),"
-            f" i -> array_join(slice(filter(split(text,' '), x -> x != ''), i, {NGRAM_N}), ' ')))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # NULL text -> NULL ngs (not []): DuckDB's list pipeline
+    # NULL-propagates, so n_ngrams/share must read NULL for a NULL doc on
+    # both engines (r15 differential fuzz, NULL-text class); a short
+    # non-NULL doc still yields the empty array.
+    ngs = (
+        F.when(
+            F.size(toks) >= NGRAM_N,
+            F.expr(
+                f"array_distinct(transform(sequence(1, size(filter(split(text,' '), x -> x != '')) - {NGRAM_N - 1}),"
+                f" i -> array_join(slice(filter(split(text,' '), x -> x != ''), i, {NGRAM_N}), ' ')))"
+            ),
+        )
+        .when(F.col("text").isNotNull(), F.array().cast("array<string>"))
+    )
     return docs.select("doc_id", ngs.alias("ngs"))
 
 

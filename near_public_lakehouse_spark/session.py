@@ -45,6 +45,12 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # ANSI off: the reference SQL relies on permissive casts/try semantics.
     "spark.sql.ansi.enabled": "false",
+    # size(NULL) = NULL, not the legacy -1: every text query counts tokens
+    # with F.size over a tokenizer that NULL-propagates, and the DuckDB
+    # oracles' len() is NULL-in-NULL-out — with the legacy default a
+    # NULL-text document silently scores -1 tokens and diverges from the
+    # oracle (r15 differential fuzz finding, NULL-text class).
+    "spark.sql.legacy.sizeOfNull": "false",
 }
 
 

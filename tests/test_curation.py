@@ -55,8 +55,10 @@ def test_self_dedup_short_and_empty_docs(spark):
     ).orderBy("doc_id").collect()
     assert [r.removed_toks for r in rows] == [0, 0, 0]
     assert rows[0].cleaned_text == "a b"
-    assert rows[1].cleaned_text == ""
-    assert rows[2].cleaned_text == ""
+    # zero-token docs clean to NULL, not '' (r15 contract: the oracle's
+    # array_to_string over an empty kept list is NULL)
+    assert rows[1].cleaned_text is None
+    assert rows[2].cleaned_text is None
 
 
 def test_self_dedup_is_idempotent(spark):

@@ -97,6 +97,22 @@ def main() -> None:
     gates.append(f"- Hostile-session oracle sweep (sf0.01): **{line}**")
     failed |= rc != 0 or "bad= 0" not in line
 
+    # Cross-engine differential fuzz gate (VERDICT r14 task #1): every
+    # oracle pair on the seeded adversarial corpus AND the empty-fact-
+    # table corpus must agree — the class of latent divergence three
+    # straight rounds of hand review kept finding (NULL/zero-token text,
+    # hostile JSON, boundary timestamps, zero vectors, empty partitions).
+    rc = _run(
+        [sys.executable, "tools/fuzz_oracle.py", "--variant", "both"],
+        out / "fuzz.log",
+    )
+    fuzz_tail = [
+        l for l in (out / "fuzz.log").read_text().splitlines() if "FUZZ DONE" in l
+    ]
+    line = fuzz_tail[-1] if fuzz_tail else "fuzz crashed — see fuzz.log"
+    gates.append(f"- Differential fuzz (adversarial + empty corpora): **{line}**")
+    failed |= rc != 0 or "findings=0" not in line
+
     if not args.skip_bench:
         import os
 

