@@ -187,6 +187,56 @@ SESSION_STATE_SCHEMA = (
     "starts array<bigint>, lasts array<bigint>, "
     "ns array<bigint>, totals array<double>"
 )
+# The pre-r14 single-tuple fold's state schema, kept so checkpoints
+# written by it can keep running (see user_sessions_stateful_v1 /
+# resume_user_sessions — VERDICT r14 task #5: the same upgrade class as
+# the SCD2 pre-SEQS_COL fallback at operators/scd.py:311).
+SESSION_STATE_SCHEMA_V1 = "start_us bigint, last_us bigint, n bigint, total double"
+
+
+def sessionizer_state_version(checkpoint_dir: str) -> int | None:
+    """State-schema version recorded in a sessionizer checkpoint: 2 for
+    the r14 interval-merge operator (array state), 1 for the pre-r14
+    single-tuple fold, None for a fresh/absent checkpoint. Reads the
+    per-partition `state/0/*/_metadata/schema` files Spark's state-schema
+    compatibility checker writes — the same artifact that makes a
+    mismatched resume fail, so detection and enforcement cannot drift."""
+    import glob
+    import os
+
+    for path in sorted(
+        glob.glob(os.path.join(checkpoint_dir, "state", "0", "*", "_metadata", "schema"))
+    ):
+        try:
+            txt = open(path, "rb").read().decode("utf-8", "replace")
+        except OSError:
+            continue
+        if '"starts"' in txt:
+            return 2
+        if '"start_us"' in txt:
+            return 1
+    return None
+
+
+def resume_user_sessions(
+    events: DataFrame,
+    checkpoint_dir: str,
+    gap_minutes: int = 240,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Version-detecting resume seam for the custom sessionizer (VERDICT
+    r14 task #5): Spark pins a stateful operator's state schema in the
+    checkpoint, so the r14 array-state operator CANNOT open a pre-r14
+    single-tuple checkpoint — without this seam an upgrade crashes the
+    pipeline with a state-schema incompatibility. A v1 checkpoint falls
+    back to the FROZEN v1 operator (the pipeline keeps running with its
+    original semantics); v2 or fresh checkpoints get the current
+    operator. Upgrading v1 state in place is not possible through the
+    applyInPandasWithState API — to adopt the r14 late-event semantics,
+    drain the v1 checkpoint (availableNow) and start fresh."""
+    if sessionizer_state_version(checkpoint_dir) == 1:
+        return user_sessions_stateful_v1(events, gap_minutes, watermark)
+    return user_sessions_stateful(events, gap_minutes, watermark)
 
 
 def _sessions_fold(sessions, events, gap_us):
@@ -258,8 +308,10 @@ def user_sessions_stateful(
     tests/test_sessions.py). Sessions emit when the watermark passes
     their gap-extended end — at input time when possible, else at the
     timer guarding the earliest open session. State schema changed
-    (arrays); pre-r14 sessionizer checkpoints fail Spark's state-schema
-    check loudly — restart them fresh.
+    (arrays); a pre-r14 single-tuple checkpoint cannot open under it —
+    resume such pipelines through `resume_user_sessions`, which detects
+    the checkpoint's recorded state version and falls back to the frozen
+    `user_sessions_stateful_v1` (r15, VERDICT r14 task #5).
 
     Scale notes: state is the open-session set per live (user) key —
     bounded by the watermark horizon over gap, the same bound
@@ -329,6 +381,80 @@ def user_sessions_stateful(
             fn,
             outputStructType=SESSION_OUTPUT_SCHEMA,
             stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def user_sessions_stateful_v1(
+    events: DataFrame, gap_minutes: int = 240, watermark: str = "1 day"
+) -> DataFrame:
+    """FROZEN pre-r14 sessionizer — the single-tuple fold with
+    SESSION_STATE_SCHEMA_V1 state, preserved verbatim so checkpoints it
+    wrote keep running after the upgrade (VERDICT r14 task #5; reach it
+    through `resume_user_sessions`, which version-detects the
+    checkpoint). Do NOT use for new pipelines: the r14 operator fixed a
+    within-watermark late event merging into the wrong open session,
+    which this fold still exhibits — that is exactly why its semantics
+    must stay frozen for its own checkpoints rather than drift."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "last_seen": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+            return
+        start_us = last_us = None
+        n, total = 0, 0.0
+        if state.exists:
+            start_us, last_us, n, total = state.get
+        closed = []
+        rows = pd.concat(list(pdfs)).sort_values("event_time")
+        for t, v in zip(rows["event_time"], rows["value"]):
+            t_us = int(t.value // 1000)  # pandas ns -> us
+            if start_us is None:
+                start_us, last_us, n, total = t_us, t_us, 0, 0.0
+            elif t_us - last_us > gap_us:
+                closed.append((start_us, last_us, n, total))
+                start_us, last_us, n, total = t_us, t_us, 0, 0.0
+            n += 1
+            total += 0.0 if v is None or v != v else float(v)  # None/NaN-safe
+            last_us = max(last_us, t_us)
+        state.update((start_us, last_us, n, total))
+        state.setTimeoutTimestamp((last_us // 1000) + gap_minutes * 60 * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _, _ in closed],
+                    "last_seen": [pd.Timestamp(e, unit="us") for _, e, _, _ in closed],
+                    "n_events": [c for _, _, c, _ in closed],
+                    "total_value": [tv for _, _, _, tv in closed],
+                }
+            )
+
+    return (
+        events.select("user_id", "event_time", "value")
+        .withWatermark("event_time", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA_V1,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )

@@ -207,3 +207,116 @@ def test_tws_sessionizer_handles_cross_batch_late_events(spark, staged_ooo, tmp_
         for r in rows
     }
     assert got == EXPECTED_OOO
+
+
+# --- r15: v1-checkpoint upgrade seam (VERDICT r14 task #5) -------------------
+#
+# The r14 interval-merge operator changed the fold state schema (single
+# tuple -> parallel arrays). Spark pins a stateful operator's state
+# schema inside the checkpoint, so a pipeline checkpointed on the v1
+# sessionizer cannot open under the v2 operator; `resume_user_sessions`
+# must detect the recorded version and fall back to the frozen v1
+# operator so the pipeline keeps running. The v1 fixture checkpoint is
+# built HERE with the preserved `user_sessions_stateful_v1` (frozen
+# code, not a drifting reimplementation): a committed checkpoint
+# directory cannot ship because Spark records absolute source paths in
+# the offset log. Drains use a foreachBatch sink — the memory sink does
+# not support checkpoint RECOVERY, which is the whole point here.
+
+
+def _drain_fb(sess, ck, rows_out, timeout=240):
+    q = (
+        sess.writeStream.foreachBatch(
+            lambda df, bid: rows_out.extend(df.collect())
+        )
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(timeout), "availableNow drain did not finish"
+
+
+def _v1_checkpoint(spark, tmp_path, staged):
+    """Stage b0-only, drain through the FROZEN v1 operator -> a genuine
+    v1-schema checkpoint with open state (user 1/2 sessions not yet
+    gap-closed)."""
+    import shutil
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    shutil.copytree(os.path.join(staged, "b0"), os.path.join(src, "b0"))
+    ck = str(tmp_path / "ck_v1")
+    ev = jobs.read_events_stream(spark, os.path.join(src, "b*"), max_files_per_trigger=1)
+    sess = jobs.user_sessions_stateful_v1(ev, gap_minutes=240, watermark="1 day")
+    got: list = []
+    _drain_fb(sess, ck, got)
+    assert got == []  # every session still open after b0
+    return src, ck
+
+
+def test_sessionizer_state_version_detection(spark, staged, tmp_path):
+    _, ck1 = _v1_checkpoint(spark, tmp_path, staged)
+    assert jobs.sessionizer_state_version(ck1) == 1
+
+    ck2 = str(tmp_path / "ck_v2")
+    ev = jobs.read_events_stream(spark, os.path.join(staged, "b*"), max_files_per_trigger=1)
+    _drain_fb(jobs.user_sessions_stateful(ev), ck2, [])
+    assert jobs.sessionizer_state_version(ck2) == 2
+
+    assert jobs.sessionizer_state_version(str(tmp_path / "nonexistent")) is None
+
+
+def test_sessionizer_v1_checkpoint_breaks_v2_operator(spark, staged, tmp_path):
+    """The premise the seam exists for: resuming a v1 checkpoint with the
+    v2 operator fails Spark's state-schema compatibility check instead of
+    silently misreading state."""
+    import shutil
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    src, ck = _v1_checkpoint(spark, tmp_path, staged)
+    shutil.copytree(os.path.join(staged, "b1"), os.path.join(src, "b1"))
+    ev = jobs.read_events_stream(spark, os.path.join(src, "b*"), max_files_per_trigger=1)
+    sess = jobs.user_sessions_stateful(ev)  # v2 against a v1 checkpoint
+    with pytest.raises(StreamingQueryException):
+        _drain_fb(sess, ck, [])
+
+
+def test_sessionizer_v1_checkpoint_resumes_through_fallback(spark, staged, tmp_path):
+    """resume_user_sessions on a v1 checkpoint falls back to the frozen
+    v1 operator: the upgraded deployment keeps draining the old pipeline
+    and closes the exact session set (the staged stream is in-order, so
+    v1 semantics equal the hand-computed EXPECTED_CLOSED)."""
+    import shutil
+
+    src, ck = _v1_checkpoint(spark, tmp_path, staged)
+    for b in ("b1", "b2"):
+        shutil.copytree(os.path.join(staged, b), os.path.join(src, b))
+    ev = jobs.read_events_stream(spark, os.path.join(src, "b*"), max_files_per_trigger=1)
+    sess = jobs.resume_user_sessions(ev, ck)
+    rows: list = []
+    _drain_fb(sess, ck, rows)
+    got = {
+        (r.user_id, _start_hour(r.session_start), r.n_events, r.total_value)
+        for r in rows
+    }
+    assert got == EXPECTED_CLOSED
+
+
+def test_sessionizer_fresh_checkpoint_resumes_as_v2(spark, staged_ooo, tmp_path):
+    """No checkpoint yet -> resume_user_sessions picks the CURRENT
+    operator: the out-of-order corpus closes with the r14 interval-merge
+    semantics (late events open/bridge their own sessions), proving the
+    fallback did not leak v1 behavior into fresh pipelines."""
+    ck = str(tmp_path / "ck_fresh")
+    ev = jobs.read_events_stream(
+        spark, os.path.join(staged_ooo, "b*"), max_files_per_trigger=1
+    )
+    sess = jobs.resume_user_sessions(ev, ck)
+    rows: list = []
+    _drain_fb(sess, ck, rows)
+    got = {
+        (r.user_id, _start_hour(r.session_start), r.n_events, r.total_value)
+        for r in rows
+    }
+    assert got == EXPECTED_OOO
