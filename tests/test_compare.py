@@ -145,15 +145,36 @@ def test_driver_window_composition_is_pinned():
     ABSORBED_NAMES), its oracle-checked error-bound twin approx_dau_error
     stays in the window — so EVERY window row now carries a real oracle
     and CORRECTNESS_r14 should show zero err rows.
+
+    Round 15 rotation (VERDICT r14 task #2 — window STALENESS): the 27
+    organic names whose most recent driver-green round is <= r06 (the
+    r5/r6 cohort, all sorting o-z and therefore never re-entering the
+    alphabetical window) rotate in under a15_ aliases, with the r15 map
+    recorded in ROTATION_HISTORY.json in the SAME commit. All 27 carry
+    oracles, so the zero-err-rows property of the window is preserved.
     """
+    import json
+    from pathlib import Path
+
     from near_public_lakehouse_spark.queries import all_queries
     from near_public_lakehouse_spark.queries.registry import DRIVER_WINDOW_ROTATION
 
-    assert DRIVER_WINDOW_ROTATION == {}
+    # the r15 staleness rotation: 27 aliases, every one in the window,
+    # and the ROTATION_HISTORY r15 map matches the live rotation exactly
+    # (the r13 bookkeeping gap class, closed in the same commit)
+    assert len(DRIVER_WINDOW_ROTATION) == 27
+    assert all(a == f"a15_{n}" for n, a in DRIVER_WINDOW_ROTATION.items())
+    hist = json.loads(
+        (Path(__file__).resolve().parent.parent / "ROTATION_HISTORY.json").read_text()
+    )
+    assert hist["rounds"]["r15"] == {
+        alias: organic for organic, alias in DRIVER_WINDOW_ROTATION.items()
+    }
     q = all_queries()
     names = sorted(q)
     window = names[:50]
-    # no alias names anywhere: the rotation is fully retired
+    assert set(DRIVER_WINDOW_ROTATION.values()) <= set(window)
+    # earlier rotations stay retired: no a13_ (or older live-alias) names
     assert not any(n.startswith("a13_") for n in names)
     # every window row is oracle-checked — zero err-shaped rows by design
     assert [n for n in window if not q[n].oracle] == []
