@@ -112,10 +112,20 @@ def self_dedup_frame(docs: DataFrame) -> DataFrame:
         )
         .withColumn(
             "kept",
+            # `dups` is let-bound as a lambda variable (the repo's
+            # transform-over-singleton idiom, see dedup._sig_df): referenced
+            # directly inside the per-token lambda, CollapseProject inlines
+            # the whole dups-building expression into the `exists` argument,
+            # which interpreted HOF evaluation then recomputes for EVERY
+            # token j — O(tokens x windows) per row instead of O(tokens).
+            # Measured at sf0.1 (r15 optimization round, guide §1/§4): the
+            # inlined plan spends 7.9 task-seconds on 0.01 MB of input; the
+            # let-bound plan evaluates dups once per row.
             F.expr(
                 "CASE WHEN size(toks) = 0 THEN array() ELSE "
+                "element_at(transform(array(dups), d -> "
                 "filter(sequence(1, size(toks)), "
-                f"j -> NOT exists(dups, s -> j >= s AND j <= s + {w} - 1)) END"
+                f"j -> NOT exists(d, s -> j >= s AND j <= s + {w} - 1))), 1) END"
             ),
         )
         .select(
@@ -178,9 +188,25 @@ def self_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, text) and mapping over it — a final orderBy would make the
     range partitioner's sampling pass evaluate the expensive HOF
     projection twice (measured 2.5x at sf0.1); the per-row transform is
-    narrow, so the input's range order carries through."""
+    narrow, so the input's range order carries through.
+
+    The range exchange carries an EXPLICIT partition count
+    (defaultParallelism, cluster-derived — not a constant): with a bare
+    orderBy, AQE's byte-based coalescing sees ~20 MB of (doc_id, text)
+    and folds the stage to ~5 partitions, blind to the per-row HOF CPU
+    that dominates this operator (guide §2.5's "synthetic partitioning"
+    cousin: the cost lives in compute, not bytes — measured 5 tasks /
+    7.9 task-s at sf0.1 before, full-width after). An explicit count on
+    repartitionByRange is exempt from AQE coalescing, and
+    sortWithinPartitions keeps the same global doc_id order the plain
+    orderBy produced."""
     docs = load_table(spark, sf_dir, "documents")
-    return self_dedup_frame(docs.select("doc_id", "text").orderBy("doc_id"))
+    n_part = spark.sparkContext.defaultParallelism
+    return self_dedup_frame(
+        docs.select("doc_id", "text")
+        .repartitionByRange(n_part, "doc_id")
+        .sortWithinPartitions("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------

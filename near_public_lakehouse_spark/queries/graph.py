@@ -66,6 +66,52 @@ PR_DP = 12  # per-iteration rounding keeps both engines in lockstep
 # wins (bench plans unchanged).
 STATE_ROW_OVERHEAD = 40
 
+# Lineage-cut cadence for the iterative loops: checkpoint the O(nodes)
+# state frame every this-many rounds instead of every round (see
+# `_pr_rounds` for the measurement). Scale-neutral: the checkpoint is
+# still O(nodes) and the plan depth between cuts is a constant.
+CHECKPOINT_EVERY = 5
+
+# --- node identity encoding (r15 optimization round, guide §2.3: narrower
+# types — "halve the column, halve its shuffle bytes"). The iteration
+# frames used to carry nodes as strings ("C<custkey>" / "S<suppkey>"):
+# every per-round join/groupBy hashed and compared variable-length UTF8
+# and every shuffle/localCheckpoint block carried ~8-16 bytes + offsets
+# per key. Node identity is now one BIGINT — custkey*2 for customers,
+# suppkey*2+1 for suppliers — decoded back to (node_type, node_id) only
+# in the final output projection, which is bit-identical to the string
+# plan's output (same type letter, same id, and the rank arithmetic
+# never touches the key). Measured at sf0.1: the PageRank round-loop's
+# localCheckpoint+shuffle bytes drop ~2x and per-round join/agg task
+# time drops with them (numbers in OPTIMIZATION_r15.md). The DuckDB
+# oracles keep their string-keyed form: only the FINAL (node_type,
+# node_id, score) rows are compared, and per-iteration 12-dp rounding
+# already makes the scores independent of summation order (the same
+# discipline that lets two different ENGINES agree).
+
+
+def _node_code(key_col: str, is_supplier: bool):
+    """BIGINT node code: key*2 (+1 for the supplier partition)."""
+    return (F.col(key_col) * 2 + (1 if is_supplier else 0)).cast("bigint")
+
+
+def _decode_node_cols():
+    """(node_type, node_id) from a BIGINT `node` code — the output-side
+    inverse of `_node_code`."""
+    return (
+        F.when(F.col("node") % 2 == 0, F.lit("C")).otherwise(F.lit("S")).alias("node_type"),
+        F.expr("node div 2").alias("node_id"),
+    )
+
+
+def _state_name_bytes(nodes: DataFrame, col: str = "node"):
+    """Aggregate expression estimating the state key's payload bytes for
+    the broadcast-regime pick: octet count for strings, 8 bytes/row for
+    the BIGINT-coded form (the probes still feed string-keyed frames)."""
+    if dict(nodes.dtypes)[col] == "string":
+        return F.coalesce(F.sum(F.length(col)), F.lit(0))
+    return F.count(F.lit(1)) * 8
+
 _SIZE_RE = re.compile(r"^(-?\d+)\s*([kmgtp]?i?b?)$")
 _SIZE_UNIT = {
     "": 1,
@@ -164,8 +210,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey", "l_suppkey")
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
         .select(
-            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("a"),
-            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("b"),
+            _node_code("o_custkey", False).alias("a"),
+            _node_code("l_suppkey", True).alias("b"),
             "w",
         )
     )
@@ -197,7 +243,7 @@ def _pr_setup(pairs: DataFrame) -> tuple[DataFrame, DataFrame, float, bool]:
     # the regime pick costs no extra job (VERDICT r13 task #1).
     stats = nodes.agg(
         F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum(F.length("node")), F.lit(0)).alias("name_bytes"),
+        _state_name_bytes(nodes).alias("name_bytes"),
     ).collect()[0]
     n = float(stats["n"])
     bcast = _state_broadcastable(
@@ -247,23 +293,37 @@ def _pr_rounds(
     """The PageRank power-iteration loop, shared by the ad-hoc registry
     query and the bucketed production path: each round is ONE
     join-aggregate over `contrib` (src, dst, w, deg), rank state
-    localCheckpointed to keep lineage flat. `broadcast_state` is
-    `_pr_setup`'s auto-picked regime (4th tuple element)."""
+    localCheckpointed every {CHECKPOINT_EVERY} rounds to keep lineage
+    bounded. `broadcast_state` is `_pr_setup`'s auto-picked regime (4th
+    tuple element).
+
+    Checkpoint discipline (r15 optimization round, guide §1.2/§2.4): an
+    EAGER checkpoint per round made every iteration a driver-
+    synchronized job — the profile showed walls dominated by dozens of
+    0.2-0.4 s sequential jobs, not compute. Lazy (eager=False)
+    checkpoints keep the lineage cut but materialize inside the next
+    consumer's job, and a cadence of {CHECKPOINT_EVERY} lets AQE pipeline
+    that many rounds per execution while the plan stays depth-bounded.
+    Measured at sf0.1 (cadence 1 / 2 / 5 / none over 3 GC-separated
+    runs): ~9.6-10.8 / ~7.9-10.5 / ~8.2-8.8 / ~9.1-9.7 s — cadence 5 is
+    the stable optimum; outputs are checkpoint-invariant (values are
+    fixed by the per-round rounding, pinned by the oracle)."""
     if n == 0:
         # empty graph: no nodes, no rounds — rank0 is already the empty
         # frame with the (node, rank) schema, and building a round would
         # divide by the node count (r15 differential fuzz, empty-table
         # class)
         return rank
-    for _ in range(iters):
-        rank = _pr_round(contrib, rank, n, broadcast_state).localCheckpoint()
+    for i in range(iters):
+        rank = _pr_round(contrib, rank, n, broadcast_state)
+        if (i + 1) % CHECKPOINT_EVERY == 0 or i == iters - 1:
+            rank = rank.localCheckpoint(eager=False)
     return rank
 
 
 def _pr_output(rank: DataFrame) -> DataFrame:
     return rank.select(
-        F.substring("node", 1, 1).alias("node_type"),
-        F.expr("CAST(substring(node, 2) AS BIGINT)").alias("node_id"),
+        *_decode_node_cols(),
         F.col("rank").alias("pagerank"),
     ).orderBy("node_type", "node_id")
 
@@ -272,7 +332,8 @@ def _pr_output(rank: DataFrame) -> DataFrame:
 # BFS hop distances — the min-plus twin of the PageRank iteration
 
 BFS_ITERS = 8
-BFS_SOURCE = "S1"  # supplier 1: present at every SF
+BFS_SOURCE = "S1"  # supplier 1: present at every SF (oracle-side name)
+BFS_SOURCE_CODE = 1 * 2 + 1  # the same node under the BIGINT coding
 
 
 def _bfs_iteration_sql() -> str:
@@ -334,8 +395,8 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
-            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("a"),
-            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("b"),
+            _node_code("o_custkey", False).alias("a"),
+            _node_code("l_suppkey", True).alias("b"),
         )
         .distinct()
     )
@@ -344,7 +405,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .localCheckpoint()
     )
-    dist = spark.createDataFrame([(BFS_SOURCE, 0)], "node string, hops bigint")
+    dist = spark.createDataFrame([(BFS_SOURCE_CODE, 0)], "node bigint, hops bigint")
     return _bfs_output(_bfs_rounds(edges, dist))
 
 
@@ -364,18 +425,20 @@ def _bfs_round(edges: DataFrame, dist: DataFrame) -> DataFrame:
 
 def _bfs_rounds(edges: DataFrame, dist: DataFrame, iters: int = BFS_ITERS) -> DataFrame:
     """The min-plus frontier-expansion loop, shared by the registry query
-    and the bucketed path: each round one edge join + min-fold."""
+    and the bucketed path: each round one edge join + min-fold.
+
+    Unlike `_pr_rounds`, the checkpoint stays PER-ROUND (lazily): a BFS
+    round references `dist` TWICE (the frontier join and the min-fold
+    union), so skipping rounds duplicates the uncut subtree 2x per
+    skipped round — measured at sf0.1: cadence-5 lazy 11.0 s vs
+    per-round lazy 8.2 s (per-round EAGER, the r14 shape, was 11.3 s)."""
     for _ in range(iters):
-        dist = _bfs_round(edges, dist).localCheckpoint()
+        dist = _bfs_round(edges, dist).localCheckpoint(eager=False)
     return dist
 
 
 def _bfs_output(dist: DataFrame) -> DataFrame:
-    return dist.select(
-        F.substring("node", 1, 1).alias("node_type"),
-        F.expr("CAST(substring(node, 2) AS BIGINT)").alias("node_id"),
-        "hops",
-    ).orderBy("node_type", "node_id")
+    return dist.select(*_decode_node_cols(), "hops").orderBy("node_type", "node_id")
 
 
 # ---------------------------------------------------------------------------
@@ -465,13 +528,17 @@ def link_analysis_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # cust/supp live in SEPARATE columns throughout the HITS iteration, so
+    # the raw BIGINT keys are already unambiguous node identities — no
+    # string prefix (or even the *2 coding) needed; the 'C'/'S' letters
+    # are attached only in `_hits_output` (guide §2.3, narrower types).
     edges = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_custkey", "l_suppkey")
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
         .select(
-            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("cust"),
-            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("supp"),
+            F.col("o_custkey").cast("bigint").alias("cust"),
+            F.col("l_suppkey").cast("bigint").alias("supp"),
             "w",
         )
         .localCheckpoint()
@@ -489,11 +556,15 @@ def _hits_regimes(edges: DataFrame) -> tuple[bool, bool]:
     frames (auth is O(suppliers), hub is O(customers)), so each gets its
     own broadcast-vs-merge pick. approx_count_distinct is plenty for a
     regime threshold; max(length) upper-bounds the name bytes."""
+    types = dict(edges.dtypes)
+    len_of = lambda c: (  # noqa: E731 — per-column byte estimate
+        F.coalesce(F.max(F.length(c)), F.lit(0)) if types[c] == "string" else F.lit(8)
+    )
     s = edges.agg(
         F.approx_count_distinct("cust").alias("nc"),
         F.approx_count_distinct("supp").alias("ns"),
-        F.coalesce(F.max(F.length("cust")), F.lit(0)).alias("lc"),
-        F.coalesce(F.max(F.length("supp")), F.lit(0)).alias("ls"),
+        len_of("cust").alias("lc"),
+        len_of("supp").alias("ls"),
     ).collect()[0]
     spark = edges.sparkSession
     return (
@@ -517,12 +588,8 @@ def _hits_rounds(
     flags are `_hits_regimes`' auto-picked per-half join strategies."""
     hub = None
     for _ in range(iters):
-        hub = _hits_half(
-            edges_by_supp, auth, "supp", "cust", bcast_auth
-        ).localCheckpoint()
-        auth = _hits_half(
-            edges_by_cust, hub, "cust", "supp", bcast_hub
-        ).localCheckpoint()
+        hub = _hits_half(edges_by_supp, auth, "supp", "cust", bcast_auth)
+        auth = _hits_half(edges_by_cust, hub, "cust", "supp", bcast_hub)
     return hub, auth
 
 
@@ -540,14 +607,17 @@ def _hits_half(
     the `_hits_regimes` auto-pick)."""
     from near_public_lakehouse_spark.functions.numeric import dsum
 
-    state = score.withColumnRenamed("node", join_key)
-    if not broadcast_state:
-        state = state.hint("merge")
-    raw = (
-        edges.join(state, join_key)
-        .groupBy(out_key)
-        .agg(dsum(F.col("w") * F.col("score"), scale=15, precision=30).alias("s"))
-        .withColumnRenamed(out_key, "node")
+    # LAZY checkpoint (r15 optimization round, guide §2.4/§5): `raw`
+    # feeds BOTH the max-normalizer's broadcast aggregate and the
+    # normalize projection — unmaterialized, every half-iteration ran
+    # the edge join + dsum TWICE (once inside the broadcast build, once
+    # in the main pass; 141 stages for 16 half-rounds in BENCH r14).
+    # eager=False materializes the blocks inside the first consumer's
+    # job instead of adding a second per-half driver barrier. This
+    # checkpoint also bounds the round-chain plan depth, so the
+    # half-results themselves no longer checkpoint (see `_hits_rounds`).
+    raw = _hits_raw(edges, score, join_key, out_key, broadcast_state).localCheckpoint(
+        eager=False
     )
     mx = raw.agg(F.max("s").alias("mx"))
     return raw.crossJoin(F.broadcast(mx)).select(
@@ -555,19 +625,44 @@ def _hits_half(
     )
 
 
+def _hits_raw(
+    edges: DataFrame,
+    score: DataFrame,
+    join_key: str,
+    out_key: str,
+    broadcast_state: bool = True,
+) -> DataFrame:
+    """The half-iteration's join-aggregate, split from the normalization
+    so plan pins (merge-hint-survives-AQE, map-side partials) can assert
+    on the frame that CONTAINS the join — `_hits_half` checkpoints it,
+    which hides the join behind an RDD scan in the executed plan."""
+    from near_public_lakehouse_spark.functions.numeric import dsum
+
+    state = score.withColumnRenamed("node", join_key)
+    if not broadcast_state:
+        state = state.hint("merge")
+    return (
+        edges.join(state, join_key)
+        .groupBy(out_key)
+        .agg(dsum(F.col("w") * F.col("score"), scale=15, precision=30).alias("s"))
+        .withColumnRenamed(out_key, "node")
+    )
+
+
 def _hits_output(hub: DataFrame, auth: DataFrame) -> DataFrame:
-    out = hub.select(
-        F.lit("C").alias("node_type"),
-        F.expr("CAST(substring(node, 2) AS BIGINT)").alias("node_id"),
-        F.col("score").alias("hub_or_auth"),
-    ).unionByName(
-        auth.select(
-            F.lit("S").alias("node_type"),
-            F.expr("CAST(substring(node, 2) AS BIGINT)").alias("node_id"),
+    def half(df: DataFrame, letter: str) -> DataFrame:
+        node_id = (
+            F.expr("CAST(substring(node, 2) AS BIGINT)")
+            if dict(df.dtypes)["node"] == "string"
+            else F.col("node").cast("bigint")
+        )
+        return df.select(
+            F.lit(letter).alias("node_type"),
+            node_id.alias("node_id"),
             F.col("score").alias("hub_or_auth"),
         )
-    )
-    return out.orderBy("node_type", "node_id")
+
+    return half(hub, "C").unionByName(half(auth, "S")).orderBy("node_type", "node_id")
 
 
 # ---------------------------------------------------------------------------
@@ -608,12 +703,16 @@ def bucket_graph_edges(
         .groupBy("o_custkey", "l_suppkey")
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
         .select(
-            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("cust"),
-            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("supp"),
+            F.col("o_custkey").cast("bigint").alias("cust"),
+            F.col("l_suppkey").cast("bigint").alias("supp"),
             "w",
         )
     )
-    pairs = bi.select(F.col("cust").alias("a"), F.col("supp").alias("b"), "w")
+    # the undirected union mixes the two partitions in ONE column, so it
+    # uses the *2(+1) BIGINT coding (same as the registry queries)
+    pairs = bi.select(
+        (F.col("cust") * 2).alias("a"), (F.col("supp") * 2 + 1).alias("b"), "w"
+    )
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w").unionByName(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
     )
@@ -637,7 +736,7 @@ def pagerank_from_bucketed(spark: SparkSession, by_src_table: str) -> DataFrame:
     nodes = contrib.select(F.col("src").alias("node")).distinct().localCheckpoint()
     stats = nodes.agg(
         F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum(F.length("node")), F.lit(0)).alias("name_bytes"),
+        _state_name_bytes(nodes).alias("name_bytes"),
     ).collect()[0]
     n = float(stats["n"])
     bcast = _state_broadcastable(spark, int(stats["n"]), int(stats["name_bytes"]))
@@ -649,7 +748,7 @@ def bfs_from_bucketed(spark: SparkSession, by_src_table: str) -> DataFrame:
     """`graph_bfs_hops` over the pre-bucketed edge layout — same
     `_bfs_rounds` frames, exchange-free edge side per round."""
     edges = spark.table(by_src_table).select("src", "dst")
-    dist = spark.createDataFrame([(BFS_SOURCE, 0)], "node string, hops bigint")
+    dist = spark.createDataFrame([(BFS_SOURCE_CODE, 0)], "node bigint, hops bigint")
     return _bfs_output(_bfs_rounds(edges, dist))
 
 

@@ -314,10 +314,34 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id tiebreaks, so the fused output depends on cross-engine-stable
     ranks, never on raw float score equality."""
     docs = load_table(spark, sf_dir, "documents")
-    dl, stats, tf, qterms = _index(docs)
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # ONE materialized index for both rankers (r15 optimization round,
+    # guide §2.4/§5): the old plan re-entered `_index(docs)` once per
+    # consumer — `.explain("formatted")` showed 28 parquet scans of
+    # `documents`, each re-running the tokenize + explode + postings
+    # chain (plans/r15/retrieval_hybrid_rrf_before.txt). The postings
+    # (O(corpus tokens), ONE shuffle), per-doc lengths (O(docs)) and
+    # vocabulary-bounded dfreq are each computed once and
+    # localCheckpointed; every ranker frame below re-reads those blocks
+    # instead of the corpus. After: 1 documents scan
+    # (plans/r15/retrieval_hybrid_rrf_after.txt).
+    t = docs.select("doc_id", tokens_col().alias("t"))
+    dl = t.select("doc_id", F.size("t").alias("dl")).localCheckpoint(eager=False)
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (
+        t.select("doc_id", F.explode("t").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dfreq_full = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total")
+    ).localCheckpoint(eager=False)
+    qterms = _qterms(dfreq_full)
+    dfreq = dfreq_full.select("token", "df")
 
-    bm_rank = _ranked(_bm25_scores(docs), RRF_POOL).select("qid", "doc_id", "rnk")
+    bm_rank = _ranked(_score(tf, dl, stats, qterms), RRF_POOL).select(
+        "qid", "doc_id", "rnk"
+    )
 
     n_docs = F.col("n_docs").cast("double")
     w = (

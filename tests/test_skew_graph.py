@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from near_public_lakehouse_spark.queries.graph import (
     _bfs_round,
     _hits_half,
+    _hits_raw,
     _pr_round,
     _pr_rounds,
     _pr_setup,
@@ -153,7 +154,10 @@ def test_round_aggregates_are_map_side_partial(spark):
                 [("S0", 0)], "node string, hops bigint"
             ),
         ),
-        "hits": _hits_half(
+        # `_hits_raw`, not `_hits_half`: the half lazily checkpoints the
+        # join-aggregate (r15), which hides it behind an RDD scan in the
+        # executed plan — the raw frame is the one carrying the partials.
+        "hits": _hits_raw(
             pairs.select(F.col("a").alias("cust"), F.col("b").alias("supp"), "w"),
             pairs.select(F.col("b").alias("node")).distinct().select(
                 "node", F.lit(1.0).alias("score")
@@ -298,8 +302,15 @@ def test_hits_merge_regime_pins_smj_and_matches(spark):
         (r.node, r.score)
         for r in _hits_half(bi, auth0, "supp", "cust", True).collect()
     )
-    one = _hits_half(bi, auth0, "supp", "cust", False)
-    got = sorted((r.node, r.score) for r in one.collect())
+    got = sorted(
+        (r.node, r.score)
+        for r in _hits_half(bi, auth0, "supp", "cust", False).collect()
+    )
+    # plan pin on `_hits_raw` — the frame that contains the join;
+    # `_hits_half` lazily checkpoints it (r15), hiding the join behind
+    # an RDD scan in the half's own executed plan
+    one = _hits_raw(bi, auth0, "supp", "cust", False)
+    one.collect()
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert got == want
     assert "SortMergeJoin" in plan, plan[:2000]
