@@ -209,17 +209,29 @@ def _adaptive_pairs(docs: DataFrame) -> DataFrame:
     return _adaptive_pairs_from_sigs(_sig_df(docs, "source").localCheckpoint())
 
 
-def _adaptive_pairs_from_sigs(sigs: DataFrame) -> DataFrame:
+def _adaptive_pairs_from_sigs(
+    sigs: DataFrame, members: DataFrame | None = None
+) -> DataFrame:
     """`_adaptive_pairs` over an already-CHECKPOINTED (doc_id, source,
     sig) frame — split out (r14 review) so the eval scorecards can feed
     ONE materialized signature frame to every consumer instead of
     re-running the tokenize + 12-minhash chain per consumer (the exact
     CPU constant optimization #1 above exists to avoid, paid ~4x by
-    `_bands_eval_frame` before the split)."""
+    `_bands_eval_frame` before the split).
+
+    `members` (r15 optimization round) optionally overrides the
+    (doc_id, source, sk) member list the surviving group pairs expand
+    to — the assignments pipeline passes one representative per
+    TOKEN-SET class (see `_assignments_frame`), which shrinks both the
+    expansion and everything downstream of it. Calibration, grouping
+    and the band join always run over the FULL signature frame, so the
+    per-source thresholds and the group-pair set are byte-identical to
+    the default path."""
     keys = _s2_keys_from_sigs(sigs)
     cfg = _source_thresholds(keys)
     sk = sigs.withColumn("sk", sig_key_col())
-    members = sk.select("doc_id", "source", "sk")
+    if members is None:
+        members = sk.select("doc_id", "source", "sk")
     grp = (
         sk.groupBy("source", "sk")
         .agg(F.min("doc_id").alias("gid"), F.first("sig").alias("sig"))
@@ -748,28 +760,69 @@ def _assignments_frame(docs: DataFrame) -> DataFrame:
 
     spark = docs.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    # Tokenization + fingerprint md5 run map-side at the SCAN's width (a
-    # couple of parquet files at bench SFs) — one cheap text shuffle
-    # spreads the dominant per-doc CPU across the cluster (measured
-    # sf0.1: 2-task prelude 5.4 s -> ~1 s). At real scale the scan is
-    # already wide and the repartition is a no-op-sized shuffle.
-    f = docs.repartition(n_part).select(
-        "doc_id",
-        "text",
-        "source",
-        F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
-        _dtoks_col().alias("toks"),
+    # Fingerprint election over SMALL rows (r15 optimization round, guide
+    # §8 "decide with small rows, move big rows once"): the old prelude
+    # shuffled the full (text, toks) payload TWICE — an unkeyed
+    # repartition for tokenize width, then the keeper window's
+    # hashpartitioning(fingerprint) — and its checkpoint stored text AND
+    # token arrays for EVERY document even though only representatives
+    # ever need them. Now the election runs over (doc_id, fingerprint)
+    # only [the md5 is computed map-side at scan width — cheap without
+    # the tokenizer next to it], the checkpointed keeper map is two
+    # BIGINTs per doc, and the text payload crosses the wire exactly
+    # once: in the reps join below, whose exchange also provides the
+    # cluster-wide width the per-doc tokenize CPU needs (the r12-era
+    # 2-task-prelude trap). Measured at sf0.1: prelude 3.7 s -> ~1.5 s;
+    # at 100 TB the win is the removed payload shuffle.
+    km = (
+        docs.select(
+            "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint")
+        )
+        .withColumn("keeper", F.min("doc_id").over(W.partitionBy("fingerprint")))
+        .select("doc_id", "keeper")
+        .localCheckpoint()
     )
-    fam = f.withColumn(
-        "keeper", F.min("doc_id").over(W.partitionBy("fingerprint"))
-    ).localCheckpoint()
     reps = (
-        fam.filter(F.col("doc_id") == F.col("keeper"))
-        .select("doc_id", "text", "source", "toks")
+        docs.join(
+            km.filter(F.col("doc_id") == F.col("keeper")).select("doc_id"), "doc_id"
+        )
+        .repartition(n_part)
+        .select("doc_id", "text", "source", _dtoks_col().alias("toks"))
         .localCheckpoint()
     )
     n_reps = reps.count()  # free: localCheckpoint already materialized it
-    cand = _adaptive_pairs(reps)
+    # TOKEN-SET class collapse (r15 optimization round — the guide §8
+    # "decide with a lightweight proxy" move applied to verification):
+    # docs whose DISTINCT token sets are identical are fully
+    # interchangeable downstream — identical token sets force identical
+    # minhash signatures (same candidates at unchanged thresholds) and
+    # Jaccard verification depends on nothing but the two token sets, so
+    # every member of a class passes/fails exactly together and any pair
+    # WITHIN a class is an automatic J=1 edge. The group-pair expansion
+    # therefore expands to ONE representative per (source, sk, token-set)
+    # class; class members attach to their representative by a star edge
+    # (exactly the edges the old pipeline emitted as verified J=1 pairs,
+    # minus the redundant clique fill — components identical, and the
+    # oracle pins it). Near-dup corpora are precisely where identical
+    # token sets cluster, so this bounds the former m^2/2 verified-pair
+    # blowup per duplicate family to O(members). Measured at sf0.1:
+    # verified CC input 2.95M -> ~50k edges, verify+CC walls in
+    # OPTIMIZATION_r15.md. Calibration/grouping still run on the FULL
+    # signature frame — per-source thresholds are byte-identical.
+    tk_col = F.when(
+        F.size("toks") > 0, F.md5(F.concat_ws(" ", F.array_sort("toks")))
+    )
+    sigs = _sig_df(reps.withColumn("tk", tk_col), "source", "tk").localCheckpoint()
+    skf = sigs.withColumn("sk", sig_key_col()).select("doc_id", "source", "sk", "tk")
+    cls = skf.filter(F.col("sk").isNotNull() & F.col("tk").isNotNull())
+    class_rep = cls.groupBy("source", "sk", "tk").agg(F.min("doc_id").alias("rep"))
+    members = class_rep.select(F.col("rep").alias("doc_id"), "source", "sk")
+    class_stars = (
+        cls.join(class_rep, ["source", "sk", "tk"])
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    cand = _adaptive_pairs_from_sigs(sigs, members=members)
     ta = reps.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     tb = reps.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     if n_reps <= _dd.VERIFY_BROADCAST_MAX_REPS:
@@ -800,12 +853,16 @@ def _assignments_frame(docs: DataFrame) -> DataFrame:
         .filter(size_ok & (jac >= VERIFY_JACCARD))
         .select("doc_a", "doc_b")
     )
-    exact = fam.filter(F.col("doc_id") != F.col("keeper")).select(
+    exact = km.filter(F.col("doc_id") != F.col("keeper")).select(
         F.col("keeper").alias("doc_a"), F.col("doc_id").alias("doc_b")
     )
-    clusters = _star_cc(verified.unionByName(exact)).select(
-        F.col("id").alias("doc_id"), F.col("lab").alias("cluster_id")
-    )
+    # include_roots=False (r15): the left join + coalesce below already
+    # maps label-less docs to themselves, which is exactly what roots and
+    # isolated nodes would carry — skipping the engine's node-set
+    # distinct + root join drops two O(edges) passes from the tail.
+    clusters = _star_cc(
+        verified.unionByName(class_stars).unionByName(exact), include_roots=False
+    ).select(F.col("id").alias("doc_id"), F.col("lab").alias("cluster_id"))
     keeper = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
     return (
         docs.select("doc_id")

@@ -923,7 +923,7 @@ def _min_label_cc(edges: DataFrame) -> DataFrame:
     return labels
 
 
-def _star_cc(edges: DataFrame) -> DataFrame:
+def _star_cc(edges: DataFrame, include_roots: bool = True) -> DataFrame:
     """(id, lab) connected-component labels via alternating large-star /
     small-star rounds (Kiveris et al., "Connected Components in MapReduce
     and Beyond", SoCC 2014 — public algorithm) — the dense-graph scale
@@ -965,12 +965,14 @@ def _star_cc(edges: DataFrame) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    nodes = (
-        e.select(F.col("a").alias("id"))
-        .union(e.select(F.col("b").alias("id")))
-        .distinct()
-        .localCheckpoint()
-    )
+    nodes = None
+    if include_roots:
+        nodes = (
+            e.select(F.col("a").alias("id"))
+            .union(e.select(F.col("b").alias("id")))
+            .distinct()
+            .localCheckpoint()
+        )
     prev: tuple[int, int] | None = None
     for i in range(50):
         # --- large-star: v > u joins min(N(u) ∪ {u}) -----------------------
@@ -1014,6 +1016,15 @@ def _star_cc(edges: DataFrame) -> DataFrame:
     parent = e.groupBy("a").agg(F.min("b").alias("lab")).select(
         F.col("a").alias("id"), "lab"
     )
+    if not include_roots:
+        # CHILD rows only (r15 optimization round): a consumer that
+        # left-joins these labels and coalesces a missing label to the
+        # node's own id (the near_dup_assignments shape) reconstructs
+        # exactly the full map — roots and isolated nodes are precisely
+        # the ids absent from `parent` — without paying the O(2·edges)
+        # node-set distinct + the left join below (measured ~1.7 s of
+        # the near_dup wall at sf0.1).
+        return parent
     return nodes.join(parent, "id", "left").select(
         "id", F.coalesce("lab", F.col("id")).alias("lab")
     )
