@@ -227,6 +227,18 @@ def _adaptive_pairs_from_sigs(
     and the band join always run over the FULL signature frame, so the
     per-source thresholds and the group-pair set are byte-identical to
     the default path."""
+    from near_public_lakehouse_spark.queries import dedup as _dd
+
+    n_docs = sigs.count()  # free: localCheckpoint already materialized it
+    # Width discipline (r15 optimization round, guide §2.2, see
+    # dedup.decision_parts): the signature frame is a few hundred bytes
+    # per doc, but inherits the tokenize stage's CPU-spreading width —
+    # at that width every calibration/grouping aggregate below paid the
+    # M x R shuffle-stream setup cost (~40 task-s per stage on a ~1 MB
+    # frame at bench scale). Narrow it to a row-count-derived width
+    # first; the coalesce reads the existing checkpoint blocks, so the
+    # minhash chain is NOT recomputed.
+    sigs = _dd.narrowed_ckpt(sigs, n_docs)
     keys = _s2_keys_from_sigs(sigs)
     cfg = _source_thresholds(keys)
     sk = sigs.withColumn("sk", sig_key_col())
@@ -237,9 +249,6 @@ def _adaptive_pairs_from_sigs(
         .agg(F.min("doc_id").alias("gid"), F.first("sig").alias("sig"))
         .join(F.broadcast(cfg), "source")
     )
-    from near_public_lakehouse_spark.queries import dedup as _dd
-
-    n_docs = sigs.count()  # free: localCheckpoint already materialized it
     small = n_docs <= _dd.VERIFY_BROADCAST_MAX_REPS
     n_part = int(
         sigs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
@@ -774,10 +783,17 @@ def _assignments_frame(docs: DataFrame) -> DataFrame:
     # cluster-wide width the per-doc tokenize CPU needs (the r12-era
     # 2-task-prelude trap). Measured at sf0.1: prelude 3.7 s -> ~1.5 s;
     # at 100 TB the win is the removed payload shuffle.
+    # The election window's exchange width derives from the SCAN's width
+    # (bytes-proportional — r15 optimization round, guide §2.2) instead of
+    # spark.sql.shuffle.partitions: the frame is two small columns per
+    # doc, and the explicit keyed repartition doubles as the window's
+    # required partitioning, so the window adds no second exchange.
+    scan_p = max(1, docs.rdd.getNumPartitions())
     km = (
         docs.select(
             "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint")
         )
+        .repartition(scan_p, "fingerprint")
         .withColumn("keeper", F.min("doc_id").over(W.partitionBy("fingerprint")))
         .select("doc_id", "keeper")
         .localCheckpoint()
@@ -812,7 +828,17 @@ def _assignments_frame(docs: DataFrame) -> DataFrame:
     tk_col = F.when(
         F.size("toks") > 0, F.md5(F.concat_ws(" ", F.array_sort("toks")))
     )
-    sigs = _sig_df(reps.withColumn("tk", tk_col), "source", "tk").localCheckpoint()
+    # Minhash/tokenize maps run at reps' CPU-spreading width; the RESULT
+    # is a few hundred bytes per doc, so it checkpoints at a row-count-
+    # derived width (guide §2.2 / dedup.decision_parts) — the calibration
+    # and class aggregates below then stop paying the M x R shuffle-stream
+    # setup that dominated this pipeline's profile (~350 task-s of pure
+    # fan-out overhead at bench scale).
+    sigs = (
+        _sig_df(reps.withColumn("tk", tk_col), "source", "tk")
+        .repartition(_dd.decision_parts(n_reps), "doc_id")
+        .localCheckpoint()
+    )
     skf = sigs.withColumn("sk", sig_key_col()).select("doc_id", "source", "sk", "tk")
     cls = skf.filter(F.col("sk").isNotNull() & F.col("tk").isNotNull())
     class_rep = cls.groupBy("source", "sk", "tk").agg(F.min("doc_id").alias("rep"))

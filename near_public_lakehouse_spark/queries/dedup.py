@@ -227,6 +227,48 @@ def jaccard_cols(ta, tb):
     return inter, union, inter.cast("double") / union
 
 
+# --- decision-frame partition sizing (r15 optimization round, guide §2.2).
+# A shuffle with M map tasks and R reduce buckets creates M x R streams,
+# each with a fixed serializer/compression setup cost — measured on this
+# machine at ~5-10 ms of executor CPU per stream. A 5,000-row signature
+# frame checkpointed at 64 partitions therefore made EVERY downstream
+# aggregate burn ~40 task-seconds on ~1 MB of data (the near_dup profile's
+# "mystery stages": 12 such stages, ~350 task-s, pure fan-out overhead —
+# the local-scale face of the guide's quadratic shuffle-block growth).
+# Fix per the guide: derive partition counts from MEASURED row counts so
+# the same code is 1-wide at bench scale and thousands-wide at 100 TB —
+# never a constant tuned to either.
+DECISION_ROWS_PER_PARTITION = 500_000
+
+
+def decision_parts(n_rows: int) -> int:
+    """Partition count for a frame of `n_rows` small decision rows
+    (ids/keys/labels, ~20-200 B each): ~500k rows per partition keeps
+    partitions in the guide §2.2 size band while bounding the per-stage
+    stream count. Scale-adaptive by construction — no cap, so a 10^10-row
+    edge set still gets its 20k partitions.
+
+    Floor of TWO, not one: a 1-partition frame trivially satisfies every
+    required distribution, so Catalyst plans downstream keyed joins with
+    NO exchange at all — which also deletes the ENSURE_REQUIREMENTS
+    shuffle that is AQE's skew-split seam (the quadratic member-pair
+    expansion then runs its m^2/2 output in ONE task, the exact cliff
+    tests/test_skew_dedup.py pins). Two partitions keep the adaptive
+    seams armed for the price of one extra tiny stream."""
+    return max(2, -(-int(n_rows) // DECISION_ROWS_PER_PARTITION))
+
+
+def narrowed_ckpt(df: DataFrame, n_rows: int) -> DataFrame:
+    """Re-checkpoint an ALREADY-MATERIALIZED checkpoint at the width
+    `decision_parts(n_rows)` prescribes, if narrower. `coalesce` over the
+    existing blocks is a narrow read — the frame's lineage (tokenize,
+    minhash, ...) is NOT recomputed."""
+    p = decision_parts(n_rows)
+    if p < df.rdd.getNumPartitions():
+        return df.coalesce(p).localCheckpoint()
+    return df
+
+
 def sig_key_col():
     """Compact deterministic identity key for a full 12-hash signature —
     the groupable stand-in for the array itself (md5 over the joined
@@ -965,18 +1007,33 @@ def _star_cc(edges: DataFrame, include_roots: bool = True) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    # Width discipline (r15 optimization round, guide §2.2): the edge
+    # frame is already materialized, so its COUNT is a cheap block scan —
+    # derive every round exchange's width from it instead of inheriting
+    # spark.sql.shuffle.partitions, whose M x R stream setup dominated
+    # the rounds at bench scale (each round re-shuffles a shrinking edge
+    # set; the observe() count re-sizes the next round for free). The
+    # explicit keyed repartitions double as the groupBy/join partitioning,
+    # so each half-round still pays exactly its two exchanges — now at a
+    # row-count-proportional width.
+    p = decision_parts(e.count())
+    if p < e.rdd.getNumPartitions():
+        e = e.coalesce(p).localCheckpoint()
     nodes = None
     if include_roots:
         nodes = (
             e.select(F.col("a").alias("id"))
             .union(e.select(F.col("b").alias("id")))
+            .repartition(p, "id")
             .distinct()
             .localCheckpoint()
         )
     prev: tuple[int, int] | None = None
     for i in range(50):
         # --- large-star: v > u joins min(N(u) ∪ {u}) -----------------------
-        sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        sym = e.union(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).repartition(p, "a")
         mins = sym.groupBy("a").agg(
             F.least(F.min("b"), F.first("a")).alias("m")
         )
@@ -985,12 +1042,13 @@ def _star_cc(edges: DataFrame, include_roots: bool = True) -> DataFrame:
             .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .filter(F.col("a") != F.col("b"))
+            .repartition(p, "a", "b")
             .distinct()
         )
         # --- small-star: child>parent orientation, smaller nbrs + u -> min -
         oriented = e.select(
             F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
-        )
+        ).repartition(p, "a")
         mins = oriented.groupBy("a").agg(F.min("b").alias("m"))
         obs = Observation(f"star_round_{i}")
         e = (
@@ -998,6 +1056,7 @@ def _star_cc(edges: DataFrame, include_roots: bool = True) -> DataFrame:
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .union(mins.select(F.col("a"), F.col("m").alias("b")))
             .filter(F.col("a") != F.col("b"))
+            .repartition(p, "a", "b")
             .distinct()
             .observe(
                 obs,
@@ -1010,6 +1069,7 @@ def _star_cc(edges: DataFrame, include_roots: bool = True) -> DataFrame:
         if sig == prev:
             break
         prev = sig
+        p = decision_parts(sig[0])
     # At the fixpoint e is a star forest (child -> component min); groupBy
     # min guards the pre-fixpoint break path where a child could briefly
     # hold two parents. Roots (and isolated nodes) label themselves.
