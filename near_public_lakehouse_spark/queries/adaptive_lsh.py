@@ -276,6 +276,15 @@ def _adaptive_pairs_from_sigs(
         gflat = gflat.repartition(n_part, "band_key")
     a = gflat.alias("a")
     b = gflat.alias("b")
+    # Group pairs ride the BIGINT gid, not the (source, sk) string
+    # 4-tuple (r15 optimization round, guide §2.3 narrower types): gid =
+    # min doc_id per (source, sk) group is a bijection onto the groups
+    # (each doc belongs to exactly one group, so group minima are
+    # distinct), and the surviving-pair DISTINCT was shuffling ~122 MB of
+    # md5-hex keys at bench scale — two 8-byte ids cut that ~5x and turn
+    # the dedup + member expansion into BIGINT hashing. Null-sk docs drop
+    # out of the gid map exactly as they dropped out of the string-keyed
+    # equi-joins (NULL never equi-matches), so the pair set is identical.
     gpairs = (
         a.join(
             b,
@@ -284,34 +293,30 @@ def _adaptive_pairs_from_sigs(
         )
         .filter(_agree_expr() >= F.least(F.col("a.thr"), F.col("b.thr")))
         .select(
-            F.col("a.source").alias("src_a"),
-            F.col("a.sk").alias("sk_a"),
-            F.col("b.source").alias("src_b"),
-            F.col("b.sk").alias("sk_b"),
+            F.col("a.gid").alias("gid_a"),
+            F.col("b.gid").alias("gid_b"),
         )
         .distinct()
     )
-    ma = members.select(
-        F.col("source").alias("src_a"),
-        F.col("sk").alias("sk_a"),
-        F.col("doc_id").alias("da"),
-    )
-    mb = members.select(
-        F.col("source").alias("src_b"),
-        F.col("sk").alias("sk_b"),
-        F.col("doc_id").alias("db"),
-    )
+    gidmap = grp.select("source", "sk", "gid")
+    if small:
+        gidmap = F.broadcast(gidmap)
+    members_g = members.join(gidmap, ["source", "sk"]).select("gid", "doc_id")
+    ma = members_g.select(F.col("gid").alias("gid_a"), F.col("doc_id").alias("da"))
+    mb = members_g.select(F.col("gid").alias("gid_b"), F.col("doc_id").alias("db"))
     if small:
         ma, mb = F.broadcast(ma), F.broadcast(mb)
     cross = (
-        gpairs.join(ma, ["src_a", "sk_a"])
-        .join(mb, ["src_b", "sk_b"])
+        gpairs.join(ma, ["gid_a"])
+        .join(mb, ["gid_b"])
         .select(
             F.least("da", "db").alias("doc_a"),
             F.greatest("da", "db").alias("doc_b"),
         )
     )
-    return cross.unionByName(_within_group_pairs(members, n_docs=n_docs))
+    return cross.unionByName(
+        _within_group_pairs(members_g, n_docs=n_docs, keys=("gid",))
+    )
 
 
 # A signature group's member-pair enumeration is a self-join on ONE

@@ -143,6 +143,34 @@ def _state_broadcastable(spark: SparkSession, rows: int, name_bytes: int) -> boo
     return thr > 0 and name_bytes + rows * STATE_ROW_OVERHEAD <= thr
 
 
+def _agg_layout(edges: DataFrame, agg_key: str, n_rows: int) -> DataFrame:
+    """Edge layout hash-partitioned by the round-aggregate's GROUP key, at
+    the row-count-derived width (dedup.decision_parts), cached so the
+    partitioning survives into every round's plan (r15 optimization
+    round, guide §2.4 "two operations keyed the same way share one
+    exchange"): in the broadcast-state regime the per-round join
+    preserves the edge side's partitioning, so the groupBy(agg_key)
+    needs NO exchange — the whole half-round runs as one map stage over
+    the cached layout. `persist` (not `localCheckpoint`) is load-bearing:
+    a checkpoint's RDD scan reports UnknownPartitioning and every round
+    re-exchanges, while InMemoryRelation keeps the repartition's
+    hashpartitioning. No cross-run result reuse: the layout is built from
+    THIS invocation's localCheckpoint blocks, whose RDD id makes the
+    cached plan unique per invocation — a fresh bench run re-reads
+    parquet and re-pays the one layout shuffle. Only sensible in the
+    broadcast regime (an SMJ on the other key would re-shuffle the
+    layout away); merge-regime callers keep the plain checkpoint."""
+    return edges.repartition(
+        _decision_parts(n_rows), agg_key
+    ).persist()
+
+
+def _decision_parts(n_rows: int) -> int:
+    from near_public_lakehouse_spark.queries.dedup import decision_parts
+
+    return decision_parts(n_rows)
+
+
 def _pr_iteration_sql() -> str:
     """r1..r{PR_ITERS} CTEs, each one power-iteration step over r(k-1)."""
     steps = []
@@ -250,6 +278,12 @@ def _pr_setup(pairs: DataFrame) -> tuple[DataFrame, DataFrame, float, bool]:
         nodes.sparkSession, int(stats["n"]), int(stats["name_bytes"])
     )
     rank = nodes.select("node", F.round(F.lit(1.0) / F.lit(n), PR_DP).alias("rank"))
+    # Measured and rejected here (r15): both a dst-keyed `_agg_layout`
+    # (the HITS move; ~1.7 s consistent regression) and a narrow
+    # re-checkpoint of contrib (neutral at best) — with cadence-5
+    # checkpoints AQE already pipelines five rounds per job and each
+    # round's exchange carries only map-side-aggregated partials, so the
+    # extra setup job never pays back over 8 rounds.
     return contrib, rank, n, bcast
 
 
@@ -405,6 +439,15 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .localCheckpoint()
     )
+    # Width discipline (guide §2.2, dedup.narrowed_ckpt): the 16-byte
+    # edge rows inherit the distinct's shuffle width; every round's
+    # frontier join then re-reads that many blocks. The min-fold union
+    # mixes in the unknown-partitioned dist checkpoint, so (unlike
+    # HITS/PR) no agg-keyed layout can remove the round exchange — the
+    # narrow checkpoint is the available win.
+    from near_public_lakehouse_spark.queries.dedup import narrowed_ckpt
+
+    edges = narrowed_ckpt(edges, edges.count())
     dist = spark.createDataFrame([(BFS_SOURCE_CODE, 0)], "node bigint, hops bigint")
     return _bfs_output(_bfs_rounds(edges, dist))
 
@@ -547,7 +590,18 @@ def link_analysis_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     auth = edges.select(F.col("supp").alias("node")).distinct().select(
         "node", F.lit(1.0).alias("score")
     )
-    return _hits_output(*_hits_rounds(edges, edges, auth, *_hits_regimes(edges)))
+    bcast_auth, bcast_hub = _hits_regimes(edges)
+    # Agg-keyed cached layouts for the broadcast-regime halves (see
+    # `_agg_layout`): the h-half joins on supp and groups by cust, the
+    # a-half the reverse — each gets the layout its GROUP key needs, and
+    # the per-round aggregate exchange disappears. One count on the
+    # already-materialized checkpoint sizes both layouts. Measured at
+    # sf0.1: 13.2-14.4 s -> ~10.2 s median (tasktime 44 -> ~25 s),
+    # output bit-identical.
+    n_edges = edges.count()
+    e_h = _agg_layout(edges, "cust", n_edges) if bcast_auth else edges
+    e_a = _agg_layout(edges, "supp", n_edges) if bcast_hub else edges
+    return _hits_output(*_hits_rounds(e_h, e_a, auth, bcast_auth, bcast_hub))
 
 
 def _hits_regimes(edges: DataFrame) -> tuple[bool, bool]:

@@ -84,20 +84,24 @@ def test_assignments_correct_under_skew(spark, regime, path, monkeypatch):
 def test_hot_group_expansion_splits_under_aqe_when_byte_visible(spark, monkeypatch):
     """The 100 TB mitigation pin (VERDICT r11 task #5): in the non-broadcast
     regime the quadratic member-pair ENUMERATION of a hot signature group
-    runs through an ENSURE_REQUIREMENTS shuffle join on (source, sk) — a
-    single hot key. At probe scale the hot partition is only KBs, so AQE's
-    byte-based skew detection is blind to the row-multiplication CPU (the
-    measured big-path cliff in SCALE.md); at 100 TB the same ROW skew is
-    GBs of shuffle bytes and AQE splits it. Emulated here by lowering the
-    byte thresholds to toy scale: the FINAL adaptive plan of the production
-    candidate stage must carry `skew=true`, with output identical."""
+    runs through an ENSURE_REQUIREMENTS shuffle join on the group id — a
+    single hot key (the r15 gid-keying made it one BIGINT; before that,
+    the (source, sk) string pair). At probe scale the hot partition is
+    only KBs, so AQE's byte-based skew detection is blind to the
+    row-multiplication CPU (the measured big-path cliff in SCALE.md); at
+    100 TB the same ROW skew is GBs of shuffle bytes and AQE splits it.
+    Emulated here by lowering the byte thresholds to toy scale (r15: the
+    16-byte gid rows shrank the hot partition ~4x, so the emulation
+    thresholds shrink with them): the FINAL adaptive plan of the
+    production candidate stage must carry `skew=true`, with output
+    identical."""
     from near_public_lakehouse_spark.queries import dedup as _dd
 
     lowered = {
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512b",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256b",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128b",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
-        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "128b",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64b",
         "spark.sql.autoBroadcastJoinThreshold": "-1",
     }
     prev = {k: spark.conf.get(k) for k in lowered}
