@@ -39,6 +39,22 @@ from near_public_lakehouse_spark.queries import all_queries  # noqa: E402
 from near_public_lakehouse_spark.session import get_spark  # noqa: E402
 
 
+def _cpu_snapshot() -> tuple[int, int] | None:
+    """(steal_ticks, system_ticks) from /proc/stat — the r15 contention
+    root-cause evidence: during flagged outlier runs the guest measured
+    ~220 s of STEAL and sys time exploding 32 -> 380 s (host co-tenant
+    memory/CPU pressure) while user time stayed flat, proving the spread
+    is environmental, not a plan change. Recording both per run makes the
+    next anomaly adjudicable from the committed record alone."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = list(map(int, parts[1:]))
+        return vals[7], vals[2]
+    except Exception:
+        return None
+
+
 def _stage_snapshot(spark) -> dict[int, dict]:
     """stageId -> metrics from the UI REST API. Stage-level evidence makes
     the next environmental bench anomaly diagnosable from data (shuffle
@@ -114,6 +130,7 @@ def main() -> None:
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     runs: dict[str, list[float]] = {}
+    host_cpu: dict[str, list[list[float]]] = {}
     stage_metrics: dict[str, dict] = {}
     # Round-robin over the query set (run 1 of all, then run 2 of all...)
     # so per-query repeats are spread across the session's warmup curve
@@ -121,11 +138,18 @@ def main() -> None:
     for run_i in range(n_runs):
         for name, q in queries.items():
             before = _stage_snapshot(spark) if run_i == n_runs - 1 else {}
+            cpu0 = _cpu_snapshot()
             t0 = time.perf_counter()
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.setdefault(name, []).append(
                 round(time.perf_counter() - t0, 3)
             )
+            cpu1 = _cpu_snapshot()
+            if cpu0 and cpu1:
+                host_cpu.setdefault(name, []).append(
+                    [round((cpu1[0] - cpu0[0]) / 100.0, 1),
+                     round((cpu1[1] - cpu0[1]) / 100.0, 1)]
+                )
             if run_i == n_runs - 1:
                 # Stage metrics from the LAST (warmest) run of each query:
                 # new stage ids since the pre-run snapshot are this run's.
@@ -147,9 +171,16 @@ def main() -> None:
     )
     for name in flagged:
         _release_session_state(spark)
+        cpu0 = _cpu_snapshot()
         t0 = time.perf_counter()
         queries[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         runs[name].append(round(time.perf_counter() - t0, 3))
+        cpu1 = _cpu_snapshot()
+        if cpu0 and cpu1:
+            host_cpu.setdefault(name, []).append(
+                [round((cpu1[0] - cpu0[0]) / 100.0, 1),
+                 round((cpu1[1] - cpu0[1]) / 100.0, 1)]
+            )
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)
@@ -193,6 +224,10 @@ def main() -> None:
             "contended": contended,
             "spread": {n: [min(xs), max(xs)] for n, xs in runs.items()},
             "runs": runs,
+            # per-run [steal_s, sys_s] from /proc/stat: host co-tenant
+            # pressure evidence (r15 — steal ~220 s / sys 32->380 s
+            # during outlier runs with user time flat)
+            "host_steal_sys_s": host_cpu,
             "stage_metrics": stage_metrics,
         }
     )

@@ -348,12 +348,23 @@ def _grouped_band_pairs(
     healthy byte estimates pick the plan."""
     sk = sigs.withColumn("sk", sig_key_col())
     members = sk.select("doc_id", "sk")
-    grp = sk.groupBy("sk").agg(F.first("sig").alias("sig"))
+    # Group pairs ride the BIGINT gid = min(doc_id) per sk group, not the
+    # md5-hex sk pair (r15 optimization round, guide §2.3 — the same move
+    # as the adaptive twin's gid-keying): groups partition docs, so group
+    # minima are distinct and gid is a bijection onto groups; `gid_a <
+    # gid_b` enumerates each unordered group pair exactly once just as
+    # `sk_a < sk_b` did (both are total orders), and the final output
+    # orients by least/greatest(doc) — the pair set is identical while
+    # the pair-distinct shuffle and the member expansion turn from 32-char
+    # string keys into 8-byte ints.
+    grp = sk.groupBy("sk").agg(
+        F.first("sig").alias("sig"), F.min("doc_id").alias("gid")
+    )
     n_part = int(
         sigs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
     gflat = grp.select(
-        "sk", F.explode(F.array(*_fixed_band_cols())).alias("band_key")
+        "gid", F.explode(F.array(*_fixed_band_cols())).alias("band_key")
     )
     if wide:
         gflat = gflat.repartition(n_part, "band_key")
@@ -363,18 +374,22 @@ def _grouped_band_pairs(
         a.join(
             b,
             (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.sk") < F.col("b.sk")),
+            & (F.col("a.gid") < F.col("b.gid")),
         )
-        .select(F.col("a.sk").alias("sk_a"), F.col("b.sk").alias("sk_b"))
+        .select(F.col("a.gid").alias("gid_a"), F.col("b.gid").alias("gid_b"))
         .distinct()
     )
-    ma = members.select(F.col("sk").alias("sk_a"), F.col("doc_id").alias("da"))
-    mb = members.select(F.col("sk").alias("sk_b"), F.col("doc_id").alias("db"))
+    gidmap = grp.select("sk", "gid")
+    if wide:
+        gidmap = F.broadcast(gidmap)
+    members_g = members.join(gidmap, "sk").select("gid", "doc_id")
+    ma = members_g.select(F.col("gid").alias("gid_a"), F.col("doc_id").alias("da"))
+    mb = members_g.select(F.col("gid").alias("gid_b"), F.col("doc_id").alias("db"))
     if wide:
         ma, mb = F.broadcast(ma), F.broadcast(mb)
     cross = (
-        gpairs.join(ma, "sk_a")
-        .join(mb, "sk_b")
+        gpairs.join(ma, "gid_a")
+        .join(mb, "gid_b")
         .select(
             F.least("da", "db").alias("doc_a"),
             F.greatest("da", "db").alias("doc_b"),
@@ -392,7 +407,7 @@ def _grouped_band_pairs(
     )
 
     return cross.unionByName(
-        _within_group_pairs(members, n_docs=n_docs, keys=("sk",))
+        _within_group_pairs(members_g, n_docs=n_docs, keys=("gid",))
     )
 
 
