@@ -113,8 +113,15 @@ def cpu_snapshot() -> tuple[int, int]:
     # busy = everything minus idle(3) + iowait(4); guest(8)/guest_nice(9)
     # are ALREADY folded into user/nice, so subtract them too or KVM-host
     # guest load double-counts and spuriously flags contention (r14
-    # review; fields may be absent on old kernels).
+    # review; fields may be absent on old kernels). steal(7) is hypervisor
+    # time taken by OTHER guests — it can never appear in the own process
+    # tree, so counting it in busy misattributes host co-tenant pressure
+    # to in-guest foreign processes (r15: observed ~1.2 "foreign" cores on
+    # an otherwise idle guest under host steal). Exclude it; bench.py
+    # records steal separately per run (host_steal_sys_s).
     busy = sum(vals) - vals[3] - vals[4]
+    if len(vals) > 7:
+        busy -= vals[7]
     if len(vals) > 9:
         busy -= vals[8] + vals[9]
     return busy, proc_tree_cpu_jiffies(os.getpid())
