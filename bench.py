@@ -121,7 +121,17 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     # The UI (REST status API) is the stage-metrics source; the engine
     # default keeps it off, bench turns it on for evidence.
-    spark = get_spark(app_name="bench", extra_conf={"spark.ui.enabled": "true"})
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            # No console progress bars: a capture that merges stderr into
+            # stdout (tools/close_round.py does; the driver's might) would
+            # otherwise land a \r-prefixed bar on the same newline-
+            # delimited line as the final compact JSON and break parsing.
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = {n: q for n, q in sorted(all_queries().items()) if q.bench}
