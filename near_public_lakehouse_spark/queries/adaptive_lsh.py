@@ -808,7 +808,13 @@ def _assignments_frame(docs: DataFrame) -> DataFrame:
             km.filter(F.col("doc_id") == F.col("keeper")).select("doc_id"), "doc_id"
         )
         .repartition(n_part)
-        .select("doc_id", "text", "source", _dtoks_col().alias("toks"))
+        # toks only — `text` is never needed past this projection (the
+        # signature pass below reuses `toks` via toks_col), so keeping it
+        # out of the checkpoint halves the block bytes every downstream
+        # consumer (ta/tb broadcast builds, sigs scan) re-reads
+        # (r15 optimization round, guide §2.3 "project before the
+        # exchange" applied to the checkpoint).
+        .select("doc_id", "source", _dtoks_col().alias("toks"))
         .localCheckpoint()
     )
     n_reps = reps.count()  # free: localCheckpoint already materialized it
@@ -840,7 +846,7 @@ def _assignments_frame(docs: DataFrame) -> DataFrame:
     # setup that dominated this pipeline's profile (~350 task-s of pure
     # fan-out overhead at bench scale).
     sigs = (
-        _sig_df(reps.withColumn("tk", tk_col), "source", "tk")
+        _sig_df(reps.withColumn("tk", tk_col), "source", "tk", toks_col="toks")
         .repartition(_dd.decision_parts(n_reps), "doc_id")
         .localCheckpoint()
     )
@@ -854,8 +860,36 @@ def _assignments_frame(docs: DataFrame) -> DataFrame:
         .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
     cand = _adaptive_pairs_from_sigs(sigs, members=members)
-    ta = reps.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
-    tb = reps.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    # Verify over 64-bit token hashes WHEN PROVABLY EXACT (r15
+    # optimization round, guide §2.3 narrower types / §1.2 per-task work):
+    # the exact-Jaccard verification is the pipeline's dominant CPU
+    # (~80% of its task time at bench scale — array_intersect over
+    # variable-length UTF8 arrays for every candidate pair). Any
+    # INJECTIVE token mapping preserves |A∩B| and |A| exactly, so Jaccard
+    # is bit-identical; xxhash64's injectivity on THIS corpus's rep
+    # vocabulary is checked at runtime with one bounded aggregate
+    # (distinct tokens == distinct hashes — the same
+    # measure-then-pick-the-physical-plan pattern as the graph regime
+    # auto-select), and on the astronomically-unlikely collision
+    # (P ≈ V²/2⁶⁵) the verify falls back to the string arrays
+    # unchanged. Measured at sf0.1: the verify stage's task time drops
+    # ~40% (numbers in OPTIMIZATION_r15.md); the oracle's string
+    # semantics are preserved by proof, not assumption.
+    vocab = (
+        reps.select(F.explode("toks").alias("t"))
+        .agg(
+            F.count_distinct(F.col("t")).alias("nt"),
+            F.count_distinct(F.xxhash64("t")).alias("nh"),
+        )
+        .collect()[0]
+    )
+    vtoks = (
+        F.transform(F.col("toks"), lambda t: F.xxhash64(t))
+        if int(vocab["nt"] or 0) == int(vocab["nh"] or 0)
+        else F.col("toks")
+    )
+    ta = reps.select(F.col("doc_id").alias("doc_a"), vtoks.alias("toks_a"))
+    tb = reps.select(F.col("doc_id").alias("doc_b"), vtoks.alias("toks_b"))
     if n_reps <= _dd.VERIFY_BROADCAST_MAX_REPS:
         ta, tb = F.broadcast(ta), F.broadcast(tb)
         # The broadcast verify join runs map-side at the CANDIDATE frame's

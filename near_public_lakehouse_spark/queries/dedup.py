@@ -189,9 +189,14 @@ def _band_keys_sql() -> str:
     return "[" + ", ".join(bands) + "]"
 
 
-def _sig_df(docs: DataFrame, *extra: str) -> DataFrame:
+def _sig_df(docs: DataFrame, *extra: str, toks_col: str | None = None) -> DataFrame:
     """(doc_id, *extra, sig ARRAY<BIGINT>): the 12 min-hash signature per
     input row (needs `doc_id` and `text`; pass-through columns by name).
+    `toks_col` names an ALREADY-COMPUTED distinct-token array column to
+    hash instead of re-deriving `_dtoks_col()` from `text` — callers that
+    carry `toks` anyway (the assignments pipeline) would otherwise run the
+    split+lower+distinct tokenizer twice per document and have to keep the
+    raw `text` alive just to feed the second pass.
 
     Hash every token ONCE per row: a plain projection would be inlined
     back into all 12 min-hash expressions by Catalyst's project collapse,
@@ -205,8 +210,9 @@ def _sig_df(docs: DataFrame, *extra: str) -> DataFrame:
             for i in range(len(MINHASH_A))
         ]
     )
+    toks = F.col(toks_col) if toks_col else _dtoks_col()
     sig_expr = F.transform(
-        F.array(_tokhash_col(_dtoks_col())),
+        F.array(_tokhash_col(toks)),
         lambda th: F.transform(
             params,
             lambda p: F.array_min(
@@ -786,7 +792,11 @@ def _lsh_verified_pairs(fam: DataFrame) -> DataFrame:
     split + distinct chain per consumer triples the dominant map cost."""
     reps = (
         fam.filter(F.col("doc_id") == F.col("keeper"))
-        .select("doc_id", "text", "toks")
+        # toks only — the signature pass reuses `toks` via toks_col, so
+        # `text` never survives the projection and the checkpoint blocks
+        # every consumer re-reads stay token-sized (r15 optimization
+        # round, guide §2.3; same move as _assignments_frame's reps).
+        .select("doc_id", "toks")
         .localCheckpoint()
     )
     n_reps = reps.count()  # free: localCheckpoint already materialized it
@@ -796,7 +806,7 @@ def _lsh_verified_pairs(fam: DataFrame) -> DataFrame:
     # signature-GROUP band join — the identical pair set with the
     # quadratic stage on groups (see _grouped_band_pairs).
     cand = _grouped_band_pairs(
-        _sig_df(reps).localCheckpoint(), wide=bcast, n_docs=n_reps
+        _sig_df(reps, toks_col="toks").localCheckpoint(), wide=bcast, n_docs=n_reps
     )
     if bcast:
         # The broadcast verify join below runs map-side at the candidate
@@ -807,9 +817,27 @@ def _lsh_verified_pairs(fam: DataFrame) -> DataFrame:
             "doc_a",
             "doc_b",
         )
-    toks = reps.select("doc_id", "toks")
-    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
-    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    # Verify over 64-bit token hashes when PROVABLY exact on this corpus
+    # (r15 optimization round; see _assignments_frame for the full
+    # rationale): any injective token mapping preserves |A∩B|, |A| and
+    # therefore the jaccard DOUBLE bit-for-bit; xxhash64's injectivity on
+    # the rep vocabulary is checked with one bounded aggregate, string
+    # fallback on the astronomically-unlikely collision.
+    vocab = (
+        reps.select(F.explode("toks").alias("t"))
+        .agg(
+            F.count_distinct(F.col("t")).alias("nt"),
+            F.count_distinct(F.xxhash64("t")).alias("nh"),
+        )
+        .collect()[0]
+    )
+    vtoks = (
+        F.transform(F.col("toks"), lambda t: F.xxhash64(t))
+        if int(vocab["nt"] or 0) == int(vocab["nh"] or 0)
+        else F.col("toks")
+    )
+    ta = reps.select(F.col("doc_id").alias("doc_a"), vtoks.alias("toks_a"))
+    tb = reps.select(F.col("doc_id").alias("doc_b"), vtoks.alias("toks_b"))
     if bcast:
         ta, tb = F.broadcast(ta), F.broadcast(tb)
     _, _, jac = jaccard_cols(F.col("toks_a"), F.col("toks_b"))
