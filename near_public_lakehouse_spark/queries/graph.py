@@ -251,9 +251,21 @@ def _pr_setup(pairs: DataFrame) -> tuple[DataFrame, DataFrame, float, bool]:
     pair list — shared by the registry query and the adversarial-skew
     probes so they measure the PRODUCTION frames. The 4th element is the
     auto-picked round-join regime (see `_state_broadcastable`)."""
+    # Compute the pairs subtree ONCE (r15 optimization round, guide §2.4):
+    # the plain union-of-two-projections recomputed the whole pairs plan
+    # per branch — the stage metrics showed TWO full lineitem scans +
+    # partial aggregates building this frame. A lazy checkpoint on pairs
+    # makes the reverse branch a narrow block re-read. The UNION shape
+    # itself stays (not an explode): its two branches keep the edge
+    # checkpoint at >= 2 map partitions at any scale, which is what keeps
+    # AQE's skew-split seam armed in the merge regime (a skewed reduce
+    # partition can only split across >= 2 map outputs — the dedup
+    # decision_parts floor-2 lesson; pinned by
+    # tests/test_skew_graph.py::test_smj_regime_aqe_skew_split_engages).
+    pairs_c = pairs.localCheckpoint(eager=False)
     edges = (
-        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
-        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
+        pairs_c.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+        .unionByName(pairs_c.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
         .localCheckpoint()
     )
     deg = edges.groupBy("src").agg(F.sum("w").alias("deg"))
@@ -264,7 +276,17 @@ def _pr_setup(pairs: DataFrame) -> tuple[DataFrame, DataFrame, float, bool]:
     # O(nodes) rank side each round, which beats the co-located SMJ while
     # the state fits a broadcast (see operators/bucketing.colocate for
     # the measured trade and the regime where co-location wins).
-    contrib = edges.join(deg, "src").localCheckpoint()
+    # The rounds only ever consume w/deg (r15 optimization round, guide
+    # §2.3 narrower types): pre-dividing it into ONE double drops a
+    # column from the checkpoint every round re-reads AND the per-edge
+    # division from every round's join stage. Bit-identical: `_pr_round`
+    # evaluated (w/deg)*rank left-to-right, so wd*rank is the same IEEE
+    # op sequence.
+    contrib = (
+        edges.join(deg, "src")
+        .select("src", "dst", (F.col("w") / F.col("deg")).alias("wd"))
+        .localCheckpoint()
+    )
     nodes = contrib.select(F.col("src").alias("node")).distinct().localCheckpoint()
     # The node count (needed for the teleport term anyway) and the state
     # frame's broadcast weight come from ONE bounded driver aggregate —
@@ -301,7 +323,21 @@ def _pr_round(
     partial aggregation collapses a hot dst's contributions before the
     shuffle."""
     state = rank.withColumnRenamed("node", "src")
-    if not broadcast_state:
+    if broadcast_state:
+        # EXPLICIT broadcast (r15 optimization round, guide §3.1 "size
+        # estimates are often badly wrong — hint when you know"): the
+        # state frame reaches each round as a localCheckpoint RDD scan,
+        # whose planner estimate is sizeInBytes=MAX — so the round was
+        # PLANNED as SMJ and both shuffles (including the O(E) edge side)
+        # launched before AQE's runtime conversion to broadcast could
+        # skip them. The regime pick above already measured that the
+        # state fits the session broadcast threshold, so the hint is the
+        # measurement made binding: the edge side is now a map-side probe
+        # over the checkpoint blocks with NO per-round edge exchange
+        # (stage evidence in OPTIMIZATION_r15.md: the per-round ~8 MB
+        # contrib shuffle writes disappear).
+        state = F.broadcast(state)
+    else:
         state = state.hint("merge")
     return (
         contrib.join(state, "src")
@@ -309,7 +345,7 @@ def _pr_round(
         .agg(
             F.round(
                 F.lit((1 - PR_DAMPING) / n)
-                + PR_DAMPING * F.sum(F.col("w") / F.col("deg") * F.col("rank")),
+                + PR_DAMPING * F.sum(F.col("wd") * F.col("rank")),
                 PR_DP,
             ).alias("rank")
         )
@@ -434,9 +470,14 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Compute the distinct-pairs subtree once — same lazy-checkpoint +
+    # union move as `_pr_setup` (the plain union recomputed the distinct
+    # per branch; the two union branches keep >= 2 map partitions so
+    # AQE's skew-split seam stays armed in the merge regime).
+    pairs_c = pairs.localCheckpoint(eager=False)
     edges = (
-        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        pairs_c.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(pairs_c.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .localCheckpoint()
     )
     # Width discipline (guide §2.2, dedup.narrowed_ckpt): the 16-byte
@@ -448,17 +489,36 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from near_public_lakehouse_spark.queries.dedup import narrowed_ckpt
 
     edges = narrowed_ckpt(edges, edges.count())
+    # Regime pick for the frontier join (r15 optimization round — BFS
+    # previously had NO pick, so every round was planned as SMJ off the
+    # checkpoint's MAX size estimate and shuffled the full edge set; the
+    # stage metrics showed ~9.6 MB of edge shuffle per round on a frame
+    # the frontier side could broadcast). The frontier is bounded by the
+    # node count; approx_count_distinct over the already-materialized
+    # edge blocks is one cheap bounded aggregate, same pattern as
+    # `_pr_setup`/`_hits_regimes`.
+    n_nodes = int(edges.agg(F.approx_count_distinct("src")).first()[0] or 0)
+    bcast = _state_broadcastable(spark, n_nodes, n_nodes * 8)
     dist = spark.createDataFrame([(BFS_SOURCE_CODE, 0)], "node bigint, hops bigint")
-    return _bfs_output(_bfs_rounds(edges, dist))
+    return _bfs_output(_bfs_rounds(edges, dist, broadcast_state=bcast))
 
 
-def _bfs_round(edges: DataFrame, dist: DataFrame) -> DataFrame:
+def _bfs_round(
+    edges: DataFrame, dist: DataFrame, broadcast_state: bool = True
+) -> DataFrame:
     """ONE frontier expansion: edge join + min-fold. min() is algebraic,
     so a hot node's incoming expansions collapse map-side; the join skew
-    story is `_pr_round`'s (broadcast frontier, or byte-visible SMJ)."""
-    expanded = edges.join(
-        dist.withColumnRenamed("node", "src"), "src"
-    ).select(F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops"))
+    story is `_pr_round`'s (broadcast frontier, or byte-visible SMJ).
+    `broadcast_state` binds the measured regime pick exactly as in
+    `_pr_round` — the frontier side's RDD-scan estimate is MAX bytes, so
+    without the explicit hint the planner shuffles the edge side every
+    round."""
+    frontier = dist.withColumnRenamed("node", "src")
+    if broadcast_state:
+        frontier = F.broadcast(frontier)
+    expanded = edges.join(frontier, "src").select(
+        F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops")
+    )
     return (
         dist.unionByName(expanded)
         .groupBy("node")
@@ -466,7 +526,12 @@ def _bfs_round(edges: DataFrame, dist: DataFrame) -> DataFrame:
     )
 
 
-def _bfs_rounds(edges: DataFrame, dist: DataFrame, iters: int = BFS_ITERS) -> DataFrame:
+def _bfs_rounds(
+    edges: DataFrame,
+    dist: DataFrame,
+    iters: int = BFS_ITERS,
+    broadcast_state: bool = True,
+) -> DataFrame:
     """The min-plus frontier-expansion loop, shared by the registry query
     and the bucketed path: each round one edge join + min-fold.
 
@@ -476,7 +541,7 @@ def _bfs_rounds(edges: DataFrame, dist: DataFrame, iters: int = BFS_ITERS) -> Da
     skipped round — measured at sf0.1: cadence-5 lazy 11.0 s vs
     per-round lazy 8.2 s (per-round EAGER, the r14 shape, was 11.3 s)."""
     for _ in range(iters):
-        dist = _bfs_round(edges, dist).localCheckpoint(eager=False)
+        dist = _bfs_round(edges, dist, broadcast_state).localCheckpoint(eager=False)
     return dist
 
 
@@ -673,9 +738,19 @@ def _hits_half(
     raw = _hits_raw(edges, score, join_key, out_key, broadcast_state).localCheckpoint(
         eager=False
     )
-    mx = raw.agg(F.max("s").alias("mx"))
-    return raw.crossJoin(F.broadcast(mx)).select(
-        "node", F.round(F.col("s") / F.col("mx"), HITS_DP).alias("score")
+    # max() OVER () instead of a separate broadcast max aggregate (r15
+    # optimization round, guide §1.2 driver-barrier latency): the
+    # crossJoin(broadcast(mx)) form cost one extra broadcast-build job
+    # PER HALF just to ship one double; the empty-frame window runs
+    # inside the SAME job that builds the next half's state broadcast
+    # (one exchange of the O(nodes) frame to a single partition — trivial
+    # rows, and exactly the oracle's own `max(s) OVER ()` formulation).
+    # Values bit-identical: same max, same division, same rounding.
+    from pyspark.sql import Window as W
+
+    return raw.select(
+        "node",
+        F.round(F.col("s") / F.max("s").over(W.partitionBy()), HITS_DP).alias("score"),
     )
 
 
@@ -693,7 +768,16 @@ def _hits_raw(
     from near_public_lakehouse_spark.functions.numeric import dsum
 
     state = score.withColumnRenamed("node", join_key)
-    if not broadcast_state:
+    if broadcast_state:
+        # Explicit broadcast for the measured-broadcastable regime (see
+        # `_pr_round`): without it the half was PLANNED as SMJ (the state
+        # side is an RDD scan estimated at MAX bytes) and the edge layout
+        # was re-exchanged by join key every half — exactly the exchange
+        # `_agg_layout` exists to delete. With the plan-time broadcast the
+        # layout's GROUP-key partitioning survives the join and the
+        # half's aggregate truly runs with no exchange.
+        state = F.broadcast(state)
+    else:
         state = state.hint("merge")
     return (
         edges.join(state, join_key)
@@ -786,7 +870,11 @@ def pagerank_from_bucketed(spark: SparkSession, by_src_table: str) -> DataFrame:
     """`graph_pagerank` over the pre-bucketed edge layout: identical
     iteration frames (`_pr_rounds`), but every round's edge-side join and
     the node/degree derivations read co-located buckets with no Exchange."""
-    contrib = spark.table(by_src_table)
+    # same wd = w/deg projection as `_pr_setup` (a projection preserves
+    # the bucketed layout's co-location — no exchange appears)
+    contrib = spark.table(by_src_table).select(
+        "src", "dst", (F.col("w") / F.col("deg")).alias("wd")
+    )
     nodes = contrib.select(F.col("src").alias("node")).distinct().localCheckpoint()
     stats = nodes.agg(
         F.count(F.lit(1)).alias("n"),
@@ -802,8 +890,13 @@ def bfs_from_bucketed(spark: SparkSession, by_src_table: str) -> DataFrame:
     """`graph_bfs_hops` over the pre-bucketed edge layout — same
     `_bfs_rounds` frames, exchange-free edge side per round."""
     edges = spark.table(by_src_table).select("src", "dst")
+    # same measured regime pick as the registry query: broadcast binds
+    # only when the O(nodes) frontier fits the session threshold; beyond
+    # it the rounds stay joins over the co-located bucketed scan.
+    n_nodes = int(edges.agg(F.approx_count_distinct("src")).first()[0] or 0)
+    bcast = _state_broadcastable(spark, n_nodes, n_nodes * 8)
     dist = spark.createDataFrame([(BFS_SOURCE_CODE, 0)], "node bigint, hops bigint")
-    return _bfs_output(_bfs_rounds(edges, dist))
+    return _bfs_output(_bfs_rounds(edges, dist, broadcast_state=bcast))
 
 
 def hits_from_bucketed(

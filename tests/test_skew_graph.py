@@ -36,6 +36,7 @@ from near_public_lakehouse_spark.queries.graph import (
     _pr_round,
     _pr_rounds,
     _pr_setup,
+    _state_broadcastable,
 )
 from near_public_lakehouse_spark.testing.skewed import skewed_graph
 
@@ -128,7 +129,16 @@ def test_smj_regime_aqe_skew_split_engages(spark):
 
     prev = _with_confs(spark, AQE_EMULATE_SCALE)
     try:
-        one = _pr_round(contrib, rank0, n)
+        # broadcast_state=False is what `_pr_setup`'s auto-pick returns
+        # under these confs (threshold -1 -> _state_broadcastable False);
+        # since r15 the broadcastable regime binds an EXPLICIT
+        # F.broadcast (which would override the conf emulation), so the
+        # merge regime must be requested the way production requests it —
+        # through the pick's flag, not by hoping the planner notices.
+        assert not _state_broadcastable(
+            spark, int(n), int(n) * 8
+        ), "fixture should be over-threshold under AQE_EMULATE_SCALE"
+        one = _pr_round(contrib, rank0, n, broadcast_state=False)
         got = sorted((r.node, r.rank) for r in one.collect())
         plan = one._jdf.queryExecution().executedPlan().toString()
     finally:
