@@ -875,8 +875,15 @@ def _assignments_frame(docs: DataFrame) -> DataFrame:
     # unchanged. Measured at sf0.1: the verify stage's task time drops
     # ~40% (numbers in OPTIMIZATION_r15.md); the oracle's string
     # semantics are preserved by proof, not assumption.
+    # The check scans over a coalesce of the checkpoint blocks at the
+    # row-count-derived width (guide §2.2 / dedup.decision_parts): at the
+    # reps frame's full CPU-spreading width the distinct aggregate paid
+    # the M x R shuffle-stream setup (measured 46 task-s on ~2 MB of
+    # tokens — the repo's documented fan-out pathology) for a stage whose
+    # real work is ~1 task-second.
     vocab = (
-        reps.select(F.explode("toks").alias("t"))
+        reps.coalesce(_dd.decision_parts(n_reps))
+        .select(F.explode("toks").alias("t"))
         .agg(
             F.count_distinct(F.col("t")).alias("nt"),
             F.count_distinct(F.xxhash64("t")).alias("nh"),

@@ -823,8 +823,11 @@ def _lsh_verified_pairs(fam: DataFrame) -> DataFrame:
     # therefore the jaccard DOUBLE bit-for-bit; xxhash64's injectivity on
     # the rep vocabulary is checked with one bounded aggregate, string
     # fallback on the astronomically-unlikely collision.
+    # narrow block read for the check (see _assignments_frame: the full
+    # checkpoint width pays M x R stream setup for ~1 task-second of work)
     vocab = (
-        reps.select(F.explode("toks").alias("t"))
+        reps.coalesce(decision_parts(n_reps))
+        .select(F.explode("toks").alias("t"))
         .agg(
             F.count_distinct(F.col("t")).alias("nt"),
             F.count_distinct(F.xxhash64("t")).alias("nh"),
