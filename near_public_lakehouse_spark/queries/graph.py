@@ -738,19 +738,30 @@ def _hits_half(
     raw = _hits_raw(edges, score, join_key, out_key, broadcast_state).localCheckpoint(
         eager=False
     )
-    # max() OVER () instead of a separate broadcast max aggregate (r15
-    # optimization round, guide §1.2 driver-barrier latency): the
-    # crossJoin(broadcast(mx)) form cost one extra broadcast-build job
-    # PER HALF just to ship one double; the empty-frame window runs
-    # inside the SAME job that builds the next half's state broadcast
-    # (one exchange of the O(nodes) frame to a single partition — trivial
-    # rows, and exactly the oracle's own `max(s) OVER ()` formulation).
-    # Values bit-identical: same max, same division, same rounding.
-    from pyspark.sql import Window as W
+    # BROADCAST REGIME: max() OVER () instead of a separate broadcast max
+    # aggregate (r15 optimization round, guide §1.2 driver-barrier
+    # latency): the crossJoin(broadcast(mx)) form cost one extra
+    # broadcast-build job PER HALF just to ship one double; the
+    # empty-frame window runs inside the SAME job that builds the next
+    # half's state broadcast (one exchange of the frame to a single
+    # partition — the regime pick just proved it fits a BROADCAST, so one
+    # partition of it is trivial, and it is exactly the oracle's own
+    # `max(s) OVER ()` formulation). Values bit-identical: same max,
+    # same division, same rounding. MERGE REGIME: the state frame is by
+    # definition too big for one task — keep the parallel max aggregate
+    # + 1-row broadcast crossJoin there.
+    if broadcast_state:
+        from pyspark.sql import Window as W
 
-    return raw.select(
-        "node",
-        F.round(F.col("s") / F.max("s").over(W.partitionBy()), HITS_DP).alias("score"),
+        return raw.select(
+            "node",
+            F.round(
+                F.col("s") / F.max("s").over(W.partitionBy()), HITS_DP
+            ).alias("score"),
+        )
+    mx = raw.agg(F.max("s").alias("mx"))
+    return raw.crossJoin(F.broadcast(mx)).select(
+        "node", F.round(F.col("s") / F.col("mx"), HITS_DP).alias("score")
     )
 
 
