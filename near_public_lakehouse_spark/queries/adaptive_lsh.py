@@ -861,40 +861,13 @@ def _assignments_frame(docs: DataFrame) -> DataFrame:
     )
     cand = _adaptive_pairs_from_sigs(sigs, members=members)
     # Verify over 64-bit token hashes WHEN PROVABLY EXACT (r15
-    # optimization round, guide §2.3 narrower types / §1.2 per-task work):
-    # the exact-Jaccard verification is the pipeline's dominant CPU
-    # (~80% of its task time at bench scale — array_intersect over
-    # variable-length UTF8 arrays for every candidate pair). Any
-    # INJECTIVE token mapping preserves |A∩B| and |A| exactly, so Jaccard
-    # is bit-identical; xxhash64's injectivity on THIS corpus's rep
-    # vocabulary is checked at runtime with one bounded aggregate
-    # (distinct tokens == distinct hashes — the same
-    # measure-then-pick-the-physical-plan pattern as the graph regime
-    # auto-select), and on the astronomically-unlikely collision
-    # (P ≈ V²/2⁶⁵) the verify falls back to the string arrays
-    # unchanged. Measured at sf0.1: the verify stage's task time drops
-    # ~40% (numbers in OPTIMIZATION_r15.md); the oracle's string
-    # semantics are preserved by proof, not assumption.
-    # The check scans over a coalesce of the checkpoint blocks at the
-    # row-count-derived width (guide §2.2 / dedup.decision_parts): at the
-    # reps frame's full CPU-spreading width the distinct aggregate paid
-    # the M x R shuffle-stream setup (measured 46 task-s on ~2 MB of
-    # tokens — the repo's documented fan-out pathology) for a stage whose
-    # real work is ~1 task-second.
-    vocab = (
-        reps.coalesce(_dd.decision_parts(n_reps))
-        .select(F.explode("toks").alias("t"))
-        .agg(
-            F.count_distinct(F.col("t")).alias("nt"),
-            F.count_distinct(F.xxhash64("t")).alias("nh"),
-        )
-        .collect()[0]
-    )
-    vtoks = (
-        F.transform(F.col("toks"), lambda t: F.xxhash64(t))
-        if int(vocab["nt"] or 0) == int(vocab["nh"] or 0)
-        else F.col("toks")
-    )
+    # optimization round): the exact-Jaccard verification was the
+    # pipeline's dominant CPU (~80% of its task time at bench scale —
+    # array_intersect over variable-length UTF8 arrays for every
+    # candidate pair). See dedup.verify_toks_col for the injectivity
+    # proof shape; measured at sf0.1 the verify stage's task time drops
+    # ~40-60% (numbers in OPTIMIZATION_r15.md).
+    vtoks = _dd.verify_toks_col(reps, n_reps)
     ta = reps.select(F.col("doc_id").alias("doc_a"), vtoks.alias("toks_a"))
     tb = reps.select(F.col("doc_id").alias("doc_b"), vtoks.alias("toks_b"))
     if n_reps <= _dd.VERIFY_BROADCAST_MAX_REPS:

@@ -782,6 +782,36 @@ def _exact_families(docs: DataFrame) -> DataFrame:
 VERIFY_BROADCAST_MAX_REPS = 100_000
 
 
+def verify_toks_col(reps: DataFrame, n_reps: int):
+    """Token-array column for exact-Jaccard verification: xxhash64-hashed
+    BIGINT arrays when the hash is PROVABLY injective on this corpus's
+    `toks` vocabulary, else the string arrays unchanged (r15 optimization
+    round, guide §2.3 narrower types / §1.2 per-task work).
+
+    Any INJECTIVE token mapping preserves |A∩B| and |A| — and therefore
+    the Jaccard DOUBLE bit-for-bit — so exactness vs the string-semantics
+    DuckDB oracles is preserved by runtime proof, not assumption: one
+    bounded aggregate checks count_distinct(token) ==
+    count_distinct(xxhash64(token)) (P[collision] ≈ V²/2⁶⁵; on a
+    collision the string path is the silent fallback). The check scans a
+    `coalesce(decision_parts(n_reps))` narrow read of the already-
+    materialized checkpoint blocks: at the frame's full CPU-spreading
+    width the aggregate paid ~46 task-s of M x R shuffle-stream setup on
+    ~2 MB of tokens for ~1 task-second of real work."""
+    vocab = (
+        reps.coalesce(decision_parts(n_reps))
+        .select(F.explode("toks").alias("t"))
+        .agg(
+            F.count_distinct(F.col("t")).alias("nt"),
+            F.count_distinct(F.xxhash64("t")).alias("nh"),
+        )
+        .collect()[0]
+    )
+    if int(vocab["nt"] or 0) == int(vocab["nh"] or 0):
+        return F.transform(F.col("toks"), lambda t: F.xxhash64(t))
+    return F.col("toks")
+
+
 def _lsh_verified_pairs(fam: DataFrame) -> DataFrame:
     """Unordered (doc_a < doc_b, jaccard >= 0.8) pairs over exact-dedup
     representatives: LSH band-key candidates, exact-Jaccard verified.
@@ -818,27 +848,8 @@ def _lsh_verified_pairs(fam: DataFrame) -> DataFrame:
             "doc_b",
         )
     # Verify over 64-bit token hashes when PROVABLY exact on this corpus
-    # (r15 optimization round; see _assignments_frame for the full
-    # rationale): any injective token mapping preserves |A∩B|, |A| and
-    # therefore the jaccard DOUBLE bit-for-bit; xxhash64's injectivity on
-    # the rep vocabulary is checked with one bounded aggregate, string
-    # fallback on the astronomically-unlikely collision.
-    # narrow block read for the check (see _assignments_frame: the full
-    # checkpoint width pays M x R stream setup for ~1 task-second of work)
-    vocab = (
-        reps.coalesce(decision_parts(n_reps))
-        .select(F.explode("toks").alias("t"))
-        .agg(
-            F.count_distinct(F.col("t")).alias("nt"),
-            F.count_distinct(F.xxhash64("t")).alias("nh"),
-        )
-        .collect()[0]
-    )
-    vtoks = (
-        F.transform(F.col("toks"), lambda t: F.xxhash64(t))
-        if int(vocab["nt"] or 0) == int(vocab["nh"] or 0)
-        else F.col("toks")
-    )
+    # (r15 optimization round; see verify_toks_col for the proof shape).
+    vtoks = verify_toks_col(reps, n_reps)
     ta = reps.select(F.col("doc_id").alias("doc_a"), vtoks.alias("toks_a"))
     tb = reps.select(F.col("doc_id").alias("doc_b"), vtoks.alias("toks_b"))
     if bcast:
