@@ -982,22 +982,49 @@ def _min_label_cc(edges: DataFrame) -> DataFrame:
     job per round."""
     from pyspark.sql import Observation
 
-    sym = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
-        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    # Compute the edge subtree ONCE (r15 optimization round, guide §2.4):
+    # the symmetrizing union below consumes `edges` twice, and for
+    # `dedup_clusters` that frame is the ENTIRE verify pipeline
+    # (candidates + hashed-Jaccard verify) — unmaterialized, each union
+    # branch re-executed it end to end (stage evidence: two ~470 MB-input
+    # / 45.4 MB-exchange-write stages per run, ~120-260 task-s each, for
+    # one 45.4 MB pair set). Same lazy-checkpoint move as `_pr_setup`'s
+    # pairs_c: the first branch materializes the blocks inside the sym
+    # checkpoint's own job, the second reads them back.
+    edges_c = edges.localCheckpoint(eager=False)
+    sym = edges_c.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
+        edges_c.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
     # Plain checkpoint, not `operators.bucketing.colocate`: while the
-    # (id, lab) state fits a broadcast, AQE converts each round's join to
-    # a broadcast join at runtime, which measured FASTER than the
+    # (id, lab) state fits a broadcast, each round's join runs broadcast
+    # (bound explicitly below), which measured FASTER than the
     # co-located SMJ layout (see the colocate docstring for the numbers
     # and the at-scale regime where co-location wins instead).
     sym = sym.localCheckpoint()
+    # Narrow the round-loop input to the row-count width (guide §2.2):
+    # the checkpoint inherits the verify pipeline's CPU-spreading width
+    # (132 partitions at bench scale for a ~12-partition-sized frame).
+    sym = narrowed_ckpt(sym, sym.count())
     labels = sym.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("lab")
     )
     labels = labels.localCheckpoint()
+    # Regime pick, bound at plan time (r15 optimization round — the same
+    # fix as the graph trio's rounds): `labels` reaches each round as a
+    # localCheckpoint RDD scan whose planner estimate is sizeInBytes=MAX,
+    # so every round was PLANNED as SortMergeJoin and re-shuffled the
+    # O(edges) sym side (stage evidence: four ~470 MB-input rounds writing
+    # a 45 MB exchange each, 100-900 task-s per round under load). The
+    # label frame is O(nodes) of two BIGINTs — measured against the
+    # session broadcast threshold; beyond it the rounds keep the SMJ,
+    # which is the right plan when the node set itself is cluster-scale.
+    from near_public_lakehouse_spark.queries.graph import _state_broadcastable
+
+    bcast = _state_broadcastable(edges.sparkSession, labels.count(), 0)
     prev_sum: int | None = None
     for i in range(50):
-        prop = sym.join(labels, sym.src == labels.id).select(
+        state = F.broadcast(labels) if bcast else labels
+        prop = sym.join(state, sym.src == state.id).select(
             F.col("dst").alias("id"), F.col("lab")
         )
         merged = labels.union(prop).groupBy("id").agg(F.min("lab").alias("lab"))
@@ -1005,6 +1032,8 @@ def _min_label_cc(edges: DataFrame) -> DataFrame:
         # values are node ids, so the lookup join always hits; coalesce
         # only guards the theoretical miss.
         lut = merged.select(F.col("id").alias("p_id"), F.col("lab").alias("p_lab"))
+        if bcast:
+            lut = F.broadcast(lut)
         obs = Observation(f"cc_round_{i}")
         new_labels = (
             merged.join(lut, merged.lab == lut.p_id, "left")
