@@ -38,12 +38,29 @@ _SA_PARTS = 32  # range partitions for rank passes
 _SEP = ""  # separator prefix; cannot collide with real tokens
 
 
-def distributed_dense_rank(df: DataFrame, key_cols: list[str], out: str = "rank") -> DataFrame:
+def distributed_dense_rank(
+    df: DataFrame,
+    key_cols: list[str],
+    out: str = "rank",
+    parts: int | None = None,
+    return_total: bool = False,
+) -> DataFrame | tuple[DataFrame, int]:
     """Global dense rank over key_cols without a single-partition window:
     range-repartition on the keys (equal keys co-locate), rank within
     each partition, then shift by broadcast cumulative distinct counts.
-    Driver reads one row per partition."""
-    parted = df.repartitionByRange(_SA_PARTS, *key_cols).sortWithinPartitions(*key_cols)
+    Driver reads one row per partition.
+
+    `parts` overrides the range width (r15 optimization round, guide
+    §2.2: callers that know the row count pass `decision_parts(n)`
+    instead of the former constant 32 — scale-adaptive in both
+    directions). `return_total=True` additionally returns the GLOBAL
+    distinct-key count, which the offset fold computes for free: ranks
+    are dense, so sum(per-partition max local rank) IS count_distinct —
+    the prefix-doubling loop's convergence check without its own
+    aggregate job per round."""
+    parted = df.repartitionByRange(parts or _SA_PARTS, *key_cols).sortWithinPartitions(
+        *key_cols
+    )
     w = Window.partitionBy(F.spark_partition_id()).orderBy(*key_cols)
     local = parted.withColumn("_pid", F.spark_partition_id()).withColumn(
         "_lrank", F.dense_rank().over(w)
@@ -67,18 +84,29 @@ def distributed_dense_rank(df: DataFrame, key_cols: list[str], out: str = "rank"
         # fails analysis — the rank column is type-only on a 0-row frame
         # (r15 differential fuzz, empty-table class)
         rank = F.col("_lrank") + F.lit(0)
-    return local.withColumn(out, rank).drop("_pid", "_lrank")
+    ranked = local.withColumn(out, rank).drop("_pid", "_lrank")
+    if return_total:
+        return ranked, acc
+    return ranked
 
 
 def distributed_exclusive_cumsum(
-    df: DataFrame, key_cols: list[str], val_col: str, out: str = "offset"
+    df: DataFrame,
+    key_cols: list[str],
+    val_col: str,
+    out: str = "offset",
+    parts: int | None = None,
 ) -> DataFrame:
     """Global exclusive running sum of ``val_col`` in ``key_cols`` order
     without a single-partition window — the cumsum twin of
     `distributed_dense_rank`: range-repartition on the keys, local
     exclusive cumsum within each partition, then shift by broadcast
-    per-partition totals. Driver reads one row per partition."""
-    parted = df.repartitionByRange(_SA_PARTS, *key_cols).sortWithinPartitions(*key_cols)
+    per-partition totals. Driver reads one row per partition. `parts`
+    overrides the former constant width with a caller-known row-derived
+    one (r15 optimization round, guide §2.2)."""
+    parted = df.repartitionByRange(parts or _SA_PARTS, *key_cols).sortWithinPartitions(
+        *key_cols
+    )
     w = (
         Window.partitionBy(F.spark_partition_id())
         .orderBy(*key_cols)
@@ -110,11 +138,20 @@ def corpus_token_stream(docs: DataFrame) -> DataFrame:
     positions. Doc offsets come from the two-pass distributed cumsum over
     the per-doc length table — never a single-partition global window
     (VERDICT r6/r7 task #3)."""
+    from near_public_lakehouse_spark.queries.dedup import decision_parts
+
     toks = docs.select("doc_id", tokens_col().alias("t"))
     lens = toks.select("doc_id", (F.size("t") + 1).alias("slot_len"))
-    offsets = distributed_exclusive_cumsum(lens, ["doc_id"], "slot_len").select(
-        "doc_id", "offset"
+    # one row per doc: width from the (metadata-cheap) doc count with the
+    # cluster-parallelism floor, instead of the former constant 32 (r15
+    # optimization round, guide §2.2; same rule as `suffix_ranks`)
+    parts = max(
+        docs.sparkSession.sparkContext.defaultParallelism,
+        decision_parts(docs.count()),
     )
+    offsets = distributed_exclusive_cumsum(
+        lens, ["doc_id"], "slot_len", parts=parts
+    ).select("doc_id", "offset")
     stream = (
         toks.select(
             "doc_id",
@@ -134,22 +171,34 @@ def suffix_ranks(stream: DataFrame, spark: SparkSession) -> DataFrame:
     """(gpos, rank): the suffix array as a rank permutation — rank r means
     the suffix starting at gpos is the r-th smallest. Prefix doubling
     until all ranks are distinct (guaranteed by the unique separators)."""
+    from near_public_lakehouse_spark.queries.dedup import decision_parts
+
     n = stream.count()
-    ranks = distributed_dense_rank(stream.select("gpos", "token"), ["token"]).select(
-        "gpos", "rank"
+    # Rank-pass width + the free convergence scalar (r15 optimization
+    # round): each dense-rank pass already folds the per-partition
+    # distinct counts on the driver, and their sum IS
+    # count_distinct(rank) — the former per-round countDistinct aggregate
+    # re-scanned the whole rank frame once per doubling round for a
+    # number the rank pass had just computed.
+    # Width rule: row-derived above the cluster's parallelism, the
+    # cluster's parallelism below it — rank passes are SORT-compute-bound
+    # (string/rank comparisons per row), so the bare decision_parts floor
+    # of 2 serialized the whole doubling loop onto two cores at bench
+    # scale (measured: user time flat, wall 16 -> 21 s); the
+    # defaultParallelism floor is cluster-derived, not a local constant.
+    parts = max(stream.sparkSession.sparkContext.defaultParallelism, decision_parts(n))
+    ranks, total = distributed_dense_rank(
+        stream.select("gpos", "token"), ["token"], parts=parts, return_total=True
     )
+    ranks = ranks.select("gpos", "rank")
     offset = 1
-    while True:
-        distinct = ranks.agg(F.countDistinct("rank").alias("d")).collect()[0].d
-        if distinct == n:
-            break
+    while total != n:
         nxt = ranks.select((F.col("gpos") - offset).alias("gpos"), F.col("rank").alias("rank2"))
         keyed = ranks.join(nxt, "gpos", "left").select(
             "gpos", "rank", F.coalesce("rank2", F.lit(0)).alias("rank2")
         )
-        ranks = distributed_dense_rank(keyed, ["rank", "rank2"], out="new_rank").select(
-            "gpos", F.col("new_rank").alias("rank")
-        )
+        ranks, total = distributed_dense_rank(keyed, ["rank", "rank2"], out="new_rank", parts=parts, return_total=True)
+        ranks = ranks.select("gpos", F.col("new_rank").alias("rank"))
         offset *= 2
         if offset > 2 * n:  # safety backstop; separators guarantee earlier exit
             raise RuntimeError("prefix doubling failed to converge")
@@ -207,7 +256,16 @@ def suffix_array_dup_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos_grams = grams.join(gram_tbl, ["doc_id", "pos"]).select(
         "doc_id", "pos", "gpos", "gram"
     )
-    sa = pos_grams.join(ranks, "gpos").select("doc_id", "pos", "gram", "rank")
+    # Compute the SA-attach subtree ONCE (r15 optimization round, guide
+    # §2.4): `sa` fans out into three consumers below (itself + the
+    # rank-shifted prev/next projections), and unmaterialized each branch
+    # re-ran the pos_grams + ranks joins end to end. Lazy checkpoint: the
+    # first consumer materializes the blocks inside its own job.
+    sa = (
+        pos_grams.join(ranks, "gpos")
+        .select("doc_id", "pos", "gram", "rank")
+        .localCheckpoint(eager=False)
+    )
     prev = sa.select((F.col("rank") + 1).alias("rank"), F.col("gram").alias("gram_prev"))
     nxt = sa.select((F.col("rank") - 1).alias("rank"), F.col("gram").alias("gram_next"))
     flagged = (
@@ -317,7 +375,13 @@ def sa_longest_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     real = stream.filter(F.col("pos") <= F.col("doc_len")).select(
         "doc_id", "pos", "gpos"
     )
-    sa = real.join(ranks, "gpos").select("doc_id", "pos", "rank")
+    # `sa` fans out into the adjacent-pair (a, b) projections — same
+    # compute-once lazy checkpoint as suffix_array_dup_positions' sa.
+    sa = (
+        real.join(ranks, "gpos")
+        .select("doc_id", "pos", "rank")
+        .localCheckpoint(eager=False)
+    )
     a = sa.select(
         F.col("rank").alias("rk"),
         F.col("doc_id").alias("a_doc"),
