@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from near_public_lakehouse_spark.functions.numeric import davg, dsum
+from near_public_lakehouse_spark.functions.frames import inline_rows_df
 from near_public_lakehouse_spark.queries.registry import query
 from near_public_lakehouse_spark.sources.tables import load_table
 
@@ -344,9 +345,10 @@ def quantity_tier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily-rows theta join does. Never use this shape with two large sides.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    tiers = spark.createDataFrame(
+    tiers = inline_rows_df(
+        spark,
         [("small", 0, 15), ("medium", 15, 30), ("large", 30, 51)],
-        "tier_name string, lo int, hi int",
+        [("tier_name", "string"), ("lo", "int"), ("hi", "int")],
     )
     return (
         li.join(

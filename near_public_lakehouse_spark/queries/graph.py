@@ -34,6 +34,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from near_public_lakehouse_spark.functions.frames import inline_rows_df
 from near_public_lakehouse_spark.queries.registry import query
 from near_public_lakehouse_spark.sources.tables import load_table
 
@@ -499,7 +500,9 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `_pr_setup`/`_hits_regimes`.
     n_nodes = int(edges.agg(F.approx_count_distinct("src")).first()[0] or 0)
     bcast = _state_broadcastable(spark, n_nodes, n_nodes * 8)
-    dist = spark.createDataFrame([(BFS_SOURCE_CODE, 0)], "node bigint, hops bigint")
+    dist = inline_rows_df(
+        spark, [(BFS_SOURCE_CODE, 0)], [("node", "bigint"), ("hops", "bigint")]
+    )
     return _bfs_output(_bfs_rounds(edges, dist, broadcast_state=bcast))
 
 
@@ -906,7 +909,9 @@ def bfs_from_bucketed(spark: SparkSession, by_src_table: str) -> DataFrame:
     # it the rounds stay joins over the co-located bucketed scan.
     n_nodes = int(edges.agg(F.approx_count_distinct("src")).first()[0] or 0)
     bcast = _state_broadcastable(spark, n_nodes, n_nodes * 8)
-    dist = spark.createDataFrame([(BFS_SOURCE_CODE, 0)], "node bigint, hops bigint")
+    dist = inline_rows_df(
+        spark, [(BFS_SOURCE_CODE, 0)], [("node", "bigint"), ("hops", "bigint")]
+    )
     return _bfs_output(_bfs_rounds(edges, dist, broadcast_state=bcast))
 
 

@@ -15,6 +15,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from near_public_lakehouse_spark.functions.frames import inline_rows_df
 from near_public_lakehouse_spark.queries.registry import query
 from near_public_lakehouse_spark.sources.tables import load_table
 
@@ -954,9 +955,18 @@ def kmeans_fit(
     # Explode once, reuse 2x per iteration (distances + mean update):
     # bounded at n*dim rows, localCheckpointed so the 2*iters consumers
     # read cached partitions instead of re-scanning parquet.
-    exp = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "v")
-    ).localCheckpoint()
+    exp = emb.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+    # Keyed widen when the scan is narrower than the cluster (r15
+    # optimization round, guide §2.5 input skew): the bench corpus is one
+    # small parquet file, so every iteration's n*k*dim distance evaluation
+    # ran as ONE ~1.2 s task — 8 serialized single-task stages were the
+    # query's wall. Hash by vec_id keeps each vector in one partition, so
+    # the per-(vec_id, cid) partial aggregation still collapses map-side;
+    # at scale the scan is already wide and this is a no-op.
+    dp = spark.sparkContext.defaultParallelism
+    if exp.rdd.getNumPartitions() < dp:
+        exp = exp.repartition(dp, "vec_id")
+    exp = exp.localCheckpoint()
     for _ in range(iters):
         # r13 (VERDICT r12 task #6): the r12 form computed each of the
         # n*k distances with an interpreted decimal HOF fold
@@ -969,13 +979,31 @@ def kmeans_fit(
         # has always summed this exact shape). Broadcast k*dim centroid
         # rows; partial aggregation collapses each (vec_id, cid) group
         # map-side because an exploded vector never spans partitions.
+        # Arrow-backed centroid table (r15 optimization round, guide §4):
+        # createDataFrame over a plain list parallelized these k*dim rows
+        # through a PythonRDD, so every broadcast build — twice per
+        # iteration — launched defaultParallelism Python workers just to
+        # emit 640 literals (measured: 32-task stages of ~2 s wall /
+        # ~0 CPU per build, ~60 s of task wall per kmeans_clusters run).
+        # With arrow.pyspark.enabled the pandas path ships one Arrow
+        # batch that the JVM scans directly — no Python workers. A
+        # 640-literal `inline(array(struct(...)))` frame was tried and
+        # REJECTED: analyzing/folding the 1920-literal tree per iteration
+        # ballooned the run 15.6 -> 76 s. (In a session without the Arrow
+        # conf this falls back to the old pickled path — correct, just
+        # slower; bench/production sessions pin the conf.)
+        import pandas as pd
+
         cent = F.broadcast(
             spark.createDataFrame(
-                [
-                    (ci, pos, cv)
-                    for ci, c in enumerate(centroids)
-                    for pos, cv in enumerate(c)
-                ],
+                pd.DataFrame(
+                    [
+                        (ci, pos, cv)
+                        for ci, c in enumerate(centroids)
+                        for pos, cv in enumerate(c)
+                    ],
+                    columns=["cid", "pos", "cv"],
+                ),
                 "cid int, pos int, cv double",
             )
         )
