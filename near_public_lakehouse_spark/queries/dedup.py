@@ -1105,6 +1105,25 @@ def _star_cc(edges: DataFrame, include_roots: bool = True) -> DataFrame:
     p = decision_parts(e.count())
     if p < e.rdd.getNumPartitions():
         e = e.coalesce(p).localCheckpoint()
+    # Regime pick for the per-half mins joins (r15 optimization round —
+    # the `_min_label_cc` fix applied here): `mins` is O(distinct nodes)
+    # of two BIGINTs, but both its join inputs are plans over checkpoint
+    # scans (sizeInBytes=MAX), so every half-round was planned as SMJ and
+    # paid two sorts of the (shrinking) edge frame. One bounded aggregate
+    # over the materialized blocks upper-bounds the node count; under the
+    # session threshold the mins side binds F.broadcast (the sym/oriented
+    # repartitions stay — they are the groupBy's own exchange), beyond it
+    # the aligned-SMJ shape is kept, which is right when the node set is
+    # cluster-scale.
+    from near_public_lakehouse_spark.queries.graph import _state_broadcastable
+
+    nn = e.agg(
+        F.approx_count_distinct("a").alias("na"),
+        F.approx_count_distinct("b").alias("nb"),
+    ).first()
+    bcast = _state_broadcastable(
+        edges.sparkSession, int(nn["na"] or 0) + int(nn["nb"] or 0), 0
+    )
     nodes = None
     if include_roots:
         nodes = (
@@ -1124,7 +1143,7 @@ def _star_cc(edges: DataFrame, include_roots: bool = True) -> DataFrame:
             F.least(F.min("b"), F.first("a")).alias("m")
         )
         e = (
-            sym.join(mins, "a")
+            sym.join(F.broadcast(mins) if bcast else mins, "a")
             .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .filter(F.col("a") != F.col("b"))
@@ -1138,7 +1157,7 @@ def _star_cc(edges: DataFrame, include_roots: bool = True) -> DataFrame:
         mins = oriented.groupBy("a").agg(F.min("b").alias("m"))
         obs = Observation(f"star_round_{i}")
         e = (
-            oriented.join(mins, "a")
+            oriented.join(F.broadcast(mins) if bcast else mins, "a")
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .union(mins.select(F.col("a"), F.col("m").alias("b")))
             .filter(F.col("a") != F.col("b"))
@@ -1171,7 +1190,7 @@ def _star_cc(edges: DataFrame, include_roots: bool = True) -> DataFrame:
         # node-set distinct + the left join below (measured ~1.7 s of
         # the near_dup wall at sf0.1).
         return parent
-    return nodes.join(parent, "id", "left").select(
+    return nodes.join(F.broadcast(parent) if bcast else parent, "id", "left").select(
         "id", F.coalesce("lab", F.col("id")).alias("lab")
     )
 
