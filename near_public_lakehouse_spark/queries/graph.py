@@ -669,7 +669,17 @@ def link_analysis_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_edges = edges.count()
     e_h = _agg_layout(edges, "cust", n_edges) if bcast_auth else edges
     e_a = _agg_layout(edges, "supp", n_edges) if bcast_hub else edges
-    return _hits_output(*_hits_rounds(e_h, e_a, auth, bcast_auth, bcast_hub))
+    out = _hits_output(*_hits_rounds(e_h, e_a, auth, bcast_auth, bcast_hub))
+    if bcast_auth and bcast_hub:
+        # Driver-paced loop: every layout read happened inside the
+        # per-half collects above, and the returned frames are literal
+        # state — the cached layouts have no remaining consumer, so drop
+        # them now instead of leaking two InMemoryRelations per
+        # invocation into the session (VERDICT r15 item 3). Mixed/merge
+        # regimes return plans that still read the layouts and keep them.
+        for lay in (e_h, e_a):
+            lay.unpersist()
+    return out
 
 
 def _hits_regimes(edges: DataFrame) -> tuple[bool, bool]:
@@ -707,11 +717,88 @@ def _hits_rounds(
     registry query (one edge frame both ways) and the bucketed path
     (one layout per join side — the half-iterations join on DIFFERENT
     keys, so each needs its own co-located layout). The two bcast_*
-    flags are `_hits_regimes`' auto-picked per-half join strategies."""
+    flags are `_hits_regimes`' auto-picked per-half join strategies.
+
+    When BOTH states are measured broadcastable the loop runs
+    driver-paced (`_hits_rounds_driver`) — the k-means centroid shape;
+    any merge-regime half keeps the distributed chain below."""
+    if bcast_auth and bcast_hub:
+        return _hits_rounds_driver(edges_by_supp, edges_by_cust, auth, iters)
     hub = None
     for _ in range(iters):
         hub = _hits_half(edges_by_supp, auth, "supp", "cust", bcast_auth)
         auth = _hits_half(edges_by_cust, hub, "cust", "supp", bcast_hub)
+    return hub, auth
+
+
+def _hits_state_rows(
+    edges: DataFrame, score: DataFrame, join_key: str, out_key: str
+) -> list[tuple]:
+    """ONE half-iteration's raw sums collected to the driver:
+    [(node, s)] from the same `_hits_raw` join-aggregate the distributed
+    path runs (s is dsum's DOUBLE). Broadcast-regime only — the regime
+    pick has already measured that the O(nodes) state fits the session
+    broadcast threshold, so this collect is byte-bounded by the SAME
+    limit Spark's own BroadcastExchange collect honors; the merge regime
+    never reaches this path."""
+    raw = _hits_raw(edges, score, join_key, out_key, broadcast_state=True)
+    return [(r["node"], r["s"]) for r in raw.collect()]
+
+
+def _hits_state_df(spark: SparkSession, rows: list[tuple]) -> DataFrame:
+    """(node, score) literal state frame from collected raw sums: the
+    max-normalizer's max comes from an exact driver-side comparison fold
+    over the very doubles Spark would have folded (no arithmetic — same
+    value bit-for-bit), and the division + {HITS_DP}-dp rounding stay
+    SPARK expressions over the literal frame, so every score is the
+    identical IEEE op sequence as the distributed window form. The rows
+    ship back as one Arrow batch (`createDataFrame(pandas)` under the
+    session's arrow conf — the k-means centroid idiom; a session without
+    the conf falls back to the pickled path, correct but slower)."""
+    import pandas as pd
+
+    mx = max((s for _, s in rows), default=1.0)
+    if rows:
+        lit = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["node", "s"]), "node bigint, s double"
+        )
+    else:  # empty graph: schema-only frame (empty pandas has no dtypes)
+        lit = spark.createDataFrame([], "node bigint, s double")
+    return lit.select(
+        "node", F.round(F.col("s") / F.lit(mx), HITS_DP).alias("score")
+    )
+
+
+def _hits_rounds_driver(
+    edges_by_supp: DataFrame,
+    edges_by_cust: DataFrame,
+    auth: DataFrame,
+    iters: int = HITS_ITERS,
+) -> tuple[DataFrame, DataFrame]:
+    """The broadcast-regime HITS loop, driver-paced (r16 optimization
+    round, guide §1.2 — the wall was stage-sequencing latency, not
+    compute): the distributed chain paid TWO broadcast-exchange jobs per
+    half (~5 stages: re-running the previous state's single-partition
+    window inside each half's broadcast build, then the next build over
+    the raw checkpoint — 48 jobs / 103 stages / ~20 task-s per
+    invocation at sf0.1). Here each half is ONE collect job — the
+    `_hits_raw` aggregate runs over the agg-keyed layout with NO
+    exchange and its O(nodes) result (bounded by the broadcast
+    threshold, per the regime pick) returns to the driver, which is
+    where Spark's own broadcast build would have sent it anyway — and
+    the state returns as an Arrow literal frame whose broadcast build is
+    a single trivial task. Scores are bit-identical to the distributed
+    path (`_hits_state_df`; parity pinned in tests/test_r16_opt.py).
+    The k-means Lloyd's-loop shape, applied to link analysis."""
+    spark = auth.sparkSession
+    hub = None
+    for _ in range(iters):
+        hub = _hits_state_df(
+            spark, _hits_state_rows(edges_by_supp, auth, "supp", "cust")
+        )
+        auth = _hits_state_df(
+            spark, _hits_state_rows(edges_by_cust, hub, "cust", "supp")
+        )
     return hub, auth
 
 

@@ -38,13 +38,12 @@ _SA_PARTS = 32  # range partitions for rank passes
 _SEP = ""  # separator prefix; cannot collide with real tokens
 
 
-def distributed_dense_rank(
+def distributed_dense_rank_with_total(
     df: DataFrame,
     key_cols: list[str],
     out: str = "rank",
     parts: int | None = None,
-    return_total: bool = False,
-) -> DataFrame | tuple[DataFrame, int]:
+) -> tuple[DataFrame, int]:
     """Global dense rank over key_cols without a single-partition window:
     range-repartition on the keys (equal keys co-locate), rank within
     each partition, then shift by broadcast cumulative distinct counts.
@@ -53,11 +52,12 @@ def distributed_dense_rank(
     `parts` overrides the range width (r15 optimization round, guide
     §2.2: callers that know the row count pass `decision_parts(n)`
     instead of the former constant 32 — scale-adaptive in both
-    directions). `return_total=True` additionally returns the GLOBAL
-    distinct-key count, which the offset fold computes for free: ranks
-    are dense, so sum(per-partition max local rank) IS count_distinct —
-    the prefix-doubling loop's convergence check without its own
-    aggregate job per round."""
+    directions). The second return value is the GLOBAL distinct-key
+    count, which the offset fold computes for free: ranks are dense, so
+    sum(per-partition max local rank) IS count_distinct — the
+    prefix-doubling loop's convergence check without its own aggregate
+    job per round. (Always a tuple: the r15 flag-dependent return shape
+    was an ADVICE item.)"""
     parted = df.repartitionByRange(parts or _SA_PARTS, *key_cols).sortWithinPartitions(
         *key_cols
     )
@@ -65,7 +65,11 @@ def distributed_dense_rank(
     local = parted.withColumn("_pid", F.spark_partition_id()).withColumn(
         "_lrank", F.dense_rank().over(w)
     )
-    local = local.localCheckpoint()  # rank pass reused twice below
+    # Lazy checkpoint (r16 optimization round, guide §1.2): the rank pass
+    # is reused twice below, but an EAGER cut added one driver-barrier
+    # job per rank pass — the counts collect right after it materializes
+    # the same blocks inside its own job.
+    local = local.localCheckpoint(eager=False)
     counts = (
         local.groupBy("_pid")
         .agg(F.max("_lrank").alias("_n"))
@@ -85,9 +89,18 @@ def distributed_dense_rank(
         # (r15 differential fuzz, empty-table class)
         rank = F.col("_lrank") + F.lit(0)
     ranked = local.withColumn(out, rank).drop("_pid", "_lrank")
-    if return_total:
-        return ranked, acc
-    return ranked
+    return ranked, acc
+
+
+def distributed_dense_rank(
+    df: DataFrame,
+    key_cols: list[str],
+    out: str = "rank",
+    parts: int | None = None,
+) -> DataFrame:
+    """`distributed_dense_rank_with_total` for callers that only need the
+    ranked frame."""
+    return distributed_dense_rank_with_total(df, key_cols, out, parts)[0]
 
 
 def distributed_exclusive_cumsum(
@@ -115,7 +128,9 @@ def distributed_exclusive_cumsum(
     local = (
         parted.withColumn("_pid", F.spark_partition_id())
         .withColumn("_lsum", F.coalesce(F.sum(val_col).over(w), F.lit(0)))
-        .localCheckpoint()
+        # lazy: the totals collect below materializes the blocks in its
+        # own job (r16 optimization round — same move as the rank pass)
+        .localCheckpoint(eager=False)
     )
     totals = (
         local.groupBy("_pid").agg(F.sum(val_col).alias("_n")).orderBy("_pid").collect()
@@ -132,22 +147,36 @@ def distributed_exclusive_cumsum(
     )
 
 
-def corpus_token_stream(docs: DataFrame) -> DataFrame:
+def corpus_token_stream(docs: DataFrame, toks: DataFrame | None = None) -> DataFrame:
     """(doc_id, pos, token, doc_len, gpos): every token of every document
     plus one unique separator token per document, with corpus-global
     positions. Doc offsets come from the two-pass distributed cumsum over
     the per-doc length table — never a single-partition global window
-    (VERDICT r6/r7 task #3)."""
+    (VERDICT r6/r7 task #3).
+
+    `toks` lets the caller pass an already-tokenized (doc_id, t)
+    frame (r16 optimization round, guide §2.4/§6: the SA queries
+    tokenized the corpus THREE times — the length table, the stream
+    explode, and their gram tables were each a separate parquet scan +
+    tokenize, ~130 MB input and 8-14 s of task time apiece at sf0.1;
+    one shared lazy checkpoint reads the corpus once). The doc count
+    for the cumsum width comes from the same frame, which also answers
+    the r15 ADVICE note about a per-invocation docs.count() re-running
+    an arbitrary upstream plan — counting the checkpoint materializes
+    blocks every later pass re-reads."""
     from near_public_lakehouse_spark.queries.dedup import decision_parts
 
-    toks = docs.select("doc_id", tokens_col().alias("t"))
+    if toks is None:
+        toks = docs.select("doc_id", tokens_col().alias("t")).localCheckpoint(
+            eager=False
+        )
     lens = toks.select("doc_id", (F.size("t") + 1).alias("slot_len"))
-    # one row per doc: width from the (metadata-cheap) doc count with the
+    # one row per doc: width from the toks-checkpoint count with the
     # cluster-parallelism floor, instead of the former constant 32 (r15
     # optimization round, guide §2.2; same rule as `suffix_ranks`)
     parts = max(
         docs.sparkSession.sparkContext.defaultParallelism,
-        decision_parts(docs.count()),
+        decision_parts(toks.count()),
     )
     offsets = distributed_exclusive_cumsum(
         lens, ["doc_id"], "slot_len", parts=parts
@@ -167,10 +196,63 @@ def corpus_token_stream(docs: DataFrame) -> DataFrame:
     )
 
 
+SA_RANK_MULT = 4  # sub-ranks combined per round: prefix-QUADRUPLING
+
+
+def _shift_slots(
+    df: DataFrame, val: str, offset: int, mult: int, fill
+) -> DataFrame:
+    """(gpos, s0..s{mult-1}): for every real position, the `val` column of
+    the positions gpos, gpos+offset, ..., gpos+(mult-1)*offset — the
+    generalized prefix-doubling attach as ONE union + groupBy(gpos)
+    instead of (mult-1) shifted left self-joins (r16 optimization round,
+    guide §2.4: each join was planned SMJ off the checkpoint's MAX
+    estimate, then AQE runtime-converted it — ~6 broadcast-build jobs
+    and two shuffles per round; the union form is one exchange of skinny
+    (gpos, slot, val) rows and no join at all). A position absent from a
+    shifted slot means the suffix ends before that sub-prefix: `fill`
+    must sort BELOW every real value (rank 0 / empty string — exactly
+    the old `coalesce(rank2, 0)` semantics), and rows with no slot-0
+    value are shift artifacts (gpos below the corpus start), dropped by
+    the s0 filter just as the old LEFT join never created them."""
+    u = df.select("gpos", F.lit(0).alias("_s"), F.col(val).alias("_v"))
+    for i in range(1, mult):
+        u = u.unionByName(
+            df.select(
+                (F.col("gpos") - i * offset).alias("gpos"),
+                F.lit(i).alias("_s"),
+                F.col(val).alias("_v"),
+            )
+        )
+    keyed = u.groupBy("gpos").agg(
+        *[
+            F.max(F.when(F.col("_s") == i, F.col("_v"))).alias(f"s{i}")
+            for i in range(mult)
+        ]
+    )
+    return keyed.filter(F.col("s0").isNotNull()).select(
+        "gpos",
+        "s0",
+        *[F.coalesce(f"s{i}", F.lit(fill)).alias(f"s{i}") for i in range(1, mult)],
+    )
+
+
 def suffix_ranks(stream: DataFrame, spark: SparkSession) -> DataFrame:
     """(gpos, rank): the suffix array as a rank permutation — rank r means
-    the suffix starting at gpos is the r-th smallest. Prefix doubling
-    until all ranks are distinct (guaranteed by the unique separators)."""
+    the suffix starting at gpos is the r-th smallest. Generalized prefix
+    doubling (quadrupling, SA_RANK_MULT sub-ranks per round) until all
+    ranks are distinct (guaranteed by the unique separators).
+
+    Round shape (r16 optimization round): the initial pass ranks the
+    TRUE {SA_RANK_MULT}-token prefix directly — the shifted-union attach
+    over the global stream crosses document boundaries exactly like the
+    old one-token-then-double chain, so this replaces two whole doubling
+    rounds — and each subsequent round combines {SA_RANK_MULT} sub-ranks
+    (positions gpos + i*offset), multiplying the covered prefix by
+    {SA_RANK_MULT} per round instead of 2: half the rank passes of plain
+    doubling for the same fixpoint (lexicographic order on the sub-rank
+    tuple IS the order on the concatenated prefix, missing sub-prefix =
+    rank 0 sorts first — the old coalesce(rank2, 0) rule)."""
     from near_public_lakehouse_spark.queries.dedup import decision_parts
 
     n = stream.count()
@@ -187,20 +269,49 @@ def suffix_ranks(stream: DataFrame, spark: SparkSession) -> DataFrame:
     # scale (measured: user time flat, wall 16 -> 21 s); the
     # defaultParallelism floor is cluster-derived, not a local constant.
     parts = max(stream.sparkSession.sparkContext.defaultParallelism, decision_parts(n))
-    ranks, total = distributed_dense_rank(
-        stream.select("gpos", "token"), ["token"], parts=parts, return_total=True
+    mult = SA_RANK_MULT
+    # Token relabeling for the initial rank pass (r16 optimization round,
+    # guide §2.3 narrower types — the near_dup verify's hashed-intersect
+    # pattern applied to sorting): the initial pass sorts/compares
+    # {SA_RANK_MULT}-tuples of variable-length UTF8 tokens (~21 task-s at
+    # sf0.1). Suffix-array NEIGHBOR outputs (dup positions, LCP spans)
+    # are invariant under ANY injective relabeling of the token alphabet:
+    # the SA of the relabeled corpus is lexicographic over a reordered
+    # alphabet, and suffixes sharing a token prefix remain a contiguous
+    # rank range under every alphabet order. So rank over
+    # xxhash64(token) BIGINTs iff one bounded aggregate PROVES the
+    # relabeling injective on this corpus's vocabulary
+    # (count_distinct(token) == count_distinct(xxhash64(token)) — equal
+    # distinct counts on a finite set <=> injective); keep the exact
+    # string path otherwise. The slot fill value never orders a pair:
+    # a missing slot implies the unique final separator occupies an
+    # earlier slot, which decides every comparison first.
+    inj = stream.agg(
+        (
+            F.count_distinct("token")
+            == F.count_distinct(F.xxhash64("token"))
+        ).alias("ok")
+    ).first()["ok"]
+    if inj:
+        key_src = stream.select("gpos", F.xxhash64("token").alias("token"))
+        fill = 0
+    else:  # hash-collision fallback: exact string comparisons
+        key_src = stream.select("gpos", "token")
+        fill = ""
+    key0 = _shift_slots(key_src, "token", 1, mult, fill)
+    ranks, total = distributed_dense_rank_with_total(
+        key0, [f"s{i}" for i in range(mult)], parts=parts
     )
     ranks = ranks.select("gpos", "rank")
-    offset = 1
+    offset = mult
     while total != n:
-        nxt = ranks.select((F.col("gpos") - offset).alias("gpos"), F.col("rank").alias("rank2"))
-        keyed = ranks.join(nxt, "gpos", "left").select(
-            "gpos", "rank", F.coalesce("rank2", F.lit(0)).alias("rank2")
+        keyed = _shift_slots(ranks, "rank", offset, mult, 0)
+        ranks, total = distributed_dense_rank_with_total(
+            keyed, [f"s{i}" for i in range(mult)], out="new_rank", parts=parts
         )
-        ranks, total = distributed_dense_rank(keyed, ["rank", "rank2"], out="new_rank", parts=parts, return_total=True)
         ranks = ranks.select("gpos", F.col("new_rank").alias("rank"))
-        offset *= 2
-        if offset > 2 * n:  # safety backstop; separators guarantee earlier exit
+        offset *= mult
+        if offset > mult * n:  # safety backstop; separators guarantee earlier exit
             raise RuntimeError("prefix doubling failed to converge")
     return ranks
 
@@ -235,11 +346,13 @@ def suffix_array_dup_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction end to end (the star-CC/min-label cross-engine
     discipline, applied to Lee et al.'s dedup machinery)."""
     docs = load_table(spark, sf_dir, "documents")
-    stream = corpus_token_stream(docs).localCheckpoint()
+    # ONE tokenize of the corpus, shared by the stream, the length table
+    # and the gram table (r16 optimization round — see corpus_token_stream)
+    toks = docs.select("doc_id", tokens_col().alias("t")).localCheckpoint(eager=False)
+    stream = corpus_token_stream(docs, toks=toks).localCheckpoint()
     ranks = suffix_ranks(stream, spark)
     # L-gram (as md5) at every position with a full in-document gram
     grams = stream.filter(F.col("pos") <= F.col("doc_len") - SA_GRAM_L + 1)
-    toks = docs.select("doc_id", tokens_col().alias("t"))
     gram_tbl = (
         toks.filter(F.size("t") >= SA_GRAM_L)
         .select(
@@ -298,11 +411,14 @@ SA_LCP_CAP = 16  # exact span lengths up to this; flag when the cap binds
 _LCP_LEVELS = (16, 8, 4, 2, 1)  # descent order; sums to any value 0..15, or 16
 
 
-def _gram_hash_table(docs: DataFrame) -> DataFrame:
+def _gram_hash_table(docs: DataFrame, toks: DataFrame | None = None) -> DataFrame:
     """(doc_id, lvl, pos, h): full-md5 hash of the lvl-token gram at every
     in-document position, for each power-of-two level. Five staged per-doc
-    HOF projections + one explode — scan-side, no shuffle."""
-    toks = docs.select("doc_id", tokens_col().alias("t"))
+    HOF projections + one explode — scan-side, no shuffle. `toks` shares
+    the caller's tokenize checkpoint (r16: five more tokenize passes
+    otherwise — one per level branch of the union)."""
+    if toks is None:
+        toks = docs.select("doc_id", tokens_col().alias("t"))
     pieces = []
     for lvl in _LCP_LEVELS:
         pieces.append(
@@ -370,7 +486,10 @@ def sa_longest_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjacent-pair set (n rows); everything else is the suffix array's
     own round-dominated cost."""
     docs = load_table(spark, sf_dir, "documents")
-    stream = corpus_token_stream(docs).localCheckpoint()
+    # ONE tokenize of the corpus, shared by the stream and all five gram
+    # levels (r16 optimization round — see corpus_token_stream)
+    toks = docs.select("doc_id", tokens_col().alias("t")).localCheckpoint(eager=False)
+    stream = corpus_token_stream(docs, toks=toks).localCheckpoint()
     ranks = suffix_ranks(stream, spark)
     real = stream.filter(F.col("pos") <= F.col("doc_len")).select(
         "doc_id", "pos", "gpos"
@@ -393,7 +512,7 @@ def sa_longest_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").alias("b_pos"),
     )
     pairs = a.join(b, "rk").select("a_doc", "a_pos", "b_doc", "b_pos")
-    grams = _gram_hash_table(docs).localCheckpoint()
+    grams = _gram_hash_table(docs, toks=toks).localCheckpoint()
     state = pairs.withColumn("acc", F.lit(0)).withColumn("done", F.lit(False))
     for lvl in _LCP_LEVELS:
         ga = grams.filter(F.col("lvl") == lvl).select(

@@ -26,6 +26,9 @@ from pyspark.sql import functions as F
 
 from near_public_lakehouse_spark.operators.scd import apply_changes
 
+pytestmark = pytest.mark.slow  # r16 two-lane suite: close_round runs the full lane
+
+
 KINDS = ["CREATE_ACCOUNT", "DELETE_ACCOUNT", "TRANSFER"]
 
 CHANGE_SCHEMA = (

@@ -16,6 +16,9 @@ import json
 import os
 
 from pyspark.sql import functions as F
+import pytest
+
+pytestmark = pytest.mark.slow  # r16 two-lane suite: close_round runs the full lane
 
 
 # --- 1. SCD2 pre-r13 on-disk format ----------------------------------------

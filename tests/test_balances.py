@@ -12,6 +12,9 @@ from pyspark.sql import functions as F
 
 from near_public_lakehouse_spark.plans import balances as B
 
+pytestmark = pytest.mark.slow  # r16 two-lane suite: close_round runs the full lane
+
+
 DAY_NS = 86_400 * 10**9
 YOCTO = 10**24
 

@@ -410,6 +410,8 @@ from near_public_lakehouse_spark.operators.delta_reader import (
     z85_decode,
 )
 
+pytestmark = pytest.mark.slow  # r16 two-lane suite: close_round runs the full lane
+
 _Z85 = (
     "0123456789abcdefghijklmnopqrstuvwxyz"
     "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"

@@ -18,6 +18,9 @@ from near_public_lakehouse_spark.operators.delta_export import write_delta_log
 from near_public_lakehouse_spark.operators.delta_reader import DeltaLogReader
 from near_public_lakehouse_spark.sources.delta_stream import DeltaChangesDataSource
 
+pytestmark = pytest.mark.slow  # r16 two-lane suite: close_round runs the full lane
+
+
 
 def _df(spark, rows, schema="k int, v string"):
     return spark.createDataFrame(rows, schema)

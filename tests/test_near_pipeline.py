@@ -268,6 +268,7 @@ def test_scd1_access_keys(pipe):
     assert fc.allowed_receiver_id == "ft.near"
 
 
+@pytest.mark.slow  # 33 s; full lane covers it (r16 two-lane suite)
 def test_incremental_matches_batch(spark, raw_dir, pipe, tmp_path_factory):
     """Half the files, run; rest of the files, run again — the incremental
     (checkpointed availableNow) result must equal the batch result."""

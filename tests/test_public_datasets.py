@@ -10,6 +10,9 @@ import duckdb
 import pytest
 from pyspark.sql import functions as F
 
+pytestmark = pytest.mark.slow  # r16 two-lane suite: close_round runs the full lane
+
+
 PROCESSED = "2024-03-05 07:00:00"
 
 

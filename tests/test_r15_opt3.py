@@ -66,15 +66,16 @@ def test_star_cc_regime_invariant(spark, edge_frame, include_roots):
 
 
 def test_dense_rank_free_total_matches_count_distinct(spark):
-    from near_public_lakehouse_spark.queries.suffix import distributed_dense_rank
+    from near_public_lakehouse_spark.queries.suffix import (
+        distributed_dense_rank,
+        distributed_dense_rank_with_total,
+    )
 
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(["b", "a", "b", "c", "a", "a", "d"])],
         "gpos bigint, token string",
     )
-    ranked, total = distributed_dense_rank(
-        df, ["token"], parts=3, return_total=True
-    )
+    ranked, total = distributed_dense_rank_with_total(df, ["token"], parts=3)
     assert total == df.select("token").distinct().count() == 4
     got = {r.gpos: r.rank for r in ranked.collect()}
     # dense global ranks in key order: a=1, b=2, c=3, d=4

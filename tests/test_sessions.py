@@ -19,6 +19,9 @@ import pytest
 
 from near_public_lakehouse_spark.streaming import jobs
 
+pytestmark = pytest.mark.slow  # r16 two-lane suite: close_round runs the full lane
+
+
 NS_H = 3_600 * 10**9
 BASE = 1_700_000_000_000_000_000
 

@@ -10,6 +10,9 @@ from pyspark.sql import functions as F
 from near_public_lakehouse_spark.operators.backfill import backfill_by_slices, date_slices
 from near_public_lakehouse_spark.operators.skew import salted_join
 
+pytestmark = pytest.mark.slow  # r16 two-lane suite: close_round runs the full lane
+
+
 
 # --- skew ------------------------------------------------------------------
 

@@ -19,6 +19,9 @@ from near_public_lakehouse_spark.streaming.jobs import (
 )
 
 from tests.conftest import SF_DIR
+import pytest
+
+pytestmark = pytest.mark.slow  # r16 two-lane suite: close_round runs the full lane
 
 DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 

@@ -13,6 +13,9 @@ import os
 from pyspark.sql import functions as F
 
 from near_public_lakehouse_spark.plans import balances as B
+import pytest
+
+pytestmark = pytest.mark.slow  # r16 two-lane suite: close_round runs the full lane
 
 PROCESSED = "2024-03-05 07:00:00"
 YOCTO = 10**24

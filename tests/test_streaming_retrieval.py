@@ -17,6 +17,9 @@ from near_public_lakehouse_spark.streaming.jobs import (
 )
 
 from tests.conftest import SF_DIR
+import pytest
+
+pytestmark = pytest.mark.slow  # r16 two-lane suite: close_round runs the full lane
 
 
 def _rows(df):

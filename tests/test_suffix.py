@@ -24,9 +24,20 @@ def test_suffix_ranks_match_sequential_reference(spark):
     )
     stream = corpus_token_stream(docs).localCheckpoint()
     got = {r.gpos: r.rank for r in suffix_ranks(stream, spark).collect()}
-    # sequential reference: build the same token sequence, sort suffixes
+    # sequential reference over the SAME alphabet the engine sorts: r16
+    # relabels tokens via xxhash64 when that is provably injective on the
+    # corpus vocabulary (SA-neighbor outputs are invariant under any
+    # injective relabeling; the oracle queries pin that), so the
+    # reference sorts suffixes of the hashed sequence — fetched from
+    # Spark, since xxhash64 has no Python twin here.
     rows = sorted(
-        ((r.gpos, r.token) for r in stream.collect()), key=lambda x: x[0]
+        (
+            (r.gpos, r.h)
+            for r in stream.select(
+                "gpos", F.xxhash64("token").alias("h")
+            ).collect()
+        ),
+        key=lambda x: x[0],
     )
     seq = [t for _, t in rows]
     gposes = [g for g, _ in rows]
@@ -35,6 +46,9 @@ def test_suffix_ranks_match_sequential_reference(spark):
     for rank0, i in enumerate(order):
         want[gposes[i]] = rank0 + 1
     assert got == want
+    # and the permutation invariant the consumers rely on: ranks are a
+    # 1..n bijection
+    assert sorted(got.values()) == list(range(1, len(seq) + 1))
 
 
 def test_distributed_dense_rank_equals_global_window(spark):

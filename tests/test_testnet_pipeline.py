@@ -12,6 +12,9 @@ from near_public_lakehouse_spark.plans.pipeline import run_batch
 from near_public_lakehouse_spark.plans.schemas import TRANSACTION_DDL
 from near_public_lakehouse_spark.sources.fixtures import generate_fixtures
 
+pytestmark = pytest.mark.slow  # r16 two-lane suite: close_round runs the full lane
+
+
 N_BLOCKS = 60
 N_SHARDS = 2
 

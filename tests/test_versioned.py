@@ -11,6 +11,9 @@ import pytest
 
 from near_public_lakehouse_spark.operators import versioned as V
 
+pytestmark = pytest.mark.slow  # r16 two-lane suite: close_round runs the full lane
+
+
 
 def _df(spark, rows):
     return spark.createDataFrame(rows, "k int, v string")
