@@ -160,9 +160,23 @@ def _agg_layout(edges: DataFrame, agg_key: str, n_rows: int) -> DataFrame:
     cached plan unique per invocation — a fresh bench run re-reads
     parquet and re-pays the one layout shuffle. Only sensible in the
     broadcast regime (an SMJ on the other key would re-shuffle the
-    layout away); merge-regime callers keep the plain checkpoint."""
+    layout away); merge-regime callers keep the plain checkpoint.
+
+    Width: decision_parts FLOORED at the cluster parallelism (r16 — the
+    idle-window probe VERDICT r15 asked for): the driver-paced loop
+    makes every half-iteration a barrier whose wall is the layout map
+    stage, so idle cores during that stage are pure latency — measured
+    at sf0.1: width 2/4/8/16/32 -> 17.2/13.8/8.9/7.1/6.2 s minima,
+    monotone to the core count. Cluster-derived, not a constant; at
+    scale the row term dominates. (The r15 rejection of a core-count
+    floor was for tiny DECISION frames whose downstream M x R stream
+    setup dominated — this layout is the compute stage itself.)"""
     return edges.repartition(
-        _decision_parts(n_rows), agg_key
+        max(
+            _decision_parts(n_rows),
+            edges.sparkSession.sparkContext.defaultParallelism,
+        ),
+        agg_key,
     ).persist()
 
 
@@ -759,9 +773,14 @@ def _hits_state_df(spark: SparkSession, rows: list[tuple]) -> DataFrame:
 
     mx = max((s for _, s in rows), default=1.0)
     if rows:
+        # coalesce(1): the Arrow path slices the pandas frame into
+        # defaultParallelism partitions, so every consumer (each half's
+        # broadcast build, the final save) paid 32 near-empty tasks per
+        # scan of a ~15k-row state — measured 10.8 task-s across 64
+        # tasks in the save job alone. One O(nodes) batch is one task.
         lit = spark.createDataFrame(
             pd.DataFrame(rows, columns=["node", "s"]), "node bigint, s double"
-        )
+        ).coalesce(1)
     else:  # empty graph: schema-only frame (empty pandas has no dtypes)
         lit = spark.createDataFrame([], "node bigint, s double")
     return lit.select(
