@@ -566,8 +566,10 @@ def minhash_lsh_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature agreement rates. Fewer emitted pairs than the fixed bands
     at equal-or-better recall on every probe corpus (module docstring has
     the numbers; `minhash_adaptive_eval` recomputes them under oracle)."""
+    from near_public_lakehouse_spark.queries.dedup import widen_scan
+
     docs = load_table(spark, sf_dir, "documents")
-    return _adaptive_pairs(docs).orderBy("doc_a", "doc_b")
+    return _adaptive_pairs(widen_scan(docs)).orderBy("doc_a", "doc_b")
 
 
 def _eval_oracle_sql(from_table: str = "documents", prelude: str = "") -> str:
@@ -1029,8 +1031,10 @@ def minhash_lsh_adaptive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     disagreements cannot break 4 disjoint bands), measurably near-lossless
     across sources (`minhash_adaptive_bands_eval`). The explode, join
     input, and collision product for strict sources shrink by 1/3."""
+    from near_public_lakehouse_spark.queries.dedup import widen_scan
+
     docs = load_table(spark, sf_dir, "documents")
-    return _pairs_from_flat(_banded_flat(docs)).orderBy("doc_a", "doc_b")
+    return _pairs_from_flat(_banded_flat(widen_scan(docs))).orderBy("doc_a", "doc_b")
 
 
 def _bands_eval_oracle_sql(from_table: str = "documents", prelude: str = "") -> str:

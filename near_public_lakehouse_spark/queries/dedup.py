@@ -264,6 +264,22 @@ def decision_parts(n_rows: int) -> int:
     return max(2, -(-int(n_rows) // DECISION_ROWS_PER_PARTITION))
 
 
+def widen_scan(docs: DataFrame) -> DataFrame:
+    """Hash-widen a NARROW document scan to cluster parallelism before a
+    per-row CPU-heavy projection (r16 optimization round, guide §2.5
+    input skew — the k-means exploded-embedding widen applied to the
+    minhash preludes): the bench corpus is one parquet file, so the
+    12-minhash signature pass ran as ONE 8-13 s task feeding a 32-wide
+    shuffle. Hash on doc_id (deterministic — not round-robin, so no
+    sort-before-repartition pass and no SPARK-38388 retry hazard); a
+    no-op whenever the scan is already at least cluster-wide, which is
+    the 100 TB case."""
+    dp = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < dp:
+        return docs.repartition(dp, "doc_id")
+    return docs
+
+
 def narrowed_ckpt(df: DataFrame, n_rows: int) -> DataFrame:
     """Re-checkpoint an ALREADY-MATERIALIZED checkpoint at the width
     `decision_parts(n_rows)` prescribes, if narrower. `coalesce` over the
@@ -443,7 +459,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     only exact-dedup representatives; both knobs keep this plan shape.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sigs = _band_key_df(docs)
+    sigs = _band_key_df(widen_scan(docs))
     a = sigs.alias("a")
     b = sigs.alias("b")
     return (
