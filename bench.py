@@ -225,6 +225,11 @@ def main() -> None:
             sum(organic[n] for n in core7 if n in organic), 3
         ),
         "queries": timings,
+        # per-query MIN alongside the median (r16, VERDICT r15 item 8 —
+        # additions-only): the r15 steal analysis showed medians can be
+        # polluted by host co-tenant pressure while minima stay stable,
+        # so regression calls are adjudicable from the compact line.
+        "queries_min": {n: min(xs) for n, xs in runs.items()},
         "contended": sorted(contended),
         "sf": sf,
     }
@@ -251,6 +256,12 @@ def main() -> None:
     # contended flags, and is sized to fit the tail buffer whole.
     compact = json.dumps(summary)
     if len(compact) > 1900:  # never let per-query growth re-truncate it
+        # shed the r16 min-addendum first — the driver contract's
+        # `queries` field is the last thing to shrink
+        summary.pop("queries_min", None)
+        summary["queries_min_see"] = "BENCH_LOCAL"
+        compact = json.dumps(summary)
+    if len(compact) > 1900:
         summary["queries"] = {
             n: t for n, t in timings.items() if re.sub(r"^a\d+_", "", n) in core7
         }

@@ -33,6 +33,14 @@ def inline_rows_df(
     `createDataFrame`, which carries the schema explicitly."""
     if not rows:
         raise ValueError("inline_rows_df needs at least one row")
+    for i, row in enumerate(rows):
+        # zip() below would silently truncate a mismatched row into a
+        # structurally wrong frame (r15 ADVICE); fail like createDataFrame
+        if len(row) != len(schema):
+            raise ValueError(
+                f"inline_rows_df row {i} has {len(row)} values for "
+                f"{len(schema)} schema columns"
+            )
     structs = [
         F.struct(
             *[

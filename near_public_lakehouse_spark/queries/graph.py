@@ -186,6 +186,37 @@ def _decision_parts(n_rows: int) -> int:
     return decision_parts(n_rows)
 
 
+def _merge_layout(edges: DataFrame, key: str, n_rows: int) -> DataFrame:
+    """Pre-partitioned + SORTED edge layout for the merge-regime rounds
+    (r16 optimization round — the VERDICT r15 "remaining structural
+    item"; guide §2.4 "two operations keyed the same way share one
+    exchange" + §3.3): when the O(nodes) state exceeds the broadcast
+    threshold every round is a SortMergeJoin, and the O(edges) side — a
+    checkpoint scan with no known partitioning or ordering — paid a full
+    Exchange + Sort PER ROUND. One keyed repartition + in-partition sort,
+    cached, satisfies the SMJ's distribution AND ordering requirement on
+    the edge side for every round: only the state side shuffles/sorts
+    per round. `persist` (not localCheckpoint) is load-bearing exactly as
+    in `_agg_layout` — InMemoryRelation preserves both outputPartitioning
+    and outputOrdering, an RDD checkpoint scan reports neither. Measured
+    on a synthetic merge-regime graph in tools/merge_probe.py (sf0.1
+    always broadcasts, so bench plans are untouched)."""
+    p = max(
+        _decision_parts(n_rows),
+        edges.sparkSession.sparkContext.defaultParallelism,
+    )
+    out = edges.repartition(p, key).sortWithinPartitions(key).persist()
+    # Materialize NOW: only a FINALIZED cached plan reports the layout's
+    # partitioning+ordering to EnsureRequirements (an unmaterialized
+    # cache is an open AdaptiveSparkPlan and every round would still be
+    # planned with the edge-side exchange+sort). One pass the first
+    # round would have paid anyway; every round plan built after this
+    # line is exchange-free on the edge side (pinned in
+    # tests/test_r16_opt.py).
+    out.count()
+    return out
+
+
 def _pr_iteration_sql() -> str:
     """r1..r{PR_ITERS} CTEs, each one power-iteration step over r(k-1)."""
     steps = []
@@ -320,7 +351,16 @@ def _pr_setup(pairs: DataFrame) -> tuple[DataFrame, DataFrame, float, bool]:
     # re-checkpoint of contrib (neutral at best) — with cadence-5
     # checkpoints AQE already pipelines five rounds per job and each
     # round's exchange carries only map-side-aggregated partials, so the
-    # extra setup job never pays back over 8 rounds.
+    # extra setup job never pays back over 8 rounds. The r16 probe
+    # extended the rejection to the MERGE regime: a src-keyed sorted
+    # `_merge_layout` on contrib measured WORSE on the synthetic 4M-pair
+    # merge-regime graph (tools/merge_probe.py: wall 33 -> 36-49 s,
+    # total shuffle 606 -> 855 MB) — PR chains five rounds between lazy
+    # checkpoints, so AQE already coalesces/pipelines the round
+    # exchanges and the one-time layout shuffle plus the cache's memory
+    # pressure never pay back. BFS/HITS/CC, whose rounds cut lineage
+    # per round (short per-round plans), DO keep the layout — measured
+    # wins in the same probe.
     return contrib, rank, n, bcast
 
 
@@ -514,6 +554,10 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `_pr_setup`/`_hits_regimes`.
     n_nodes = int(edges.agg(F.approx_count_distinct("src")).first()[0] or 0)
     bcast = _state_broadcastable(spark, n_nodes, n_nodes * 8)
+    if not bcast:
+        # merge regime: per-round SMJ — pre-shape the static edge side
+        # once so only the frontier exchanges/sorts per round (r16)
+        edges = _merge_layout(edges, "src", edges.count())
     dist = inline_rows_df(
         spark, [(BFS_SOURCE_CODE, 0)], [("node", "bigint"), ("hops", "bigint")]
     )
@@ -681,8 +725,20 @@ def link_analysis_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1: 13.2-14.4 s -> ~10.2 s median (tasktime 44 -> ~25 s),
     # output bit-identical.
     n_edges = edges.count()
-    e_h = _agg_layout(edges, "cust", n_edges) if bcast_auth else edges
-    e_a = _agg_layout(edges, "supp", n_edges) if bcast_hub else edges
+    # broadcast halves: layout keyed by the GROUP key (the broadcast join
+    # preserves it, so the round aggregate needs no exchange); merge
+    # halves: layout keyed + sorted by the JOIN key (the SMJ's edge side
+    # stops re-exchanging and re-sorting per half — r16, merge_probe A/B)
+    e_h = (
+        _agg_layout(edges, "cust", n_edges)
+        if bcast_auth
+        else _merge_layout(edges, "supp", n_edges)
+    )
+    e_a = (
+        _agg_layout(edges, "supp", n_edges)
+        if bcast_hub
+        else _merge_layout(edges, "cust", n_edges)
+    )
     out = _hits_output(*_hits_rounds(e_h, e_a, auth, bcast_auth, bcast_hub))
     if bcast_auth and bcast_hub:
         # Driver-paced loop: every layout read happened inside the

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -992,8 +994,6 @@ def kmeans_fit(
         # ballooned the run 15.6 -> 76 s. (In a session without the Arrow
         # conf this falls back to the old pickled path — correct, just
         # slower; bench/production sessions pin the conf.)
-        import pandas as pd
-
         cent = F.broadcast(
             spark.createDataFrame(
                 pd.DataFrame(

@@ -65,6 +65,63 @@ def test_hits_registry_query_unpersists_layouts(spark):
     assert jsc.getPersistentRDDs().size() <= before + 1
 
 
+def test_graph_queries_regime_invariant_under_merge_layout(spark):
+    """Force the merge regime (broadcast threshold -1) on the full
+    registry queries so the r16 `_merge_layout` path — pre-partitioned +
+    sorted cached edge frames feeding every round's SMJ — is exercised
+    end to end and produces the exact broadcast-regime rows."""
+    from near_public_lakehouse_spark.queries import all_queries
+
+    qs = all_queries()
+    names = ["graph_pagerank", "graph_bfs_hops", "link_analysis_hits"]
+    want = {n: qs[n].fn(spark, SF_DIR).collect() for n in names}
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for n in names:
+            assert qs[n].fn(spark, SF_DIR).collect() == want[n], n
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_merge_layout_round_plan_has_no_edge_exchange_or_sort(spark):
+    """The point of `_merge_layout`: a merge-regime round's SMJ must NOT
+    re-exchange or re-sort the cached edge side — the only Exchange on
+    the edge path is the one inside the cached layout itself; per-round
+    the state side carries the shuffle+sort."""
+    from near_public_lakehouse_spark.queries.graph import (
+        _merge_layout,
+        _pr_round,
+    )
+
+    contrib = spark.createDataFrame(
+        [(1, 2, 0.5), (2, 1, 0.5), (2, 3, 0.5), (3, 2, 1.0), (1, 3, 0.5)],
+        "src bigint, dst bigint, wd double",
+    ).localCheckpoint()
+    lay = _merge_layout(contrib, "src", 5)
+    try:
+        lay.count()  # materialize the cache, as the real callers do
+        rank = spark.createDataFrame(
+            [(1, 0.3), (2, 0.3), (3, 0.4)], "node bigint, rank double"
+        ).localCheckpoint()
+        rnd = _pr_round(lay, rank, 3.0, broadcast_state=False)
+        # With the cache MATERIALIZED (the callers' state — count above),
+        # its inner AdaptiveSparkPlan is final, so the InMemoryRelation
+        # reports the layout's partitioning+ordering and EnsureRequirements
+        # plans the round with NO edge-side Exchange/Sort. (Unmaterialized,
+        # AQE prints a planned ENSURE_REQUIREMENTS exchange regardless —
+        # the r15 `_agg_layout` lesson; runtime A/B on a 2M-edge frame:
+        # round shuffle write 42.8 -> 21.6 MB.)
+        plan = rnd._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        im = plan.index("InMemoryTableScan")
+        smj = plan.index("SortMergeJoin")
+        edge_path = plan[smj:im]
+        assert "Exchange" not in edge_path and "Sort " not in edge_path, plan
+    finally:
+        lay.unpersist()
+
+
 def test_shift_slots_equals_join_formulation(spark):
     from near_public_lakehouse_spark.queries.suffix import _shift_slots
 
